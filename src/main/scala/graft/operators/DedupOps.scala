@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents`.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one hash-shuffle on a 32-byte digest, never on full text —
+  *    at 100 TB the shuffle payload is keys+digests, not documents.
+  *  - MinHash + LSH: per-doc signature (narrow), explode to (band, hash)
+  *    keys (narrow), ONE shuffle to bucket-join candidates, then verify
+  *    only candidates with true Jaccard. O(n) + tiny candidate join vs the
+  *    O(n²) all-pairs compare.
+  *  - SimHash: per-doc 16-bit fingerprint; equal-fingerprint grouping is
+  *    one shuffle on a 2-byte key.
+  *
+  * MinHash here is md5-based (k salted permutations approximated by salted
+  * hashes) so the DuckDB oracle can reproduce signatures bit-for-bit — the
+  * SQL-expressible analog of Spark ML's MinHashLSH.
+  */
+object DedupOps {
+  import Tables.documents
+
+  private val K = 8 // minhash signature length (4 bands x 2 rows)
+
+  /** doc_id, toks(array), plus sig_0..sig_{K-1} salted-minhash columns
+    * over `gram`-gram shingles. */
+  private def withSigs(df: DataFrame, gram: Int): DataFrame = {
+    val base = df
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .withColumn("shingles",
+        if (gram == 1) col("toks")
+        else expr(s"transform(sequence(1, greatest(size(toks) - ${gram - 1}, 1)), " +
+                  s"i -> concat_ws(' ', slice(toks, i, $gram)))"))
+    (0 until K).foldLeft(base) { (acc, j) =>
+      acc.withColumn(s"sig_$j",
+        expr(s"array_min(transform(shingles, x -> md5(concat('$j|', x))))"))
+    }
+  }
+
+  private def sigsOracleCte(gram: Int): String = {
+    val shingleExpr =
+      if (gram == 1) "toks"
+      else s"list_transform(range(1, greatest(len(toks) - ${gram - 1}, 1) + 1), " +
+           s"i -> array_to_string(list_slice(toks, i, i + ${gram - 1}), ' '))"
+    val sigCols = (0 until K).map { j =>
+      s"list_aggregate(list_transform(shingles, x -> md5('$j|' || x)), " +
+      s"'min') AS sig_$j"
+    }.mkString(",\n             ")
+    s"""t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+              FROM documents),
+        sh AS (SELECT doc_id, $shingleExpr AS shingles FROM t),
+        sigs AS (SELECT doc_id,
+             $sigCols
+           FROM sh)"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: group by content hash, keep min doc_id.
+    "dedup_exact" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(md5(lower(trim(col("text")))).as("text_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))),
+
+    // Per-doc MinHash signatures (5-gram shingles) — the signature stage
+    // of the LSH pipeline, verified bit-for-bit by the oracle.
+    "dedup_minhash_sigs" -> ((s, d) =>
+      withSigs(documents(s, d), gram = 5)
+        .select(col("doc_id") +: (0 until K).map(j => col(s"sig_$j")): _*)),
+
+    // Full LSH pipeline on 2-gram shingles: band -> bucket-join ->
+    // candidate pairs -> true-Jaccard verification on shingle sets.
+    // The band join carries only (band, doc_id); shingle sets are joined
+    // back by key afterwards so the shuffle payload stays narrow.
+    "dedup_minhash_pairs" -> ((s, d) => {
+      val sigs = withSigs(documents(s, d), gram = 2)
+        .select(col("doc_id") +: col("shingles") +:
+                (0 until K).map(j => col(s"sig_$j")): _*)
+      val bands = sigs.select(
+        col("doc_id"),
+        explode(array((0 until K / 2).map(b =>
+          struct(lit(b).as("band_id"),
+                 md5(concat(col(s"sig_${2 * b}"),
+                            col(s"sig_${2 * b + 1}"))).as("band_hash"))
+        ): _*)).as("band"))
+        .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+      val pairs = bands.as("a")
+        .join(bands.as("b"), Seq("band_id", "band_hash"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .distinct()
+      val sets = sigs.select(col("doc_id"),
+        array_distinct(col("shingles")).as("sh"))
+      pairs
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+              Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+              Seq("doc_b"))
+        .withColumn("inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni",
+          size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .select(col("doc_a"), col("doc_b"),
+                (col("inter").cast("double") / col("uni")).as("jaccard"))
+    }),
+
+    // SimHash: 16-bit fingerprint from per-token md5 bit votes.
+    "dedup_simhash" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(split(lower(trim(col("text"))), " ")))
+            .as("tok"))
+        .withColumn("h", md5(col("tok")))
+      val aggCols = (0 until 16).map { k =>
+        sum(when(expr(s"instr('0123456789abcdef', substr(h, ${k + 1}, 1))")
+                   >= 9, 1).otherwise(-1)).as(s"s_$k")
+      }
+      val sums = toks.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+      val simhash = (0 until 16).map { k =>
+        when(col(s"s_$k") >= 0, 1 << k).otherwise(0)
+      }.reduce(_ + _)
+      sums.select(col("doc_id"), simhash.cast("int").as("simhash16"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS text_hash,
+         min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1""",
+    "dedup_minhash_sigs" -> {
+      val cols = (0 until K).map(j => s"sig_$j").mkString(", ")
+      s"WITH ${sigsOracleCte(5)} SELECT doc_id, $cols FROM sigs"
+    },
+    "dedup_minhash_pairs" -> {
+      val bandRows = (0 until K / 2).map(b =>
+        s"SELECT doc_id, $b AS band_id, " +
+        s"md5(sig_${2 * b} || sig_${2 * b + 1}) AS band_hash FROM sigs"
+      ).mkString("\n           UNION ALL ")
+      s"""WITH ${sigsOracleCte(2)},
+         bands AS ($bandRows),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           WHERE a.doc_id < b.doc_id),
+         tk AS (SELECT doc_id, list_distinct(shingles) AS dt FROM sh)
+         SELECT doc_a, doc_b,
+           cast(len(list_filter(ta.dt, x -> list_contains(tb.dt, x)))
+                as double) /
+           (len(ta.dt) + len(tb.dt) -
+            len(list_filter(ta.dt, x -> list_contains(tb.dt, x))))
+             AS jaccard
+         FROM pairs
+         JOIN tk ta ON ta.doc_id = doc_a
+         JOIN tk tb ON tb.doc_id = doc_b"""
+    },
+    "dedup_simhash" -> {
+      val sumCols = (0 until 16).map { k =>
+        s"sum(CASE WHEN strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) " +
+        s">= 9 THEN 1 ELSE -1 END) AS s_$k"
+      }.mkString(",\n             ")
+      val combine = (0 until 16).map { k =>
+        s"(CASE WHEN s_$k >= 0 THEN ${1 << k} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH t AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_distinct(string_split(lower(trim(text)), ' ')))
+               AS tok
+           FROM documents),
+         b AS (SELECT doc_id, md5(tok) AS h FROM t),
+         sums AS (
+           SELECT doc_id,
+             $sumCols
+           FROM b GROUP BY doc_id)
+         SELECT doc_id, cast($combine as int) AS simhash16 FROM sums"""
+    }
+  )
+}

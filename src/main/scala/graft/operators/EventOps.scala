@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream operators over the `events` table.
+  *
+  * The reference's streaming mode (Flink statement-sets,
+  * easy_sql/sql_processor/backend/flink.py:88-131) maps to Structured
+  * Streaming — the true streaming runner lives in graft.streaming; these
+  * catalog entries run the SAME window expressions in batch mode so the
+  * DuckDB oracle can verify the aggregation semantics (batch-replay check).
+  *
+  * Timestamps never appear raw in outputs: bucket starts are epoch longs
+  * (Spark-written parquet timestamps are tz-adjusted, DuckDB's are naive —
+  * epoch longs sidestep the mismatch).
+  */
+object EventOps {
+  import Tables._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling window aggregate — same operator Structured Streaming uses
+    // after a withWatermark; window() aligns to the epoch, so the bucket
+    // start is floor(epoch/600)*600.
+    "streaming_tumbling_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("value").cast(dec)).cast("double").as("sum_val"))
+        .select(col("window.start").cast("long").as("bucket_start"),
+                col("event_type"), col("cnt"), col("sum_val"))),
+
+    // Sliding window: 10-minute window sliding every 5 minutes — each event
+    // lands in 2 buckets.
+    "streaming_sliding_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").cast("long").as("bucket_start"),
+                col("cnt"))),
+
+    // Sessionization (gaps-and-islands): a new session starts after a
+    // >30-minute gap per user. lag() + running sum of session-start flags.
+    // Fully deterministic: ordering tie-broken by event_id; gap compare on
+    // exact epoch-micros longs.
+    "sessionize_events" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+               col("us") - col("prev_us") > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_idx",
+          sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("user_id", "event_id", "session_idx")
+    }),
+
+    // Per-user, per-event-type daily rollup — the shape of a streaming
+    // foreachBatch upsert target.
+    "event_type_daily" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+             countDistinct(col("user_id")).as("n_users"),
+             sum(col("value").cast(dec)).cast("double").as("sum_val")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "streaming_tumbling_window" ->
+      """SELECT cast(floor(epoch(ts)/600)*600 as bigint) AS bucket_start,
+         event_type, count(*) AS cnt,
+         cast(sum(cast(value as decimal(18,2))) as double) AS sum_val
+         FROM events GROUP BY 1, 2""",
+    "streaming_sliding_window" ->
+      """WITH x AS (
+           SELECT cast(floor(epoch(ts)/300)*300 as bigint) AS half_bucket
+           FROM events)
+         SELECT bucket_start, count(*) AS cnt FROM (
+           SELECT half_bucket AS bucket_start FROM x
+           UNION ALL
+           SELECT half_bucket - 300 AS bucket_start FROM x)
+         GROUP BY bucket_start""",
+    "sessionize_events" ->
+      """SELECT user_id, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id
+           ORDER BY us ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         FROM (
+           SELECT user_id, event_id, us,
+             CASE WHEN lag(us, 1) OVER (PARTITION BY user_id
+                    ORDER BY us ASC, event_id ASC) IS NULL
+                    OR us - lag(us, 1) OVER (PARTITION BY user_id
+                         ORDER BY us ASC, event_id ASC) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM (SELECT user_id, event_id, epoch_us(ts) AS us
+                 FROM events))""",
+    "event_type_daily" ->
+      """SELECT cast(ts as date) AS day, event_type, count(*) AS cnt,
+         count(DISTINCT user_id) AS n_users,
+         cast(sum(cast(value as decimal(18,2))) as double) AS sum_val
+         FROM events GROUP BY 1, 2"""
+  )
+}

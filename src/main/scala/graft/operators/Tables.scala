@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata star schema (TESTDATA.md).
+  *
+  * All catalog queries take `(SparkSession, sfDir)` and read parquet
+  * directly — at cluster scale these would be catalog tables; the scan
+  * path (vectorized parquet + pushdown + pruning) is identical.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; read nanos as long and truncate to micros (exactly what
+    * DuckDB's ns→us cast does). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Exact money arithmetic: the synthetic prices/discounts are 2-decimal
+    * doubles; casting each value to decimal(18,2) BEFORE aggregating makes
+    * sums order-independent and bit-identical to the DuckDB oracle
+    * (double sums are order-dependent and would flake the hash compare).
+    * Final results are cast back to double so output schemas stay simple.
+    */
+  val dec = "decimal(18,2)"
+}

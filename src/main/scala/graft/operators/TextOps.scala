@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the per-document half of a
+  * training-data pipeline (quality filtering, language ID, token budgeting,
+  * fingerprinting). All are narrow per-row transforms (no shuffle): at
+  * 100 TB they scale linearly with input splits and stay inside a single
+  * stage; only the downstream consumers (grouping, joins) shuffle.
+  *
+  * Every expression uses integer/exact arithmetic (counts, ratios of exact
+  * ints via one IEEE division) so the DuckDB oracle hash-matches.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "data", "table", "value", "row", "key")
+  private val stopList  = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens, distinct tokens, total/avg token
+    // length, and a BPE-ish subword estimate (ceil(len/4) per token).
+    "text_token_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(trim(col("text")), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_uniq"),
+          expr("aggregate(transform(toks, t -> length(t)), 0, " +
+               "(a, x) -> a + x)").as("total_len"),
+          expr("aggregate(transform(toks, t -> " +
+               "cast(ceil(length(t) / 4.0) as int)), 0, (a, x) -> a + x)")
+            .as("n_bpe_est"))
+        .withColumn("avg_token_len",
+          col("total_len").cast("double") / col("n_tokens"))),
+
+    // Quality scoring: length band + stopword density + digit penalty.
+    "text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(trim(col("text")), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("stop_cnt",
+          expr(s"size(filter(toks, t -> t IN ($stopList)))"))
+        .withColumn("digit_cnt",
+          length(col("text")) -
+            length(regexp_replace(col("text"), "[0-9]", "")))
+        .withColumn("stop_ratio",
+          col("stop_cnt").cast("double") / col("n_tokens"))
+        // integer quality points (50/30/20) — no FP literal arithmetic, so
+        // the oracle matches bit-for-bit
+        .withColumn("score_pts",
+          (when(col("n_tokens") >= 20 && col("n_tokens") <= 2000, 50)
+            .otherwise(0) +
+           when(col("stop_ratio") > 0.02, 30).otherwise(0) +
+           when(col("digit_cnt") === 0, 20).otherwise(0)).cast("int"))
+        .select("doc_id", "n_tokens", "stop_cnt", "digit_cnt",
+                "stop_ratio", "score_pts")),
+
+    // Language ID: n-gram/stopword-marker heuristic. CJK codepoints force
+    // zh; otherwise the language with the most marker hits wins (ties in
+    // a fixed en > de > fr > es order).
+    "text_lang_id" -> ((s, d) => {
+      def hits(ws: Seq[String]) = {
+        val l = ws.map(w => s"'$w'").mkString(", ")
+        expr(s"size(filter(toks, t -> t IN ($l)))")
+      }
+      Tables.documents(s, d)
+        .withColumn("toks", split(trim(col("text")), " "))
+        .withColumn("c_en", hits(Seq("the", "and", "of", "is")))
+        .withColumn("c_de", hits(Seq("der", "und", "die", "ist")))
+        .withColumn("c_fr", hits(Seq("le", "la", "et", "est")))
+        .withColumn("c_es", hits(Seq("el", "los", "y", "es")))
+        .withColumn("has_cjk",
+          length(regexp_replace(col("text"), "[\\u4e00-\\u9fff]", "")) <
+            length(col("text")))
+        .withColumn("pred_lang",
+          when(col("has_cjk"), "zh")
+            .when(col("c_en") >= greatest(col("c_de"), col("c_fr"),
+                    col("c_es")) && col("c_en") > 0, "en")
+            .when(col("c_de") >= greatest(col("c_fr"), col("c_es")) &&
+                    col("c_de") > 0, "de")
+            .when(col("c_fr") >= col("c_es") && col("c_fr") > 0, "fr")
+            .when(col("c_es") > 0, "es")
+            .otherwise("unknown"))
+        .select(col("doc_id"), col("pred_lang"), col("lang"),
+                (col("pred_lang") === col("lang")).as("is_match"))
+    }),
+
+    // Document fingerprinting: full-text hash + min 5-gram shingle hash
+    // (a 1-permutation MinHash — the dedup building block).
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(lower(trim(col("text"))), " "))
+        .select(
+          col("doc_id"),
+          md5(lower(trim(col("text")))).as("fp_full"),
+          expr("array_min(transform(" +
+               "sequence(1, greatest(size(toks) - 4, 1)), " +
+               "i -> md5(concat_ws(' ', slice(toks, i, 5)))))")
+            .as("fp_min5")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_token_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                    FROM documents)
+         SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_uniq,
+           cast(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+                as int) AS total_len,
+           cast(list_aggregate(list_transform(toks,
+                t -> cast(ceil(length(t) / 4.0) as int)), 'sum') as int)
+             AS n_bpe_est,
+           cast(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+                as double) / len(toks) AS avg_token_len
+         FROM t""",
+    "text_quality" ->
+      s"""WITH t AS (
+           SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         u AS (
+           SELECT doc_id, len(toks) AS n_tokens,
+             cast(len(list_filter(toks, t -> t IN ($stopList))) as int)
+               AS stop_cnt,
+             cast(length(text) -
+                  length(regexp_replace(text, '[0-9]', '', 'g')) as int)
+               AS digit_cnt
+           FROM t)
+         SELECT doc_id, n_tokens, stop_cnt, digit_cnt,
+           cast(stop_cnt as double) / n_tokens AS stop_ratio,
+           cast(CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 50 ELSE 0 END +
+            CASE WHEN cast(stop_cnt as double) / n_tokens > 0.02
+                 THEN 30 ELSE 0 END +
+            CASE WHEN digit_cnt = 0 THEN 20 ELSE 0 END as int) AS score_pts
+         FROM u""",
+    "text_lang_id" -> {
+      def h(ws: Seq[String]) = {
+        val l = ws.map(w => s"'$w'").mkString(", ")
+        s"cast(len(list_filter(toks, t -> t IN ($l))) as int)"
+      }
+      s"""WITH t AS (
+           SELECT doc_id, lang, text, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         u AS (
+           SELECT doc_id, lang,
+             ${h(Seq("the", "and", "of", "is"))} AS c_en,
+             ${h(Seq("der", "und", "die", "ist"))} AS c_de,
+             ${h(Seq("le", "la", "et", "est"))} AS c_fr,
+             ${h(Seq("el", "los", "y", "es"))} AS c_es,
+             length(regexp_replace(text, '[\\u4e00-\\u9fff]', '', 'g')) <
+               length(text) AS has_cjk
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN has_cjk THEN 'zh'
+                WHEN c_en >= greatest(c_de, c_fr, c_es) AND c_en > 0
+                  THEN 'en'
+                WHEN c_de >= greatest(c_fr, c_es) AND c_de > 0 THEN 'de'
+                WHEN c_fr >= c_es AND c_fr > 0 THEN 'fr'
+                WHEN c_es > 0 THEN 'es'
+                ELSE 'unknown' END AS pred_lang,
+           lang,
+           (CASE WHEN has_cjk THEN 'zh'
+                WHEN c_en >= greatest(c_de, c_fr, c_es) AND c_en > 0
+                  THEN 'en'
+                WHEN c_de >= greatest(c_fr, c_es) AND c_de > 0 THEN 'de'
+                WHEN c_fr >= c_es AND c_fr > 0 THEN 'fr'
+                WHEN c_es > 0 THEN 'es'
+                ELSE 'unknown' END) = lang AS is_match
+         FROM u"""
+    },
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS ntext,
+                    string_split(lower(trim(text)), ' ') AS toks
+                    FROM documents)
+         SELECT doc_id, md5(ntext) AS fp_full,
+           list_aggregate(list_transform(
+             range(1, greatest(len(toks) - 4, 1) + 1),
+             i -> md5(array_to_string(list_slice(toks, i, i + 4), ' '))),
+             'min') AS fp_min5
+         FROM t"""
+  )
+}

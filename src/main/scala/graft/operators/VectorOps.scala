@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64).
+  *
+  * Determinism contract: floats are quantized to int64 (round(x*1000)), so
+  * dot products and norms are EXACT integer sums — order-independent and
+  * bit-identical to the DuckDB oracle; the only FP steps (sqrt, one
+  * division) are per-row IEEE ops identical across engines.
+  *
+  * Scale design:
+  *  - brute-force top-k broadcasts the (tiny) query set and streams the
+  *    corpus: one narrow pass, one shuffle for the per-query top-k —
+  *    the right baseline at any corpus size when |queries| is small.
+  *  - LSH (signed random projections) assigns each vector a bucket in one
+  *    narrow pass; near-dup candidate generation joins WITHIN buckets
+  *    only, replacing the O(n²) cross join with a skew-bounded equi-join —
+  *    the 100 TB path. Hyperplanes are md5-derived ±1 vectors, inlined as
+  *    literals in both engines.
+  */
+object VectorOps {
+  import Tables.embeddings
+
+  private val DIM = 64
+  private val NPLANES = 8
+
+  /** Deterministic ±1 hyperplanes: sign from the top bit of md5("p_i"). */
+  private[operators] val planes: Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until NPLANES).map { p =>
+      (0 until DIM).map { i =>
+        val h = md.digest(s"${p}_$i".getBytes("UTF-8"))
+        if ((h(0) & 0x80) != 0) 1 else -1
+      }
+    }
+  }
+
+  /** Quantized int64 vector + exact squared norm. */
+  private def quantized(df: DataFrame): DataFrame =
+    df.withColumn("qv",
+        expr("transform(embedding, x -> " +
+             "cast(round(cast(x as double) * 1000) as bigint))"))
+      .withColumn("nrm",
+        expr("aggregate(qv, cast(0 as bigint), (a, x) -> a + x * x)"))
+
+  private def bucketExpr: Column = {
+    val bits = planes.zipWithIndex.map { case (w, p) =>
+      val arr = w.mkString(", ")
+      expr(s"CASE WHEN aggregate(zip_with(qv, array($arr), " +
+           s"(a, b) -> a * cast(b as bigint)), cast(0 as bigint), " +
+           s"(a, x) -> a + x) >= 0 THEN ${1 << p} ELSE 0 END")
+    }
+    bits.reduce(_ + _).cast("int")
+  }
+
+  private def oracleQuantCte: String =
+    """e AS (SELECT vec_id,
+         list_transform(embedding, x ->
+           cast(round(cast(x as double) * 1000) as bigint)) AS qv
+       FROM embeddings),
+       n AS (SELECT vec_id, qv,
+         cast(list_aggregate(list_transform(qv, x -> x * x), 'sum')
+              as bigint) AS nrm
+       FROM e)"""
+
+  private def oracleBucketSql: String = {
+    val planeRows = planes.zipWithIndex.map { case (w, p) =>
+      s"($p, [${w.mkString(", ")}])"
+    }.mkString(",\n           ")
+    s"""WITH $oracleQuantCte,
+       planes(p, w) AS (VALUES
+           $planeRows),
+       dots AS (
+         SELECT n.vec_id, planes.p,
+           cast(list_aggregate(list_transform(range(1, $DIM + 1),
+             i -> n.qv[i] * cast(planes.w[i] as bigint)), 'sum') as bigint)
+             AS dot
+         FROM n, planes)
+       SELECT vec_id,
+         cast(sum(CASE WHEN dot >= 0
+                  THEN power(2, p) ELSE 0 END) as int) AS bucket
+       FROM dots GROUP BY vec_id"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-10 for query vectors vec_id < 5: broadcast
+    // the queries, stream the corpus, per-query top-k via window.
+    "ann_bruteforce_topk" -> ((s, d) => {
+      val e = quantized(embeddings(s, d)).select("vec_id", "qv", "nrm")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("qv").as("qqv"),
+                col("nrm").as("qnrm"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qqv, qv, (a, b) -> a * b), " +
+               "cast(0 as bigint), (a, x) -> a + x)"))
+        .filter(col("nrm") > 0 && col("qnrm") > 0)
+        .withColumn("sim",
+          col("dot").cast("double") /
+            (sqrt(col("qnrm").cast("double")) *
+             sqrt(col("nrm").cast("double"))))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("qid", "vec_id", "rn", "sim")
+    }),
+
+    // LSH bucket assignment — one narrow pass; the scale path's index.
+    "ann_lsh_buckets" -> ((s, d) =>
+      quantized(embeddings(s, d))
+        .select(col("vec_id"), bucketExpr.as("bucket"))),
+
+    // Near-duplicate pairs: candidates share an LSH bucket; verify with
+    // exact quantized cosine > 0.8.
+    "embedding_neardup" -> ((s, d) => {
+      val e = quantized(embeddings(s, d))
+        .select(col("vec_id"), col("qv"), col("nrm"),
+                bucketExpr.as("bucket"))
+        .filter(col("nrm") > 0)
+      val a = e.select(col("bucket"), col("vec_id").as("id_a"),
+                       col("qv").as("qv_a"), col("nrm").as("nrm_a"))
+      val b = e.select(col("bucket"), col("vec_id").as("id_b"),
+                       col("qv").as("qv_b"), col("nrm").as("nrm_b"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qv_a, qv_b, (x, y) -> x * y), " +
+               "cast(0 as bigint), (a, x) -> a + x)"))
+        .withColumn("sim",
+          col("dot").cast("double") /
+            (sqrt(col("nrm_a").cast("double")) *
+             sqrt(col("nrm_b").cast("double"))))
+        .filter(col("sim") > 0.8)
+        .select("id_a", "id_b", "sim").distinct()
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce_topk" ->
+      s"""WITH $oracleQuantCte,
+         q AS (SELECT vec_id AS qid, qv AS qqv, nrm AS qnrm FROM n
+               WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, n.vec_id,
+             cast(list_aggregate(list_transform(range(1, $DIM + 1),
+               i -> q.qqv[i] * n.qv[i]), 'sum') as bigint) AS dot,
+             q.qnrm, n.nrm
+           FROM n, q WHERE n.vec_id != q.qid
+             AND n.nrm > 0 AND q.qnrm > 0),
+         ranked AS (
+           SELECT qid, vec_id,
+             cast(dot as double) /
+               (sqrt(cast(qnrm as double)) * sqrt(cast(nrm as double)))
+               AS sim
+           FROM scored)
+         SELECT qid, vec_id, rn, sim FROM (
+           SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, vec_id ASC) AS rn
+           FROM ranked) WHERE rn <= 10""",
+    "ann_lsh_buckets" -> oracleBucketSql,
+    "embedding_neardup" ->
+      s"""WITH $oracleQuantCte,
+         planes(p, w) AS (VALUES
+           ${planes.zipWithIndex.map { case (w, p) =>
+               s"($p, [${w.mkString(", ")}])" }.mkString(",\n           ")}),
+         dots AS (
+           SELECT n.vec_id, planes.p,
+             cast(list_aggregate(list_transform(range(1, $DIM + 1),
+               i -> n.qv[i] * cast(planes.w[i] as bigint)), 'sum')
+               as bigint) AS dot
+           FROM n, planes),
+         bk AS (
+           SELECT vec_id,
+             cast(sum(CASE WHEN dot >= 0
+                      THEN power(2, p) ELSE 0 END) as int) AS bucket
+           FROM dots GROUP BY vec_id),
+         eb AS (SELECT n.vec_id, n.qv, n.nrm, bk.bucket
+                FROM n JOIN bk ON n.vec_id = bk.vec_id WHERE n.nrm > 0),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.qv AS qv_a, a.nrm AS nrm_a, b.qv AS qv_b, b.nrm AS nrm_b
+           FROM eb a JOIN eb b ON a.bucket = b.bucket
+           WHERE a.vec_id < b.vec_id)
+         SELECT id_a, id_b, sim FROM (
+           SELECT id_a, id_b,
+             cast(cast(list_aggregate(list_transform(range(1, $DIM + 1),
+               i -> qv_a[i] * qv_b[i]), 'sum') as bigint) as double) /
+               (sqrt(cast(nrm_a as double)) * sqrt(cast(nrm_b as double)))
+               AS sim
+           FROM cand) WHERE sim > 0.8"""
+  )
+}

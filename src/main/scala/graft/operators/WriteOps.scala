@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-path operators: static/dynamic partitioned writes, append mode,
+  * single-file CSV export, repartition/coalesce, cache — the save side of
+  * the reference's `output.` target (reference
+  * easy_sql/sql_processor/backend/spark.py:248-310) re-expressed as
+  * DataFrameWriter operations. Each query writes to a scratch dir, reads
+  * the result back, and returns an aggregate over the read-back so the
+  * oracle can verify round-trip fidelity against the source table.
+  *
+  * At cluster scale these writes are `insert overwrite ... partition(...)`
+  * into catalog tables; partition layout (`partitionBy`) is what matters
+  * and is identical.
+  */
+object WriteOps {
+  import Tables._
+
+  private def scratch(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_scratch", name)
+    p.toString
+  }
+
+  private def decSum(c: String) = sum(col(c).cast(dec)).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Static partition: a fixed partition value is overwritten in place —
+    // modeled as writing the filtered slice under its partition directory.
+    "insert_overwrite_static_pt" -> ((s, d) => {
+      val base = scratch("static_pt")
+      orders(s, d).filter(col("o_orderstatus") === "F")
+        .drop("o_orderstatus")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$base/o_orderstatus=F")
+      s.read.option("basePath", base).parquet(s"$base/o_orderstatus=F")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), decSum("o_totalprice").as("total"))
+    }),
+
+    // Dynamic partition: partition values come from the data
+    // (hive.exec.dynamic.partition.mode=nonstrict in the reference,
+    // easy_sql/spark_optimizer.py:52-56).
+    "insert_dynamic_pt" -> ((s, d) => {
+      val base = scratch("dynamic_pt")
+      orders(s, d).write.mode(SaveMode.Overwrite)
+        .partitionBy("o_orderstatus").parquet(base)
+      s.read.parquet(base)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), decSum("o_totalprice").as("total"))
+    }),
+
+    // SaveMode append semantics (reference base.py:143-145): overwrite one
+    // slice, append a second, read back the union.
+    "save_append" -> ((s, d) => {
+      val base = scratch("append_tbl")
+      val o = orders(s, d)
+      o.filter(col("o_orderstatus") === "F")
+        .write.mode(SaveMode.Overwrite).parquet(base)
+      o.filter(col("o_orderstatus") === "O")
+        .write.mode(SaveMode.Append).parquet(base)
+      s.read.parquet(base)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), decSum("o_totalprice").as("total"))
+    }),
+
+    // Single-file CSV export (reference funcs_spark.py:68-71:
+    // repartition(1).write header=true). Read back with explicit schema.
+    "write_csv_single" -> ((s, d) => {
+      val base = scratch("csv_out")
+      nation(s, d).repartition(1)
+        .write.mode(SaveMode.Overwrite).option("header", "true").csv(base)
+      s.read.option("header", "true")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(base)
+    }),
+
+    // Partitioning control (reference funcs_spark.py:38-57). No oracle —
+    // the observable is the partition count, a plan-level property.
+    "repartition_coalesce" -> ((s, d) => {
+      val df = orders(s, d).repartition(8, col("o_custkey")).coalesce(4)
+      val n = df.rdd.getNumPartitions
+      df.groupBy(spark_partition_id().as("part_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_parts_used"),
+             sum("cnt").as("total_rows"))
+        .withColumn("n_partitions", lit(n))
+    }),
+
+    // cache/unpersist lifecycle (reference spark.py:131-134,
+    // funcs_spark.py:161-166).
+    "cache_unpersist" -> ((s, d) => {
+      val v = "g_cache_t"
+      nation(s, d).createOrReplaceTempView(v)
+      s.catalog.cacheTable(v)
+      val n = s.table(v).count() // materialize the cache
+      s.catalog.uncacheTable(v)
+      nation(s, d).agg(count(lit(1)).as("cnt"))
+        .withColumn("cached_count", lit(n))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "insert_overwrite_static_pt" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+         cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+         FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""",
+    "insert_dynamic_pt" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+         cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+         FROM orders GROUP BY o_orderstatus""",
+    "save_append" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+         cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+         FROM orders WHERE o_orderstatus IN ('F','O')
+         GROUP BY o_orderstatus""",
+    "write_csv_single" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    // repartition_coalesce / cache_unpersist: plan-level, rows-only check.
+  )
+}

@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run graft.Verify at a
+given SF, then compare each query's parquet output against its DuckDB
+oracle (columns sorted by name, rows sorted, exact value compare).
+
+Usage: python3 tools/check.py [sfdir] [--skip-verify] [--only q1,q2]
+"""
+import json
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+
+SFDIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
+    else "/root/testdata/sf0.01"
+OUT = "/tmp/graft_verify_out"
+ONLY = None
+for a in sys.argv:
+    if a.startswith("--only"):
+        ONLY = set(a.split("=", 1)[1].split(","))
+
+if "--skip-verify" not in sys.argv:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True)
+    tail = (r.stdout + r.stderr)[-3000:]
+    if r.returncode != 0:
+        print("VERIFY FAILED\n", tail)
+        sys.exit(1)
+    for line in (r.stdout + r.stderr).splitlines():
+        if "[verify]" in line:
+            print(line)
+
+oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SFDIR}/{t}.parquet')")
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            vals.append(repr(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+n_pass = n_fail = 0
+fails = []
+for name in sorted(oracle):
+    if ONLY and name not in ONLY:
+        continue
+    pdir = Path(OUT) / name
+    if not pdir.exists():
+        print(f"MISS  {name}: no spark output")
+        n_fail += 1
+        fails.append(name)
+        continue
+    try:
+        got_rel = con.execute(
+            f"SELECT * FROM read_parquet('{pdir}/*.parquet')")
+        got_cols = [c[0] for c in got_rel.description]
+        got = got_rel.fetchall()
+        exp_rel = con.execute(oracle[name])
+        exp_cols = [c[0] for c in exp_rel.description]
+        exp = exp_rel.fetchall()
+    except Exception as e:
+        print(f"ERR   {name}: {str(e)[:200]}")
+        n_fail += 1
+        fails.append(name)
+        continue
+    gc, gr = canon(got, got_cols)
+    ec, er = canon(exp, exp_cols)
+    if gc != ec:
+        print(f"FAIL  {name}: cols {gc} != {ec}")
+        n_fail += 1
+        fails.append(name)
+    elif gr != er:
+        diff_g = [r for r in gr if r not in set(er)][:3]
+        diff_e = [r for r in er if r not in set(gr)][:3]
+        print(f"FAIL  {name}: rows {len(gr)} vs {len(er)}; "
+              f"spark-only={diff_g} oracle-only={diff_e}")
+        n_fail += 1
+        fails.append(name)
+    else:
+        print(f"pass  {name} ({len(gr)} rows)")
+        n_pass += 1
+
+print(f"\n{n_pass} pass, {n_fail} fail" + (f": {fails}" if fails else ""))
+sys.exit(1 if n_fail else 0)
