@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // unique per run: the in-memory catalog forgets tables between JVMs
+      // but their directories survive — a shared warehouse would make
+      // CTAS fail with LOCATION_ALREADY_EXISTS and read-backs stale
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft_wh_${ProcessHandle.current.pid}")
+      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

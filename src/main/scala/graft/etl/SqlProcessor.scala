@@ -1,0 +1,341 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+
+import graft.backend.{SaveMode, SparkBackend, TableMeta, TablePartition}
+import graft.core._
+
+object StepStatus {
+  val NotStarted = "NOT_STARTED"
+  val Running = "RUNNING"
+  val Succeeded = "SUCCEEDED"
+  val Failed = "FAILED"
+  val Skipped = "SKIPPED"
+}
+
+/** Per-step status/message collector (reference report.py, simplified to
+  * in-memory + stdout — no HDFS/ES sinks in a sandboxed deployment). */
+final class Reporter {
+  final case class StepReport(step: Step, var status: String = StepStatus.NotStarted,
+      messages: scala.collection.mutable.ArrayBuffer[String] =
+        scala.collection.mutable.ArrayBuffer())
+  private val reports = scala.collection.mutable.LinkedHashMap[String, StepReport]()
+
+  def init(steps: Seq[Step]): Unit =
+    steps.foreach(s => reports(s.id) = StepReport(s))
+  def collect(step: Step, status: Option[String] = None,
+      message: Option[String] = None): Unit = {
+    val r = reports.getOrElseUpdate(step.id, StepReport(step))
+    status.foreach(r.status = _)
+    message.foreach(r.messages += _)
+  }
+  def statusOf(step: Step): String =
+    reports.get(step.id).map(_.status).getOrElse(StepStatus.NotStarted)
+  def printReport(): Unit = {
+    val lines = reports.values.map { r =>
+      s"  ${r.step.id}[${r.status}] ${r.step.targetConfig.getOrElse("")}" +
+        (if (r.messages.nonEmpty) s" -- ${r.messages.mkString("; ")}" else "")
+    }
+    println(s"=== sql processor report ===\n${lines.mkString("\n")}")
+  }
+}
+
+final class SqlCollector {
+  private val sqls = scala.collection.mutable.ArrayBuffer[String]()
+  def collectSql(sql: String): Unit = if (sql.nonEmpty) sqls += sql
+  def collectedSql: String = sqls.mkString("\n\n")
+}
+
+/** The engine: parses an Easy-SQL text into steps and executes them on a
+  * SparkSession (reference easy_sql/sql_processor/sql_processor.py +
+  * step.py write dispatch). Relational execution is delegated entirely to
+  * Catalyst via `spark.sql`.
+  */
+final class SqlProcessor(
+    val backend: SparkBackend,
+    val sql: String,
+    variables: Map[String, Any] = Map.empty,
+    templates: Map[String, String] = Map.empty,
+    includes: Map[String, String] = Map.empty,
+    extraCols: Seq[(String, String)] = Nil, // (name, sql expression)
+    baseDir: Option[String] = None,
+    skipDuplicateInclude: Boolean = false) {
+
+  def this(spark: SparkSession, sql: String) =
+    this(new SparkBackend(spark), sql)
+
+  val varsContext = new VarsContext(variables)
+  val templatesContext = new TemplatesContext(templates)
+  val funcRunner = new FuncRunner(FuncRunner.systemFuncs)
+  varsContext.init(funcRunner)
+  funcRunner.registerFuncs(
+    graft.functions.SparkFuncs.all(backend, varsContext))
+  graft.functions.Udfs.registerAll(backend.spark)
+
+  private val stepFactory = new StepFactory(includes, None, baseDir,
+    skipDuplicateInclude)
+  val stepList: Seq[Step] = stepFactory.createFromSql(sql)
+  val reporter = new Reporter
+  reporter.init(stepList)
+  val sqlCollector = new SqlCollector
+
+  def vars: Map[String, Any] = varsContext.vars
+  def addVars(vs: Map[String, Any]): Unit = varsContext.addVars(vs)
+  def setVars(vs: Map[String, Any]): Unit = varsContext.setVars(vs)
+  def registerFuncs(fs: Map[String, Seq[Any] => Any]): Unit =
+    funcRunner.registerFuncs(fs)
+
+  def run(dryRun: Boolean = false): Unit = {
+    try stepList.foreach(step => runStep(step, dryRun))
+    finally reporter.printReport()
+  }
+
+  def runStep(step: Step, dryRun: Boolean): Unit = {
+    try {
+      // meta vars for function access (reference sql_processor.py:160-165)
+      varsContext.addVars(Map(
+        "__step__" -> step, "__context__" -> varsContext,
+        "__backend__" -> backend, "__dry_run__" -> dryRun))
+      if (!shouldRun(step)) {
+        reporter.collect(step, Some(StepStatus.Skipped))
+        return
+      }
+      reporter.collect(step, Some(StepStatus.Running))
+      val df = read(step)
+      write(step, df, dryRun)
+      step.executedSql.foreach(sqlCollector.collectSql)
+      reporter.collect(step, Some(StepStatus.Succeeded))
+    } catch {
+      case e: Exception =>
+        reporter.collect(step, Some(StepStatus.Failed), Some(e.getMessage))
+        vars.get("__exception_handler__") match {
+          case Some(h) if h != null && Coerce.toStr(h).nonEmpty =>
+            val funcName = Coerce.toStr(h).replace("{", "${")
+            funcRunner.runFunc(funcName, varsContext)
+          case _ => throw e
+        }
+    }
+  }
+
+  private def shouldRun(step: Step): Boolean = {
+    val config = step.targetConfig.getOrElse(return false)
+    if (vars.get("__skip_all__").exists(Coerce.isTrueFlag)) return false
+    if (!config.hasCondition) return true
+    val cond = config.condition.get
+    step.renderedCondition = Some(funcRunner.renderFuncCall(cond, varsContext))
+    Coerce.truthy(funcRunner.runFunc(cond, varsContext))
+  }
+
+  private def skipCheck: Boolean =
+    vars.get("__no_check__").exists(Coerce.isTrueFlag)
+
+  private def read(step: Step): Option[DataFrame] = {
+    val config = step.targetConfig.get
+    if (config.stepType == StepType.Template ||
+        (config.stepType == StepType.Check && skipCheck))
+      return Some(backend.createEmptyTable())
+    if (config.isTargetNameAFunc) {
+      step.selectSql.foreach(_ => preprocessSelectSql(step))
+      return Some(backend.createEmptyTable())
+    }
+    preprocessSelectSql(step)
+    if (config.stepType == StepType.Action) {
+      backend.execNativeSql(step.selectSql.get)
+      None
+    } else Some(backend.execSql(step.selectSql.get))
+  }
+
+  private def preprocessSelectSql(step: Step): Unit = {
+    val raw = step.selectSql.getOrElse(throw new SqlProcessorException(
+      s"There must be a sql expression for step: $step"))
+    // templates first, then variables (reference step.py:289-292)
+    val t = templatesContext.replaceTemplates(raw)
+    step.selectSql = Some(varsContext.replaceVariables(t))
+  }
+
+  private def write(step: Step, table: Option[DataFrame],
+      dryRun: Boolean): Unit = {
+    val config = step.targetConfig.get
+    val df = table.getOrElse(return)
+
+    config.stepType match {
+      case StepType.Variables =>
+        if (df.schema.nonEmpty) {
+          val row = df.first()
+          val newVars = df.schema.fieldNames.zipWithIndex.map {
+            case (name, i) =>
+              name -> (if (row.isNullAt(i)) null
+                       else Coerce.toStr(row.get(i)))
+          }.toMap
+          varsContext.addVars(newVars)
+        }
+
+      case StepType.ListVariables =>
+        if (df.schema.nonEmpty) {
+          val rows = df.collect()
+          val lists = df.schema.fieldNames.zipWithIndex.map {
+            case (name, i) => name -> rows.map(_.get(i)).toSeq
+          }.toMap
+          varsContext.addListVars(lists)
+        }
+
+      case StepType.Template =>
+        templatesContext.addTemplates(
+          Map(config.name.get -> step.selectSql.get))
+
+      case StepType.Temp =>
+        backend.createTempTable(df, config.name.get)
+        step.executedSql = Some(s"-- create temp view ${config.name.get}")
+
+      case StepType.Cache =>
+        if (vars.get("__no_cache__").exists(Coerce.isTrueFlag))
+          backend.createTempTable(df, config.name.get)
+        else backend.createCacheTable(df, config.name.get)
+
+      case StepType.Broadcast =>
+        backend.broadcastTable(df, config.name.get)
+
+      case StepType.Log =>
+        if (!vars.get("__no_log__").exists(Coerce.isTrueFlag))
+          writeForLogStep(step, df)
+
+      case StepType.Func =>
+        val funcDef = config.name.get
+        step.renderedName = Some(funcRunner.renderFuncCall(funcDef, varsContext))
+        funcRunner.runFunc(funcDef, varsContext)
+
+      case StepType.Check =>
+        if (!skipCheck) writeForCheckStep(step, df)
+
+      case StepType.Hive | StepType.Output =>
+        writeForOutputStep(step, df, dryRun)
+
+      case StepType.Action => ()
+
+      case other =>
+        throw new SqlProcessorException(s"unknown step type: $other")
+    }
+  }
+
+  private def writeForLogStep(step: Step, df: DataFrame): Unit = {
+    val name = step.targetConfig.get.name.getOrElse("log")
+    val rows = df.limit(20).collect()
+    if (rows.isEmpty) {
+      reporter.collect(step, message = Some("no data to show"))
+    } else if (rows.length == 1) {
+      reporter.collect(step, message = Some(rows(0).toString))
+      println(s"log for [$name]: ${rows(0)}")
+    } else {
+      println(s"log for [$name]:")
+      df.show(20)
+      reporter.collect(step, message = Some(rows.map(_.toString).mkString("\n")))
+    }
+  }
+
+  private def writeForCheckStep(step: Step, df: DataFrame): Unit = {
+    val config = step.targetConfig.get
+    if (config.isTargetNameAFunc) {
+      val funcDef = config.name.get
+      step.renderedName = Some(funcRunner.renderFuncCall(funcDef, varsContext))
+      if (!Coerce.truthy(funcRunner.runFunc(funcDef, varsContext)))
+        throw new SqlProcessorException(
+          s"check failed! check function returned False. check=$funcDef, vars=$vars")
+      return
+    }
+    val checkData = df.limit(100).collect()
+    if (checkData.isEmpty)
+      throw new SqlProcessorException(
+        s"Data for check must contains at least one row. check=${config.name}")
+    val fieldNames = df.schema.fieldNames
+    if (!fieldNames.contains("actual") || !fieldNames.contains("expected"))
+      throw new SqlProcessorException(
+        s"Data for check must contains expected and actual columns. check=${config.name}")
+    val ai = fieldNames.indexOf("actual")
+    val ei = fieldNames.indexOf("expected")
+    checkData.foreach { row =>
+      if (row.get(ai) != row.get(ei))
+        throw new SqlProcessorException(
+          s"check [${config.name.get}] failed! actual=${row.get(ai)}, expected=${row.get(ei)}")
+    }
+    reporter.collect(step, message = Some(s"check passed (${checkData.length} rows)"))
+  }
+
+  private def writeForOutputStep(step: Step, table0: DataFrame,
+      dryRun: Boolean): Unit = {
+    val config = step.targetConfig.get
+    val name = config.name.getOrElse(throw new SqlProcessorException(
+      "output step requires a table name"))
+    if (!name.contains("."))
+      throw new SqlProcessorException(
+        s"table name for hive or output must be of format DB.TABLE_NAME, got `$name`")
+
+    var table = table0
+    extraCols.foreach { case (colName, expr) =>
+      table = table.withColumn(colName, org.apache.spark.sql.functions.expr(expr))
+    }
+    val tempTableName =
+      s"${name.split("\\.")(1)}_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    backend.createTempTable(table, tempTableName)
+
+    // special-variable protocol (reference step.py:400-437)
+    var staticPartitionName: Option[String] = None
+    var staticPartitionValue: Option[Any] = None
+    var createOutputTable = false
+    var saveMode = SaveMode.Overwrite
+    var verifySchemaFlag = false
+    var verifySchemaType = false
+    vars.foreach { case (k, v) =>
+      if (k.contains("__partition__")) {
+        staticPartitionName = Some(k.substring(
+          k.indexOf("__partition__") + "__partition__".length))
+        staticPartitionValue = Option(v)
+      }
+      if (k == "save_mode" || k == "__save_mode__")
+        saveMode = if (Coerce.toStr(v).equalsIgnoreCase("append"))
+          SaveMode.Append else SaveMode.Overwrite
+      if (k == "__create_hive_table__" || k == "__create_output_table__")
+        createOutputTable = Coerce.isTrueFlag(v)
+      if (k == "__dry_run_verify_output_schema__")
+        verifySchemaFlag = Coerce.isTrueFlag(v)
+      if (k == "__dry_run_verify_output_schema_type__")
+        verifySchemaType = Coerce.isTrueFlag(v)
+    }
+
+    var dynamicPartition = false
+    val targetTable: TableMeta = staticPartitionName match {
+      case Some(pn) =>
+        val pv = staticPartitionValue.map(Coerce.toStr).filter(_.trim.nonEmpty)
+        if (pv.isEmpty) dynamicPartition = true
+        TableMeta(name, Seq(TablePartition(pn, pv)))
+      case None =>
+        dynamicPartition = true
+        val t = TableMeta(name)
+        if (!dryRun && backend.tableExists(t)) backend.refreshTablePartitions(t)
+        else t
+    }
+
+    if (dryRun) {
+      var out = table
+      if (!dynamicPartition && staticPartitionName.isDefined)
+        out = out.withColumn(staticPartitionName.get,
+          lit(staticPartitionValue.map(Coerce.toStr).orNull))
+      backend.createTempTable(out, tempTableName + "_output")
+      if (verifySchemaFlag)
+        backend.verifySchema(TableMeta(tempTableName + "_output"),
+          targetTable, verifySchemaType)
+      reporter.collect(step,
+        message = Some("will not save data to data warehouse (dry run)"))
+      step.executedSql = Some(s"-- dry run insert overwrite ${targetTable.tableName}")
+      return
+    }
+
+    if (!backend.tableExists(targetTable) && !createOutputTable)
+      throw new SqlProcessorException(
+        s"target table ${targetTable.tableName} not exists")
+
+    backend.saveTable(TableMeta(tempTableName), targetTable, saveMode,
+      createTargetTable = createOutputTable)
+    step.executedSql = Some(s"-- insert ${saveMode.toString.toLowerCase} ${targetTable.tableName}")
+  }
+}
