@@ -1,0 +1,242 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.backend.{SparkBackend, TablePartition}
+import graft.core.SqlProcessorException
+
+/** Golden-data ETL tester — the reference's flagship testing idea
+  * (easy_sql/sql_tester.py, format doc docs/easy_sql/testing.md): a test
+  * case declares VARS + INPUT tables + expected OUTPUT tables; the runner
+  * creates the inputs, dry-runs the ETL (outputs land in
+  * `<table>_<hex>_output` temp views), and compares actual vs expected
+  * rows ordered by all columns. JSON case format mirrors
+  * test/sample_etl.spark.json (values may be JSON-encoded strings, a
+  * quirk of the reference's xlsx converter, or plain arrays).
+  */
+object GoldenDataTester {
+
+  final case class TableFixture(name: String, columns: Seq[String],
+      columnTypes: Seq[String], values: Seq[Seq[Any]])
+
+  final case class TestCase(
+      name: String,
+      sql: String,
+      vars: Map[String, String],
+      includes: Map[String, String],
+      inputs: Seq[TableFixture],
+      outputs: Seq[TableFixture])
+
+  // --- JSON parsing ------------------------------------------------------
+
+  private def jString(v: JValue): String = v match {
+    case JString(s) => s
+    case JInt(i) => i.toString
+    case JDouble(d) => d.toString
+    case JBool(b) => b.toString
+    case JNull => null
+    case other => JsonMethods.compact(JsonMethods.render(other))
+  }
+
+  /** A list either inline (JArray) or JSON-encoded in a string. */
+  private def jList(v: JValue): Seq[JValue] = v match {
+    case JArray(xs) => xs
+    case JString(s) => JsonMethods.parse(s) match {
+      case JArray(xs) => xs
+      case other => Seq(other)
+    }
+    case JNothing | JNull => Nil
+    case other => Seq(other)
+  }
+
+  private def jAny(v: JValue): Any = v match {
+    case JString(s) => s
+    case JInt(i) => i.toLong
+    case JLong(l) => l
+    case JDouble(d) => d
+    case JDecimal(d) => d.toDouble
+    case JBool(b) => b
+    case JNull | JNothing => null
+    case other => JsonMethods.compact(JsonMethods.render(other))
+  }
+
+  private def parseFixture(v: JValue): TableFixture = TableFixture(
+    name = jString(v \ "name"),
+    columns = jList(v \ "columns").map(jString),
+    columnTypes = jList(v \ "column_types").map(jString),
+    values = jList(v \ "values").map(row => jList(row).map(jAny)))
+
+  def parseCases(json: String, sqlByPath: Map[String, String] = Map.empty)
+      : Seq[TestCase] = {
+    val root = JsonMethods.parse(json) match {
+      case JArray(xs) => xs
+      case single => Seq(single)
+    }
+    root.map { c =>
+      val sqlInline = (c \ "sql_file_content") match {
+        case JString(s) if s.nonEmpty => Some(s)
+        case _ => None
+      }
+      val sqlPath = jString(c \ "sql_file_path")
+      val sql = sqlInline.orElse(sqlByPath.get(sqlPath)).getOrElse(
+        throw new SqlProcessorException(
+          s"no sql for case: inline sql_file_content missing and " +
+          s"path $sqlPath not provided"))
+      TestCase(
+        name = jString(c \ "name"),
+        sql = sql,
+        vars = (c \ "vars") match {
+          case JObject(fs) => fs.map { case (k, v) => k -> jString(v) }.toMap
+          case _ => Map.empty
+        },
+        includes = (c \ "includes") match {
+          case JObject(fs) => fs.map { case (k, v) => k -> jString(v) }.toMap
+          case _ => Map.empty
+        },
+        inputs = jList(c \ "inputs").map(parseFixture),
+        outputs = jList(c \ "outputs").map(parseFixture))
+    }
+  }
+
+  // --- fixture materialization ------------------------------------------
+
+  /** Column-type vocabulary of the reference test harness
+    * (sql_tester.py:153-206): primitives + array<T>; `decimal(...)`
+    * collapses to double; anything else resolved via Spark's DDL parser. */
+  private def sparkType(t: String): DataType = t.trim.toLowerCase match {
+    case "int" => IntegerType
+    case "tinyint" => ShortType
+    case "bigint" | "long" => LongType
+    case "double" => DoubleType
+    case "float" => FloatType
+    case "string" | "text" => StringType
+    case "boolean" => BooleanType
+    case "date" => DateType
+    case "timestamp" => TimestampType
+    case d if d.startsWith("decimal") => DoubleType
+    case a if a.startsWith("array<") =>
+      ArrayType(sparkType(a.stripPrefix("array<").stripSuffix(">")))
+    case other => DataType.fromDDL(other)
+  }
+
+  private def castValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case ("null", _) => null
+    case (s: String, _) if s == "null" => null
+    case (v, IntegerType) => v.toString.toDouble.toInt
+    case (v, ShortType) => v.toString.toDouble.toShort
+    case (v, LongType) => v.toString.toDouble.toLong
+    case (v, DoubleType) => v.toString.toDouble
+    case (v, FloatType) => v.toString.toFloat
+    case (v, StringType) => v.toString
+    case (v, BooleanType) => v.toString.toBoolean
+    case (v, DateType) => java.sql.Date.valueOf(v.toString)
+    case (v, TimestampType) => java.sql.Timestamp.valueOf(v.toString)
+    case (v, ArrayType(et, _)) =>
+      // array cells are |-separated (sql_tester.py:269-272)
+      v.toString.split("\\|").toSeq.map(castValue(_, et))
+    case (v, _) => v
+  }
+
+  def toDataFrame(spark: SparkSession, f: TableFixture): DataFrame = {
+    val schema = StructType(f.columns.zip(
+      f.columnTypes.padTo(f.columns.length, "string")).map {
+      case (c, t) => StructField(c, sparkType(t), nullable = true)
+    })
+    val rows = f.values.map { vs =>
+      Row.fromSeq(schema.fields.zipWithIndex.map { case (fld, i) =>
+        castValue(if (i < vs.length) vs(i) else null, fld.dataType) match {
+          case s: Seq[_] => s
+          case other => other
+        }
+      }.toSeq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList), schema)
+  }
+
+  // --- run + verify ------------------------------------------------------
+
+  final case class CaseResult(name: String, passed: Boolean,
+      failures: Seq[String])
+
+  def runCase(spark: SparkSession, tc: TestCase): CaseResult = {
+    val backend = new SparkBackend(spark)
+    // create inputs: dotted names become real tables, plain names temp
+    // views (sql_tester.py:867-876)
+    tc.inputs.foreach { f =>
+      val df = toDataFrame(spark, f)
+      if (f.name.contains("."))
+        backend.createTableWithData(f.name, df, Nil)
+      else df.createOrReplaceTempView(f.name)
+    }
+
+    val processor = new SqlProcessor(backend, tc.sql,
+      variables = tc.vars, includes = tc.includes)
+    processor.run(dryRun = true)
+
+    val tempViews = spark.catalog.listTables("default").collect()
+      .filter(_.isTemporary).map(_.name)
+    val failures = tc.outputs.flatMap { expected =>
+      val pureName = expected.name.split("\\.").last
+      val outView = tempViews.find(
+        _.matches(s"${pureName}_[0-9a-f]+_output"))
+      outView match {
+        case None =>
+          Seq(s"no output temp view found for ${expected.name} " +
+            s"(looked for ${pureName}_<hex>_output)")
+        case Some(view) =>
+          val expectedDf = toDataFrame(spark, expected)
+          val cols = expected.columns
+          val types = expected.columnTypes.padTo(cols.length, "string")
+          // cast actual to the declared fixture types: engines/versions
+          // legitimately differ in coercion (e.g. ANSI string-vs-bigint
+          // union); the fixture's type is the contract
+          val actual = spark.table(view)
+            .select(cols.zip(types).map { case (c, t) =>
+              org.apache.spark.sql.functions.col(c).cast(sparkType(t)).as(c)
+            }: _*)
+            .orderBy(cols.map(org.apache.spark.sql.functions.col): _*)
+            .collect().map(_.toSeq.map(normalize))
+          val exp = expectedDf
+            .orderBy(cols.map(org.apache.spark.sql.functions.col): _*)
+            .collect().map(_.toSeq.map(normalize))
+          if (actual.toSeq != exp.toSeq)
+            Seq(s"${expected.name}: expected ${exp.toSeq} got ${actual.toSeq}")
+          else Nil
+      }
+    }
+    CaseResult(tc.name, failures.isEmpty, failures)
+  }
+
+  private def normalize(v: Any): Any = v match {
+    case s: scala.collection.Seq[_] => s.map(normalize).toSet // arrays as sets
+    case d: java.math.BigDecimal => d.doubleValue
+    case other => other
+  }
+
+  def runCasesFromFile(spark: SparkSession, jsonPath: String,
+      baseDir: String): Seq[CaseResult] = {
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(jsonPath)), "UTF-8")
+    val cases = parseCases(json, sqlByPath = loadSqlFiles(json, baseDir))
+    cases.map(runCase(spark, _))
+  }
+
+  private def loadSqlFiles(json: String, baseDir: String)
+      : Map[String, String] = {
+    val paths = JsonMethods.parse(json) match {
+      case JArray(xs) => xs.map(c => jString(c \ "sql_file_path"))
+      case c => Seq(jString(c \ "sql_file_path"))
+    }
+    paths.filter(p => p != null && p.nonEmpty).flatMap { p =>
+      val f = java.nio.file.Paths.get(baseDir, p)
+      if (java.nio.file.Files.exists(f))
+        Some(p -> new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+      else None
+    }.toMap
+  }
+}

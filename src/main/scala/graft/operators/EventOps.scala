@@ -60,6 +60,24 @@ object EventOps {
         .select("user_id", "event_id", "session_idx")
     }),
 
+    // REAL Structured Streaming: stage events as a file-stream source,
+    // run the watermarked tumbling-window agg as a StreamingQuery
+    // (AvailableNow → memory sink), return the sink table. Same oracle as
+    // the batch window — the driver's batch-replay check for streaming.
+    "streaming_replay_tumbling" -> ((s, d) => {
+      val stage = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stream_stage").toString
+      events(s, d).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val stream = s.readStream.schema(schema).parquet(stage)
+      val agg = graft.streaming.StreamingOps
+        .tumblingCounts(stream, "ts", "1 hour", "10 minutes")
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("g_stream_replay").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("g_stream_replay")
+    }),
+
     // Per-user, per-event-type daily rollup — the shape of a streaming
     // foreachBatch upsert target.
     "event_type_daily" -> ((s, d) =>
@@ -99,6 +117,11 @@ object EventOps {
                   THEN 1 ELSE 0 END AS new_sess
            FROM (SELECT user_id, event_id, epoch_us(ts) AS us
                  FROM events))""",
+    "streaming_replay_tumbling" ->
+      """SELECT cast(floor(epoch(ts)/600)*600 as bigint) AS bucket_start,
+         event_type, count(*) AS cnt,
+         cast(sum(cast(value as decimal(18,2))) as double) AS sum_val
+         FROM events GROUP BY 1, 2""",
     "event_type_daily" ->
       """SELECT cast(ts as date) AS day, event_type, count(*) AS cnt,
          count(DISTINCT user_id) AS n_users,

@@ -1,0 +1,156 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.backend.SparkBackend
+import graft.core.{Coerce, SqlProcessorException}
+import graft.etl.{Step, StepConfig, StepFactory, StepType}
+
+/** Structured-Streaming mapping of the reference's streaming ETL mode.
+  *
+  * The reference (Flink backend, easy_sql/sql_processor/backend/
+  * flink.py:88-131,196-204) runs streaming ETLs by buffering INSERT
+  * statements into a statement set and committing them on an explicit
+  * `execute_streaming_inserts()` func call. The Spark-native equivalent:
+  *
+  *  - source tables are `readStream` DataFrames registered as temp views;
+  *  - `temp.` steps run the step SQL against those views — Catalyst builds
+  *    an incremental plan (stateful aggs need watermark + window, which are
+  *    plain SQL: `window(ts, '10 minutes')` after `withWatermark`);
+  *  - `output.` steps don't execute — they enqueue a write spec
+  *    (mirroring `add_insert`);
+  *  - `func.execute_streaming_inserts()` starts every queued query
+  *    (mirroring the statement-set commit).
+  *
+  * Sinks use foreachBatch so each micro-batch reuses the batch save path
+  * (partitioned parquet append) — at scale this is the standard
+  * exactly-once-per-sink pattern with checkpointing.
+  */
+final class StreamingEtl(
+    val spark: SparkSession,
+    etlSql: String,
+    sources: Map[String, DataFrame], // view name -> streaming DF
+    sinkDir: String,
+    trigger: Trigger = Trigger.AvailableNow()) {
+
+  private val backend = new SparkBackend(spark)
+  private val queued =
+    scala.collection.mutable.ArrayBuffer[(String, DataFrame)]()
+  private val started = scala.collection.mutable.ArrayBuffer[StreamingQuery]()
+
+  val varsContext = new graft.core.VarsContext()
+  val templatesContext = new graft.core.TemplatesContext()
+  val funcRunner = new graft.core.FuncRunner(
+    graft.core.FuncRunner.systemFuncs ++ Map[String, Seq[Any] => Any](
+      "execute_streaming_inserts" -> (_ => executeStreamingInserts())))
+  varsContext.init(funcRunner)
+
+  def run(): Seq[StreamingQuery] = {
+    sources.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    val steps = new StepFactory().createFromSql(etlSql)
+    steps.foreach(runStep)
+    started.toSeq
+  }
+
+  private def preprocess(step: Step): String = {
+    val raw = step.selectSql.getOrElse(throw new SqlProcessorException(
+      s"streaming step needs sql: $step"))
+    varsContext.replaceVariables(templatesContext.replaceTemplates(raw))
+  }
+
+  private def runStep(step: Step): Unit = {
+    val config = step.targetConfig.getOrElse(return)
+    config.stepType match {
+      case StepType.Template =>
+        templatesContext.addTemplates(
+          Map(config.name.get -> step.selectSql.get))
+      case StepType.Variables =>
+        // streaming DFs cannot be collected; variables steps in streaming
+        // ETLs must be literal selects — evaluate on a batch one-row frame
+        val df = spark.sql(preprocess(step))
+        if (!df.isStreaming) {
+          val row = df.first()
+          varsContext.addVars(df.schema.fieldNames.zipWithIndex.map {
+            case (n, i) => n -> (if (row.isNullAt(i)) null
+                                 else Coerce.toStr(row.get(i)))
+          }.toMap)
+        }
+      case StepType.Temp | StepType.Cache | StepType.Broadcast =>
+        spark.sql(preprocess(step))
+          .createOrReplaceTempView(config.name.get)
+      case StepType.Output | StepType.Hive =>
+        // queue, don't start (statement-set semantics)
+        queued += ((config.name.get, spark.sql(preprocess(step))))
+      case StepType.Func =>
+        funcRunner.runFunc(config.name.get, varsContext)
+      case StepType.Action =>
+        spark.sql(preprocess(step))
+      case _ =>
+        throw new SqlProcessorException(
+          s"step type ${config.stepType} not supported in streaming mode")
+    }
+  }
+
+  /** Commit: start one StreamingQuery per queued insert. */
+  def executeStreamingInserts(): Seq[StreamingQuery] = {
+    val qs = queued.map { case (target, df) =>
+      val safe = target.replace(".", "__")
+      df.writeStream
+        .outputMode(if (hasAggregation(df)) "append" else "append")
+        .option("checkpointLocation", s"$sinkDir/_checkpoints/$safe")
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("append").parquet(s"$sinkDir/$safe")
+        }
+        .queryName(safe)
+        .start()
+    }.toSeq
+    queued.clear()
+    started ++= qs
+    qs
+  }
+
+  private def hasAggregation(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined
+}
+
+object StreamingOps {
+  import org.apache.spark.sql.functions._
+
+  /** Watermarked tumbling-window counts — the canonical streaming agg
+    * (same expression the batch `streaming_tumbling_window` query runs,
+    * which is what the driver's batch-replay check verifies). */
+  def tumblingCounts(events: DataFrame, tsCol: String, watermark: String,
+      windowLen: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(col("value").cast("decimal(18,2)")).cast("double")
+             .as("sum_val"))
+      .select(col("window.start").cast("long").as("bucket_start"),
+              col("event_type"), col("cnt"), col("sum_val"))
+
+  /** Sliding-window variant. */
+  def slidingCounts(events: DataFrame, tsCol: String, watermark: String,
+      windowLen: String, slide: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("long").as("bucket_start"),
+              col("cnt"))
+
+  /** Session-window counts via session_window (built-in since 3.2). */
+  def sessionCounts(events: DataFrame, tsCol: String, watermark: String,
+      gap: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").cast("long").as("sess_start"),
+              col("user_id"), col("cnt"))
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.TestSpark
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** Stage the sf0.001 events table as a parquet dir usable as a file
+    * stream source (ts converted from ns to a proper timestamp). */
+  private lazy val (srcDir, batchEvents) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      .toString
+    val ev = graft.operators.Tables.events(spark, "/root/testdata/sf0.001")
+    ev.write.mode("overwrite").parquet(dir)
+    (dir, spark.read.parquet(dir))
+  }
+
+  test("watermarked tumbling window agg matches batch replay") {
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(srcDir)
+    val agg = StreamingOps.tumblingCounts(stream, "ts", "1 hour", "10 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_tumbling").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("stream_tumbling").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val expected = StreamingOps.tumblingCounts(
+        batchEvents, "ts", "1 hour", "10 minutes")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("session windows produce per-user sessions") {
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(srcDir)
+    val agg = StreamingOps.sessionCounts(stream, "ts", "1 hour", "30 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_sessions").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_sessions")
+    assert(got.count() > 0)
+    // every event is in exactly one session
+    assert(got.agg(sum("cnt")).collect()(0).getLong(0) == batchEvents.count())
+  }
+
+  test("streaming ETL: statement-set deferral and explicit commit " +
+      "(reference flink.py:88-131 semantics)") {
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_stream_sink")
+      .toString
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(srcDir)
+    val etl = """-- backend: spark
+-- config: easy_sql.etl_type=streaming
+-- target=variables
+select 10.0 as min_value
+-- target=temp.big_events
+select event_id, user_id, event_type, value from events_stream
+where value > ${min_value}
+-- target=output.sink.big_events
+select * from big_events
+-- target=func.execute_streaming_inserts()
+"""
+    val runner = new StreamingEtl(spark, etl,
+      sources = Map("events_stream" -> stream), sinkDir = sinkDir)
+    val queries = runner.run()
+    assert(queries.length == 1)
+    queries.foreach { q => q.processAllAvailable(); q.stop() }
+
+    val written = spark.read.parquet(s"$sinkDir/sink__big_events")
+    val expected = batchEvents.filter(col("value") > 10.0)
+    assert(written.count() == expected.count())
+    assert(written.select("event_id").collect().map(_.getLong(0)).toSet ==
+      expected.select("event_id").collect().map(_.getLong(0)).toSet)
+  }
+}
