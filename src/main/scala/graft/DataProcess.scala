@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.backend.SparkBackend
+import graft.etl.{EasySqlConfig, SqlProcessor}
+
+/** CLI entry point — the Scala equivalent of the reference's
+  * `python3 -m easy_sql.data_process -f etl.sql [-v vars] [--dry-run]`
+  * (easy_sql/data_process.py + cli/backend_processor.py:44-70).
+  *
+  * Reads the ETL file, parses header directives, builds a SparkSession
+  * with the engine's tuned defaults plus any `-- config: spark.*` lines,
+  * executes `-- prepare-sql:` statements natively, then runs the step
+  * list. In a cluster deployment this main is the spark-submit class;
+  * locally it runs in-process.
+  *
+  * Usage: graft.DataProcess -f etl.sql [-v a=1,b=2] [--dry-run]
+  */
+object DataProcess {
+
+  def main(args: Array[String]): Unit = {
+    var sqlFile: Option[String] = None
+    var vars: Map[String, Any] = Map.empty
+    var dryRun = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-f" => sqlFile = Some(args(i + 1)); i += 2
+        case "-v" | "--vars" => vars ++= parseVars(args(i + 1)); i += 2
+        case "--dry-run" => dryRun = true; i += 1
+        case other => throw new IllegalArgumentException(
+          s"unknown argument: $other (usage: -f etl.sql [-v a=1,b=2] [--dry-run])")
+      }
+    }
+    val file = sqlFile.getOrElse(
+      throw new IllegalArgumentException("missing -f <etl.sql>"))
+    require(file.endsWith(".sql"),
+      s"sql file must ends with .sql, found `$file`")
+
+    val sql = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(file)), "UTF-8")
+    run(sql, vars, dryRun,
+      baseDir = Option(new java.io.File(file).getParent))
+  }
+
+  /** Reference `parse_vars` (config/sql_config.py:42-52): comma-split
+    * k=v pairs, values URL-decoded. */
+  def parseVars(vars: String): Map[String, Any] =
+    vars.split(",").toSeq.filter(_.trim.nonEmpty).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k.trim -> java.net.URLDecoder.decode(v.trim, "UTF-8")
+    }.toMap
+
+  def run(sql: String, vars: Map[String, Any], dryRun: Boolean,
+      baseDir: Option[String] = None,
+      existingSession: Option[SparkSession] = None): SqlProcessor = {
+    val config = EasySqlConfig.fromSql(sql)
+    require(config.backend == "spark",
+      s"only the spark backend is supported in this engine, got ${config.backend}")
+
+    val spark = existingSession.getOrElse {
+      // engine defaults mirror the reference's get_spark
+      // (easy_sql/spark_optimizer.py:30-58): AQE on, 128MB post-shuffle
+      // target, nonstrict dynamic partitions
+      var b = SparkSession.builder()
+        .appName("graft_etl")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "134217728")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.session.timeZone", "UTC")
+      config.backendConf.foreach { c =>
+        val Array(k, v) = c.split("=", 2)
+        b = b.config(k.trim, v.trim)
+      }
+      b.getOrCreate()
+    }
+    // in-file spark confs also apply to an existing session where possible
+    if (existingSession.isDefined) {
+      config.backendConf.foreach { c =>
+        val Array(k, v) = c.split("=", 2)
+        try spark.conf.set(k.trim, v.trim)
+        catch { case _: Exception => () } // static confs can't change
+      }
+    }
+
+    val backend = new SparkBackend(spark)
+    try {
+      config.prepareSqlList.foreach(backend.execNativeSql(_))
+      val processor = new SqlProcessor(backend, sql, variables = vars,
+        baseDir = baseDir)
+      processor.run(dryRun)
+      processor
+    } finally {
+      if (existingSession.isEmpty) backend.clean()
+    }
+  }
+}

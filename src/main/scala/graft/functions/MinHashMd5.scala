@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: k salted-md5 MinHash signatures of a
+  * string array in ONE pass.
+  *
+  * Semantically identical to the composed built-ins
+  * `array_min(transform(shingles, x -> md5(concat('<j>|', x))))` for
+  * j in 0 until k — but evaluates every salt in a single traversal
+  * without materializing k intermediate hash arrays, which is the hot
+  * loop of MinHash-LSH dedup over billions of documents. Returns
+  * array<string> of k lowercase hex digests (null input → null; empty
+  * array → array of nulls).
+  *
+  * CodegenFallback is acceptable here: the md5 call dominates, and the
+  * expression sits between two codegen'd stages (split/explode before,
+  * aggregation after).
+  */
+case class MinHashMd5(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "minhash_md5"
+
+  @transient private lazy val salts: Array[Array[Byte]] =
+    (0 until k).map(j => s"$j|".getBytes("UTF-8")).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = new Array[String](k)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val sBytes = arr.getUTF8String(i).getBytes
+        var j = 0
+        while (j < k) {
+          md.reset()
+          md.update(salts(j))
+          md.update(sBytes)
+          val hex = MinHashMd5.toHex(md.digest())
+          if (mins(j) == null || hex.compareTo(mins(j)) < 0) mins(j) = hex
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(m =>
+      if (m == null) null else UTF8String.fromString(m)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashMd5 = copy(child = newChild)
+}
+
+object MinHashMd5 {
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private[functions] def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = hexChars(b >>> 4)
+      out(i * 2 + 1) = hexChars(b & 0x0f)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Column API. */
+  def minhash_md5(shingles: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      MinHashMd5(
+        org.apache.spark.sql.GraftColumnBridge.expression(shingles), k))
+
+  /** SQL registration: minhash_md5(arr, k). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_md5",
+      exprs => MinHashMd5(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]),
+      "scala_udf")
+}

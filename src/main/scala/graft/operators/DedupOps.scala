@@ -25,7 +25,10 @@ object DedupOps {
   private val K = 8 // minhash signature length (4 bands x 2 rows)
 
   /** doc_id, toks(array), plus sig_0..sig_{K-1} salted-minhash columns
-    * over `gram`-gram shingles. */
+    * over `gram`-gram shingles. All K signatures come from ONE pass over
+    * the shingle array via the native MinHashMd5 Catalyst expression
+    * (semantically = array_min(transform(shingles, x -> md5('<j>|'||x))),
+    * which is exactly what the DuckDB oracle computes). */
   private def withSigs(df: DataFrame, gram: Int): DataFrame = {
     val base = df
       .withColumn("toks", split(lower(trim(col("text"))), " "))
@@ -33,9 +36,10 @@ object DedupOps {
         if (gram == 1) col("toks")
         else expr(s"transform(sequence(1, greatest(size(toks) - ${gram - 1}, 1)), " +
                   s"i -> concat_ws(' ', slice(toks, i, $gram)))"))
+      .withColumn("mh",
+        graft.functions.MinHashMd5.minhash_md5(col("shingles"), K))
     (0 until K).foldLeft(base) { (acc, j) =>
-      acc.withColumn(s"sig_$j",
-        expr(s"array_min(transform(shingles, x -> md5(concat('$j|', x))))"))
+      acc.withColumn(s"sig_$j", col("mh").getItem(j))
     }
   }
 

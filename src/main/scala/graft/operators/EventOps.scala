@@ -65,9 +65,13 @@ object EventOps {
     // (AvailableNow → memory sink), return the sink table. Same oracle as
     // the batch window — the driver's batch-replay check for streaming.
     "streaming_replay_tumbling" -> ((s, d) => {
+      // stage dir keyed by sfDir so different scale factors never mix;
+      // reuse across runs (events testdata is immutable)
       val stage = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stream_stage").toString
-      events(s, d).write.mode("overwrite").parquet(stage)
+        s"graft_stream_stage_${d.hashCode.toHexString}").toString
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(stage, "_SUCCESS")))
+        events(s, d).write.mode("overwrite").parquet(stage)
       val schema = s.read.parquet(stage).schema
       val stream = s.readStream.schema(schema).parquet(stage)
       val agg = graft.streaming.StreamingOps

@@ -1,0 +1,101 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class DataProcessSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("CLI-equivalent run: prepare-sql + header config + vars " +
+      "(reference sample_etl.spark.sql through data_process)") {
+    val sql = """-- backend: spark
+-- config: easy_sql.etl_type=batch
+-- prepare-sql: drop database if exists dp_sample cascade
+-- prepare-sql: create database dp_sample
+-- prepare-sql: create table dp_sample.test using parquet as select 1 as id, '1' as val
+
+-- target=variables
+select true as __create_output_table__
+
+-- target=variables
+select ${base_a} as a
+
+-- target=check.should_equal
+select 1 as actual, 1 as expected
+
+-- target=temp.result
+select
+    ${a} as id, ${a} + 1 as val
+union all
+select id, cast(val as int) as val from dp_sample.test
+
+-- target=output.dp_sample.result
+select * from result
+"""
+    graft.DataProcess.run(sql, graft.DataProcess.parseVars("base_a=1"),
+      dryRun = false, existingSession = Some(spark))
+    val rows = spark.sql("select id, val from dp_sample.result")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sortBy(_._2)
+    assert(rows.toSeq == Seq((1, 1), (1, 2)))
+  }
+
+  test("vars parsing url-decodes values") {
+    assert(graft.DataProcess.parseVars("a=1,b=x%20y") ==
+      Map("a" -> "1", "b" -> "x y"))
+  }
+
+  test("non-spark backend is rejected") {
+    intercept[IllegalArgumentException] {
+      graft.DataProcess.run("-- backend: postgres\n-- target=temp.x\nselect 1",
+        Map.empty, dryRun = true, existingSession = Some(spark))
+    }
+  }
+
+  test("partition functions over a partitioned table") {
+    spark.sql("create database if not exists pf")
+    spark.sql("drop table if exists pf.events_pt")
+    spark.sql("""create table pf.events_pt using parquet
+      partitioned by (dt) as
+      select 1 as id, '2024-01-01' as dt union all
+      select 2 as id, '2024-01-02' as dt""")
+
+    val backend = new graft.backend.SparkBackend(spark)
+    val vc = new graft.core.VarsContext()
+    val runner = new graft.core.FuncRunner(
+      graft.core.FuncRunner.systemFuncs ++
+        graft.functions.SparkFuncs.all(backend, vc))
+    vc.init(runner)
+
+    assert(runner.runFunc("partition_exists(pf.events_pt, 2024-01-01)", vc)
+      == true)
+    assert(runner.runFunc("partition_not_exists(pf.events_pt, 2024-03-01)", vc)
+      == true)
+    assert(runner.runFunc("get_first_partition(pf.events_pt)", vc)
+      == "2024-01-01")
+    assert(runner.runFunc("get_last_partition(pf.events_pt)", vc)
+      == "2024-01-02")
+    assert(runner.runFunc("previous_partition_exists(pf.events_pt, 2024-01-02)", vc)
+      == true)
+    assert(runner.runFunc("get_partition_col(pf.events_pt)", vc) == "dt")
+    assert(runner.runFunc("has_partition_col(pf.events_pt)", vc) == true)
+    assert(runner.runFunc(
+      "get_partition_values_as_joined_str(pf.events_pt)", vc)
+      == "'2024-01-01', '2024-01-02'")
+    assert(runner.runFunc("is_first_partition(pf.events_pt, 2024-01-01)", vc)
+      == true)
+  }
+
+  test("column functions generate select lists") {
+    spark.sql("select 1 as a, 2 as b, 3 as c").createOrReplaceTempView("cf_t")
+    val backend = new graft.backend.SparkBackend(spark)
+    val vc = new graft.core.VarsContext()
+    val runner = new graft.core.FuncRunner(
+      graft.functions.SparkFuncs.all(backend, vc))
+    vc.init(runner)
+    assert(runner.runFunc("all_cols_without_one_expr(cf_t, b)", vc) ==
+      "cf_t.a, cf_t.c")
+    assert(runner.runFunc(
+      "all_cols_prefixed_with_exclusion_expr(cf_t, p_, c)", vc) ==
+      "cf_t.a as `p_a`, cf_t.b as `p_b`")
+  }
+}
