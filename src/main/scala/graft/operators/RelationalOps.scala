@@ -364,8 +364,8 @@ object RelationalOps {
     "window_rank" ->
       """SELECT * FROM (
            SELECT o_orderstatus, o_orderkey, o_totalprice,
-                  row_number() OVER (PARTITION BY o_orderstatus
-                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                  cast(row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) as int) AS rn
            FROM orders) WHERE rn <= 3""",
     "window_agg_frame" ->
       """SELECT o_custkey, o_orderkey,
@@ -382,9 +382,9 @@ object RelationalOps {
          concat_ws('-', p_brand, p_type) AS brand_type,
          md5(p_name) AS name_md5,
          regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
-         length(p_name) AS name_len,
+         cast(length(p_name) as int) AS name_len,
          substr(p_name, 1, 5) AS name5,
-         len(string_split(p_name, ' ')) AS n_words
+         cast(len(string_split(p_name, ' ')) as int) AS n_words
          FROM part""",
     "scalar_date_fns" ->
       """SELECT o_orderkey,

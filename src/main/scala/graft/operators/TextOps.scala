@@ -106,8 +106,8 @@ object TextOps {
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
                     FROM documents)
          SELECT doc_id,
-           len(toks) AS n_tokens,
-           len(list_distinct(toks)) AS n_uniq,
+           cast(len(toks) as int) AS n_tokens,
+           cast(len(list_distinct(toks)) as int) AS n_uniq,
            cast(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
                 as int) AS total_len,
            cast(list_aggregate(list_transform(toks,
@@ -121,7 +121,7 @@ object TextOps {
            SELECT doc_id, text, string_split(trim(text), ' ') AS toks
            FROM documents),
          u AS (
-           SELECT doc_id, len(toks) AS n_tokens,
+           SELECT doc_id, cast(len(toks) as int) AS n_tokens,
              cast(len(list_filter(toks, t -> t IN ($stopList))) as int)
                AS stop_cnt,
              cast(length(text) -

@@ -159,8 +159,8 @@ object VectorOps {
            FROM scored)
          SELECT qid, vec_id, rn, sim FROM (
            SELECT qid, vec_id, sim,
-             row_number() OVER (PARTITION BY qid
-               ORDER BY sim DESC, vec_id ASC) AS rn
+             cast(row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, vec_id ASC) as int) AS rn
            FROM ranked) WHERE rn <= 10""",
     "ann_lsh_buckets" -> oracleBucketSql,
     "embedding_neardup" ->

@@ -41,6 +41,46 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
                 f"read_parquet('{SFDIR}/{t}.parquet')")
 
 
+def typecat(t):
+    t = str(t).lower()
+    if t in ("bigint", "int64", "hugeint", "int8", "long", "ubigint"):
+        return "i64"
+    if t in ("integer", "int", "int32", "int4"):
+        return "i32"
+    if t in ("smallint", "int16", "int2"):
+        return "i16"
+    if t in ("double", "float8", "float64"):
+        return "f64"
+    if t in ("float", "real", "float4", "float32"):
+        return "f32"
+    if "varchar" in t or t in ("string", "text", "large_string"):
+        return "str"
+    if "bool" in t:
+        return "bool"
+    if t.startswith("date"):
+        return "date"
+    if "timestamp" in t:
+        return "ts"
+    if "list" in t or "array" in t:
+        return "arr"
+    return "other:" + t
+
+
+def type_mismatches(name, pdir):
+    """Column-type drift between our parquet and the oracle result —
+    a dtype-strict driver compare would flag these even when values
+    match."""
+    import pyarrow.parquet as pq
+    import glob as g
+    sch = pq.read_schema(g.glob(f"{pdir}/*.parquet")[0])
+    st = {n: typecat(t) for n, t in zip(sch.names, sch.types)}
+    rows = con.execute(
+        f"DESCRIBE SELECT * FROM ({oracle[name]}) LIMIT 0").fetchall()
+    dt = {r[0]: typecat(r[1]) for r in rows}
+    return [f"{c}: spark={st[c]} duck={dt.get(c)}"
+            for c in st if st.get(c) != dt.get(c)]
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -94,8 +134,14 @@ for name in sorted(oracle):
         n_fail += 1
         fails.append(name)
     else:
-        print(f"pass  {name} ({len(gr)} rows)")
-        n_pass += 1
+        tm = type_mismatches(name, pdir)
+        if tm:
+            print(f"FAIL  {name}: type drift {tm}")
+            n_fail += 1
+            fails.append(name)
+        else:
+            print(f"pass  {name} ({len(gr)} rows)")
+            n_pass += 1
 
 print(f"\n{n_pass} pass, {n_fail} fail" + (f": {fails}" if fails else ""))
 sys.exit(1 if n_fail else 0)
