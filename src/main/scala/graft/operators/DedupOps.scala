@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators over `documents`.
   *
@@ -109,6 +110,41 @@ object DedupOps {
                 (col("inter").cast("double") / col("uni")).as("jaccard"))
     }),
 
+    // Exact n-gram Jaccard (the non-approximate baseline to MinHash):
+    // top-5 most-similar docs for each query doc (doc_id < 20) by 2-gram
+    // Jaccard. Formulated as explode → equi-join on shingle → group-count
+    // (shuffle on shingle keys), NOT pairwise set intersection — the shape
+    // that survives corpus-scale inputs.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = documents(s, d)
+        .withColumn("toks", split(lower(trim(col("text"))), " "))
+        .withColumn("shingles", expr(
+          "transform(sequence(1, greatest(size(toks) - 1, 1)), " +
+          "i -> concat_ws(' ', slice(toks, i, 2)))"))
+        .select(col("doc_id"),
+          explode(array_distinct(col("shingles"))).as("sh"))
+      val sizes = sh.groupBy("doc_id")
+        .agg(count(lit(1)).as("sz"))
+      val q = sh.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), col("sh"))
+      val inter = q.join(sh, Seq("sh"))
+        .filter(col("qid") =!= col("doc_id"))
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("inter"))
+      val scored = inter
+        .join(sizes.select(col("doc_id").as("qid"), col("sz").as("sz_q")),
+              Seq("qid"))
+        .join(sizes.select(col("doc_id"), col("sz").as("sz_d")),
+              Seq("doc_id"))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (col("sz_q") + col("sz_d") - col("inter")))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("jaccard").desc, col("doc_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("qid", "doc_id", "rn", "jaccard")
+    }),
+
     // SimHash: 16-bit fingerprint from per-token md5 bit votes.
     "dedup_simhash" -> ((s, d) => {
       val toks = documents(s, d)
@@ -160,6 +196,31 @@ object DedupOps {
          JOIN tk ta ON ta.doc_id = doc_a
          JOIN tk tb ON tb.doc_id = doc_b"""
     },
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+                    FROM documents),
+         shl AS (SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(toks) - 1, 1) + 1),
+             i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS shs
+           FROM t),
+         sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         q AS (SELECT doc_id AS qid, sh FROM sh WHERE doc_id < 20),
+         inter AS (
+           SELECT q.qid, sh.doc_id, count(*) AS inter
+           FROM q JOIN sh USING (sh) WHERE q.qid != sh.doc_id
+           GROUP BY q.qid, sh.doc_id),
+         scored AS (
+           SELECT i.qid, i.doc_id,
+             cast(i.inter as double) / (sq.sz + sd.sz - i.inter) AS jaccard
+           FROM inter i
+           JOIN sizes sq ON sq.doc_id = i.qid
+           JOIN sizes sd ON sd.doc_id = i.doc_id)
+         SELECT qid, doc_id, rn, jaccard FROM (
+           SELECT qid, doc_id, jaccard,
+             cast(row_number() OVER (PARTITION BY qid
+               ORDER BY jaccard DESC, doc_id ASC) as int) AS rn
+           FROM scored) WHERE rn <= 5""",
     "dedup_simhash" -> {
       val sumCols = (0 until 16).map { k =>
         s"sum(CASE WHEN strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) " +

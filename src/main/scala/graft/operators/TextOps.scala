@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators over `documents` — the per-document half of a
   * training-data pipeline (quality filtering, language ID, token budgeting,
@@ -87,6 +88,29 @@ object TextOps {
                 (col("pred_lang") === col("lang")).as("is_match"))
     }),
 
+    // TF-IDF top-3 terms per document. The idf factor is the RATIONAL
+    // form (N+1)/(df+1) rather than its log: rank-equivalent (ln is
+    // monotone) and bit-deterministic across engines, where ln() is not
+    // guaranteed correctly-rounded in either.
+    "text_tfidf_top_terms" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(df), Seq("tok"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf_score",
+          col("tf").cast("double") * (col("n_docs") + 1) / (col("df") + 1))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf_score").desc, col("tok").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "tok", "rn", "tfidf_score")
+    }),
+
     // Document fingerprinting: full-text hash + min 5-gram shingle hash
     // (a 1-permutation MinHash — the dedup building block).
     "text_fingerprint" -> ((s, d) =>
@@ -170,6 +194,25 @@ object TextOps {
                 ELSE 'unknown' END) = lang AS is_match
          FROM u"""
     },
+    "text_tfidf_top_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf
+                FROM toks GROUP BY doc_id, tok),
+         df AS (SELECT tok, count(*) AS df FROM
+                (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.tok,
+             cast(tf.tf as double) * (n.n_docs + 1) / (df.df + 1)
+               AS tfidf_score
+           FROM tf JOIN df USING (tok), n)
+         SELECT doc_id, tok, rn, tfidf_score FROM (
+           SELECT doc_id, tok, tfidf_score,
+             cast(row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf_score DESC, tok ASC) as int) AS rn
+           FROM scored) WHERE rn <= 3""",
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, lower(trim(text)) AS ntext,
                     string_split(lower(trim(text)), ' ') AS toks
