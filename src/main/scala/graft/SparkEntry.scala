@@ -23,12 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ WriteOps.queries ++ EventOps.queries ++
       TextOps.queries ++ DedupOps.queries ++ VectorOps.queries ++
-      MultimodalOps.queries ++ EtlOps.queries
+      MultimodalOps.queries ++ EtlOps.queries ++ AdvancedOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalOps.oracles ++ WriteOps.oracles ++ EventOps.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ VectorOps.oracles ++
-      MultimodalOps.oracles ++ EtlOps.oracles
+      MultimodalOps.oracles ++ EtlOps.oracles ++ AdvancedOps.oracles
 }

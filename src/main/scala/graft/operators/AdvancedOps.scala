@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Advanced / scale-pattern operators.
+  *
+  * These demonstrate the preference order for operators Spark "lacks":
+  * compose built-ins first (as-of join via a window, skew handling via
+  * two-stage salted aggregation) before reaching for custom plans.
+  */
+object AdvancedOps {
+  import Tables._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // AS-OF JOIN: for every event, the timestamp of the same user's most
+    // recent PRIOR 'error' event. Composed as a running max over a
+    // window — one shuffle on user_id, no custom operator needed. The
+    // canonical time-series enrichment at any scale.
+    "asof_join_events" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_error_us",
+          max(when(col("event_type") === "error", col("us"))).over(w))
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("prev_error_us"),
+          when(col("prev_error_us").isNotNull,
+            col("us") - col("prev_error_us")).as("us_since_error"))
+    }),
+
+    // Two-stage salted aggregation — the skew-mitigation pattern: stage 1
+    // aggregates on (key, salt) spreading a hot key over 8 reducers;
+    // stage 2 combines partials. Result is identical to a plain groupBy
+    // (same oracle shape as group_agg) while bounding any one reducer's
+    // load at 1/8 of the hottest key.
+    "agg_salted_two_stage" -> ((s, d) => {
+      val salted = lineitem(s, d)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
+      val partial = salted.groupBy("l_returnflag", "salt").agg(
+        sum("l_quantity").as("p_qty"),
+        sum(col("l_extendedprice").cast(dec)).as("p_base"),
+        count(lit(1)).as("p_cnt"))
+      partial.groupBy("l_returnflag").agg(
+        sum("p_qty").as("sum_qty"),
+        sum("p_base").cast("double").as("sum_base"),
+        sum("p_cnt").as("cnt"))
+    }),
+
+    // Exact interpolated percentiles (both engines implement the standard
+    // (n-1)*p linear interpolation; quantities are integral so the
+    // interpolation arithmetic is exact-then-IEEE-identical).
+    "percentiles_exact" -> ((s, d) =>
+      lineitem(s, d).groupBy("l_returnflag").agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        min("l_quantity").as("qmin"),
+        max("l_quantity").as("qmax"))),
+
+    // Sketches: approximate distinct counts (HLL). No oracle — estimator
+    // internals differ per engine by design; the driver records a
+    // rows-only check. The exact countDistinct alongside shows the
+    // tradeoff this sketch replaces at scale.
+    "approx_distinct_sketch" -> ((s, d) =>
+      lineitem(s, d).groupBy("l_returnflag").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "asof_join_events" ->
+      """SELECT event_id, user_id, us, prev_error_us,
+         CASE WHEN prev_error_us IS NOT NULL THEN us - prev_error_us
+              ELSE NULL END AS us_since_error
+         FROM (
+           SELECT event_id, user_id, us,
+             max(CASE WHEN event_type = 'error' THEN us END) OVER (
+               PARTITION BY user_id ORDER BY us ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_error_us
+           FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+                 FROM events))""",
+    "agg_salted_two_stage" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+         cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
+           AS sum_base,
+         count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag""",
+    "percentiles_exact" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.5) AS p50,
+         quantile_cont(l_quantity, 0.9) AS p90,
+         min(l_quantity) AS qmin, max(l_quantity) AS qmax
+         FROM lineitem GROUP BY l_returnflag"""
+  )
+}
