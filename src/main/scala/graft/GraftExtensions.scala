@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.MinHashMd5
+
+/** SparkSessionExtensions entry point: registers graft's native Catalyst
+  * expressions as SQL functions at session build time, so a cluster
+  * deployment enables them with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (no code changes in
+  * user ETLs). The same registration is available programmatically via
+  * `MinHashMd5.register(spark)` for an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("minhash_md5"),
+      new ExpressionInfo(classOf[MinHashMd5].getName, "minhash_md5"),
+      (exprs: Seq[Expression]) => MinHashMd5(
+        exprs.head,
+        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Int])
+    ): (FunctionIdentifier, ExpressionInfo,
+        FunctionRegistry.FunctionBuilder))
+  }
+}

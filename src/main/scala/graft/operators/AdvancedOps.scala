@@ -60,6 +60,27 @@ object AdvancedOps {
         min("l_quantity").as("qmin"),
         max("l_quantity").as("qmax"))),
 
+    // Ordered funnel: per user, did view → click → purchase happen in
+    // temporal order? Computed with per-user min-timestamps of each stage
+    // conditional on the previous stage preceding it — one shuffle on
+    // user_id; the standard conversion-analysis shape.
+    "event_funnel" -> ((s, d) => {
+      val e = events(s, d).withColumn("us", unix_micros(col("ts")))
+      val agg = e.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("us"))).as("t_view"),
+        min(when(col("event_type") === "click", col("us"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("us")))
+          .as("t_purchase"))
+      agg.select(
+        col("user_id"),
+        col("t_view").isNotNull.as("did_view"),
+        (col("t_click").isNotNull && col("t_view").isNotNull &&
+          col("t_click") > col("t_view")).as("did_click_after_view"),
+        (col("t_purchase").isNotNull && col("t_click").isNotNull &&
+          col("t_view").isNotNull && col("t_click") > col("t_view") &&
+          col("t_purchase") > col("t_click")).as("did_full_funnel"))
+    }),
+
     // Sketches: approximate distinct counts (HLL). No oracle — estimator
     // internals differ per engine by design; the driver records a
     // rows-only check. The exact countDistinct alongside shows the
@@ -89,6 +110,24 @@ object AdvancedOps {
            AS sum_base,
          count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag""",
+    "event_funnel" ->
+      """WITH agg AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               AS t_view,
+             min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS t_purchase
+           FROM events GROUP BY user_id)
+         SELECT user_id,
+           t_view IS NOT NULL AS did_view,
+           coalesce(t_click IS NOT NULL AND t_view IS NOT NULL
+             AND t_click > t_view, false) AS did_click_after_view,
+           coalesce(t_purchase IS NOT NULL AND t_click IS NOT NULL
+             AND t_view IS NOT NULL AND t_click > t_view
+             AND t_purchase > t_click, false) AS did_full_funnel
+         FROM agg""",
     "percentiles_exact" ->
       """SELECT l_returnflag,
          quantile_cont(l_quantity, 0.5) AS p50,
