@@ -65,15 +65,14 @@ object EventOps {
     // (AvailableNow → memory sink), return the sink table. Same oracle as
     // the batch window — the driver's batch-replay check for streaming.
     "streaming_replay_tumbling" -> ((s, d) => {
-      // stage dir keyed by sfDir so different scale factors never mix;
-      // reuse across runs (events testdata is immutable)
-      val stage = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_stream_stage_${d.hashCode.toHexString}").toString
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(stage, "_SUCCESS")))
-        events(s, d).write.mode("overwrite").parquet(stage)
-      val schema = s.read.parquet(stage).schema
-      val stream = s.readStream.schema(schema).parquet(stage)
+      // stream straight off the source file (no staging copy): schema
+      // comes from a footer read, pathGlobFilter selects just events,
+      // and the ns->us conversion happens on the stream
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       val agg = graft.streaming.StreamingOps
         .tumblingCounts(stream, "ts", "1 hour", "10 minutes")
       val q = agg.writeStream.outputMode("complete")

@@ -251,6 +251,16 @@ object RelationalOps {
         coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")),
                  lit("other")).as("prio"))),
 
+    // --- shipped UDFs in the hot path (reference udf/udfs.py:29-34) ----
+    "udf_string_cleanup" -> ((s, d) => {
+      graft.functions.Udfs.registerAll(s)
+      part(s, d).createOrReplaceTempView("g_udf_part")
+      s.sql("""SELECT p_partkey,
+               remove_all_whitespaces(p_name) AS compact_name,
+               trim_all(concat(' ', p_name, ' ')) AS trimmed
+               FROM g_udf_part""")
+    }),
+
     // --- schema alignment (save-path column reorder/prune,
     //     reference easy_sql/sql_processor/backend/spark.py:271-279) ------
     "schema_align_select" -> ((s, d) => {
@@ -419,6 +429,11 @@ object RelationalOps {
          nullif(o_orderstatus, 'P') IS NULL AS is_pending,
          coalesce(nullif(o_orderpriority, '1-URGENT'), 'other') AS prio
          FROM orders""",
+    "udf_string_cleanup" ->
+      """SELECT p_partkey,
+         regexp_replace(p_name, '\s+', '', 'g') AS compact_name,
+         trim(concat(' ', p_name, ' ')) AS trimmed
+         FROM part""",
     "schema_align_select" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
   )
