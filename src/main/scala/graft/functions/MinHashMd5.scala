@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,12 +19,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * array<string> of k lowercase hex digests (null input → null; empty
   * array → array of nulls).
   *
-  * CodegenFallback is acceptable here: the md5 call dominates, and the
-  * expression sits between two codegen'd stages (split/explode before,
-  * aggregation after).
+  * Two scale-minded choices:
+  *   - candidates are compared as raw 16-byte digests (unsigned
+  *     lexicographic == hex lexicographic order), so the n*k inner
+  *     loop allocates no hex strings — only the k winners are
+  *     hex-encoded at the end;
+  *   - `doGenCode` emits a call through a codegen reference object
+  *     instead of extending CodegenFallback, so the surrounding stage
+  *     (tokenize/explode before, LSH band aggregation after) stays
+  *     inside ONE WholeStageCodegen span rather than being split by an
+  *     interpreted projection.
   */
 case class MinHashMd5(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "minhash_md5"
@@ -32,10 +39,24 @@ case class MinHashMd5(child: Expression, k: Int)
   @transient private lazy val salts: Array[Array[Byte]] =
     (0 until k).map(j => s"$j|".getBytes("UTF-8")).toArray
 
+  /** Unsigned lexicographic compare of equal-length digests; matches
+    * String ordering of their lowercase-hex encodings.
+    */
+  private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val mins = new Array[String](k)
+    val mins = new Array[Array[Byte]](k)
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < n) {
@@ -46,15 +67,25 @@ case class MinHashMd5(child: Expression, k: Int)
           md.reset()
           md.update(salts(j))
           md.update(sBytes)
-          val hex = MinHashMd5.toHex(md.digest())
-          if (mins(j) == null || hex.compareTo(mins(j)) < 0) mins(j) = hex
+          val digest = md.digest()
+          if (mins(j) == null || lessThan(digest, mins(j))) mins(j) = digest
           j += 1
         }
       }
       i += 1
     }
     new GenericArrayData(mins.map(m =>
-      if (m == null) null else UTF8String.fromString(m)))
+      if (m == null) null
+      else UTF8String.fromString(MinHashMd5.toHex(m))))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this, classOf[MinHashMd5].getName)
+    nullSafeCodeGen(ctx, ev, child => {
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $ref.nullSafeEval($child);""".stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression)
