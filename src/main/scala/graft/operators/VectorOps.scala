@@ -26,6 +26,8 @@ object VectorOps {
 
   private val DIM = 64
   private val NPLANES = 8
+  private val NLIST = 16 // IVF cells
+  private val NPROBE = 4 // IVF cells searched per query
 
   /** Deterministic ±1 hyperplanes: sign from the top bit of md5("p_i"). */
   private[operators] val planes: Seq[Seq[Int]] = {
@@ -114,6 +116,55 @@ object VectorOps {
       quantized(embeddings(s, d))
         .select(col("vec_id"), bucketExpr.as("bucket"))),
 
+    // IVF top-10: assign every vector to its nearest of NLIST coarse
+    // centroids (deterministically the first NLIST vectors — a k-means
+    // step would slot in here unchanged), then search only the NPROBE
+    // cells nearest each query. Plan shape is the 100 TB one: centroid
+    // set broadcast; assignment is a narrow pass + map-side-combined
+    // min_by (no n×NLIST shuffle); the search join touches ~NPROBE/NLIST
+    // of the corpus instead of all of it.
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = quantized(embeddings(s, d))
+        .select("vec_id", "qv", "nrm").filter(col("nrm") > 0)
+      val cents = e.filter(col("vec_id") < NLIST)
+        .select(col("vec_id").as("cid"), col("qv").as("cqv"),
+                col("nrm").as("cnrm"))
+      // exact L2 via integers: ||v-c||^2 = nrm - 2*dot + cnrm
+      val assigned = e.join(broadcast(cents))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qv, cqv, (a, b) -> a * b), " +
+               "cast(0 as bigint), (a, x) -> a + x)"))
+        .withColumn("dist",
+          col("nrm") - lit(2L) * col("dot") + col("cnrm"))
+      val cells = assigned.groupBy("vec_id")
+        .agg(min_by(struct(col("cid"), col("qv"), col("nrm")),
+                    struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cell"),
+                col("m.qv").as("qv"), col("m.nrm").as("nrm"))
+      val qprobe = assigned.filter(col("vec_id") < 5)
+        .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(col("dist").asc, col("cid").asc)))
+        .filter(col("rn") <= NPROBE)
+        .select(col("vec_id").as("qid"), col("cid").as("cell"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("qv").as("qqv"),
+                col("nrm").as("qnrm"))
+      val cand = cells.join(broadcast(qprobe), "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .join(broadcast(q), "qid")
+        .withColumn("dot",
+          expr("aggregate(zip_with(qqv, qv, (a, b) -> a * b), " +
+               "cast(0 as bigint), (a, x) -> a + x)"))
+        .withColumn("sim",
+          col("dot").cast("double") /
+            (sqrt(col("qnrm").cast("double")) *
+             sqrt(col("nrm").cast("double"))))
+      cand.withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("vec_id").asc)))
+        .filter(col("rn") <= 10)
+        .select("qid", "vec_id", "rn", "sim")
+    }),
+
     // Near-duplicate pairs: candidates share an LSH bucket; verify with
     // exact quantized cosine > 0.8.
     "embedding_neardup" -> ((s, d) => {
@@ -163,6 +214,43 @@ object VectorOps {
                ORDER BY sim DESC, vec_id ASC) as int) AS rn
            FROM ranked) WHERE rn <= 10""",
     "ann_lsh_buckets" -> oracleBucketSql,
+    "ann_ivf_topk" ->
+      s"""WITH $oracleQuantCte,
+         e2 AS (SELECT vec_id, qv, nrm FROM n WHERE nrm > 0),
+         cents AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm
+                   FROM e2 WHERE vec_id < $NLIST),
+         assigned AS (
+           SELECT e2.vec_id, cents.cid, e2.qv, e2.nrm,
+             e2.nrm - 2 * cast(list_aggregate(list_transform(
+               range(1, $DIM + 1), i -> e2.qv[i] * cents.cqv[i]), 'sum')
+               as bigint) + cents.cnrm AS dist
+           FROM e2, cents),
+         cells AS (
+           SELECT vec_id, cid AS cell, qv, nrm FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist ASC, cid ASC) AS arn
+             FROM assigned) WHERE arn = 1),
+         qprobe AS (
+           SELECT vec_id AS qid, cid AS cell FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist ASC, cid ASC) AS prn
+             FROM assigned WHERE vec_id < 5) WHERE prn <= $NPROBE),
+         q AS (SELECT vec_id AS qid, qv AS qqv, nrm AS qnrm
+               FROM e2 WHERE vec_id < 5),
+         cand AS (
+           SELECT p.qid, c.vec_id,
+             cast(cast(list_aggregate(list_transform(range(1, $DIM + 1),
+               i -> q.qqv[i] * c.qv[i]), 'sum') as bigint) as double) /
+               (sqrt(cast(q.qnrm as double)) * sqrt(cast(c.nrm as double)))
+               AS sim
+           FROM qprobe p
+           JOIN cells c ON p.cell = c.cell AND c.vec_id != p.qid
+           JOIN q ON q.qid = p.qid)
+         SELECT qid, vec_id, rn, sim FROM (
+           SELECT qid, vec_id, sim,
+             cast(row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, vec_id ASC) as int) AS rn
+           FROM cand) WHERE rn <= 10""",
     "embedding_neardup" ->
       s"""WITH $oracleQuantCte,
          planes(p, w) AS (VALUES

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.TestSpark
+
+/** Properties of the ANN family the DuckDB oracle can't express:
+  * approximation quality of the probe-limited IVF search relative to
+  * the exact brute-force scan.
+  */
+class VectorOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def topk(name: String): Map[Long, Seq[Long]] =
+    VectorOps.queries(name)(spark, sf)
+      .select("qid", "vec_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1)
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_._3).map(_._2).toSeq
+      }
+
+  test("IVF probe-limited top-10 recalls most of the exact top-10") {
+    val exact = topk("ann_bruteforce_topk")
+    val ivf = topk("ann_ivf_topk")
+    assert(exact.keySet == ivf.keySet)
+    assert(exact.nonEmpty)
+    val recalls = exact.keys.toSeq.map { q =>
+      val hit = ivf(q).toSet.intersect(exact(q).toSet).size
+      hit.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    // NPROBE=4 of NLIST=16 cells; random-projection-free integer IVF on
+    // synthetic embeddings should still recover well over half the
+    // exact neighbours on average.
+    assert(mean >= 0.5, s"mean recall@10 $mean too low: $recalls")
+  }
+
+  test("IVF candidates are a subset of the corpus and self-free") {
+    val ivf = VectorOps.queries("ann_ivf_topk")(spark, sf)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.forall { case (q, v) => q != v })
+    assert(ivf.distinct.length == ivf.length)
+  }
+}
