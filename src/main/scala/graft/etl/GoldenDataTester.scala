@@ -169,9 +169,12 @@ object GoldenDataTester {
     // views (sql_tester.py:867-876)
     tc.inputs.foreach { f =>
       val df = toDataFrame(spark, f)
-      if (f.name.contains("."))
+      if (f.name.contains(".")) {
         backend.createTableWithData(f.name, df, Nil)
-      else df.createOrReplaceTempView(f.name)
+        // a prior case in this session may have cached the old file
+        // listing for the same table name
+        spark.catalog.refreshTable(f.name)
+      } else df.createOrReplaceTempView(f.name)
     }
 
     val processor = new SqlProcessor(backend, tc.sql,
@@ -218,11 +221,18 @@ object GoldenDataTester {
     case other => other
   }
 
-  def runCasesFromFile(spark: SparkSession, jsonPath: String,
+  /** Extension dispatch mirrors the reference
+    * (sql_tester.py:625-641): `.xlsx` via [[XlsxCases]], `.json`
+    * inline. */
+  def runCasesFromFile(spark: SparkSession, path: String,
       baseDir: String): Seq[CaseResult] = {
-    val json = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(jsonPath)), "UTF-8")
-    val cases = parseCases(json, sqlByPath = loadSqlFiles(json, baseDir))
+    val cases =
+      if (path.endsWith(".xlsx")) XlsxCases.parseFile(path)
+      else {
+        val json = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        parseCases(json, sqlByPath = loadSqlFiles(json, baseDir))
+      }
     cases.map(runCase(spark, _))
   }
 
