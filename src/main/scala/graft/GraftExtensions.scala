@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.MinHashMd5
+import graft.functions.{ArrayDotLong, MinHashMd5}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions as SQL functions at session build time, so a cluster
@@ -24,6 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs.head,
         exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
           .asInstanceOf[Int])
+    ): (FunctionIdentifier, ExpressionInfo,
+        FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("array_dot_long"),
+      new ExpressionInfo(classOf[ArrayDotLong].getName, "array_dot_long"),
+      (exprs: Seq[Expression]) => ArrayDotLong(exprs(0), exprs(1))
     ): (FunctionIdentifier, ExpressionInfo,
         FunctionRegistry.FunctionBuilder))
   }

@@ -23,6 +23,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object VectorOps {
   import Tables.embeddings
+  import graft.functions.ArrayDotLong.array_dot_long
 
   private val DIM = 64
   private val NPLANES = 8
@@ -40,20 +41,19 @@ object VectorOps {
     }
   }
 
-  /** Quantized int64 vector + exact squared norm. */
+  /** Quantized int64 vector + exact squared norm (= dot(qv, qv),
+    * via the codegen'd native expression). */
   private def quantized(df: DataFrame): DataFrame =
     df.withColumn("qv",
         expr("transform(embedding, x -> " +
              "cast(round(cast(x as double) * 1000) as bigint))"))
-      .withColumn("nrm",
-        expr("aggregate(qv, cast(0 as bigint), (a, x) -> a + x * x)"))
+      .withColumn("nrm", array_dot_long(col("qv"), col("qv")))
 
   private def bucketExpr: Column = {
     val bits = planes.zipWithIndex.map { case (w, p) =>
-      val arr = w.mkString(", ")
-      expr(s"CASE WHEN aggregate(zip_with(qv, array($arr), " +
-           s"(a, b) -> a * cast(b as bigint)), cast(0 as bigint), " +
-           s"(a, x) -> a + x) >= 0 THEN ${1 << p} ELSE 0 END")
+      val arr = w.map(x => s"${x}L").mkString(", ")
+      when(array_dot_long(col("qv"), expr(s"array($arr)")) >= 0,
+           lit(1 << p)).otherwise(lit(0))
     }
     bits.reduce(_ + _).cast("int")
   }
@@ -96,9 +96,7 @@ object VectorOps {
         .select(col("vec_id").as("qid"), col("qv").as("qqv"),
                 col("nrm").as("qnrm"))
       val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("dot",
-          expr("aggregate(zip_with(qqv, qv, (a, b) -> a * b), " +
-               "cast(0 as bigint), (a, x) -> a + x)"))
+        .withColumn("dot", array_dot_long(col("qqv"), col("qv")))
         .filter(col("nrm") > 0 && col("qnrm") > 0)
         .withColumn("sim",
           col("dot").cast("double") /
@@ -131,9 +129,7 @@ object VectorOps {
                 col("nrm").as("cnrm"))
       // exact L2 via integers: ||v-c||^2 = nrm - 2*dot + cnrm
       val assigned = e.join(broadcast(cents))
-        .withColumn("dot",
-          expr("aggregate(zip_with(qv, cqv, (a, b) -> a * b), " +
-               "cast(0 as bigint), (a, x) -> a + x)"))
+        .withColumn("dot", array_dot_long(col("qv"), col("cqv")))
         .withColumn("dist",
           col("nrm") - lit(2L) * col("dot") + col("cnrm"))
       val cells = assigned.groupBy("vec_id")
@@ -152,9 +148,7 @@ object VectorOps {
       val cand = cells.join(broadcast(qprobe), "cell")
         .filter(col("vec_id") =!= col("qid"))
         .join(broadcast(q), "qid")
-        .withColumn("dot",
-          expr("aggregate(zip_with(qqv, qv, (a, b) -> a * b), " +
-               "cast(0 as bigint), (a, x) -> a + x)"))
+        .withColumn("dot", array_dot_long(col("qqv"), col("qv")))
         .withColumn("sim",
           col("dot").cast("double") /
             (sqrt(col("qnrm").cast("double")) *
@@ -178,9 +172,7 @@ object VectorOps {
                        col("qv").as("qv_b"), col("nrm").as("nrm_b"))
       a.join(b, Seq("bucket"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("dot",
-          expr("aggregate(zip_with(qv_a, qv_b, (x, y) -> x * y), " +
-               "cast(0 as bigint), (a, x) -> a + x)"))
+        .withColumn("dot", array_dot_long(col("qv_a"), col("qv_b")))
         .withColumn("sim",
           col("dot").cast("double") /
             (sqrt(col("nrm_a").cast("double")) *
