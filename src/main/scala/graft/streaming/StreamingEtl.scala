@@ -153,4 +153,89 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("session_window.start").cast("long").as("sess_start"),
               col("user_id"), col("cnt"))
+
+  /** Streaming exact dedup: first event per key wins, duplicate state
+    * aged out by the watermark (dropDuplicatesWithinWatermark) — the
+    * streaming twin of the batch `dedup_exact` operator. At scale the
+    * state store holds only keys inside the watermark horizon instead
+    * of growing without bound. */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  // --- custom state: gap-based sessionization ----------------------------
+
+  final case class SessEvent(user_id: Long, us: Long,
+      ts: java.sql.Timestamp)
+  final case class SessState(startUs: Long, endUs: Long, cnt: Long)
+  final case class SessionOut(user_id: Long, sess_start_us: Long,
+      sess_end_us: Long, cnt: Long)
+
+  /** Custom-state sessionization via flatMapGroupsWithState: sessions
+    * split at event-time gaps > `gapMinutes`, closed sessions emitted in
+    * Append mode, open sessions flushed by EventTimeTimeout once the
+    * watermark passes their gap horizon. Matches the batch
+    * `sessionize_events` gap semantics (EventOps.scala:47-61) — the
+    * KeyValueGroupedDataset path for session logic that
+    * `session_window` can't express (per-session aggregates, custom
+    * close conditions).
+    *
+    * State per key is ONE open session (three longs) — at 100 TB the
+    * state store scales with |active users|, not |events|.
+    */
+  def statefulSessions(events: DataFrame, tsCol: String, userCol: String,
+      watermark: String, gapMinutes: Int)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+
+    val typed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long").as("user_id"),
+              unix_micros(col(tsCol)).as("us"),
+              col(tsCol).as("ts"))
+      .as[SessEvent]
+
+    def flush(uid: Long, state: GroupState[SessState]): Iterator[SessionOut] = {
+      val out = state.getOption.map(s =>
+        SessionOut(uid, s.startUs, s.endUs, s.cnt)).iterator
+      state.remove()
+      out
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) flush(uid, state)
+          else {
+            val closed = scala.collection.mutable.Buffer[SessionOut]()
+            var cur = state.getOption
+            // within one micro-batch rows arrive unordered; order by
+            // event time before applying the gap rule
+            rows.toSeq.sortBy(_.us).foreach { e =>
+              cur match {
+                case Some(s) if e.us - s.endUs <= gapUs =>
+                  cur = Some(SessState(s.startUs, math.max(s.endUs, e.us),
+                    s.cnt + 1))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.startUs, s.endUs, s.cnt)
+                  cur = Some(SessState(e.us, e.us, 1))
+                case None =>
+                  cur = Some(SessState(e.us, e.us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the session once the watermark passes its gap
+              state.setTimeoutTimestamp(s.endUs / 1000L + gapUs / 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
 }

@@ -50,6 +50,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.agg(sum("cnt")).collect()(0).getLong(0) == batchEvents.count())
   }
 
+  test("stateful sessionization matches batch gap logic after flush") {
+    // stage to a private dir so we can append a watermark-pushing
+    // sentinel batch without touching the shared source
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_src")
+      .toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    val sessions = StreamingOps.statefulSessions(
+      stream, "ts", "user_id", watermark = "10 minutes", gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("stream_stateful_sess").start()
+    try {
+      q.processAllAvailable()
+      // push the watermark far past every open session's gap horizon
+      // (sentinel user -1 stays open and is never emitted)
+      import spark.implicits._
+      val far = batchEvents.select(max("ts")).collect()(0)
+        .getTimestamp(0).getTime + 7L * 24 * 3600 * 1000
+      Seq((Long.MaxValue, -1L, "sentinel", 0.0,
+           new java.sql.Timestamp(far)))
+        .toDF("event_id", "user_id", "event_type", "value", "ts")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("stream_stateful_sess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    // batch truth: same 30-minute gap rule via window functions
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("user_id").orderBy(col("us").asc)
+    val expected = batchEvents
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+             col("us") - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("sess_idx", sum("new_sess").over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy("user_id", "sess_idx")
+      .agg(min("us").as("s"), max("us").as("e"), count(lit(1)).as("cnt"))
+      .select("user_id", "s", "e", "cnt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    assert(got.nonEmpty)
+    assert(got == expected)
+  }
+
+  test("streaming dedup drops injected duplicates within the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_src")
+      .toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    // inject exact duplicates of 50 events
+    batchEvents.limit(50).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    val deduped = StreamingOps.dedupStream(stream, "ts", "1 hour",
+      Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("stream_dedup")
+    assert(got.count() == batchEvents.count())
+    assert(got.select("event_id").distinct().count() == batchEvents.count())
+  }
+
   test("streaming ETL: statement-set deferral and explicit commit " +
       "(reference flink.py:88-131 semantics)") {
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_stream_sink")
