@@ -43,6 +43,18 @@ object MultimodalOps {
             if (head.nonEmpty) head.sum.toDouble / head.length else 0.0)
       }
     }
+
+    final case class Resized(doc_id: Long, n_bytes_out: Int,
+                             resized: Array[Byte])
+    /** STUB resize — stride subsampling stands in for a real scaler;
+      * the batch shape (iterator in, iterator out, per-partition init
+      * point) is what a libvips/ffmpeg call would slot into. */
+    def resizeBatch(stride: Int)(it: Iterator[Media]): Iterator[Resized] =
+      it.map { m =>
+        val out = Array.tabulate((m.blob.length + stride - 1) / stride)(
+          i => m.blob(i * stride))
+        Resized(m.doc_id, out.length, out)
+      }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -68,7 +80,37 @@ object MultimodalOps {
         .as[Media]
         .mapPartitions(decodeBatch _)
         .toDF()
-    })
+    }),
+
+    // Resize path: same typed batch shape, stride-2 "downscale" stub;
+    // digest the resized payload so the oracle can verify it without
+    // shipping blobs out of the executors.
+    "multimodal_resize" -> ((s, d) => {
+      import s.implicits._
+      import FakeDecoder._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        .as[Media]
+        .mapPartitions(resizeBatch(2) _)
+        .toDF()
+        .select(col("doc_id"), col("n_bytes_out"),
+                md5(col("resized")).as("resized_md5"))
+    }),
+
+    // Frame sampling: treat the blob as fixed 16-byte "frames", keep
+    // every 4th — pure column ops (sequence/filter/explode), no UDF, so
+    // the whole thing stays in codegen and blobs never leave their
+    // partition.
+    "multimodal_frame_sample" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("blob", col("text").cast("binary"))
+        .withColumn("nf", floor(length(col("blob")) / 16).cast("int"))
+        .filter(col("nf") > 0)
+        .withColumn("f", explode(expr(
+          "filter(sequence(0, nf - 1), x -> x % 4 = 0)")))
+        .select(col("doc_id"), col("f").as("frame_idx"),
+                md5(expr("substring(blob, f * 16 + 1, 16)"))
+                  .as("frame_md5")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -89,6 +131,25 @@ object MultimodalOps {
              range(1, least(strlen(text), 16) + 1),
              i -> ascii(substr(text, i, 1))), 'sum') as double) /
            least(strlen(text), 16) AS brightness
-         FROM documents"""
+         FROM documents""",
+    // stride-2 subsample: bytes at 1-based positions 1, 3, 5, ...
+    "multimodal_resize" ->
+      """SELECT doc_id,
+         cast(len(pieces) as int) AS n_bytes_out,
+         md5(array_to_string(pieces, '')) AS resized_md5
+         FROM (
+           SELECT doc_id,
+             list_transform(range(0, cast((strlen(text) + 1) // 2 as int)),
+               i -> substr(text, cast(i * 2 + 1 as int), 1)) AS pieces
+           FROM documents)""",
+    "multimodal_frame_sample" ->
+      """SELECT doc_id, cast(f as int) AS frame_idx,
+         md5(substr(text, cast(f * 16 + 1 as int), 16)) AS frame_md5
+         FROM (
+           SELECT doc_id, text,
+             unnest(list_filter(range(0, strlen(text) // 16),
+               x -> x % 4 = 0)) AS f
+           FROM documents
+           WHERE strlen(text) >= 16)"""
   )
 }
