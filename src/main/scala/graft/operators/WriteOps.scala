@@ -52,6 +52,27 @@ object WriteOps {
         .agg(count(lit(1)).as("cnt"), decSum("o_totalprice").as("total"))
     }),
 
+    // Bucketed co-located join: both sides pre-bucketed (and sorted)
+    // on the join key, so the SortMergeJoin consumes bucket files
+    // directly — ZERO shuffle on either join input. THE join layout for
+    // repeated large-table joins at 100 TB: pay one bucketed write,
+    // then every subsequent join on that key is exchange-free. The only
+    // exchange left in this plan is the final group-by
+    // (BucketedJoinSpec asserts exactly that).
+    "bucketed_join_colocated" -> ((s, d) => {
+      orders(s, d).write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("g_bkt_orders")
+      customer(s, d).write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("g_bkt_customer")
+      s.table("g_bkt_orders")
+        .join(s.table("g_bkt_customer"),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_ord"), decSum("o_totalprice").as("total"))
+    }),
+
     // SaveMode append semantics (reference base.py:143-145): overwrite one
     // slice, append a second, read back the union.
     "save_append" -> ((s, d) => {
@@ -111,6 +132,11 @@ object WriteOps {
       """SELECT o_orderstatus, count(*) AS cnt,
          cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
          FROM orders GROUP BY o_orderstatus""",
+    "bucketed_join_colocated" ->
+      """SELECT c_mktsegment, count(*) AS n_ord,
+         cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
     "save_append" ->
       """SELECT o_orderstatus, count(*) AS cnt,
          cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
