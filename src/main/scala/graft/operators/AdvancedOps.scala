@@ -32,6 +32,34 @@ object AdvancedOps {
             col("us") - col("prev_error_us")).as("us_since_error"))
     }),
 
+    // Banded range join — the no-equi-key time-range pattern: for each
+    // 'error' event, count 'click' events (ANY user) within ±60 s.
+    // Naively that's an O(n²) theta-join; the scale shape bins both
+    // sides by 60 s buckets, explodes the (smaller) probe side to its
+    // 3 candidate bins, equi-joins on bin, and filters the exact band.
+    // Shuffle volume is O(n) keyed rows; each probe meets only ~3 bins
+    // of matches instead of the whole table.
+    "range_join_time_band" -> ((s, d) => {
+      val bandUs = 60L * 1000000L
+      val ev = events(s, d).withColumn("us", unix_micros(col("ts")))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("us").as("e_us"),
+                expr(s"us div $bandUs").as("bin0"))
+      val probes = errors
+        .withColumn("bin",
+          explode(array(col("bin0") - 1, col("bin0"), col("bin0") + 1)))
+        .select("event_id", "e_us", "bin")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("us").as("c_us"), expr(s"us div $bandUs").as("bin"))
+      val counts = probes.join(clicks, "bin")
+        .filter(abs(col("c_us") - col("e_us")) <= bandUs)
+        .groupBy("event_id").agg(count(lit(1)).as("n_nearby"))
+      errors.select("event_id", "e_us")
+        .join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("e_us"),
+                coalesce(col("n_nearby"), lit(0L)).as("n_nearby"))
+    }),
+
     // Two-stage salted aggregation — the skew-mitigation pattern: stage 1
     // aggregates on (key, salt) spreading a hot key over 8 reducers;
     // stage 2 combines partials. Result is identical to a plain groupBy
@@ -104,6 +132,16 @@ object AdvancedOps {
                AS prev_error_us
            FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
                  FROM events))""",
+    // the oracle states the O(n²) truth the banded decomposition equals
+    "range_join_time_band" ->
+      """WITH ev AS (SELECT event_id, event_type, epoch_us(ts) AS us
+                     FROM events),
+         err AS (SELECT event_id, us AS e_us FROM ev
+                 WHERE event_type = 'error'),
+         clk AS (SELECT us AS c_us FROM ev WHERE event_type = 'click')
+         SELECT e.event_id, e.e_us, count(c.c_us) AS n_nearby
+         FROM err e LEFT JOIN clk c ON abs(e.e_us - c.c_us) <= 60000000
+         GROUP BY e.event_id, e.e_us""",
     "agg_salted_two_stage" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
          cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
