@@ -23,6 +23,7 @@ final class VarsContext(
   private var funcRunner: Option[FuncRunner] = None
 
   def init(runner: FuncRunner): Unit = funcRunner = Some(runner)
+  def runner: Option[FuncRunner] = funcRunner
 
   def vars: Map[String, Any] = varsMap
   def listVars: Map[String, Seq[Any]] = listVarsMap

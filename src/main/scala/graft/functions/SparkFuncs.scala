@@ -16,6 +16,19 @@ import graft.core.{Coerce, SqlProcessorException, VarsContext}
   */
 object SparkFuncs {
 
+  /** Pluggable alert sink (reference Alerter, funcs_common.py:271-273):
+    * deployments swap in a real channel (mail/chat webhook); default
+    * logs. */
+  trait Alerter {
+    def sendAlert(msg: String, mentionedUsers: String = ""): Unit
+  }
+  object LogAlerter extends Alerter {
+    override def sendAlert(msg: String, mentionedUsers: String): Unit =
+      println(s"[alert]${
+        if (mentionedUsers.nonEmpty) s" @$mentionedUsers" else ""} $msg")
+  }
+  @volatile var alerter: Alerter = LogAlerter
+
   private def s(v: Any): String = Coerce.toStr(v)
   private def opt(ps: Seq[Any], i: Int): Option[String] =
     if (ps.length > i) Some(s(ps(i))).filter(_.nonEmpty) else None
@@ -79,6 +92,42 @@ object SparkFuncs {
     }
 
     def view(table: String): DataFrame = spark.sql(s"select * from $table")
+
+    // --- alerting helpers -------------------------------------------------
+    def stepOf(v: Any): graft.etl.Step = v match {
+      case st: graft.etl.Step => st
+      case _ => vars.vars.get("__step__") match {
+        case Some(st: graft.etl.Step) => st
+        case _ => throw new SqlProcessorException(
+          "alert requires the current step (pass __step__)")
+      }
+    }
+    def ctxOf(v: Any): VarsContext = v match {
+      case c: VarsContext => c
+      case _ => vars
+    }
+    // python str.format(**row) analog: replace {col} with the row value
+    def pyFormat(tmpl: String, m: Map[String, Any]): String =
+      m.foldLeft(tmpl) { case (acc, (k, v)) =>
+        acc.replace(s"{$k}", Coerce.toStr(v)) }
+    def alertRun(be: SparkBackend, step: graft.etl.Step, ctx: VarsContext,
+        ruleName: String, passCondition: String, alertTemplate: String,
+        mentionedUsers: String): Unit = {
+      val sql = step.selectSql.getOrElse(throw new SqlProcessorException(
+        s"alert rule `$ruleName` needs select sql on its step"))
+      // fetch 10 rows at most (funcs_common.py:291-293)
+      val rows = be.execSql(sql).limit(10).collect()
+      val failed = rows.toSeq.flatMap { r =>
+        val m = r.schema.fieldNames.zipWithIndex.map {
+          case (n, i) => n -> r.get(i) }.toMap
+        ctx.addVars(m)
+        val pass = ctx.runner.forall(fr =>
+          Coerce.truthy(fr.runFunc(pyFormat(passCondition, m), ctx)))
+        if (!pass) Some(pyFormat(alertTemplate, m)) else None
+      }
+      if (failed.nonEmpty)
+        alerter.sendAlert(failed.mkString("\n"), mentionedUsers)
+    }
 
     def allColsExpr(ps: Seq[Any]): String = {
       val table = s(ps.head)
@@ -264,8 +313,19 @@ object SparkFuncs {
         df.summary().show(100, truncate = false)
       }),
 
-      // alerting (funcs_common.py:271-321): log-only in this sandbox
-      "alert" -> (ps => println(s"[alert] ${ps.map(s).mkString(", ")}")),
+      // alerting (funcs_common.py:276-321): the step's select sql is
+      // fetched (≤10 rows); each row formats `pass_condition`
+      // ({col} placeholders, python str.format style) and runs it as a
+      // func; failing rows render `alert_template` and go out in ONE
+      // alerter message.
+      "alert" -> (ps => alertRun(backend, stepOf(ps.head), ctxOf(ps(1)),
+        s(ps(2)), s(ps(3)), s(ps(4)), opt(ps, 5).getOrElse(""))),
+      "alert_with_backend" -> (ps => alertRun(
+        ps.head match { case b: SparkBackend => b; case _ => backend },
+        stepOf(ps(1)), ctxOf(ps(2)),
+        s(ps(3)), s(ps(4)), s(ps(5)), opt(ps, 6).getOrElse(""))),
+      "send_alert" -> (ps =>
+        alerter.sendAlert(s(ps.head), opt(ps, 1).getOrElse(""))),
       "alert_exception_handler" -> (ps =>
         println(s"[alert-exception] ${ps.map(s).mkString(", ")}")),
 
