@@ -177,6 +177,9 @@ object GoldenDataTester {
       } else df.createOrReplaceTempView(f.name)
     }
 
+    val viewsBefore = spark.catalog.listTables("default").collect()
+      .filter(_.isTemporary).map(_.name).toSet
+
     val processor = new SqlProcessor(backend, tc.sql,
       variables = tc.vars, includes = tc.includes)
     processor.run(dryRun = true)
@@ -185,8 +188,13 @@ object GoldenDataTester {
       .filter(_.isTemporary).map(_.name)
     val failures = tc.outputs.flatMap { expected =>
       val pureName = expected.name.split("\\.").last
-      val outView = tempViews.find(
+      // prefer the view THIS run created: an earlier case in the same
+      // session may have left a same-named `<out>_<hex>_output` view
+      // whose plan points at since-dropped files
+      val matching = tempViews.filter(
         _.matches(s"${pureName}_[0-9a-f]+_output"))
+      val outView = matching.find(!viewsBefore.contains(_))
+        .orElse(matching.headOption)
       outView match {
         case None =>
           Seq(s"no output temp view found for ${expected.name} " +
