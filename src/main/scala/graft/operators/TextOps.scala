@@ -97,8 +97,10 @@ object TextOps {
         .select(col("doc_id"),
           explode(split(lower(trim(col("text"))), " ")).as("tok"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val df = toks.select("doc_id", "tok").distinct()
-        .groupBy("tok").agg(count(lit(1)).as("df"))
+      // tf already holds one row per (doc, term), so document frequency
+      // derives from it — no second explode pass, no distinct shuffle;
+      // the tok-keyed shuffle sees pre-aggregated rows only
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(broadcast(df), Seq("tok"))
         .crossJoin(broadcast(n))
