@@ -19,25 +19,46 @@ object StepStatus {
 final class Reporter {
   final case class StepReport(step: Step, var status: String = StepStatus.NotStarted,
       messages: scala.collection.mutable.ArrayBuffer[String] =
-        scala.collection.mutable.ArrayBuffer())
+        scala.collection.mutable.ArrayBuffer(),
+      var startTime: Long = 0L, var endTime: Long = 0L,
+      var executionTime: Double = 0.0)
   private val reports = scala.collection.mutable.LinkedHashMap[String, StepReport]()
+  private val processStart = System.currentTimeMillis()
 
   def init(steps: Seq[Step]): Unit =
     steps.foreach(s => reports(s.id) = StepReport(s))
   def collect(step: Step, status: Option[String] = None,
       message: Option[String] = None): Unit = {
     val r = reports.getOrElseUpdate(step.id, StepReport(step))
-    status.foreach(r.status = _)
+    // timing protocol from the reference (report.py:26-37): RUNNING
+    // stamps the start; a terminal status stamps the end + duration
+    status.foreach { st =>
+      if (st == StepStatus.Running) r.startTime = System.currentTimeMillis()
+      if (st == StepStatus.Failed || st == StepStatus.Succeeded) {
+        r.endTime = System.currentTimeMillis()
+        val from = if (r.startTime > 0) r.startTime else r.endTime
+        r.executionTime = (r.endTime - from) / 1000.0
+      }
+      r.status = st
+    }
     message.foreach(r.messages += _)
   }
   def statusOf(step: Step): String =
     reports.get(step.id).map(_.status).getOrElse(StepStatus.NotStarted)
+  def reportOf(step: Step): Option[StepReport] = reports.get(step.id)
   def printReport(): Unit = {
+    val total = math.max((System.currentTimeMillis() - processStart) / 1000.0,
+      0.001)
     val lines = reports.values.map { r =>
-      s"  ${r.step.id}[${r.status}] ${r.step.targetConfig.getOrElse("")}" +
+      val timing =
+        if (r.endTime > 0)
+          f" (${r.executionTime}%.3fs - ${r.executionTime / total * 100}%.2f%%)"
+        else ""
+      s"  ${r.step.id}[${r.status}]$timing ${r.step.targetConfig.getOrElse("")}" +
         (if (r.messages.nonEmpty) s" -- ${r.messages.mkString("; ")}" else "")
     }
-    println(s"=== sql processor report ===\n${lines.mkString("\n")}")
+    println(s"=== sql processor report (total ${total}s) ===\n" +
+      lines.mkString("\n"))
   }
 }
 
