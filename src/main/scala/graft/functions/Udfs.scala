@@ -17,8 +17,25 @@ object Udfs {
   private val trimAll = udf((value: String) =>
     if (value == null) null else value.strip())
 
+  /** UDF factory from the reference's check helpers
+    * (easy_sql/udf/check.py:19-20): the value passes through when it
+    * matches `pattern` (anchored at the start, like python re.match),
+    * else null — compose with `ensure_no_null_data_in_table` for
+    * format checks. */
+  def checkRegexFunc(pattern: String): String => String = {
+    val re = ("^" + pattern).r
+    value =>
+      if (value != null && re.findPrefixOf(value).isDefined) value else null
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("remove_all_whitespaces", removeAllWhitespaces)
     spark.udf.register("trim_all", trimAll)
   }
+
+  /** Register a named regex-check UDF, e.g.
+    * `registerCheckRegex(spark, "check_email", "[^@]+@[^@]+")`. */
+  def registerCheckRegex(spark: SparkSession, name: String,
+      pattern: String): Unit =
+    spark.udf.register(name, udf(checkRegexFunc(pattern)))
 }

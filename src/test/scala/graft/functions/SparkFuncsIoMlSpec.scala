@@ -67,4 +67,18 @@ class SparkFuncsIoMlSpec extends AnyFunSuite {
     assert(math.abs(preds(0) - 20.0) < 1e-6)
     assert(math.abs(preds(1) - 40.0) < 1e-6)
   }
+
+  test("check_regex_func passes matches through, nulls the rest") {
+    val f = Udfs.checkRegexFunc("[a-z]+@[a-z]+\\.com")
+    assert(f("dev@corp.com") == "dev@corp.com")
+    assert(f("dev@corp.com extra") == "dev@corp.com extra") // re.match: prefix
+    assert(f("not-an-email") == null)
+    assert(f(null) == null)
+
+    Udfs.registerCheckRegex(spark, "check_email_spec", "[a-z]+@[a-z]+\\.com")
+    val out = spark.sql(
+      "select check_email_spec(c) as v from (values ('a@b.com'), ('nope')) " +
+      "as t(c)").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("a@b.com", null))
+  }
 }
