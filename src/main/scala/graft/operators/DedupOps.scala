@@ -82,6 +82,11 @@ object DedupOps {
       val sigs = withSigs(documents(s, d), gram = 2)
         .select(col("doc_id") +: col("shingles") +:
                 (0 until K).map(j => col(s"sig_$j")): _*)
+      // persist the band index before self-joining: it is the tiny
+      // derived table of the pipeline (K/2 narrow rows per doc), and
+      // without it BOTH join sides recompute the full MinHash pass —
+      // at 100 TB persisting/checkpointing the band index is exactly
+      // what you'd do (it is ~0.1% of corpus bytes)
       val bands = sigs.select(
         col("doc_id"),
         explode(array((0 until K / 2).map(b =>
@@ -90,6 +95,7 @@ object DedupOps {
                             col(s"sig_${2 * b + 1}"))).as("band_hash"))
         ): _*)).as("band"))
         .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = bands.as("a")
         .join(bands.as("b"), Seq("band_id", "band_hash"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
