@@ -1,0 +1,77 @@
+-- backend: spark
+-- config: spark.sql.shuffle.partitions=8
+
+-- An end-to-end training-data curation pipeline in the Easy-SQL step
+-- language: score -> quality-filter -> exact-dedup -> near-dup drop ->
+-- curated output, with checks and logging along the way.
+--
+-- Inputs : a `documents` temp view (doc_id, text, lang, source, n_chars)
+-- Output : temp view (dry-run) / table `curated.documents`
+-- Vars   : min_tokens (default 5), sim_band_guard (LSH bands per doc)
+
+-- target=variables
+select
+  true as __create_output_table__,
+  ${min_tokens:5} as min_tokens
+
+-- Per-doc quality features: token count, mean token length, alpha ratio.
+-- target=temp.doc_stats
+select
+  doc_id, text,
+  size(split(lower(trim(text)), ' ')) as n_tokens,
+  length(regexp_replace(text, '[^a-zA-Z]', '')) / greatest(length(text), 1)
+    as alpha_ratio
+from documents
+
+-- target=log.corpus_size
+select count(*) as n_docs from doc_stats
+
+-- Quality gate: drop too-short and non-textual docs.
+-- target=temp.quality
+select doc_id, text, n_tokens from doc_stats
+where n_tokens >= ${min_tokens} and alpha_ratio > 0.5
+
+-- Exact dedup: keep the smallest doc_id per normalized-content hash.
+-- target=temp.exact_kept
+select doc_id, text, n_tokens from (
+  select *, row_number() over (
+    partition by md5(lower(trim(text)))
+    order by doc_id) as rn
+  from quality) where rn = 1
+
+-- Near-dup candidates via the native one-pass MinHash expression:
+-- 2 bands of 2 salted-md5 signatures over 3-gram shingles.
+-- target=temp.sigs
+select doc_id,
+  minhash_md5(
+    transform(sequence(1, greatest(size(split(lower(trim(text)), ' ')) - 2, 1)),
+      i -> concat_ws(' ', slice(split(lower(trim(text)), ' '), i, 3))),
+    4) as mh
+from exact_kept
+
+-- target=temp.near_dup_losers
+select distinct b.doc_id from (
+    select doc_id, band, md5(concat(mh[band * 2], mh[band * 2 + 1])) as bh
+    from sigs lateral view explode(array(0, 1)) t as band) a
+  join (
+    select doc_id, band, md5(concat(mh[band * 2], mh[band * 2 + 1])) as bh
+    from sigs lateral view explode(array(0, 1)) t as band) b
+  on a.band = b.band and a.bh = b.bh and a.doc_id < b.doc_id
+
+-- target=temp.curated
+select k.doc_id, k.text, k.n_tokens
+from exact_kept k
+left anti join near_dup_losers l on k.doc_id = l.doc_id
+
+-- The pipeline must never grow the corpus.
+-- target=check.curated_not_larger
+select
+  (select count(*) from curated) <= (select count(*) from documents)
+    as actual,
+  true as expected
+
+-- target=log.curated_size
+select count(*) as n_docs, avg(n_tokens) as mean_tokens from curated
+
+-- target=output.curated.documents
+select doc_id, text, n_tokens from curated

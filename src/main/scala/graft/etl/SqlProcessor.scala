@@ -93,6 +93,10 @@ final class SqlProcessor(
   funcRunner.registerFuncs(
     graft.functions.SparkFuncs.all(backend, varsContext))
   graft.functions.Udfs.registerAll(backend.spark)
+  // native Catalyst expressions available to every ETL's SQL (the
+  // cluster path registers them via GraftExtensions instead)
+  graft.functions.MinHashMd5.register(backend.spark)
+  graft.functions.ArrayDotLong.register(backend.spark)
 
   private val stepFactory = new StepFactory(includes, None, baseDir,
     skipDuplicateInclude)
