@@ -139,6 +139,35 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     assert(SqlText.removeSemicolon(";  ") == "  ")
   }
 
+  // --- step_test.py ports -------------------------------------------------
+
+  test("step config edge cases (step_test.py:9-29)") {
+    import graft.etl.StepConfig
+    val c = StepConfig.fromConfigLine("-- target=check.f1(a, ${b})", 0)
+    assert(c.stepType == "check" && c.name.contains("f1(a, ${b})"))
+    // `,if=` without a space
+    val c2 = StepConfig.fromConfigLine(
+      "-- target=check.f1(a, ${b}),if=f2(c, ${d})", 0)
+    assert(c2.condition.contains("f2(c, ${d})"))
+    // malformed condition func name must be rejected
+    intercept[SqlProcessorException] {
+      StepConfig.fromConfigLine(
+        "-- target=check.f1(a, ${b}),if=f2-(c, ${d})", 0)
+    }
+    intercept[SqlProcessorException] {
+      StepConfig.fromConfigLine("-- target=unknown_type", 0)
+    }
+  }
+
+  test("semicolon inside a string literal survives step split " +
+      "(step_test.py:71-79)") {
+    val steps = new graft.etl.StepFactory(Map.empty, None, None, false)
+      .createFromSql("\n-- target=temp.test\nselect ';' as a\n        ")
+    assert(steps.length == 1)
+    assert(steps.head.targetConfig.exists(_.name.contains("test")))
+    assert(steps.head.selectSql.exists(_.trim == "select ';' as a"))
+  }
+
   test("comment substitutor round-trip on the reference's pathological sql") {
     val sql = """
 select ${a}, ${b} -- ${a} in comment
