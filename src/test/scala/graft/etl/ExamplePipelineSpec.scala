@@ -38,4 +38,27 @@ class ExamplePipelineSpec extends AnyFunSuite {
     assert(curated.agg(min(size(split(lower(trim(col("text"))), " "))))
       .collect()(0).getInt(0) >= 5)
   }
+
+  test("streaming example commits its queued sink and filters correctly") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ex_stream")
+      .toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_ex_sink")
+      .toString
+    val batch = graft.operators.Tables.events(spark, "/root/testdata/sf0.001")
+    batch.write.mode("overwrite").parquet(srcDir)
+
+    val sql = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/streaming_events.sql")), "UTF-8")
+    val stream = spark.readStream.schema(batch.schema).parquet(srcDir)
+    val runner = new graft.streaming.StreamingEtl(spark, sql,
+      sources = Map("events_stream" -> stream), sinkDir = sinkDir)
+    val queries = runner.run()
+    assert(queries.length == 1)
+    queries.foreach { q => q.processAllAvailable(); q.stop() }
+
+    val written = spark.read.parquet(s"$sinkDir/sink__purchases")
+    val expected = batch.filter(col("value") > 10.0 &&
+      col("event_type") === "purchase")
+    assert(written.count() == expected.count() && written.count() > 0)
+  }
 }
