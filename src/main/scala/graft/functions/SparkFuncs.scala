@@ -153,6 +153,24 @@ object SparkFuncs {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", s(ps.head))
       }),
+      // flink parity (funcs_flink.py:33-46): generic runtime conf set +
+      // parallelism (int-validated, maps to shuffle partitions here)
+      "set_config" -> (ps => spark.conf.set(s(ps.head), s(ps(1)))),
+      "set_parallelism" -> (ps => {
+        val p = s(ps.head)
+        if (p.toIntOption.isEmpty)
+          throw new SqlProcessorException(
+            s"partitions must be an int when repartition a table, got `$p`")
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+      }),
+      // in-process analog of funcs_flink.py run_etl (:89-117): run
+      // another ETL file against the same backend
+      "run_etl" -> (ps => {
+        val path = s(ps.head)
+        val sql = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        new graft.etl.SqlProcessor(backend, sql).run()
+      }),
 
       // cache (funcs_spark.py:161-166)
       "unpersist" -> (ps => spark.catalog.uncacheTable(s(ps.head))),

@@ -98,4 +98,29 @@ select * from result
       "all_cols_prefixed_with_exclusion_expr(cf_t, p_, c)", vc) ==
       "cf_t.a as `p_a`, cf_t.b as `p_b`")
   }
+
+  test("set_config / set_parallelism / run_etl flink-parity funcs") {
+    val backend = new graft.backend.SparkBackend(spark)
+    val vc = new graft.core.VarsContext()
+    val runner = new graft.core.FuncRunner(
+      graft.functions.SparkFuncs.all(backend, vc))
+    vc.init(runner)
+
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      runner.runFunc("set_config(spark.sql.cbo.enabled, true)", vc)
+      assert(spark.conf.get("spark.sql.cbo.enabled") == "true")
+      runner.runFunc("set_parallelism(6)", vc)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "6")
+      intercept[graft.core.SqlProcessorException] {
+        runner.runFunc("set_parallelism(lots)", vc)
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    val etl = java.nio.file.Files.createTempFile("graft_sub_etl", ".sql")
+    java.nio.file.Files.write(etl,
+      "-- target=temp.sub_etl_out\nselect 42 as x\n".getBytes("UTF-8"))
+    runner.runFunc(s"run_etl($etl)", vc)
+    assert(spark.table("sub_etl_out").collect().head.getInt(0) == 42)
+  }
 }
