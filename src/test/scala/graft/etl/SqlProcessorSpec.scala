@@ -22,6 +22,8 @@ object TestSpark {
 
 class SqlProcessorSpec extends AnyFunSuite {
 
+  private lazy val spark: SparkSession = TestSpark.spark
+
   private def runSql(sql: String, resultTable: String,
       funcs: Map[String, Seq[Any] => Any] = Map.empty,
       variables: Map[String, Any] = Map.empty): Seq[Seq[Any]] = {
@@ -251,6 +253,77 @@ select 5 as id
       .filter(t => t.isTemporary && t.name.matches("dry_out_[0-9a-f]+_output"))
     assert(outViews.length == 1)
     assert(spark.table(outViews.head.name).collect().map(_.getInt(0)).toSeq == Seq(5))
+  }
+
+  test("check failure modes raise (sql_processor_test.py:306-314)") {
+    val failSqls = Seq(
+      "-- target=check.test_check\nselect 1 as actual, 0 as expected",
+      "-- target=check.test_check\nselect 1 as actual, 1 as expected1",
+      "-- target=check.test_check\n" +
+        "select 1 as actual, 0 as expected where 1=0")
+    failSqls.foreach { sql =>
+      intercept[graft.core.SqlProcessorException] {
+        new SqlProcessor(new SparkBackend(spark), sql).run()
+      }
+    }
+  }
+
+  test("empty log target logs no-data without failing " +
+      "(sql_processor_test.py:316-318)") {
+    new SqlProcessor(new SparkBackend(spark),
+      "-- target=log.no_data\nselect 1 as actual, 0 as expected where 1=0")
+      .run()
+  }
+
+  test("output errors: missing table/create flag, missing dbname " +
+      "(sql_processor_test.py:320-326)") {
+    intercept[Exception] {
+      new SqlProcessor(new SparkBackend(spark),
+        "-- target=output.t.some_missing_table\nselect 1 as a, 0 as b").run()
+    }
+    intercept[Exception] {
+      new SqlProcessor(new SparkBackend(spark),
+        "-- target=output.some_table\nselect 1 as actual, 0 as expected")
+        .run()
+    }
+  }
+
+  test("action step executes raw sql (sql_processor_test.py:328-340)") {
+    spark.sql("create database if not exists t")
+    val backend = new SparkBackend(spark)
+    new SqlProcessor(backend,
+      "-- target=variables\nselect true as __create_output_table__\n" +
+      "-- target=output.t.some_table\nselect 1 as a, 0 as b\n" +
+      "-- target=action.some_action\ndrop table t.some_table").run()
+    assert(!spark.catalog.tableExists("t", "some_table"))
+  }
+
+  test("static partition value appears in dry-run output too " +
+      "(sql_processor_test.py:342-356)") {
+    val backend = new SparkBackend(spark)
+    new SqlProcessor(backend,
+      "-- target=variables\nselect 20200101 as __partition__dt\n" +
+      "-- target=output.t.result\nselect 1 as a, 2 as b").run(dryRun = true)
+    val out = backend.tempTables()
+      .filter(t => t.startsWith("result_") && t.endsWith("_output"))
+    assert(out.length == 1)
+    val row = spark.sql(s"select * from ${out.head}").collect().head
+    assert(row.getInt(0) == 1 && row.getInt(1) == 2 &&
+      row.getString(2) == "20200101")
+  }
+
+  test("trailing sql-less func targets run (sql_processor_test.py:245-258)") {
+    var c = 0
+    val backend = new SparkBackend(spark)
+    val p = new SqlProcessor(backend,
+      "-- target=temp.result\nselect 1 as a\n" +
+      "-- target=func.t_count(a, ${b})\n" +
+      "-- target=func.t_count(a, ${b})",
+      variables = Map("b" -> "2"))
+    p.registerFuncs(Map("t_count" -> (_ => { c += 1; () })))
+    p.run()
+    assert(spark.table("result").collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(c == 2)
   }
 
   test("skip_all and exception handler") {
