@@ -301,10 +301,11 @@ select 5 as id
   test("static partition value appears in dry-run output too " +
       "(sql_processor_test.py:342-356)") {
     val backend = new SparkBackend(spark)
+    val before = backend.tempTables().toSet
     new SqlProcessor(backend,
       "-- target=variables\nselect 20200101 as __partition__dt\n" +
       "-- target=output.t.result\nselect 1 as a, 2 as b").run(dryRun = true)
-    val out = backend.tempTables()
+    val out = backend.tempTables().filterNot(before)
       .filter(t => t.startsWith("result_") && t.endsWith("_output"))
     assert(out.length == 1)
     val row = spark.sql(s"select * from ${out.head}").collect().head
