@@ -32,6 +32,26 @@ object AdvancedOps {
             col("us") - col("prev_error_us")).as("us_since_error"))
     }),
 
+    // Deterministic stratified sampling + train/test split — the
+    // training-data staple: per-stratum (language) keep-rates and an
+    // 80/20 split, both decided by a content-stable hash bucket, so the
+    // sample is reproducible across runs/engines/cluster sizes and
+    // needs NO shuffle (pure narrow filter; rates change without
+    // re-shuffling anything).
+    "sample_stratified_split" -> ((s, d) => {
+      val bucket = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) " +
+        "as bigint) % 100")
+      val keepRate = when(col("lang") === "en", 50)
+        .when(col("lang") === "de", 20).otherwise(10)
+      documents(s, d)
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < keepRate)
+        .withColumn("split",
+          when(col("bucket") % 10 < 8, "train").otherwise("test"))
+        .select("doc_id", "lang", "bucket", "split")
+    }),
+
     // Banded range join — the no-equi-key time-range pattern: for each
     // 'error' event, count 'click' events (ANY user) within ±60 s.
     // Naively that's an O(n²) theta-join; the scale shape bins both
@@ -132,6 +152,17 @@ object AdvancedOps {
                AS prev_error_us
            FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
                  FROM events))""",
+    "sample_stratified_split" ->
+      """WITH b AS (
+           SELECT doc_id, lang,
+             cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))
+               as bigint) % 100 AS bucket
+           FROM documents)
+         SELECT doc_id, lang, bucket,
+           CASE WHEN bucket % 10 < 8 THEN 'train' ELSE 'test' END AS split
+         FROM b
+         WHERE bucket < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
+                         ELSE 10 END)""",
     // the oracle states the O(n²) truth the banded decomposition equals
     "range_join_time_band" ->
       """WITH ev AS (SELECT event_id, event_type, epoch_us(ts) AS us
