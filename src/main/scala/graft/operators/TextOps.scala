@@ -113,6 +113,25 @@ object TextOps {
         .select("doc_id", "tok", "rn", "tfidf_score")
     }),
 
+    // PII scrub — the redaction stage every training corpus passes
+    // through: emails and long digit runs replaced by placeholder
+    // tokens. Pure narrow regexp_replace (codegen'd, zero shuffle);
+    // the digest column lets the oracle verify redaction byte-for-byte
+    // without shipping text.
+    "text_pii_redact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("redacted",
+          regexp_replace(
+            regexp_replace(col("text"),
+              "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+            "[0-9]{3,}", "<NUM>"))
+        .select(
+          col("doc_id"),
+          md5(col("redacted")).as("redacted_md5"),
+          (length(col("text")) - length(col("redacted")))
+            .as("chars_removed"),
+          (col("redacted") =!= col("text")).as("was_redacted"))),
+
     // Document fingerprinting: full-text hash + min 5-gram shingle hash
     // (a 1-permutation MinHash — the dedup building block).
     "text_fingerprint" -> ((s, d) =>
@@ -215,6 +234,19 @@ object TextOps {
              cast(row_number() OVER (PARTITION BY doc_id
                ORDER BY tfidf_score DESC, tok ASC) as int) AS rn
            FROM scored) WHERE rn <= 3""",
+    "text_pii_redact" ->
+      """WITH r AS (
+           SELECT doc_id, text,
+             regexp_replace(
+               regexp_replace(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>',
+                 'g'),
+               '[0-9]{3,}', '<NUM>', 'g') AS redacted
+           FROM documents)
+         SELECT doc_id, md5(redacted) AS redacted_md5,
+           cast(strlen(text) - strlen(redacted) as int) AS chars_removed,
+           redacted != text AS was_redacted
+         FROM r""",
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, lower(trim(text)) AS ntext,
                     string_split(lower(trim(text)), ' ') AS toks
