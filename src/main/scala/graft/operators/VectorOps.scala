@@ -87,6 +87,73 @@ object VectorOps {
        FROM dots GROUP BY vec_id"""
   }
 
+  /** Deterministic distributed Lloyd's k-means over the quantized
+    * vectors — the real coarse quantizer for [[queries ann_ivf_topk]]
+    * (which the oracle runs with first-N seeds; swap these centroids in
+    * and no plan shape changes). Init = first k vectors by vec_id,
+    * fixed `iters` sweeps, ties to the lower cid — fully deterministic,
+    * no RNG. Each sweep is one broadcast (k×DIM doubles, driver-held
+    * index metadata) + one map-side-combined aggregation; nothing
+    * corpus-sized ever reaches the driver.
+    */
+  def kmeansCentroids(s: SparkSession, d: String, k: Int, iters: Int)
+      : Array[Array[Double]] = {
+    val e = quantized(embeddings(s, d)).filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        expr("transform(qv, x -> cast(x as double))").as("v"))
+    var cents: Array[Array[Double]] = e.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    var it = 0
+    while (it < iters) {
+      val centsLit = array(cents.map(c =>
+        array(c.map(lit): _*)): _*)
+      // nearest centroid by squared L2; ties -> lower cid
+      val assigned = e.withColumn("cents", centsLit)
+        .withColumn("cid", expr(
+          s"""array_position(
+                transform(cents, c ->
+                  aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)),
+                            cast(0.0 as double), (acc, x) -> acc + x)),
+                array_min(
+                  transform(cents, c ->
+                    aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)),
+                              cast(0.0 as double), (acc, x) -> acc + x)))
+              ) - 1"""))
+      val sums = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.groupBy(_.getLong(0)).foreach { case (cid, rows) =>
+        val dim = rows.map(r =>
+          (r.getInt(1), r.getDouble(2) / r.getLong(3))).toMap
+        next(cid.toInt) = (0 until DIM).map(i =>
+          dim.getOrElse(i, cents(cid.toInt)(i))).toArray
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Within-cluster sum of squares for a centroid set — the k-means
+    * objective, used by specs to verify sweeps never regress. */
+  def wcss(s: SparkSession, d: String, cents: Array[Array[Double]])
+      : Double = {
+    val centsLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    quantized(embeddings(s, d)).filter(col("nrm") > 0)
+      .select(expr("transform(qv, x -> cast(x as double))").as("v"))
+      .withColumn("cents", centsLit)
+      .select(expr(
+        """array_min(transform(cents, c ->
+             aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)),
+                       cast(0.0 as double), (acc, x) -> acc + x)))""")
+        .as("d2"))
+      .agg(sum("d2")).collect()(0).getDouble(0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-10 for query vectors vec_id < 5: broadcast
     // the queries, stream the corpus, per-query top-k via window.

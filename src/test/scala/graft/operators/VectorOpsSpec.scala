@@ -38,6 +38,20 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(mean >= 0.5, s"mean recall@10 $mean too low: $recalls")
   }
 
+  test("k-means: deterministic, objective never regresses, k centroids") {
+    val c0 = VectorOps.kmeansCentroids(spark, sf, k = 8, iters = 0)
+    val c2 = VectorOps.kmeansCentroids(spark, sf, k = 8, iters = 2)
+    val c2b = VectorOps.kmeansCentroids(spark, sf, k = 8, iters = 2)
+    assert(c2.length == 8 && c2.forall(_.length == 64))
+    // determinism: identical runs, bit for bit
+    assert(c2.zip(c2b).forall { case (a, b) => a.sameElements(b) })
+    // Lloyd's objective is monotone non-increasing
+    val w0 = VectorOps.wcss(spark, sf, c0)
+    val w2 = VectorOps.wcss(spark, sf, c2)
+    assert(w2 <= w0 + 1e-6, s"wcss regressed: $w0 -> $w2")
+    assert(w2 < w0, "two sweeps should actually improve the seeds here")
+  }
+
   test("IVF candidates are a subset of the corpus and self-free") {
     val ivf = VectorOps.queries("ann_ivf_topk")(spark, sf)
       .select("qid", "vec_id").collect()
