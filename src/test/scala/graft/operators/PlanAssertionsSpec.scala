@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.TestSpark
+
+/** CI-locked plan properties — the scale claims SCALE.md makes,
+  * asserted on the actual physical plans so a regression (lost
+  * pushdown, un-broadcast join, extra shuffle) fails the build rather
+  * than silently shipping a 100 TB-hostile plan.
+  */
+class PlanAssertionsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("filter predicates reach the parquet scan") {
+    val p = plan("filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan") || p.contains("LessThan"), p)
+  }
+
+  test("projection prunes the scan schema") {
+    val p = plan("project")
+    // lineitem has 16 columns; the query selects 3 — the ReadSchema
+    // must not contain unused ones
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_comment"), p)
+    assert(!p.contains("l_shipinstruct"), p)
+  }
+
+  test("small dimension joins broadcast") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("exact dedup shuffles digests, not documents") {
+    val p = plan("dedup_exact")
+    // the exchange key is the md5 hash; raw text must not survive past
+    // the partial aggregate
+    val exchangeLine = p.linesIterator
+      .find(_.contains("Exchange hashpartitioning"))
+    assert(exchangeLine.isDefined, p)
+    // the key is the pre-computed digest (a grouping expression or the
+    // named hash) — never the raw text column
+    assert(!exchangeLine.get.contains("text#"), exchangeLine.get)
+    assert(p.contains("md5"), p)
+    // map-side combine before the shuffle
+    assert(p.indexOf("HashAggregate") <
+           p.indexOf("Exchange hashpartitioning") ||
+           p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
+  test("ANN brute force broadcasts the query side") {
+    val p = plan("ann_bruteforce_topk")
+    assert(p.contains("BroadcastExchange") ||
+           p.contains("BroadcastNestedLoopJoin"), p)
+    // per-query top-k prunes before the final sort: WindowGroupLimit
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("salted aggregation is two map-side-combined stages") {
+    val p = plan("agg_salted_two_stage")
+    val exchanges = p.linesIterator.count(
+      _.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected exactly 2 exchanges:\n$p")
+    // partial aggregates precede both exchanges (map-side combine)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p)
+  }
+}
