@@ -255,6 +255,26 @@ select 5 as id
     assert(spark.table(outViews.head.name).collect().map(_.getInt(0)).toSeq == Seq(5))
   }
 
+  test("template args with special chars via vars " +
+      "(sql_processor_test.py:111-122)") {
+    // parens/commas can't appear literally in template args; routing
+    // them through variables is the documented idiom
+    val sql = """-- target=variables
+select 'abc(),' as a,
+       '1 as col1, 2 as col2, \'col-3\' as col3' as other_cols
+-- target=template.templ
+select #{a} as a, #{b} as b, #{c} as c, #{other_cols}
+-- target=temp.result
+@{templ(a='${a}', b=2, c='3', other_cols=${other_cols})}"""
+    new SqlProcessor(new SparkBackend(spark), sql).run()
+    val row = spark.table("result").collect().head
+    assert(row.getString(0) == "abc(),")
+    assert(row.getInt(1) == 2)
+    assert(row.getString(2) == "3")
+    assert(row.getInt(3) == 1 && row.getInt(4) == 2)
+    assert(row.getString(5) == "col-3")
+  }
+
   test("check failure modes raise (sql_processor_test.py:306-314)") {
     val failSqls = Seq(
       "-- target=check.test_check\nselect 1 as actual, 0 as expected",
