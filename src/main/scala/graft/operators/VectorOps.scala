@@ -31,7 +31,7 @@ object VectorOps {
   private val NPROBE = 4 // IVF cells searched per query
 
   /** Deterministic ±1 hyperplanes: sign from the top bit of md5("p_i"). */
-  private[operators] val planes: Seq[Seq[Int]] = {
+  private[graft] val planes: Seq[Seq[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until NPLANES).map { p =>
       (0 until DIM).map { i =>
