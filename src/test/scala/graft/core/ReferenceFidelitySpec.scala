@@ -139,6 +139,19 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     assert(SqlText.removeSemicolon(";  ") == "  ")
   }
 
+  test("run_func empty/arg/var cases (sql_processor_test.py:358-366)") {
+    val f1: Seq[Any] => Any = ps =>
+      Coerce.truthy(ps(0)) && Coerce.truthy(ps(1))
+    def run(call: String, vars: Map[String, Any] = Map.empty): Boolean = {
+      val vc = vcOf(vars, Map("f1" -> f1))
+      Coerce.truthy(vc.runner.get.runFunc(call, vc))
+    }
+    assert(!run("f1(,)"))
+    assert(run("f1(1,1)"))
+    assert(run("f1(1,${a})", Map("a" -> "1")))
+    assert(!run("f1(1,${a})", Map("a" -> "")))
+  }
+
   // --- step_test.py ports -------------------------------------------------
 
   test("step config edge cases (step_test.py:9-29)") {
