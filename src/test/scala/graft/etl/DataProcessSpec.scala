@@ -83,6 +83,30 @@ select * from result
       == "'2024-01-01', '2024-01-02'")
     assert(runner.runFunc("is_first_partition(pf.events_pt, 2024-01-01)", vc)
       == true)
+
+    // ensure_* family are check-funcs: Boolean result, tables first,
+    // partition value last (funcs_common.py:131-139)
+    assert(runner.runFunc(
+      "ensure_partition_exists(pf.events_pt, 2024-01-01)", vc) == true)
+    assert(runner.runFunc(
+      "ensure_partition_exists(pf.events_pt, 2024-03-01)", vc) == false)
+    // or-first variant: a value BEFORE the first partition passes
+    assert(runner.runFunc(
+      "ensure_partition_or_first_partition_exists(pf.events_pt, 2023-06-01)",
+      vc) == true)
+    // ...but a value after the last partition still fails
+    assert(runner.runFunc(
+      "ensure_partition_or_first_partition_exists(pf.events_pt, 2025-01-01)",
+      vc) == false)
+    assert(runner.runFunc(
+      "ensure_table_partition_exists(step, 2024-01-02, pf.events_pt)", vc)
+      == true)
+    assert(runner.runFunc(
+      "ensure_dwd_partition_exists(step, pf.events_pt, 2024-01-01)", vc)
+      == true)
+    assert(runner.runFunc(
+      "ensure_table_partition_exists(step, 2025-01-01, pf.events_pt)", vc)
+      == false)
   }
 
   test("column functions generate select lists") {
