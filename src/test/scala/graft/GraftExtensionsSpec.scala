@@ -16,4 +16,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // applying twice must be idempotent-safe (cluster restarts re-apply)
     new GraftExtensions().apply(ext)
   }
+
+  test("both native expressions resolve as SQL functions when registered") {
+    val spark = graft.etl.TestSpark.spark
+    graft.functions.MinHashMd5.register(spark)
+    graft.functions.ArrayDotLong.register(spark)
+    val r = spark.sql(
+      "select minhash_md5(array('a','b'), 2) as mh, " +
+      "array_dot_long(array(2L, 3L), array(4L, 5L)) as dot")
+      .collect().head
+    assert(r.getSeq[String](0).length == 2)
+    assert(r.getLong(1) == 23L)
+  }
 }
