@@ -41,12 +41,12 @@ object VectorOps {
     }
   }
 
-  /** Quantized int64 vector + exact squared norm (= dot(qv, qv),
-    * via the codegen'd native expression). */
+  /** Quantized int64 vector + exact squared norm — both via the
+    * codegen'd native expressions (QuantizeLongSpec proves the
+    * quantizer bit-identical to the SQL round form the oracle runs). */
   private def quantized(df: DataFrame): DataFrame =
     df.withColumn("qv",
-        expr("transform(embedding, x -> " +
-             "cast(round(cast(x as double) * 1000) as bigint))"))
+        graft.functions.QuantizeLong.quantize_long(col("embedding"), 1000L))
       .withColumn("nrm", array_dot_long(col("qv"), col("qv")))
 
   private def bucketExpr: Column = {
