@@ -95,7 +95,23 @@ object EventOps {
         .groupBy(col("ts").cast("date").as("day"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
              countDistinct(col("user_id")).as("n_users"),
-             sum(col("value").cast(dec)).cast("double").as("sum_val")))
+             sum(col("value").cast(dec)).cast("double").as("sum_val"))),
+
+    // Cohort retention: users bucketed by first-activity date, distinct
+    // actives counted per day offset. Two shuffles total (per-user
+    // cohort agg; (cohort, offset) distinct-count) — the aggregation
+    // keys shrink at every stage, so the shape holds at any event
+    // volume.
+    "cohort_retention" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      val cohorts = ev.groupBy("user_id")
+        .agg(min("day").as("cohort_day"))
+      ev.join(cohorts, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct("user_id").as("n_active"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,6 +152,16 @@ object EventOps {
       """SELECT cast(ts as date) AS day, event_type, count(*) AS cnt,
          count(DISTINCT user_id) AS n_users,
          cast(sum(cast(value as decimal(18,2))) as double) AS sum_val
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "cohort_retention" ->
+      """WITH ev AS (SELECT user_id, cast(ts as date) AS day FROM events),
+         cohorts AS (SELECT user_id, min(day) AS cohort_day FROM ev
+                     GROUP BY user_id)
+         SELECT c.cohort_day,
+           cast(date_diff('day', c.cohort_day, ev.day) as int)
+             AS day_offset,
+           count(DISTINCT ev.user_id) AS n_active
+         FROM ev JOIN cohorts c ON ev.user_id = c.user_id
+         GROUP BY 1, 2"""
   )
 }
