@@ -78,6 +78,25 @@ final class SparkBackend(val spark: SparkSession) {
       .UserDefinedFunction]): Unit =
     udfs.foreach { case (name, f) => spark.udf.register(name, f) }
 
+  /** The reference's scala_udf_initializer protocol (spark.py:89-97):
+    * resolve `<name>.initUdfs(spark)` and invoke it. There it crosses
+    * py4j; here it is a direct JVM call — works for both a Scala
+    * `object` and a class with a static method. */
+  def initUdfs(scalaUdfInitializer: String): Unit = {
+    val (target, cls) =
+      try {
+        val c = Class.forName(scalaUdfInitializer + "$")
+        (c.getField("MODULE$").get(null), c)
+      } catch {
+        case _: ClassNotFoundException =>
+          (null, Class.forName(scalaUdfInitializer))
+      }
+    val m = cls.getMethods.find(_.getName == "initUdfs").getOrElse(
+      throw new graft.core.SqlProcessorException(
+        s"no initUdfs method on $scalaUdfInitializer"))
+    m.invoke(target, spark)
+  }
+
   /** Auto-create the output table from the query schema
     * (reference spark.py:158-185). Divergence: `using parquet` instead of
     * `using hive` — no Hive metastore in a Spark-native deployment; the
