@@ -46,6 +46,19 @@ final class Reporter {
   def statusOf(step: Step): String =
     reports.get(step.id).map(_.status).getOrElse(StepStatus.NotStarted)
   def reportOf(step: Step): Option[StepReport] = reports.get(step.id)
+
+  /** Machine-readable task report — the payload the reference ships to
+    * HDFS/ES (report.py:65-80); callers pick the sink. */
+  def reportAsJson(taskId: String): String = {
+    def q(s: String): String = "\"" + s.replace("\\", "\\\\")
+      .replace("\"", "\\\"").replace("\n", "\\n") + "\""
+    val steps = reports.values.map { r =>
+      s"""{"id": ${q(r.step.id)}, "status": ${q(r.status)}, """ +
+      s""""execution_time": ${r.executionTime}, """ +
+      s""""messages": [${r.messages.map(q).mkString(", ")}]}"""
+    }.mkString("[", ", ", "]")
+    s"""{"task_id": ${q(taskId)}, "steps": $steps}"""
+  }
   def printReport(): Unit = {
     val total = math.max((System.currentTimeMillis() - processStart) / 1000.0,
       0.001)

@@ -275,6 +275,16 @@ select #{a} as a, #{b} as b, #{c} as c, #{other_cols}
     assert(row.getString(5) == "col-3")
   }
 
+  test("task report renders machine-readable JSON with step timing") {
+    val p = new SqlProcessor(new SparkBackend(spark),
+      "-- target=temp.rep_t\nselect 1 as a")
+    p.run()
+    val json = p.reporter.reportAsJson("task-42")
+    assert(json.contains("\"task_id\": \"task-42\""))
+    assert(json.contains("\"status\": \"SUCCEEDED\""))
+    assert(json.contains("\"execution_time\":"))
+  }
+
   test("check failure modes raise (sql_processor_test.py:306-314)") {
     val failSqls = Seq(
       "-- target=check.test_check\nselect 1 as actual, 0 as expected",
