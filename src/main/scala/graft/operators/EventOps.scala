@@ -131,9 +131,10 @@ object EventOps {
          GROUP BY bucket_start""",
     "sessionize_events" ->
       """SELECT user_id, event_id,
-         sum(new_sess) OVER (PARTITION BY user_id
+         cast(sum(new_sess) OVER (PARTITION BY user_id
            ORDER BY us ASC, event_id ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+           AS session_idx
          FROM (
            SELECT user_id, event_id, us,
              CASE WHEN lag(us, 1) OVER (PARTITION BY user_id

@@ -102,7 +102,12 @@ object TextOps {
       // the tok-keyed shuffle sees pre-aggregated rows only
       val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(broadcast(df), Seq("tok"))
+      // df is O(|vocab|): on a web-scale corpus the vocabulary (hundreds
+      // of millions of noisy tokens) does NOT fit a broadcast, so the
+      // df side joins as a tok-keyed shuffle hash join — df's groupBy
+      // already partitioned it by tok, so only tf pays a new exchange.
+      // The 1-row corpus count stays broadcast.
+      val scored = tf.join(df, Seq("tok"))
         .crossJoin(broadcast(n))
         .withColumn("tfidf_score",
           col("tf").cast("double") * (col("n_docs") + 1) / (col("df") + 1))

@@ -63,6 +63,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("tfidf document-frequency join shuffles, never broadcasts vocab") {
+    // the df side is O(|vocab|) — a broadcast there dies on a web-scale
+    // corpus. With auto-broadcast off, only explicit hints can
+    // broadcast, so this proves the df join carries no hint while the
+    // deliberate 1-row corpus-count broadcast survives.
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(k)
+    spark.conf.set(k, "-1")
+    try {
+      val p = plan("text_tfidf_top_terms")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+             p)
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(p.linesIterator.count(_.contains("BroadcastExchange")) == 1, p)
+    } finally spark.conf.set(k, saved)
+  }
+
   test("salted aggregation is two map-side-combined stages") {
     val p = plan("agg_salted_two_stage")
     val exchanges = p.linesIterator.count(

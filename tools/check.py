@@ -43,7 +43,12 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 def typecat(t):
     t = str(t).lower()
-    if t in ("bigint", "int64", "hugeint", "int8", "long", "ubigint"):
+    # hugeint (int128) is its own category: the driver hash is
+    # encoding-strict, so a DuckDB windowed sum() left uncast fails the
+    # gate even when values match (round-1 sessionize_events lesson).
+    if t in ("hugeint", "uhugeint", "int128"):
+        return "i128"
+    if t in ("bigint", "int64", "int8", "long", "ubigint"):
         return "i64"
     if t in ("integer", "int", "int32", "int4"):
         return "i32"
