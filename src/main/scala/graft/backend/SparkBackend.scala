@@ -190,11 +190,11 @@ final class SparkBackend(val spark: SparkSession) {
         dynamicPartitions.map(_.field)
       } else {
         columns = columns.filterNot(c =>
-          staticPartitions.exists(_.field == c))
+          staticPartitions.exists(_.field.equalsIgnoreCase(c)))
         tempRes = tempRes.selectExpr(columns.map(c => s"`$c`"): _*)
         targetTableMeta.partitions.map { p =>
           p.value.get match {
-            case s: String => s"${p.field}='$s'"
+            case s: String => s"${p.field}='${s.replace("'", "''")}'"
             case v => s"${p.field}=$v"
           }
         }

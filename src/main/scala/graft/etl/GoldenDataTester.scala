@@ -224,7 +224,10 @@ object GoldenDataTester {
   }
 
   private def normalize(v: Any): Any = v match {
-    case s: scala.collection.Seq[_] => s.map(normalize).toSet // arrays as sets
+    // arrays compare order-insensitively but multiplicity-strictly:
+    // sorted sequences, NOT sets — [1,1,2] must not equal [2,1]
+    case s: scala.collection.Seq[_] =>
+      s.map(n => String.valueOf(normalize(n))).sorted.toList
     case d: java.math.BigDecimal => d.doubleValue
     case other => other
   }

@@ -58,7 +58,12 @@ case class QuantizeLong(child: Expression, scale: Long)
 
 object QuantizeLong {
 
-  /** Spark Round-for-double semantics at scale 0, then integral cast. */
+  /** Spark Round-for-double semantics at scale 0, then the (non-ANSI)
+    * double→long cast: Round passes NaN/±Inf through unchanged and the
+    * cast is a JVM long conversion — NaN → 0, ±Inf and out-of-range
+    * values clamp to Long.MaxValue/MinValue. Bit-identical to
+    * `cast(round(x*scale) as bigint)` over the FULL double range, not
+    * just finite inputs (QuantizeLongSpec covers ±Inf/NaN/overflow). */
   def quantize(arr: ArrayData, scale: Long, isFloat: Boolean): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Any](n)
@@ -68,9 +73,10 @@ object QuantizeLong {
         val d = (if (isFloat) arr.getFloat(i).toDouble
                  else arr.getDouble(i)) * scale
         out(i) =
-          if (d.isNaN || d.isInfinite) 0L
+          if (d.isNaN || d.isInfinite) d.toLong
           else java.math.BigDecimal.valueOf(d)
-            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+            .setScale(0, java.math.RoundingMode.HALF_UP)
+            .doubleValue().toLong
       }
       i += 1
     }

@@ -96,8 +96,16 @@ final class StreamingEtl(
   def executeStreamingInserts(): Seq[StreamingQuery] = {
     val qs = queued.map { case (target, df) =>
       val safe = target.replace(".", "__")
+      // append mode needs finalized rows: a streaming aggregation without
+      // an event-time watermark would only fail deep inside start() —
+      // surface the fix (add withWatermark / window) at queue-commit time
+      if (hasAggregation(df) && !hasWatermark(df))
+        throw new SqlProcessorException(
+          s"streaming insert into $target aggregates without a watermark; " +
+          "append-mode sinks need `withWatermark` (or SQL over a " +
+          "watermarked source view) so windows can finalize")
       df.writeStream
-        .outputMode(if (hasAggregation(df)) "append" else "append")
+        .outputMode("append")
         .option("checkpointLocation", s"$sinkDir/_checkpoints/$safe")
         .trigger(trigger)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -114,6 +122,12 @@ final class StreamingEtl(
   private def hasAggregation(df: DataFrame): Boolean =
     df.queryExecution.analyzed.collectFirst {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined
+
+  private def hasWatermark(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+        w
     }.isDefined
 }
 

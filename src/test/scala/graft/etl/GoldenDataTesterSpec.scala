@@ -86,4 +86,26 @@ class GoldenDataTesterSpec extends AnyFunSuite {
     spark.conf.unset("spark.sql.legacy.sizeOfNull")
     assert(r.head.passed, r.head.failures.mkString("; "))
   }
+
+  test("array cells keep multiplicity: [1,1,2] vs [2,1] must fail") {
+    def mk(expected: String) = s"""
+{ "name": "array multiplicity",
+  "sql_file_content": "-- target=temp.result\\nselect array(1, 1, 2) as xs\\n-- target=output.db.arr_mult_out\\nselect * from result",
+  "vars": {"__create_output_table__": "true"},
+  "inputs": [],
+  "outputs": [
+    { "columns": ["xs"], "column_types": ["array<int>"],
+      "name": "db.arr_mult_out", "values": [["$expected"]] }
+  ]
+}
+"""
+    // same multiset, different order -> pass (order-insensitive by design)
+    val ok = GoldenDataTester.parseCases(mk("2|1|1"))
+      .map(GoldenDataTester.runCase(spark, _))
+    assert(ok.head.passed, ok.head.failures.mkString("; "))
+    // an element dropped -> FAIL (a Set compare would silently pass this)
+    val bad = GoldenDataTester.parseCases(mk("2|1"))
+      .map(GoldenDataTester.runCase(spark, _))
+    assert(!bad.head.passed)
+  }
 }

@@ -39,4 +39,22 @@ class QuantizeLongSpec extends AnyFunSuite {
     assert(withNull(0) == 1234L || withNull(0) == 1235L)
     assert(withNull(1) == null)
   }
+
+  test("±Inf/NaN/overflow match the non-ANSI SQL cast form") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val df = Seq(Seq(Float.PositiveInfinity, Float.NegativeInfinity,
+          Float.NaN, 1e30f, -1e30f))
+        .toDF("embedding")
+        .select(quantize_long(col("embedding"), 1000L).as("q"),
+          expr("transform(embedding, x -> " +
+               "cast(round(cast(x as double) * 1000) as bigint))").as("sq"))
+      val r = df.collect().head
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      // cast semantics: NaN -> 0, ±Inf and out-of-range clamp to Long edge
+      assert(r.getSeq[Long](0) == Seq(Long.MaxValue, Long.MinValue, 0L,
+        Long.MaxValue, Long.MinValue))
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
+  }
 }

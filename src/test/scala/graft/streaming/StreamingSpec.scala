@@ -148,4 +148,98 @@ select * from big_events
     assert(written.select("event_id").collect().map(_.getLong(0)).toSet ==
       expected.select("event_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("streaming aggregation without a watermark fails fast at commit") {
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_agg_sink")
+      .toString
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(srcDir)
+    val etl = """-- backend: spark
+-- config: easy_sql.etl_type=streaming
+-- target=temp.by_type
+select event_type, count(*) as cnt from events_stream group by event_type
+-- target=output.sink.by_type
+select * from by_type
+-- target=func.execute_streaming_inserts()
+"""
+    val runner = new StreamingEtl(spark, etl,
+      sources = Map("events_stream" -> stream), sinkDir = sinkDir)
+    val e = intercept[graft.core.SqlProcessorException](runner.run())
+    assert(e.getMessage.contains("watermark"))
+  }
+
+  test("watermarked aggregation commits in append mode") {
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_wm_sink")
+      .toString
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(srcDir)
+      .withWatermark("ts", "1 hour")
+    val etl = """-- backend: spark
+-- config: easy_sql.etl_type=streaming
+-- target=temp.by_window
+select window(ts, '10 minutes').start as w_start, count(*) as cnt
+from events_stream group by window(ts, '10 minutes')
+-- target=output.sink.by_window
+select * from by_window
+-- target=func.execute_streaming_inserts()
+"""
+    val runner = new StreamingEtl(spark, etl,
+      sources = Map("events_stream" -> stream), sinkDir = sinkDir)
+    val queries = runner.run()
+    assert(queries.length == 1)
+    queries.foreach { q => q.processAllAvailable(); q.stop() }
+    // append mode emits only watermark-finalized windows: a subset of the
+    // batch windows, never rows outside them
+    val gotDir = new java.io.File(s"$sinkDir/sink__by_window")
+    if (gotDir.exists()) {
+      val got = spark.read.parquet(gotDir.toString)
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+      val batch = batchEvents
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("w_start"), col("cnt"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+      assert(got.subsetOf(batch))
+    }
+  }
+
+  test("streaming ETL over a non-file source (rate)") {
+    // the reference exercises non-file streaming sources via its CDC
+    // sample (test/sample_etl.flink.postgres-cdc.sql); the Spark-native
+    // seam is the same: any readStream DataFrame plugs into the sources
+    // map. rate is the in-box generator source.
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_rate_sink")
+      .toString
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").option("numPartitions", "1").load()
+    val etl = """-- backend: spark
+-- config: easy_sql.etl_type=streaming
+-- target=temp.ticks
+select value as tick, timestamp as ts from rate_stream where value % 2 = 0
+-- target=output.sink.ticks
+select * from ticks
+-- target=func.execute_streaming_inserts()
+"""
+    val runner = new StreamingEtl(spark, etl,
+      sources = Map("rate_stream" -> rate), sinkDir = sinkDir,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+    val queries = runner.run()
+    assert(queries.length == 1)
+    val q = queries.head
+    try {
+      // wait until at least one non-empty micro-batch is committed
+      val deadline = System.currentTimeMillis() + 30000
+      var rows = 0L
+      while (rows == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300)
+        val dir = new java.io.File(s"$sinkDir/sink__ticks")
+        if (dir.exists())
+          rows = try spark.read.parquet(dir.toString).count()
+                 catch { case _: Exception => 0L }
+      }
+      assert(rows > 0, "rate-source pipeline produced no rows within 30s")
+      val got = spark.read.parquet(s"$sinkDir/sink__ticks")
+      assert(got.columns.toSeq == Seq("tick", "ts"))
+      assert(got.filter(col("tick") % 2 =!= 0).count() == 0)
+    } finally q.stop()
+  }
 }

@@ -41,19 +41,26 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
                 f"read_parquet('{SFDIR}/{t}.parquet')")
 
 
-def typecat(t):
+def typecat(t, duck=False):
     t = str(t).lower()
     # hugeint (int128) is its own category: the driver hash is
     # encoding-strict, so a DuckDB windowed sum() left uncast fails the
     # gate even when values match (round-1 sessionize_events lesson).
     if t in ("hugeint", "uhugeint", "int128"):
         return "i128"
-    if t in ("bigint", "int64", "int8", "long", "ubigint"):
+    # 'int8' is source-dependent: DuckDB's alias for BIGINT (8 bytes) vs
+    # pyarrow's 8-BIT integer — categorize by origin so an Arrow byte
+    # column flags drift instead of silently passing as i64
+    if t == "int8":
+        return "i64" if duck else "i8"
+    if t in ("bigint", "int64", "long", "ubigint"):
         return "i64"
     if t in ("integer", "int", "int32", "int4"):
         return "i32"
     if t in ("smallint", "int16", "int2"):
         return "i16"
+    if t in ("tinyint", "int1"):
+        return "i8"
     if t in ("double", "float8", "float64"):
         return "f64"
     if t in ("float", "real", "float4", "float32"):
@@ -81,7 +88,7 @@ def type_mismatches(name, pdir):
     st = {n: typecat(t) for n, t in zip(sch.names, sch.types)}
     rows = con.execute(
         f"DESCRIBE SELECT * FROM ({oracle[name]}) LIMIT 0").fetchall()
-    dt = {r[0]: typecat(r[1]) for r in rows}
+    dt = {r[0]: typecat(r[1], duck=True) for r in rows}
     return [f"{c}: spark={st[c]} duck={dt.get(c)}"
             for c in st if st.get(c) != dt.get(c)]
 
