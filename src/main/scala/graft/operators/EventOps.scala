@@ -61,17 +61,41 @@ object EventOps {
     }),
 
     // REAL Structured Streaming: stage events as a file-stream source,
-    // run the watermarked tumbling-window agg as a StreamingQuery
-    // (AvailableNow → memory sink), return the sink table. Same oracle as
-    // the batch window — the driver's batch-replay check for streaming.
+    // run the watermarked tumbling-window agg as a StreamingQuery in
+    // APPEND mode into a parquet file sink (checkpointed), read the sink
+    // back. Same oracle as the batch window — the driver's batch-replay
+    // check for streaming. Nothing corpus-sized touches the driver and
+    // per-batch work is incremental — the plan that survives 100×
+    // (complete-mode memory sink, the round-2 shape, would not).
+    //
+    // Append mode only emits a window once the watermark passes its end;
+    // a replayed static file alone leaves the tail windows open forever.
+    // The standard fix is a punctuation event: one sentinel row whose
+    // event time sits past (last window end + watermark delay), staged
+    // as a second source file. It pushes the watermark over every real
+    // window, the no-data flush batch evicts them to the sink, and the
+    // sentinel's own window (the only unfinalized one) never emits.
     "streaming_replay_tumbling" -> ((s, d) => {
-      // stream straight off the source file (no staging copy): schema
-      // comes from a footer read, pathGlobFilter selects just events,
-      // and the ns->us conversion happens on the stream
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-      val stream = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val raw = s.read.parquet(s"$d/events.parquet") // ts = epoch nanos
+      val stage = java.nio.file.Files.createTempDirectory("g_replay_src")
+      val sink = java.nio.file.Files
+        .createTempDirectory("g_replay_sink").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("g_replay_ckpt").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        stage.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val maxNs = raw.agg(max("ts")).collect()(0).getLong(0)
+      // 2h past max event time: > watermark delay (1h) + window (10m)
+      raw.limit(1)
+        .withColumn("ts", lit(maxNs + 2L * 3600L * 1000000000L))
+        .withColumn("event_type", lit("__sentinel__"))
+        .write.mode("overwrite").parquet(stage.resolve("sentinel").toString)
+      val stream = s.readStream.schema(raw.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage.toString)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       val agg = graft.streaming.StreamingOps
         .tumblingCounts(stream, "ts", "1 hour", "10 minutes")
@@ -81,11 +105,13 @@ object EventOps {
       // touching the result. On a cluster this is sized to state volume.
       val saved = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName("g_stream_replay").start()
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", sink)
+        .queryName("g_stream_replay").start()
       try q.processAllAvailable()
       finally { q.stop(); s.conf.set("spark.sql.shuffle.partitions", saved) }
-      s.table("g_stream_replay")
+      s.read.parquet(sink).filter(col("event_type") =!= "__sentinel__")
     }),
 
     // Per-user, per-event-type daily rollup — the shape of a streaming
