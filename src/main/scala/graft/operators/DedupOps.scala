@@ -23,14 +23,21 @@ import org.apache.spark.sql.expressions.Window
 object DedupOps {
   import Tables.documents
 
-  private val K = 8 // minhash signature length (4 bands x 2 rows)
+  /** LSH knobs — defaults for the gate queries; [[withSigs]] and
+    * [[minhashPairs]] take them as parameters so a deployment can trade
+    * recall vs candidate volume (more bands of fewer rows ⇒ higher
+    * recall, more candidates; the s-curve threshold is
+    * (1/bands)^(1/rowsPerBand)). */
+  val K = 8 // minhash signature length
+  val BANDS = 4 // K/BANDS = 2 rows per band
 
-  /** doc_id, toks(array), plus sig_0..sig_{K-1} salted-minhash columns
-    * over `gram`-gram shingles. All K signatures come from ONE pass over
+  /** doc_id, toks(array), plus sig_0..sig_{k-1} salted-minhash columns
+    * over `gram`-gram shingles. All k signatures come from ONE pass over
     * the shingle array via the native MinHashMd5 Catalyst expression
     * (semantically = array_min(transform(shingles, x -> md5('<j>|'||x))),
     * which is exactly what the DuckDB oracle computes). */
-  private def withSigs(df: DataFrame, gram: Int): DataFrame = {
+  private[graft] def withSigs(df: DataFrame, gram: Int,
+      k: Int = K): DataFrame = {
     val base = df
       .withColumn("toks", split(lower(trim(col("text"))), " "))
       .withColumn("shingles",
@@ -38,8 +45,8 @@ object DedupOps {
         else expr(s"transform(sequence(1, greatest(size(toks) - ${gram - 1}, 1)), " +
                   s"i -> concat_ws(' ', slice(toks, i, $gram)))"))
       .withColumn("mh",
-        graft.functions.MinHashMd5.minhash_md5(col("shingles"), K))
-    (0 until K).foldLeft(base) { (acc, j) =>
+        graft.functions.MinHashMd5.minhash_md5(col("shingles"), k))
+    (0 until k).foldLeft(base) { (acc, j) =>
       acc.withColumn(s"sig_$j", col("mh").getItem(j))
     }
   }
@@ -61,6 +68,52 @@ object DedupOps {
            FROM sh)"""
   }
 
+  /** Full MinHash-LSH near-dup pipeline: `k` signatures split into
+    * `bands` bands of k/bands rows; docs agreeing on any whole band are
+    * candidates; candidates verified with true Jaccard on shingle sets.
+    * The band join carries only (band, doc_id); shingle sets are joined
+    * back by key afterwards so the shuffle payload stays narrow. */
+  def minhashPairs(s: SparkSession, d: String, gram: Int = 2,
+      k: Int = K, bands: Int = BANDS): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    val rows = k / bands
+    val sigs = withSigs(documents(s, d), gram, k)
+      .select(col("doc_id") +: col("shingles") +:
+              (0 until k).map(j => col(s"sig_$j")): _*)
+    // persist the band index before self-joining: it is the tiny
+    // derived table of the pipeline (`bands` narrow rows per doc), and
+    // without it BOTH join sides recompute the full MinHash pass —
+    // at 100 TB persisting/checkpointing the band index is exactly
+    // what you'd do (it is ~0.1% of corpus bytes)
+    val bandIdx = sigs.select(
+      col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band_id"),
+               md5(concat((0 until rows).map(r =>
+                 col(s"sig_${rows * b + r}")): _*)).as("band_hash"))
+      ): _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = bandIdx.as("a")
+      .join(bandIdx.as("b"), Seq("band_id", "band_hash"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    val sets = sigs.select(col("doc_id"),
+      array_distinct(col("shingles")).as("sh"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+            Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+            Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni",
+        size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .select(col("doc_a"), col("doc_b"),
+              (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by content hash, keep min doc_id.
     "dedup_exact" -> ((s, d) =>
@@ -76,45 +129,7 @@ object DedupOps {
 
     // Full LSH pipeline on 2-gram shingles: band -> bucket-join ->
     // candidate pairs -> true-Jaccard verification on shingle sets.
-    // The band join carries only (band, doc_id); shingle sets are joined
-    // back by key afterwards so the shuffle payload stays narrow.
-    "dedup_minhash_pairs" -> ((s, d) => {
-      val sigs = withSigs(documents(s, d), gram = 2)
-        .select(col("doc_id") +: col("shingles") +:
-                (0 until K).map(j => col(s"sig_$j")): _*)
-      // persist the band index before self-joining: it is the tiny
-      // derived table of the pipeline (K/2 narrow rows per doc), and
-      // without it BOTH join sides recompute the full MinHash pass —
-      // at 100 TB persisting/checkpointing the band index is exactly
-      // what you'd do (it is ~0.1% of corpus bytes)
-      val bands = sigs.select(
-        col("doc_id"),
-        explode(array((0 until K / 2).map(b =>
-          struct(lit(b).as("band_id"),
-                 md5(concat(col(s"sig_${2 * b}"),
-                            col(s"sig_${2 * b + 1}"))).as("band_hash"))
-        ): _*)).as("band"))
-        .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = bands.as("a")
-        .join(bands.as("b"), Seq("band_id", "band_hash"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .filter(col("doc_a") < col("doc_b"))
-        .distinct()
-      val sets = sigs.select(col("doc_id"),
-        array_distinct(col("shingles")).as("sh"))
-      pairs
-        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
-              Seq("doc_a"))
-        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-              Seq("doc_b"))
-        .withColumn("inter",
-          size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("uni",
-          size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-        .select(col("doc_a"), col("doc_b"),
-                (col("inter").cast("double") / col("uni")).as("jaccard"))
-    }),
+    "dedup_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
 
     // Exact n-gram Jaccard (the non-approximate baseline to MinHash):
     // top-5 most-similar docs for each query doc (doc_id < 20) by 2-gram

@@ -26,20 +26,27 @@ object VectorOps {
   import graft.functions.ArrayDotLong.array_dot_long
 
   private val DIM = 64
-  private val NPLANES = 8
-  private val NLIST = 16 // IVF cells
-  private val NPROBE = 4 // IVF cells searched per query
+
+  /** Operator knobs — defaults for the gate queries; every operator
+    * below also takes them as parameters so a deployment can re-balance
+    * buckets/cells to its corpus (VectorOpsSpec shows more planes ⇒
+    * smaller max bucket, i.e. the quadratic neardup verify step stays
+    * bounded as the corpus grows). */
+  val NPLANES = 8 // LSH hyperplanes → 2^NPLANES buckets
+  val NLIST = 16 // IVF cells
+  val NPROBE = 4 // IVF cells searched per query
 
   /** Deterministic ±1 hyperplanes: sign from the top bit of md5("p_i"). */
-  private[graft] val planes: Seq[Seq[Int]] = {
+  private[graft] def planesFor(nplanes: Int): Seq[Seq[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until NPLANES).map { p =>
+    (0 until nplanes).map { p =>
       (0 until DIM).map { i =>
         val h = md.digest(s"${p}_$i".getBytes("UTF-8"))
         if ((h(0) & 0x80) != 0) 1 else -1
       }
     }
   }
+  private[graft] val planes: Seq[Seq[Int]] = planesFor(NPLANES)
 
   /** Quantized int64 vector + exact squared norm — both via the
     * codegen'd native expressions (QuantizeLongSpec proves the
@@ -49,8 +56,8 @@ object VectorOps {
         graft.functions.QuantizeLong.quantize_long(col("embedding"), 1000L))
       .withColumn("nrm", array_dot_long(col("qv"), col("qv")))
 
-  private def bucketExpr: Column = {
-    val bits = planes.zipWithIndex.map { case (w, p) =>
+  private def bucketExpr(nplanes: Int = NPLANES): Column = {
+    val bits = planesFor(nplanes).zipWithIndex.map { case (w, p) =>
       val arr = w.map(x => s"${x}L").mkString(", ")
       when(array_dot_long(col("qv"), expr(s"array($arr)")) >= 0,
            lit(1 << p)).otherwise(lit(0))
@@ -154,99 +161,128 @@ object VectorOps {
       .agg(sum("d2")).collect()(0).getDouble(0)
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Brute-force cosine top-10 for query vectors vec_id < 5: broadcast
-    // the queries, stream the corpus, per-query top-k via window.
-    "ann_bruteforce_topk" -> ((s, d) => {
-      val e = quantized(embeddings(s, d)).select("vec_id", "qv", "nrm")
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("qv").as("qqv"),
-                col("nrm").as("qnrm"))
-      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("dot", array_dot_long(col("qqv"), col("qv")))
-        .filter(col("nrm") > 0 && col("qnrm") > 0)
-        .withColumn("sim",
-          col("dot").cast("double") /
-            (sqrt(col("qnrm").cast("double")) *
-             sqrt(col("nrm").cast("double"))))
-      val w = Window.partitionBy("qid")
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
-        .select("qid", "vec_id", "rn", "sim")
-    }),
+  /** Brute-force cosine top-k for query vectors vec_id < 5: broadcast
+    * the queries, stream the corpus, per-query top-k via window. */
+  def bruteforceTopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val e = quantized(embeddings(s, d)).select("vec_id", "qv", "nrm")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"),
+              col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("dot", array_dot_long(col("qqv"), col("qv")))
+      .filter(col("nrm") > 0 && col("qnrm") > 0)
+      .withColumn("sim",
+        col("dot").cast("double") /
+          (sqrt(col("qnrm").cast("double")) *
+           sqrt(col("nrm").cast("double"))))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "rn", "sim")
+  }
 
-    // LSH bucket assignment — one narrow pass; the scale path's index.
-    "ann_lsh_buckets" -> ((s, d) =>
-      quantized(embeddings(s, d))
-        .select(col("vec_id"), bucketExpr.as("bucket"))),
+  /** LSH bucket assignment — one narrow pass; the scale path's index.
+    * More planes ⇒ exponentially more buckets ⇒ smaller max bucket. */
+  def lshBuckets(s: SparkSession, d: String,
+      nplanes: Int = NPLANES): DataFrame =
+    quantized(embeddings(s, d))
+      .select(col("vec_id"), bucketExpr(nplanes).as("bucket"))
 
-    // IVF top-10: assign every vector to its nearest of NLIST coarse
-    // centroids (deterministically the first NLIST vectors — a k-means
-    // step would slot in here unchanged), then search only the NPROBE
-    // cells nearest each query. Plan shape is the 100 TB one: centroid
-    // set broadcast; assignment is a narrow pass + map-side-combined
-    // min_by (no n×NLIST shuffle); the search join touches ~NPROBE/NLIST
-    // of the corpus instead of all of it.
-    "ann_ivf_topk" -> ((s, d) => {
-      val e = quantized(embeddings(s, d))
-        .select("vec_id", "qv", "nrm").filter(col("nrm") > 0)
-      val cents = e.filter(col("vec_id") < NLIST)
+  /** Quantized k-means centroids as an IVF-ready (cid, cqv, cnrm) frame:
+    * [[kmeansCentroids]] rounded back onto the int64 grid so the search
+    * path stays exact integer arithmetic — drop-in for the first-N seed
+    * set with zero plan change. */
+  def kmeansCentroidFrame(s: SparkSession, d: String, k: Int,
+      iters: Int): DataFrame = {
+    import s.implicits._
+    kmeansCentroids(s, d, k, iters).zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.map(math.round)) }
+      .toDF("cid", "cqv")
+      .withColumn("cnrm", array_dot_long(col("cqv"), col("cqv")))
+  }
+
+  /** IVF top-k: assign every vector to its nearest coarse centroid, then
+    * search only the `nprobe` cells nearest each query. `centroids`
+    * defaults to the first `nlist` corpus vectors (the oracle-stable
+    * seed set); pass [[kmeansCentroidFrame]] for the trained quantizer —
+    * the plan shape is identical (VectorOpsSpec asserts recall@10 ≥ 0.9
+    * against brute force). Plan shape is the 100 TB one: centroid set
+    * broadcast; assignment is a narrow pass + map-side-combined min_by
+    * (no n×nlist shuffle); the search join touches ~nprobe/nlist of the
+    * corpus instead of all of it. */
+  def ivfTopK(s: SparkSession, d: String, nlist: Int = NLIST,
+      nprobe: Int = NPROBE, k: Int = 10,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val e = quantized(embeddings(s, d))
+      .select("vec_id", "qv", "nrm").filter(col("nrm") > 0)
+    val cents = centroids.getOrElse(
+      e.filter(col("vec_id") < nlist)
         .select(col("vec_id").as("cid"), col("qv").as("cqv"),
-                col("nrm").as("cnrm"))
-      // exact L2 via integers: ||v-c||^2 = nrm - 2*dot + cnrm
-      val assigned = e.join(broadcast(cents))
-        .withColumn("dot", array_dot_long(col("qv"), col("cqv")))
-        .withColumn("dist",
-          col("nrm") - lit(2L) * col("dot") + col("cnrm"))
-      val cells = assigned.groupBy("vec_id")
-        .agg(min_by(struct(col("cid"), col("qv"), col("nrm")),
-                    struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cell"),
-                col("m.qv").as("qv"), col("m.nrm").as("nrm"))
-      val qprobe = assigned.filter(col("vec_id") < 5)
-        .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
-          .orderBy(col("dist").asc, col("cid").asc)))
-        .filter(col("rn") <= NPROBE)
-        .select(col("vec_id").as("qid"), col("cid").as("cell"))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("qv").as("qqv"),
-                col("nrm").as("qnrm"))
-      val cand = cells.join(broadcast(qprobe), "cell")
-        .filter(col("vec_id") =!= col("qid"))
-        .join(broadcast(q), "qid")
-        .withColumn("dot", array_dot_long(col("qqv"), col("qv")))
-        .withColumn("sim",
-          col("dot").cast("double") /
-            (sqrt(col("qnrm").cast("double")) *
-             sqrt(col("nrm").cast("double"))))
-      cand.withColumn("rn", row_number().over(Window.partitionBy("qid")
-          .orderBy(col("sim").desc, col("vec_id").asc)))
-        .filter(col("rn") <= 10)
-        .select("qid", "vec_id", "rn", "sim")
-    }),
+                col("nrm").as("cnrm")))
+    // exact L2 via integers: ||v-c||^2 = nrm - 2*dot + cnrm
+    val assigned = e.join(broadcast(cents))
+      .withColumn("dot", array_dot_long(col("qv"), col("cqv")))
+      .withColumn("dist",
+        col("nrm") - lit(2L) * col("dot") + col("cnrm"))
+    val cells = assigned.groupBy("vec_id")
+      .agg(min_by(struct(col("cid"), col("qv"), col("nrm")),
+                  struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"),
+              col("m.qv").as("qv"), col("m.nrm").as("nrm"))
+    val qprobe = assigned.filter(col("vec_id") < 5)
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("dist").asc, col("cid").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"),
+              col("nrm").as("qnrm"))
+    val cand = cells.join(broadcast(qprobe), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(q), "qid")
+      .withColumn("dot", array_dot_long(col("qqv"), col("qv")))
+      .withColumn("sim",
+        col("dot").cast("double") /
+          (sqrt(col("qnrm").cast("double")) *
+           sqrt(col("nrm").cast("double"))))
+    cand.withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "rn", "sim")
+  }
 
-    // Near-duplicate pairs: candidates share an LSH bucket; verify with
-    // exact quantized cosine > 0.8.
-    "embedding_neardup" -> ((s, d) => {
-      val e = quantized(embeddings(s, d))
-        .select(col("vec_id"), col("qv"), col("nrm"),
-                bucketExpr.as("bucket"))
-        .filter(col("nrm") > 0)
-      val a = e.select(col("bucket"), col("vec_id").as("id_a"),
-                       col("qv").as("qv_a"), col("nrm").as("nrm_a"))
-      val b = e.select(col("bucket"), col("vec_id").as("id_b"),
-                       col("qv").as("qv_b"), col("nrm").as("nrm_b"))
-      a.join(b, Seq("bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("dot", array_dot_long(col("qv_a"), col("qv_b")))
-        .withColumn("sim",
-          col("dot").cast("double") /
-            (sqrt(col("nrm_a").cast("double")) *
-             sqrt(col("nrm_b").cast("double"))))
-        .filter(col("sim") > 0.8)
-        .select("id_a", "id_b", "sim").distinct()
-    })
+  /** Near-duplicate pairs: candidates share an LSH bucket; verify with
+    * exact quantized cosine > `simThreshold`. The verify join is
+    * quadratic WITHIN a bucket — `nplanes` is the knob that keeps
+    * buckets small as the corpus grows (expected bucket size
+    * n / 2^nplanes for centered data). */
+  def neardupPairs(s: SparkSession, d: String, nplanes: Int = NPLANES,
+      simThreshold: Double = 0.8): DataFrame = {
+    val e = quantized(embeddings(s, d))
+      .select(col("vec_id"), col("qv"), col("nrm"),
+              bucketExpr(nplanes).as("bucket"))
+      .filter(col("nrm") > 0)
+    val a = e.select(col("bucket"), col("vec_id").as("id_a"),
+                     col("qv").as("qv_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("id_b"),
+                     col("qv").as("qv_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", array_dot_long(col("qv_a"), col("qv_b")))
+      .withColumn("sim",
+        col("dot").cast("double") /
+          (sqrt(col("nrm_a").cast("double")) *
+           sqrt(col("nrm_b").cast("double"))))
+      .filter(col("sim") > simThreshold)
+      .select("id_a", "id_b", "sim").distinct()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce_topk" -> ((s, d) => bruteforceTopK(s, d)),
+    "ann_lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
+    "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
+    "embedding_neardup" -> ((s, d) => neardupPairs(s, d))
   )
 
   val oracles: Map[String, String] = Map(

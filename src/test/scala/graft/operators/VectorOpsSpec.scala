@@ -59,4 +59,52 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(ivf.forall { case (q, v) => q != v })
     assert(ivf.distinct.length == ivf.length)
   }
+
+  test("more LSH planes shrink the max bucket (the neardup re-balance knob)") {
+    val sf01 = "/root/testdata/sf0.01"
+    def maxBucket(nplanes: Int): Long =
+      VectorOps.lshBuckets(spark, sf01, nplanes)
+        .groupBy("bucket").count()
+        .agg(org.apache.spark.sql.functions.max("count"))
+        .collect()(0).getLong(0)
+    val coarse = maxBucket(4)
+    val fine = maxBucket(12)
+    assert(fine < coarse,
+      s"nplanes 4 -> 12 should shrink the max bucket, got $coarse -> $fine")
+  }
+
+  test("IVF with trained k-means centroids: recall@10 >= 0.9 vs brute force") {
+    val sf01 = "/root/testdata/sf0.01"
+    val cents = VectorOps.kmeansCentroidFrame(spark, sf01, k = 16, iters = 2)
+      .persist()
+    assert(cents.count() == 16)
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.select("qid", "vec_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .groupBy(_._1)
+        .map { case (q, rows) => q -> rows.sortBy(_._3).map(_._2).toSeq }
+    val exact = asMap(VectorOps.bruteforceTopK(spark, sf01))
+    val ivf = asMap(VectorOps.ivfTopK(spark, sf01, nprobe = 8,
+      centroids = Some(cents)))
+    cents.unpersist()
+    assert(exact.keySet == ivf.keySet && exact.nonEmpty)
+    val recalls = exact.keys.toSeq.map { q =>
+      ivf(q).toSet.intersect(exact(q).toSet).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 $mean with kmeans quantizer: $recalls")
+  }
+
+  test("more minhash bands recall at least the candidates of fewer bands") {
+    val sf01 = "/root/testdata/sf0.01"
+    def pairSet(bands: Int): Set[(Long, Long)] =
+      graft.operators.DedupOps.minhashPairs(spark, sf01, bands = bands)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val coarse = pairSet(4) // 2 rows per band
+    val fine = pairSet(8) // 1 row per band: strictly easier to agree
+    assert(coarse.subsetOf(fine),
+      s"bands=4 produced pairs missing at bands=8: ${coarse -- fine}")
+    assert(fine.size >= coarse.size)
+  }
 }
