@@ -77,7 +77,7 @@ object EventOps {
     // sentinel's own window (the only unfinalized one) never emits.
     "streaming_replay_tumbling" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$d/events.parquet") // ts = epoch nanos
+      val schema = s.read.parquet(s"$d/events.parquet").schema // footer only
       val stage = java.nio.file.Files.createTempDirectory("g_replay_src")
       val sink = java.nio.file.Files
         .createTempDirectory("g_replay_sink").toString
@@ -87,29 +87,39 @@ object EventOps {
         java.nio.file.Paths.get(s"$d/events.parquet"),
         stage.resolve("events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val maxNs = raw.agg(max("ts")).collect()(0).getLong(0)
-      // 2h past max event time: > watermark delay (1h) + window (10m)
-      raw.limit(1)
-        .withColumn("ts", lit(maxNs + 2L * 3600L * 1000000000L))
-        .withColumn("event_type", lit("__sentinel__"))
+      // sentinel event time = year 2200: any value past (max real event
+      // time + watermark delay + window) works, and a fixed far-future
+      // literal makes the punctuation a single driver-built row — no
+      // corpus scan just to learn max(ts)
+      val sentinelNs = 7258118400000000000L
+      val row = org.apache.spark.sql.Row(schema.fields.map { f =>
+        if (f.name == "ts") sentinelNs
+        else if (f.name == "event_type") "__sentinel__"
+        else null
+      }.toIndexedSeq: _*)
+      s.createDataFrame(java.util.Arrays.asList(row), schema)
+        .coalesce(1)
         .write.mode("overwrite").parquet(stage.resolve("sentinel").toString)
-      val stream = s.readStream.schema(raw.schema)
+      val stream = s.readStream.schema(schema)
         .option("recursiveFileLookup", "true")
         .parquet(stage.toString)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       val agg = graft.streaming.StreamingOps
         .tumblingCounts(stream, "ts", "1 hour", "10 minutes")
       // state-store instances = shuffle partitions at first batch; the
-      // windowed-agg state is tiny (one row per (window, type)), so 8
-      // partitions cut per-batch store open/commit overhead 4× without
+      // windowed-agg state is tiny (one row per (window, type)), so 2
+      // partitions minimize per-batch store open/commit overhead without
       // touching the result. On a cluster this is sized to state volume.
       val saved = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val q = agg.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
         .format("parquet").option("path", sink)
+        // bounded replay: process everything available (including the
+        // watermark-advance flush batch) and terminate
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .queryName("g_stream_replay").start()
-      try q.processAllAvailable()
+      try { if (!q.awaitTermination(300000)) q.processAllAvailable() }
       finally { q.stop(); s.conf.set("spark.sql.shuffle.partitions", saved) }
       s.read.parquet(sink).filter(col("event_type") =!= "__sentinel__")
     }),
