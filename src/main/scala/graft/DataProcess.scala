@@ -23,14 +23,21 @@ object DataProcess {
     var sqlFile: Option[String] = None
     var vars: Map[String, Any] = Map.empty
     var dryRun = false
+    var reportPath: Option[String] = None
+    var taskId: Option[String] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "-f" => sqlFile = Some(args(i + 1)); i += 2
         case "-v" | "--vars" => vars ++= parseVars(args(i + 1)); i += 2
         case "--dry-run" => dryRun = true; i += 1
+        // file analog of the reference's report_hdfs_path/report_task_id
+        // (sql_processor.py:56-57): per-step status JSON for monitors
+        case "--report-path" => reportPath = Some(args(i + 1)); i += 2
+        case "--task-id" => taskId = Some(args(i + 1)); i += 2
         case other => throw new IllegalArgumentException(
-          s"unknown argument: $other (usage: -f etl.sql [-v a=1,b=2] [--dry-run])")
+          s"unknown argument: $other (usage: -f etl.sql [-v a=1,b=2] " +
+          "[--dry-run] [--report-path report.json] [--task-id id])")
       }
     }
     val file = sqlFile.getOrElse(
@@ -41,7 +48,8 @@ object DataProcess {
     val sql = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(file)), "UTF-8")
     run(sql, vars, dryRun,
-      baseDir = Option(new java.io.File(file).getParent))
+      baseDir = Option(new java.io.File(file).getParent),
+      reportPath = reportPath, reportTaskId = taskId)
   }
 
   /** Reference `parse_vars` (config/sql_config.py:42-52): comma-split
@@ -54,7 +62,9 @@ object DataProcess {
 
   def run(sql: String, vars: Map[String, Any], dryRun: Boolean,
       baseDir: Option[String] = None,
-      existingSession: Option[SparkSession] = None): SqlProcessor = {
+      existingSession: Option[SparkSession] = None,
+      reportPath: Option[String] = None,
+      reportTaskId: Option[String] = None): SqlProcessor = {
     val config = EasySqlConfig.fromSql(sql)
     require(config.backend == "spark",
       s"only the spark backend is supported in this engine, got ${config.backend}")
@@ -89,7 +99,8 @@ object DataProcess {
     try {
       config.prepareSqlList.foreach(backend.execNativeSql(_))
       val processor = new SqlProcessor(backend, sql, variables = vars,
-        baseDir = baseDir)
+        baseDir = baseDir, reportPath = reportPath,
+        reportTaskId = reportTaskId)
       processor.run(dryRun)
       processor
     } finally {

@@ -54,10 +54,24 @@ final class Reporter {
       .replace("\"", "\\\"").replace("\n", "\\n") + "\""
     val steps = reports.values.map { r =>
       s"""{"id": ${q(r.step.id)}, "status": ${q(r.status)}, """ +
+      s""""start_time": ${r.startTime}, "end_time": ${r.endTime}, """ +
       s""""execution_time": ${r.executionTime}, """ +
       s""""messages": [${r.messages.map(q).mkString(", ")}]}"""
     }.mkString("[", ", ", "]")
     s"""{"task_id": ${q(taskId)}, "steps": $steps}"""
+  }
+
+  /** File report sink — the Spark-native analog of the reference's HDFS
+    * sink (report.py:113-143, which stages to a local tmp file and
+    * `hdfs dfs -put`s it): one Hadoop FS write, atomic-enough for a
+    * monitoring artifact, works for file:/, hdfs:/ and s3:/ paths. */
+  def writeReport(taskId: String, path: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val out = fs.create(p, true)
+    try out.write(reportAsJson(taskId).getBytes("UTF-8"))
+    finally out.close()
   }
   def printReport(): Unit = {
     val total = math.max((System.currentTimeMillis() - processStart) / 1000.0,
@@ -94,7 +108,13 @@ final class SqlProcessor(
     includes: Map[String, String] = Map.empty,
     extraCols: Seq[(String, String)] = Nil, // (name, sql expression)
     baseDir: Option[String] = None,
-    skipDuplicateInclude: Boolean = false) {
+    skipDuplicateInclude: Boolean = false,
+    // task-report sink (reference sql_processor.py:56-59 +
+    // report.py:87-143): reportPath is the file-sink analog of
+    // report_hdfs_path — a Hadoop FS path, so file:/, hdfs:/ and s3:/
+    // all work on a cluster
+    reportTaskId: Option[String] = None,
+    reportPath: Option[String] = None) {
 
   def this(spark: SparkSession, sql: String) =
     this(new SparkBackend(spark), sql)
@@ -126,7 +146,17 @@ final class SqlProcessor(
 
   def run(dryRun: Boolean = false): Unit = {
     try stepList.foreach(step => runStep(step, dryRun))
-    finally reporter.printReport()
+    finally {
+      reporter.printReport()
+      // ship the machine-readable report even when a step failed —
+      // that is when an external monitor needs it most
+      reportPath.foreach { p =>
+        val taskId = reportTaskId.getOrElse(
+          s"graft_task_${System.currentTimeMillis()}")
+        reporter.writeReport(taskId, p,
+          backend.spark.sparkContext.hadoopConfiguration)
+      }
+    }
   }
 
   def runStep(step: Step, dryRun: Boolean): Unit = {

@@ -323,12 +323,30 @@ object SparkFuncs {
           .createOrReplaceTempView(table)
       }),
 
-      // analytics (funcs_common.py:340-453): lightweight local profile
+      // analytics (funcs_common.py:340-453): sampled per-column report
+      // computed distributed by Spark (see DataProfiler). Signature
+      // mirrors the reference: (table, query, output_folder,
+      // max_count=50000, include_correlations=true, types=html). With
+      // only a table argument the profile JSON goes to stdout.
       "data_profiling_report" -> (ps => {
-        val df = view(s(ps.head))
-        val cnt = df.count()
-        println(s"=== data profiling report for ${s(ps.head)} (rows=$cnt) ===")
-        df.summary().show(100, truncate = false)
+        val table = s(ps.head)
+        val cond = opt(ps, 1).filter(_.nonEmpty).map("where " + _)
+          .getOrElse("")
+        val df = backend.execNativeSql(s"select * from $table $cond")
+        if (ps.length < 3) {
+          println(s"=== data profiling report for $table ===")
+          println(DataProfiler.profileJson(
+            DataProfiler.sampled(df, 50000),
+            s"Profiling Report for $table", includeCorrelations = false))
+        } else {
+          val written = DataProfiler.report(df, table, s(ps(2)),
+            maxCount = opt(ps, 3).map(_.toInt).getOrElse(50000),
+            includeCorrelations = opt(ps, 4).forall(v =>
+              Seq("1", "true", "y", "yes").contains(v.toLowerCase)),
+            types = opt(ps, 5).getOrElse("html").split(",")
+              .map(_.trim).filter(_.nonEmpty).toSeq)
+          written.foreach(p => println(s"generated file: $p"))
+        }
       }),
 
       // alerting (funcs_common.py:276-321): the step's select sql is

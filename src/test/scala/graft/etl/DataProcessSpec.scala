@@ -39,6 +39,41 @@ select * from result
     assert(rows.toSeq == Seq((1, 1), (1, 2)))
   }
 
+  test("report sink: CLI run lands per-step status JSON at --report-path") {
+    val report = java.nio.file.Files.createTempDirectory("graft_report")
+      .resolve("task_report.json")
+    val sql = """-- backend: spark
+-- target=variables
+select 7 as a
+-- target=temp.report_probe
+select ${a} as id
+-- target=check.should_equal
+select 1 as actual, 1 as expected
+"""
+    graft.DataProcess.run(sql, Map.empty, dryRun = false,
+      existingSession = Some(spark),
+      reportPath = Some(report.toString),
+      reportTaskId = Some("spec_task_1"))
+    assert(java.nio.file.Files.exists(report))
+    val json = new String(java.nio.file.Files.readAllBytes(report), "UTF-8")
+    assert(json.contains(""""task_id": "spec_task_1""""))
+    // one entry per step, each with a terminal status + timing
+    assert(json.split("\"status\": \"SUCCEEDED\"").length - 1 == 3)
+    assert(json.contains(""""execution_time""""))
+    assert(json.contains("check passed"))
+
+    // a failing step still ships the report, with FAILED recorded
+    val report2 = report.resolveSibling("task_report_fail.json")
+    intercept[Exception] {
+      graft.DataProcess.run(
+        "-- backend: spark\n-- target=temp.bad\nselect no_such_col from nowhere\n",
+        Map.empty, dryRun = false, existingSession = Some(spark),
+        reportPath = Some(report2.toString))
+    }
+    val json2 = new String(java.nio.file.Files.readAllBytes(report2), "UTF-8")
+    assert(json2.contains(""""status": "FAILED""""))
+  }
+
   test("vars parsing url-decodes values") {
     assert(graft.DataProcess.parseVars("a=1,b=x%20y") ==
       Map("a" -> "1", "b" -> "x y"))
