@@ -1,0 +1,129 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SqlLinterSpec extends AnyFunSuite {
+
+  private def lint(sql: String, knownVars: Set[String] = Set.empty) =
+    new SqlLinter(sql, knownVars).lint()
+
+  test("clean reference-shaped ETL lints clean") {
+    val sql = """-- backend: spark
+-- target=variables
+select 1 as a
+-- target=template.dim
+select id from source_t where id > #{lo}
+-- target=temp.big
+select * from (@{dim(lo=${a})}) t
+-- target=check.has_rows
+select count(1) as actual, 1 as expected from big
+-- target=output.db.out
+select * from big
+"""
+    val vs = lint(sql)
+    assert(vs.isEmpty, vs.mkString("; "))
+  }
+
+  test("syntax errors are caught by Catalyst's parser") {
+    // note: Spark's grammar treats from/where/group as non-reserved, so
+    // the broken SQL here is structurally broken (unbalanced call)
+    val vs = lint("""-- backend: spark
+-- target=temp.bad
+select count( from x
+-- target=output.db.o
+select * from bad
+""")
+    assert(vs.exists(_.rule == "syntax"), vs.mkString("; "))
+  }
+
+  test("semantic rules: backend, target format, undefined refs, shapes") {
+    val vs = lint("""-- backend: flink
+-- target=temp.t1
+select ${never_defined} as x
+-- target=temp.t1
+select @{nope} as y
+-- target=check.weak
+select 1 as one
+-- target=output.no_db_part
+select * from t1
+-- target=log.empty_log
+""")
+    def rules = vs.map(_.rule).toSet
+    assert(rules.contains("backend"))
+    assert(rules.contains("undefined-variable"))
+    assert(rules.contains("duplicate-target"))
+    assert(rules.contains("undefined-template"))
+    assert(rules.contains("check-shape"))
+    assert(rules.contains("target-format"))
+    assert(rules.contains("missing-sql"))
+  }
+
+  test("unused temp views are flagged; referenced ones are not") {
+    val vs = lint("""-- backend: spark
+-- target=temp.used
+select 1 as a
+-- target=temp.dead
+select 2 as b
+-- target=output.db.out
+select * from used
+""")
+    assert(vs.exists(v => v.rule == "unused-target" &&
+      v.message.contains("dead")))
+    assert(!vs.exists(v => v.rule == "unused-target" &&
+      v.message.contains("`used`")))
+  }
+
+  test("externally-provided vars and defaults are not false positives") {
+    val sql = """-- backend: spark
+-- target=temp.t
+select '${ext}' as a, '${opt:fallback}' as b, ${f(1)} as c
+-- target=output.db.o
+select * from t
+"""
+    assert(lint(sql, knownVars = Set("ext")).isEmpty)
+    assert(lint(sql).exists(_.rule == "undefined-variable"))
+  }
+
+  test("list_variables makes later variable refs data-driven, not errors") {
+    val vs = lint("""-- backend: spark
+-- target=list_variables
+select 'x' as name_from_data
+-- target=temp.t
+select '${name_from_data}' as a
+-- target=output.db.o
+select * from t
+""")
+    assert(!vs.exists(_.rule == "undefined-variable"), vs.mkString("; "))
+  }
+
+  test("include/exclude rule filters") {
+    val sql = "-- backend: flink\n-- target=temp.dead\nselect count( from\n"
+    val all = new SqlLinter(sql).lint()
+    assert(all.exists(_.rule == "syntax") && all.exists(_.rule == "backend"))
+    val only = new SqlLinter(sql, includeRules = Some(Seq("syntax"))).lint()
+    assert(only.nonEmpty && only.forall(_.rule == "syntax"))
+    val excl = new SqlLinter(sql,
+      excludeRules = Seq("syntax", "backend", "unused-target")).lint()
+    assert(excl.isEmpty, excl.mkString("; "))
+  }
+
+  test("fix prepends a backend header and strips trailing whitespace") {
+    val fixed = new SqlLinter("-- target=temp.t   \nselect 1 as a\n").fix()
+    assert(fixed.startsWith("-- backend: spark\n"))
+    assert(fixed.contains("-- target=temp.t\n"))
+    // idempotent when the header exists
+    val same = new SqlLinter(fixed).fix()
+    assert(same == fixed)
+  }
+
+  test("reference sample ETL lints with no syntax violations") {
+    val path = "/root/reference/test/sample_etl.spark.sql"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      val sql = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val vs = new SqlLinter(sql).lint()
+      assert(!vs.exists(_.rule == "syntax"), vs.mkString("; "))
+      assert(!vs.exists(_.rule == "backend"), vs.mkString("; "))
+    }
+  }
+}
