@@ -60,12 +60,19 @@ object WriteOps {
     // exchange left in this plan is the final group-by
     // (BucketedJoinSpec asserts exactly that).
     "bucketed_join_colocated" -> ((s, d) => {
-      orders(s, d).write.mode(SaveMode.Overwrite)
-        .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .saveAsTable("g_bkt_orders")
-      customer(s, d).write.mode(SaveMode.Overwrite)
-        .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .saveAsTable("g_bkt_customer")
+      // the two bucketed writes are independent — submit them as
+      // concurrent jobs (the same overlap a cluster scheduler gives
+      // independent stages) instead of serializing their shuffles
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = Seq(
+        Future(orders(s, d).write.mode(SaveMode.Overwrite)
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("g_bkt_orders")),
+        Future(customer(s, d).write.mode(SaveMode.Overwrite)
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("g_bkt_customer")))
+      writes.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
       s.table("g_bkt_orders")
         .join(s.table("g_bkt_customer"),
               col("o_custkey") === col("c_custkey"))
