@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotLong, MinHashMd5}
+import graft.functions.{ArrayDotLong, MinHashMd5, QuantizeLong}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions as SQL functions at session build time, so a cluster
@@ -30,6 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_dot_long"),
       new ExpressionInfo(classOf[ArrayDotLong].getName, "array_dot_long"),
       (exprs: Seq[Expression]) => ArrayDotLong(exprs(0), exprs(1))
+    ): (FunctionIdentifier, ExpressionInfo,
+        FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("quantize_long"),
+      new ExpressionInfo(classOf[QuantizeLong].getName, "quantize_long"),
+      (exprs: Seq[Expression]) => QuantizeLong(
+        exprs.head,
+        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Number].longValue())
     ): (FunctionIdentifier, ExpressionInfo,
         FunctionRegistry.FunctionBuilder))
   }

@@ -130,6 +130,7 @@ final class SqlProcessor(
   // cluster path registers them via GraftExtensions instead)
   graft.functions.MinHashMd5.register(backend.spark)
   graft.functions.ArrayDotLong.register(backend.spark)
+  graft.functions.QuantizeLong.register(backend.spark)
 
   private val stepFactory = new StepFactory(includes, None, baseDir,
     skipDuplicateInclude)

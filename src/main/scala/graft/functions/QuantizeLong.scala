@@ -88,4 +88,13 @@ object QuantizeLong {
     org.apache.spark.sql.GraftColumnBridge.column(
       QuantizeLong(
         org.apache.spark.sql.GraftColumnBridge.expression(v), scale))
+
+  /** SQL registration: quantize_long(arr, scale). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantize_long",
+      exprs => QuantizeLong(exprs.head,
+        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Number].longValue()),
+      "scala_udf")
 }
