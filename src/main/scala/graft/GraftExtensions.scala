@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotLong, MinHashMd5, QuantizeLong}
+import graft.functions.{ArrayDotLong, MinHashMd5, NgramShingles, QuantizeLong}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions as SQL functions at session build time, so a cluster
@@ -39,6 +39,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs.head,
         exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
           .asInstanceOf[Number].longValue())
+    ): (FunctionIdentifier, ExpressionInfo,
+        FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_shingles"),
+      new ExpressionInfo(classOf[NgramShingles].getName, "ngram_shingles"),
+      (exprs: Seq[Expression]) => NgramShingles(
+        exprs.head,
+        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Number].intValue())
     ): (FunctionIdentifier, ExpressionInfo,
         FunctionRegistry.FunctionBuilder))
   }

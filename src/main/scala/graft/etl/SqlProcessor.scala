@@ -131,6 +131,7 @@ final class SqlProcessor(
   graft.functions.MinHashMd5.register(backend.spark)
   graft.functions.ArrayDotLong.register(backend.spark)
   graft.functions.QuantizeLong.register(backend.spark)
+  graft.functions.NgramShingles.register(backend.spark)
 
   private val stepFactory = new StepFactory(includes, None, baseDir,
     skipDuplicateInclude)

@@ -57,7 +57,9 @@ case class MinHashMd5(child: Expression, k: Int)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val mins = new Array[Array[Byte]](k)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // one digest instance per executor thread, not per row — getInstance
+    // does a provider lookup that would otherwise run n_rows times
+    val md = MinHashMd5.mdLocal.get()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
@@ -94,6 +96,12 @@ case class MinHashMd5(child: Expression, k: Int)
 
 object MinHashMd5 {
   private val hexChars = "0123456789abcdef".toCharArray
+
+  private[functions] val mdLocal =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
 
   private[functions] def toHex(bytes: Array[Byte]): String = {
     val out = new Array[Char](bytes.length * 2)

@@ -40,10 +40,12 @@ object DedupOps {
       k: Int = K): DataFrame = {
     val base = df
       .withColumn("toks", split(lower(trim(col("text"))), " "))
+      // native shingler: the transform/slice/concat_ws composition is
+      // interpreted lambda evaluation; NgramShingles is the same values
+      // (NgramShinglesSpec proves it elementwise) inside codegen
       .withColumn("shingles",
         if (gram == 1) col("toks")
-        else expr(s"transform(sequence(1, greatest(size(toks) - ${gram - 1}, 1)), " +
-                  s"i -> concat_ws(' ', slice(toks, i, $gram)))"))
+        else graft.functions.NgramShingles.ngram_shingles(col("toks"), gram))
       .withColumn("mh",
         graft.functions.MinHashMd5.minhash_md5(col("shingles"), k))
     (0 until k).foldLeft(base) { (acc, j) =>
@@ -139,9 +141,8 @@ object DedupOps {
     "dedup_ngram_jaccard" -> ((s, d) => {
       val sh = documents(s, d)
         .withColumn("toks", split(lower(trim(col("text"))), " "))
-        .withColumn("shingles", expr(
-          "transform(sequence(1, greatest(size(toks) - 1, 1)), " +
-          "i -> concat_ws(' ', slice(toks, i, 2)))"))
+        .withColumn("shingles",
+          graft.functions.NgramShingles.ngram_shingles(col("toks"), 2))
         .select(col("doc_id"),
           explode(array_distinct(col("shingles"))).as("sh"))
       val sizes = sh.groupBy("doc_id")
