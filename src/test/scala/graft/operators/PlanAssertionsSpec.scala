@@ -80,6 +80,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     } finally spark.conf.set(k, saved)
   }
 
+  test("dedup signature pass stays native — no interpreted lambdas") {
+    val p = plan("dedup_minhash_sigs")
+    // the shingle + minhash pass must be the native expressions, not
+    // transform/slice lambdas (higher-order fns never codegen)
+    assert(p.contains("ngram_shingles"), p)
+    assert(p.contains("minhash_md5"), p)
+    assert(!p.contains("transform("), p)
+    assert(!p.contains("lambdafunction"), p)
+  }
+
   test("salted aggregation is two map-side-combined stages") {
     val p = plan("agg_salted_two_stage")
     val exchanges = p.linesIterator.count(
