@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.TestSpark
+
+/** Value-level assertions for the three gates the driver can only
+  * rows-check (no DuckDB oracle by design): the sketch estimate, the
+  * partitioning contract, and the cache lifecycle. */
+class NoOracleGatesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct lands within 10% of exact per group") {
+    val rows = graft.SparkEntry.queries("approx_distinct_sketch")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(exact > 0)
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"approx $approx vs exact $exact drifts > 10%")
+    }
+  }
+
+  test("repartition_coalesce reports the contracted partition count") {
+    val r = graft.SparkEntry.queries("repartition_coalesce")(spark, sf)
+      .collect().head
+    // repartition(8).coalesce(4) => 4 planned partitions, all rows kept
+    assert(r.getAs[Int]("n_partitions") == 4)
+    assert(r.getAs[Long]("n_parts_used") <= 4)
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(r.getAs[Long]("total_rows") == total)
+  }
+
+  test("cache_unpersist counts match and leave no cached table behind") {
+    val r = graft.SparkEntry.queries("cache_unpersist")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("cnt") == r.getAs[Long]("cached_count"))
+    assert(!spark.catalog.isCached("g_cache_t"))
+  }
+}
