@@ -124,6 +124,54 @@ object EventOps {
       s.read.parquet(sink).filter(col("event_type") =!= "__sentinel__")
     }),
 
+    // Session windows under the REAL streaming runtime: same staged
+    // replay protocol as streaming_replay_tumbling (append + watermark +
+    // parquet sink + sentinel punctuation), but the stateful operator is
+    // session_window — merging state, not fixed buckets. Oracle:
+    // gaps-and-islands in DuckDB. Note Spark's session_window is
+    // half-open [ts, ts+gap): events exactly `gap` apart do NOT merge,
+    // so the oracle splits on `>= gap`, unlike the batch
+    // sessionize_events gate which (also per the reference) uses `> gap`.
+    "streaming_replay_sessions" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stage = java.nio.file.Files.createTempDirectory("g_sess_src")
+      val sink = java.nio.file.Files
+        .createTempDirectory("g_sess_sink").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("g_sess_ckpt").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        stage.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val sentinelNs = 7258118400000000000L // year 2200
+      val row = org.apache.spark.sql.Row(schema.fields.map { f =>
+        if (f.name == "ts") sentinelNs
+        else if (f.name == "user_id") -1L
+        else if (f.name == "event_type") "__sentinel__"
+        else null
+      }.toIndexedSeq: _*)
+      s.createDataFrame(java.util.Arrays.asList(row), schema)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(stage.resolve("sentinel").toString)
+      val stream = s.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = graft.streaming.StreamingOps
+        .sessionCounts(stream, "ts", "1 hour", "30 minutes")
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .queryName("g_stream_sessions").start()
+      try { if (!q.awaitTermination(300000)) q.processAllAvailable() }
+      finally { q.stop(); s.conf.set("spark.sql.shuffle.partitions", saved) }
+      s.read.parquet(sink).filter(col("user_id") =!= -1L)
+    }),
+
     // Per-user, per-event-type daily rollup — the shape of a streaming
     // foreachBatch upsert target.
     "event_type_daily" -> ((s, d) =>
@@ -185,6 +233,24 @@ object EventOps {
          event_type, count(*) AS cnt,
          cast(sum(cast(value as decimal(18,2))) as double) AS sum_val
          FROM events GROUP BY 1, 2""",
+    "streaming_replay_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         marked AS (
+           SELECT user_id, us,
+             CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                    IS NULL
+                  OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                    >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         sess AS (
+           SELECT user_id, us,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM marked)
+         SELECT cast(floor(min(us) / 1000000) as bigint) AS sess_start,
+           user_id, count(*) AS cnt
+         FROM sess GROUP BY user_id, sid""",
     "event_type_daily" ->
       """SELECT cast(ts as date) AS day, event_type, count(*) AS cnt,
          count(DISTINCT user_id) AS n_users,
