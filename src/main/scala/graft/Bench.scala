@@ -45,18 +45,27 @@ object Bench {
       spark.sql("select timestamp'2024-01-01 00:00:00' as ts, " +
           "'w' as event_type, 1.0 as value")
         .write.mode("overwrite").parquet(src)
-      val stream = spark.readStream
-        .schema(spark.read.parquet(src).schema).parquet(src)
       val saved = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "2")
-      val q = graft.streaming.StreamingOps
-        .tumblingCounts(stream, "ts", "1 hour", "10 minutes")
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", wdir.resolve("ckpt").toString)
-        .format("parquet").option("path", wdir.resolve("sink").toString)
-        .start()
-      try q.processAllAvailable()
-      finally { q.stop(); spark.conf.set("spark.sql.shuffle.partitions", saved) }
+      // both stateful shapes the gates use: windowed agg + session_window
+      val warmups = Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        "tumbling" -> (df => graft.streaming.StreamingOps
+          .tumblingCounts(df, "ts", "1 hour", "10 minutes")),
+        "sessions" -> (df => graft.streaming.StreamingOps
+          .sessionCounts(df.withColumn("user_id",
+              org.apache.spark.sql.functions.lit(1L)),
+            "ts", "1 hour", "30 minutes")))
+      try warmups.foreach { case (name, agg) =>
+        val stream = spark.readStream
+          .schema(spark.read.parquet(src).schema).parquet(src)
+        val q = agg(stream)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", wdir.resolve(s"ckpt_$name").toString)
+          .format("parquet")
+          .option("path", wdir.resolve(s"sink_$name").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
