@@ -116,6 +116,19 @@ select * from t
     assert(same == fixed)
   }
 
+  test("repo example pipelines lint clean") {
+    val dir = java.nio.file.Paths.get("examples")
+    val files = java.nio.file.Files.list(dir).toArray.map(_.toString)
+      .filter(_.endsWith(".sql"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val sql = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(f)), "UTF-8")
+      val vs = new SqlLinter(sql).lint()
+      assert(vs.isEmpty, s"$f: ${vs.mkString("; ")}")
+    }
+  }
+
   test("reference sample ETL lints with no syntax violations") {
     val path = "/root/reference/test/sample_etl.spark.sql"
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
