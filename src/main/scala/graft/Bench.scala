@@ -68,18 +68,40 @@ object Bench {
       } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        // noop sink: every row and column is produced (count() would let
-        // Catalyst prune projection-only queries down to a metadata read)
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run (isolation runs);
+    // SPARK_GRAFT_BENCH_REPS=n times each query n times and reports the
+    // MEDIAN — single-shot timings at sub-second scale swing with GC and
+    // compilation pauses (the r3 group_agg "2.25x" was exactly that), and
+    // the median is robust to one bad rep without hiding a real plan
+    // regression across all of them.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          // noop sink: every row and column is produced (count() would let
+          // Catalyst prune projection-only queries down to a metadata read)
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> median(times)
+      }
     // millisecond precision: ns digits only bloat the line (log captures
-    // that keep a bounded tail were cutting the head of the query map)
-    def fmt(v: Double): String = f"$v%.3f"
+    // that keep a bounded tail were cutting the head of the query map).
+    // Locale.ROOT: f"%.3f" under a comma-decimal locale would emit invalid
+    // JSON and silently break the regression sidecar's prev-baseline regex.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

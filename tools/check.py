@@ -21,7 +21,7 @@ for a in sys.argv:
     if a.startswith("--only"):
         ONLY = set(a.split("=", 1)[1].split(","))
 
-if "--skip-verify" not in sys.argv:
+if "--self-test" not in sys.argv and "--skip-verify" not in sys.argv:
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {OUT}'],
         cwd="/root/repo", capture_output=True, text=True)
@@ -33,8 +33,9 @@ if "--skip-verify" not in sys.argv:
         if "[verify]" in line:
             print(line)
 
-oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
 con = duckdb.connect()
+if "--self-test" not in sys.argv:
+    oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
@@ -107,6 +108,33 @@ def canon(rows, cols):
     out.sort()
     return [cols[i] for i in order], out
 
+
+def self_test():
+    """Prove the int8 disambiguation end-to-end: a pyarrow int8 (8-BIT)
+    column against a DuckDB bigint oracle must flag type drift, while a
+    DuckDB-described 'int8' (its BIGINT alias) must categorize as i64."""
+    import tempfile
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    assert typecat("int8") == "i8", "pyarrow int8 must be 8-bit"
+    assert typecat("int8", duck=True) == "i64", "duck int8 alias is bigint"
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table({"x": pa.array([1, 2], type=pa.int8())}),
+            f"{d}/part.parquet")
+        sch = pq.read_schema(f"{d}/part.parquet")
+        st = {n: typecat(t) for n, t in zip(sch.names, sch.types)}
+        drows = con.execute(
+            "DESCRIBE SELECT cast(1 as bigint) AS x").fetchall()
+        dt = {r[0]: typecat(r[1], duck=True) for r in drows}
+        drift = [c for c in st if st[c] != dt.get(c)]
+        assert drift == ["x"], f"int8-vs-bigint drift not flagged: {st} {dt}"
+    print("self-test pass: pyarrow int8 flags drift vs duck bigint")
+
+
+if "--self-test" in sys.argv:
+    self_test()
+    sys.exit(0)
 
 n_pass = n_fail = 0
 fails = []
