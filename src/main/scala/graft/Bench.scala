@@ -65,7 +65,14 @@ object Bench {
           .option("path", wdir.resolve(s"sink_$name").toString)
           .start()
         try q.processAllAvailable() finally q.stop()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+        // reclaim the warmup staging (source, sinks, checkpoints)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(wdir).iterator().asScala.toSeq.reverse
+          .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+                        catch { case _: Exception => () })
+      }
     } catch { case _: Throwable => () }
 
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run (isolation runs);
@@ -83,6 +90,10 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // SEQUENTIAL by contract: some gates (streaming replay) scope
+    // spark.sql.shuffle.partitions via save-mutate-restore on the shared
+    // session conf, which a parallel runner would race on. Keep this loop
+    // single-threaded (EventOps.replayGate asserts the restore took).
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

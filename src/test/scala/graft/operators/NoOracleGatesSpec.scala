@@ -41,4 +41,17 @@ class NoOracleGatesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("cnt") == r.getAs[Long]("cached_count"))
     assert(!spark.catalog.isCached("g_cache_t"))
   }
+
+  test("replay gate re-invocation (checkpoint recovery) is idempotent") {
+    // First invocation = full replay; second = a fresh StreamingQuery
+    // over the same durable checkpoint (the production restart path).
+    // Both must surface the exact same sink contents — a recovery that
+    // re-emitted or dropped windows would diverge here.
+    def run() = graft.SparkEntry.queries("streaming_replay_tumbling")(
+      spark, sf).collect().map(_.toString).sorted.toSeq
+    val first = run()
+    val second = run()
+    assert(first.nonEmpty)
+    assert(first == second, "checkpoint-recovery rerun diverged from replay")
+  }
 }
