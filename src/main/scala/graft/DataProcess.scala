@@ -25,6 +25,8 @@ object DataProcess {
     var dryRun = false
     var reportPath: Option[String] = None
     var taskId: Option[String] = None
+    var esUrl: Option[String] = None
+    var esIndexPrefix: String = ""
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -35,9 +37,15 @@ object DataProcess {
         // (sql_processor.py:56-57): per-step status JSON for monitors
         case "--report-path" => reportPath = Some(args(i + 1)); i += 2
         case "--task-id" => taskId = Some(args(i + 1)); i += 2
+        // ES analog of report_es_url/report_es_index_prefix
+        // (sql_processor.py:58-59 + report.py:96-103)
+        case "--report-es-url" => esUrl = Some(args(i + 1)); i += 2
+        case "--report-es-index-prefix" =>
+          esIndexPrefix = args(i + 1); i += 2
         case other => throw new IllegalArgumentException(
           s"unknown argument: $other (usage: -f etl.sql [-v a=1,b=2] " +
-          "[--dry-run] [--report-path report.json] [--task-id id])")
+          "[--dry-run] [--report-path report.json] [--task-id id] " +
+          "[--report-es-url http://es:9200] [--report-es-index-prefix p])")
       }
     }
     val file = sqlFile.getOrElse(
@@ -49,7 +57,9 @@ object DataProcess {
       java.nio.file.Paths.get(file)), "UTF-8")
     run(sql, vars, dryRun,
       baseDir = Option(new java.io.File(file).getParent),
-      reportPath = reportPath, reportTaskId = taskId)
+      reportPath = reportPath, reportTaskId = taskId,
+      reportSinks =
+        esUrl.map(new graft.etl.EsReportSink(_, esIndexPrefix)).toSeq)
   }
 
   /** Reference `parse_vars` (config/sql_config.py:42-52): comma-split
@@ -64,7 +74,8 @@ object DataProcess {
       baseDir: Option[String] = None,
       existingSession: Option[SparkSession] = None,
       reportPath: Option[String] = None,
-      reportTaskId: Option[String] = None): SqlProcessor = {
+      reportTaskId: Option[String] = None,
+      reportSinks: Seq[graft.etl.ReportSink] = Nil): SqlProcessor = {
     val config = EasySqlConfig.fromSql(sql)
     require(config.backend == "spark",
       s"only the spark backend is supported in this engine, got ${config.backend}")
@@ -100,7 +111,7 @@ object DataProcess {
       config.prepareSqlList.foreach(backend.execNativeSql(_))
       val processor = new SqlProcessor(backend, sql, variables = vars,
         baseDir = baseDir, reportPath = reportPath,
-        reportTaskId = reportTaskId)
+        reportTaskId = reportTaskId, reportSinks = reportSinks)
       processor.run(dryRun)
       processor
     } finally {

@@ -61,18 +61,10 @@ final class Reporter {
     s"""{"task_id": ${q(taskId)}, "steps": $steps}"""
   }
 
-  /** File report sink — the Spark-native analog of the reference's HDFS
-    * sink (report.py:113-143, which stages to a local tmp file and
-    * `hdfs dfs -put`s it): one Hadoop FS write, atomic-enough for a
-    * monitoring artifact, works for file:/, hdfs:/ and s3:/ paths. */
+  /** File report sink shorthand — see [[FileReportSink]]. */
   def writeReport(taskId: String, path: String,
-      hadoopConf: org.apache.hadoop.conf.Configuration): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(hadoopConf)
-    val out = fs.create(p, true)
-    try out.write(reportAsJson(taskId).getBytes("UTF-8"))
-    finally out.close()
-  }
+      hadoopConf: org.apache.hadoop.conf.Configuration): Unit =
+    new FileReportSink(path, hadoopConf).ship(taskId, reportAsJson(taskId))
   def printReport(): Unit = {
     val total = math.max((System.currentTimeMillis() - processStart) / 1000.0,
       0.001)
@@ -109,12 +101,14 @@ final class SqlProcessor(
     extraCols: Seq[(String, String)] = Nil, // (name, sql expression)
     baseDir: Option[String] = None,
     skipDuplicateInclude: Boolean = false,
-    // task-report sink (reference sql_processor.py:56-59 +
+    // task-report sinks (reference sql_processor.py:56-59 +
     // report.py:87-143): reportPath is the file-sink analog of
     // report_hdfs_path — a Hadoop FS path, so file:/, hdfs:/ and s3:/
-    // all work on a cluster
+    // all work on a cluster; reportSinks adds arbitrary extra sinks
+    // (e.g. EsReportSink, the report_es_url analog)
     reportTaskId: Option[String] = None,
-    reportPath: Option[String] = None) {
+    reportPath: Option[String] = None,
+    reportSinks: Seq[ReportSink] = Nil) {
 
   def this(spark: SparkSession, sql: String) =
     this(new SparkBackend(spark), sql)
@@ -147,16 +141,35 @@ final class SqlProcessor(
     funcRunner.registerFuncs(fs)
 
   def run(dryRun: Boolean = false): Unit = {
+    var runFailed = false
     try stepList.foreach(step => runStep(step, dryRun))
+    catch { case e: Throwable => runFailed = true; throw e }
     finally {
       reporter.printReport()
       // ship the machine-readable report even when a step failed —
-      // that is when an external monitor needs it most
-      reportPath.foreach { p =>
+      // that is when an external monitor needs it most. Every sink is
+      // attempted (one broken monitor must not starve the others); sink
+      // failures only surface as the run's failure when the ETL itself
+      // succeeded, so they never mask the original step error.
+      val sinks = reportPath.map(p => new FileReportSink(p,
+        backend.spark.sparkContext.hadoopConfiguration)).toSeq ++
+        reportSinks
+      if (sinks.nonEmpty) {
         val taskId = reportTaskId.getOrElse(
           s"graft_task_${System.currentTimeMillis()}")
-        reporter.writeReport(taskId, p,
-          backend.spark.sparkContext.hadoopConfiguration)
+        val json = reporter.reportAsJson(taskId)
+        val errs = sinks.flatMap { sink =>
+          try { sink.ship(taskId, json); None }
+          catch { case e: Exception =>
+            System.err.println(
+              s"[report] ${sink.describe} failed: ${e.getMessage}")
+            Some(sink.describe -> e)
+          }
+        }
+        if (errs.nonEmpty && !runFailed)
+          throw new RuntimeException(
+            s"task report shipping failed: ${errs.map(_._1).mkString(", ")}",
+            errs.head._2)
       }
     }
   }

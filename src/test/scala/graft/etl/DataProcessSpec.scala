@@ -74,6 +74,79 @@ select 1 as actual, 1 as expected
     assert(json2.contains(""""status": "FAILED""""))
   }
 
+  test("report sinks: a failed run still posts to BOTH file and ES sinks") {
+    // stub ES: capture method/path/body of every request (port 0 = any)
+    val received =
+      new java.util.concurrent.CopyOnWriteArrayList[(String, String, String)]
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      received.add((ex.getRequestMethod, ex.getRequestURI.getPath, body))
+      val resp = """{"result": "created"}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(201, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val report = java.nio.file.Files
+        .createTempDirectory("graft_report_es").resolve("r.json")
+      val clock = () => java.time.Instant.parse("2024-06-01T08:30:00Z")
+      intercept[Exception] {
+        graft.DataProcess.run(
+          "-- backend: spark\n-- target=temp.bad\nselect broken(\n",
+          Map.empty, dryRun = false, existingSession = Some(spark),
+          reportPath = Some(report.toString),
+          reportTaskId = Some("spec_es_task"),
+          reportSinks =
+            Seq(new EsReportSink(base, "graft_spec", now = clock)))
+      }
+      // file sink got the FAILED report
+      val fileJson =
+        new String(java.nio.file.Files.readAllBytes(report), "UTF-8")
+      assert(fileJson.contains(""""status": "FAILED""""))
+      // ES sink got the reference-shaped document at the prefixed index
+      assert(received.size == 1)
+      val (method, path, body) = received.get(0)
+      assert(method == "POST")
+      assert(path == "/graft_spec_task_report/_doc")
+      assert(body.contains(""""task_id": "spec_es_task""""))
+      assert(body.contains("FAILED"))
+      assert(body.contains(""""created_at": "2024-06-01 08:30:00""""))
+    } finally server.stop(0)
+  }
+
+  test("report sinks: ES failure fails a successful run but tries late") {
+    // server that always 500s: the ETL itself succeeds, so the sink
+    // failure must surface as the run failure (reference EsService.post
+    // raises on non-ok) — but only AFTER the file sink also shipped
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(500, -1); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val report = java.nio.file.Files
+        .createTempDirectory("graft_report_es2").resolve("r.json")
+      val e = intercept[RuntimeException] {
+        graft.DataProcess.run(
+          "-- backend: spark\n-- target=temp.fine\nselect 1 as x\n",
+          Map.empty, dryRun = false, existingSession = Some(spark),
+          reportPath = Some(report.toString),
+          reportSinks = Seq(new EsReportSink(base)))
+      }
+      assert(e.getMessage.contains("task report shipping failed"))
+      // the healthy file sink still shipped before the error surfaced
+      val fileJson =
+        new String(java.nio.file.Files.readAllBytes(report), "UTF-8")
+      assert(fileJson.contains(""""status": "SUCCEEDED""""))
+    } finally server.stop(0)
+  }
+
   test("vars parsing url-decodes values") {
     assert(graft.DataProcess.parseVars("a=1,b=x%20y") ==
       Map("a" -> "1", "b" -> "x y"))
