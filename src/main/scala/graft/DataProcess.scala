@@ -22,16 +22,31 @@ object DataProcess {
   def main(args: Array[String]): Unit = {
     var sqlFile: Option[String] = None
     var vars: Map[String, Any] = Map.empty
+    var varsRaw: Option[String] = None
     var dryRun = false
     var reportPath: Option[String] = None
     var taskId: Option[String] = None
     var esUrl: Option[String] = None
     var esIndexPrefix: String = ""
+    var printCommand = false
+    var defaultConf = Vector.empty[String]
+    var sparkSubmit = "spark-submit"
+    var entryJar = "graft-assembly.jar"
     var i = 0
     while (i < args.length) {
       args(i) match {
+        // print the assembled spark-submit command instead of running
+        // (reference data_process.py --print-command/-p +
+        // backend_processor.shell_command)
+        case "-p" | "--print-command" => printCommand = true; i += 1
+        // repeatable, one k=v per occurrence (values may contain commas,
+        // e.g. spark.files lists)
+        case "--default-conf" => defaultConf :+= args(i + 1).trim; i += 2
+        case "--spark-submit" => sparkSubmit = args(i + 1); i += 2
+        case "--entry-jar" => entryJar = args(i + 1); i += 2
         case "-f" => sqlFile = Some(args(i + 1)); i += 2
-        case "-v" | "--vars" => vars ++= parseVars(args(i + 1)); i += 2
+        case "-v" | "--vars" =>
+          varsRaw = Some(args(i + 1)); vars ++= parseVars(args(i + 1)); i += 2
         case "--dry-run" => dryRun = true; i += 1
         // file analog of the reference's report_hdfs_path/report_task_id
         // (sql_processor.py:56-57): per-step status JSON for monitors
@@ -44,7 +59,8 @@ object DataProcess {
           esIndexPrefix = args(i + 1); i += 2
         case other => throw new IllegalArgumentException(
           s"unknown argument: $other (usage: -f etl.sql [-v a=1,b=2] " +
-          "[--dry-run] [--report-path report.json] [--task-id id] " +
+          "[--dry-run] [-p] [--default-conf k=v]* [--spark-submit bin] " +
+          "[--entry-jar x.jar] [--report-path report.json] [--task-id id] " +
           "[--report-es-url http://es:9200] [--report-es-index-prefix p])")
       }
     }
@@ -55,6 +71,13 @@ object DataProcess {
 
     val sql = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(file)), "UTF-8")
+    if (printCommand) {
+      println(new graft.etl.SparkSubmitCommand().assemble(
+        sql, file, userDefaultConf = defaultConf,
+        varsArg = varsRaw,
+        dryRun = dryRun, entryJar = entryJar, sparkSubmit = sparkSubmit))
+      return
+    }
     run(sql, vars, dryRun,
       baseDir = Option(new java.io.File(file).getParent),
       reportPath = reportPath, reportTaskId = taskId,

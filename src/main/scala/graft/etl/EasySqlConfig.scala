@@ -37,10 +37,10 @@ object EasySqlConfig {
   private def after(line: String, splitter: String): String =
     line.substring(line.indexOf(splitter) + splitter.length).trim
 
-  private def keyOf(conf: String): String =
+  private[etl] def keyOf(conf: String): String =
     conf.split("=", 2)(0).trim
 
-  private def valueOf(conf: String): String =
+  private[etl] def valueOf(conf: String): String =
     if (conf.contains("=")) conf.split("=", 2)(1).trim else ""
 
   def fromSql(sql: String,
