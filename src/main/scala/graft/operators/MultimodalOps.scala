@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media as opaque `binary` columns with typed
   * metadata, decode/feature-extract as partition-wise batch functions.
   *
-  * The real media libs are absent in this container, so the DECODE step is
-  * a clearly-marked deterministic stub (`FakeDecoder`) — but the Spark
-  * plumbing is real: binary columns, a typed Dataset, `mapPartitions`
-  * batch shape (the Scala analog of `mapInPandas`: one iterator per
-  * partition, decode amortized across the batch, no per-row UDF dispatch),
-  * and deterministic outputs the DuckDB oracle can still verify because
-  * the stub derives features from the bytes arithmetically.
+  * The decode path is a REAL codec: `javax.imageio` PNG — each document
+  * is rendered to a deterministic grayscale PNG (dims and pixels derived
+  * arithmetically from `doc_id`/`n_chars`, so the DuckDB oracle can
+  * predict the decoded values without decoding anything), shipped through
+  * a typed `Dataset[Media]` binary column, and decoded back with
+  * `ImageIO.read`. The Spark plumbing is exactly what a production blob
+  * pipeline uses: binary columns, `mapPartitions` batch shape (the Scala
+  * analog of `mapInPandas`: one iterator per partition, per-partition
+  * codec init, no per-row UDF dispatch), typed outputs. Heavier codecs
+  * (JPEG, video frame extraction, audio) slot into the same batch
+  * functions — only the library call inside changes.
   *
   * At scale: blobs stay in their partition (no shuffle); decode
   * parallelism = input splits; metadata-only queries prune the blob column
@@ -21,40 +25,91 @@ import org.apache.spark.sql.functions._
 object MultimodalOps {
   import Tables.documents
 
-  /** STUB decoder — stands in for an image/audio codec. Deterministic:
-    * "width/height" are the first two bytes, "brightness" the mean of the
-    * first 16 bytes. A real deployment swaps this for the codec call and
-    * keeps every shape below identical. */
-  object FakeDecoder {
+  /** Real PNG codec over deterministic synthetic images.
+    *
+    * Image contract (mirrored by the DuckDB oracles): for a document,
+    * `w = 8 + doc_id % 9`, `h = 8 + n_chars % 7`, and gray pixel
+    * `p(x, y) = (x + y*w + doc_id) mod 256`. PNG is lossless 8-bit
+    * gray, so decode recovers exactly these values — the gates verify a
+    * real encode→bytes→decode round trip, not byte arithmetic.
+    */
+  object ImageCodec {
+    final case class Doc(doc_id: Long, n_chars: Long)
     final case class Media(doc_id: Long, blob: Array[Byte])
     final case class Decoded(doc_id: Long, width: Int, height: Int,
-                             n_bytes: Long, brightness: Double)
-    def decodeBatch(it: Iterator[Media]): Iterator[Decoded] = {
-      // per-partition init would happen here (codec handles, buffers)
-      it.map { m =>
-        val b = m.blob
-        val head = b.take(16).map(_ & 0xff)
-        Decoded(
-          doc_id = m.doc_id,
-          width = if (b.length > 0) (b(0) & 0xff) else 0,
-          height = if (b.length > 1) (b(1) & 0xff) else 0,
-          n_bytes = b.length.toLong,
-          brightness =
-            if (head.nonEmpty) head.sum.toDouble / head.length else 0.0)
+                             n_pixels: Long, pix_sum: Long,
+                             mean_intensity: Double)
+    final case class Resized(doc_id: Long, out_width: Int, out_height: Int,
+                             out_pix_sum: Long)
+
+    def dims(docId: Long, nChars: Long): (Int, Int) =
+      (8 + (docId % 9).toInt, 8 + (nChars % 7).toInt)
+
+    def pixel(docId: Long, w: Int, x: Int, y: Int): Int =
+      ((x + y.toLong * w + docId) % 256).toInt
+
+    /** Render the deterministic image and ENCODE it to real PNG bytes. */
+    def encodeBatch(it: Iterator[Doc]): Iterator[Media] = {
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      it.map { doc =>
+        val (w, h) = dims(doc.doc_id, doc.n_chars)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, pixel(doc.doc_id, w, x, y)); x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Media(doc.doc_id, out.toByteArray)
       }
     }
 
-    final case class Resized(doc_id: Long, n_bytes_out: Int,
-                             resized: Array[Byte])
-    /** STUB resize — stride subsampling stands in for a real scaler;
-      * the batch shape (iterator in, iterator out, per-partition init
-      * point) is what a libvips/ffmpeg call would slot into. */
-    def resizeBatch(stride: Int)(it: Iterator[Media]): Iterator[Resized] =
+    /** DECODE real PNG bytes back to pixels and extract features. */
+    def decodeBatch(it: Iterator[Media]): Iterator[Decoded] = {
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        val out = Array.tabulate((m.blob.length + stride - 1) / stride)(
-          i => m.blob(i * stride))
-        Resized(m.doc_id, out.length, out)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.blob))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        Decoded(m.doc_id, w, h, w.toLong * h, sum,
+          sum.toDouble / (w * h))
       }
+    }
+
+    /** Decode + nearest-neighbor 2× downscale (out(x,y) = in(2x,2y) —
+      * deterministic by construction, unlike interpolating scalers). */
+    def resizeBatch(it: Iterator[Media]): Iterator[Resized] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.blob))
+        val raster = img.getRaster
+        val ow = (img.getWidth + 1) / 2
+        val oh = (img.getHeight + 1) / 2
+        var sum = 0L
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) { sum += raster.getSample(2 * x, 2 * y, 0); x += 1 }
+          y += 1
+        }
+        Resized(m.doc_id, ow, oh, sum)
+      }
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -71,30 +126,34 @@ object MultimodalOps {
                 col("meta.lang").as("m_lang"),
                 col("meta.n_chars").as("m_chars"))),
 
-    // Decode path: typed Dataset -> mapPartitions batch decode (stubbed).
+    // Decode path: synthesize real PNG bytes in one partition-wise
+    // batch (Dataset[Media] with a genuine binary blob column — the
+    // shape of reading stored media), then ImageIO-decode them in the
+    // next. Both stages pipeline into a single stage, blobs never
+    // shuffle, and the oracle predicts the decoded features from the
+    // image contract.
     "multimodal_decode" -> ((s, d) => {
       import s.implicits._
-      import FakeDecoder._
+      import ImageCodec._
       documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("blob"))
-        .as[Media]
+        .select(col("doc_id"), col("n_chars"))
+        .as[Doc]
+        .mapPartitions(encodeBatch _)
         .mapPartitions(decodeBatch _)
         .toDF()
     }),
 
-    // Resize path: same typed batch shape, stride-2 "downscale" stub;
-    // digest the resized payload so the oracle can verify it without
-    // shipping blobs out of the executors.
+    // Resize path: same typed batch shape — real PNG decode, then a
+    // deterministic nearest-neighbor 2x downscale on the raster.
     "multimodal_resize" -> ((s, d) => {
       import s.implicits._
-      import FakeDecoder._
+      import ImageCodec._
       documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("blob"))
-        .as[Media]
-        .mapPartitions(resizeBatch(2) _)
+        .select(col("doc_id"), col("n_chars"))
+        .as[Doc]
+        .mapPartitions(encodeBatch _)
+        .mapPartitions(resizeBatch _)
         .toDF()
-        .select(col("doc_id"), col("n_bytes_out"),
-                md5(col("resized")).as("resized_md5"))
     }),
 
     // Frame sampling: treat the blob as fixed 16-byte "frames", keep
@@ -122,26 +181,41 @@ object MultimodalOps {
          md5(text) AS content_md5,
          lang AS m_lang, n_chars AS m_chars
          FROM documents""",
+    // The oracle predicts the REAL decoded values from the image
+    // contract (w = 8 + doc_id%9, h = 8 + n_chars%7,
+    // p(x,y) = (x + y*w + doc_id) % 256) — PNG is lossless 8-bit gray,
+    // so the ImageIO round trip must recover exactly these.
     "multimodal_decode" ->
-      """SELECT doc_id,
-         cast(ascii(substr(text, 1, 1)) as int) AS width,
-         cast(ascii(substr(text, 2, 1)) as int) AS height,
-         cast(strlen(text) as bigint) AS n_bytes,
-         cast(list_aggregate(list_transform(
-             range(1, least(strlen(text), 16) + 1),
-             i -> ascii(substr(text, i, 1))), 'sum') as double) /
-           least(strlen(text), 16) AS brightness
-         FROM documents""",
-    // stride-2 subsample: bytes at 1-based positions 1, 3, 5, ...
-    "multimodal_resize" ->
-      """SELECT doc_id,
-         cast(len(pieces) as int) AS n_bytes_out,
-         md5(array_to_string(pieces, '')) AS resized_md5
-         FROM (
+      """WITH dims AS (
            SELECT doc_id,
-             list_transform(range(0, cast((strlen(text) + 1) // 2 as int)),
-               i -> substr(text, cast(i * 2 + 1 as int), 1)) AS pieces
-           FROM documents)""",
+             8 + doc_id % 9 AS w, 8 + n_chars % 7 AS h
+           FROM documents)
+         SELECT doc_id,
+           cast(w as int) AS width, cast(h as int) AS height,
+           cast(w * h as bigint) AS n_pixels,
+           cast(pix_sum as bigint) AS pix_sum,
+           cast(pix_sum as double) / (w * h) AS mean_intensity
+         FROM (
+           SELECT doc_id, w, h,
+             list_aggregate(flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w),
+                 x -> (x + y * w + doc_id) % 256))), 'sum') AS pix_sum
+           FROM dims)""",
+    // nearest-neighbor 2x downscale: out(x,y) = in(2x, 2y)
+    "multimodal_resize" ->
+      """WITH dims AS (
+           SELECT doc_id,
+             8 + doc_id % 9 AS w, 8 + n_chars % 7 AS h
+           FROM documents)
+         SELECT doc_id,
+           cast((w + 1) // 2 as int) AS out_width,
+           cast((h + 1) // 2 as int) AS out_height,
+           cast(list_aggregate(flatten(
+             list_transform(range(0, (h + 1) // 2), y ->
+               list_transform(range(0, (w + 1) // 2),
+                 x -> (2*x + 2*y * w + doc_id) % 256))), 'sum') as bigint)
+             AS out_pix_sum
+         FROM dims""",
     "multimodal_frame_sample" ->
       """SELECT doc_id, cast(f as int) AS frame_idx,
          md5(substr(text, cast(f * 16 + 1 as int), 16)) AS frame_md5
