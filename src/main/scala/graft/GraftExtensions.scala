@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotLong, MinHashMd5, NgramShingles, QuantizeLong}
+import graft.functions.{ArrayDotLong, MinHashBands, MinHashMd5, NgramShingles, QuantizeLong}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions as SQL functions at session build time, so a cluster
@@ -39,6 +39,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs.head,
         exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
           .asInstanceOf[Number].longValue())
+    ): (FunctionIdentifier, ExpressionInfo,
+        FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (exprs: Seq[Expression]) => MinHashBands(
+        exprs.head,
+        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Number].intValue(),
+        exprs(2).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Number].intValue())
     ): (FunctionIdentifier, ExpressionInfo,
         FunctionRegistry.FunctionBuilder))
     ext.injectFunction((

@@ -123,6 +123,7 @@ final class SqlProcessor(
   // native Catalyst expressions available to every ETL's SQL (the
   // cluster path registers them via GraftExtensions instead)
   graft.functions.MinHashMd5.register(backend.spark)
+  graft.functions.MinHashBands.register(backend.spark)
   graft.functions.ArrayDotLong.register(backend.spark)
   graft.functions.QuantizeLong.register(backend.spark)
   graft.functions.NgramShingles.register(backend.spark)

@@ -39,43 +39,9 @@ case class MinHashMd5(child: Expression, k: Int)
   @transient private lazy val salts: Array[Array[Byte]] =
     (0 until k).map(j => s"$j|".getBytes("UTF-8")).toArray
 
-  /** Unsigned lexicographic compare of equal-length digests; matches
-    * String ordering of their lowercase-hex encodings.
-    */
-  private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < a.length) {
-      val x = a(i) & 0xff
-      val y = b(i) & 0xff
-      if (x != y) return x < y
-      i += 1
-    }
-    false
-  }
-
   override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val mins = new Array[Array[Byte]](k)
-    // one digest instance per executor thread, not per row — getInstance
-    // does a provider lookup that would otherwise run n_rows times
-    val md = MinHashMd5.mdLocal.get()
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val sBytes = arr.getUTF8String(i).getBytes
-        var j = 0
-        while (j < k) {
-          md.reset()
-          md.update(salts(j))
-          md.update(sBytes)
-          val digest = md.digest()
-          if (mins(j) == null || lessThan(digest, mins(j))) mins(j) = digest
-          j += 1
-        }
-      }
-      i += 1
-    }
+    val mins = MinHashMd5.minDigests(
+      input.asInstanceOf[ArrayData], k, salts)
     new GenericArrayData(mins.map(m =>
       if (m == null) null
       else UTF8String.fromString(MinHashMd5.toHex(m))))
@@ -113,6 +79,62 @@ object MinHashMd5 {
       i += 1
     }
     new String(out)
+  }
+
+  /** Lowercase-hex as ASCII bytes (== UTF-8 bytes of [[toHex]]). */
+  private[functions] def toHexBytes(bytes: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = hexChars(b >>> 4).toByte
+      out(i * 2 + 1) = hexChars(b & 0x0f).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Unsigned lexicographic compare of equal-length digests; matches
+    * String ordering of their lowercase-hex encodings. */
+  private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** The shared MinHash hot loop: per salt j, the minimum md5 digest of
+    * `<j>|<element>` over the array (null elements skipped; null slot if
+    * the array is empty). Raw 16-byte digests — unsigned lexicographic
+    * order == hex-string order, so no hex allocation in the n×k loop. */
+  private[functions] def minDigests(arr: ArrayData, k: Int,
+      salts: Array[Array[Byte]]): Array[Array[Byte]] = {
+    val n = arr.numElements()
+    val mins = new Array[Array[Byte]](k)
+    // one digest instance per executor thread, not per row — getInstance
+    // does a provider lookup that would otherwise run n_rows times
+    val md = mdLocal.get()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val sBytes = arr.getUTF8String(i).getBytes
+        var j = 0
+        while (j < k) {
+          md.reset()
+          md.update(salts(j))
+          md.update(sBytes)
+          val digest = md.digest()
+          if (mins(j) == null || lessThan(digest, mins(j))) mins(j) = digest
+          j += 1
+        }
+      }
+      i += 1
+    }
+    mins
   }
 
   /** Column API. */

@@ -31,6 +31,16 @@ object DedupOps {
   val K = 8 // minhash signature length
   val BANDS = 4 // K/BANDS = 2 rows per band
 
+  /** doc_id, toks, plus `shingles` — the shared tokenize/shingle prep.
+    * The transform/slice/concat_ws composition would be interpreted
+    * lambda evaluation; NgramShingles is the same values
+    * (NgramShinglesSpec proves it elementwise) inside codegen. */
+  private[graft] def withShingles(df: DataFrame, gram: Int): DataFrame =
+    df.withColumn("toks", split(lower(trim(col("text"))), " "))
+      .withColumn("shingles",
+        if (gram == 1) col("toks")
+        else graft.functions.NgramShingles.ngram_shingles(col("toks"), gram))
+
   /** doc_id, toks(array), plus sig_0..sig_{k-1} salted-minhash columns
     * over `gram`-gram shingles. All k signatures come from ONE pass over
     * the shingle array via the native MinHashMd5 Catalyst expression
@@ -38,14 +48,7 @@ object DedupOps {
     * which is exactly what the DuckDB oracle computes). */
   private[graft] def withSigs(df: DataFrame, gram: Int,
       k: Int = K): DataFrame = {
-    val base = df
-      .withColumn("toks", split(lower(trim(col("text"))), " "))
-      // native shingler: the transform/slice/concat_ws composition is
-      // interpreted lambda evaluation; NgramShingles is the same values
-      // (NgramShinglesSpec proves it elementwise) inside codegen
-      .withColumn("shingles",
-        if (gram == 1) col("toks")
-        else graft.functions.NgramShingles.ngram_shingles(col("toks"), gram))
+    val base = withShingles(df, gram)
       .withColumn("mh",
         graft.functions.MinHashMd5.minhash_md5(col("shingles"), k))
     (0 until k).foldLeft(base) { (acc, j) =>
@@ -78,22 +81,19 @@ object DedupOps {
   def minhashPairs(s: SparkSession, d: String, gram: Int = 2,
       k: Int = K, bands: Int = BANDS): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
-    val rows = k / bands
-    val sigs = withSigs(documents(s, d), gram, k)
-      .select(col("doc_id") +: col("shingles") +:
-              (0 until k).map(j => col(s"sig_$j")): _*)
+    val base = withShingles(documents(s, d), gram)
     // persist the band index before self-joining: it is the tiny
     // derived table of the pipeline (`bands` narrow rows per doc), and
     // without it BOTH join sides recompute the full MinHash pass —
     // at 100 TB persisting/checkpointing the band index is exactly
-    // what you'd do (it is ~0.1% of corpus bytes)
-    val bandIdx = sigs.select(
+    // what you'd do (it is ~0.1% of corpus bytes).
+    // shingles → (band_id, band_hash) is ONE codegen'd expression
+    // (MinHashBands): no per-signature getItem projections, no
+    // md5(concat(...)) trees — the signatures never materialize.
+    val bandIdx = base.select(
       col("doc_id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band_id"),
-               md5(concat((0 until rows).map(r =>
-                 col(s"sig_${rows * b + r}")): _*)).as("band_hash"))
-      ): _*)).as("band"))
+      explode(graft.functions.MinHashBands
+        .minhash_bands(col("shingles"), k, bands)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = bandIdx.as("a")
@@ -101,7 +101,7 @@ object DedupOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
-    val sets = sigs.select(col("doc_id"),
+    val sets = base.select(col("doc_id"),
       array_distinct(col("shingles")).as("sh"))
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),

@@ -90,6 +90,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("lambdafunction"), p)
   }
 
+  test("LSH band path is one native expression — no interpreted projection") {
+    val p = plan("dedup_minhash_pairs")
+    // shingles → (band_id, band_hash) must be the single codegen'd
+    // MinHashBands call: no per-signature getItem projections, no
+    // md5(concat(...)) trees, no higher-order-function lambdas
+    assert(p.contains("minhash_bands"), p)
+    assert(!p.contains("minhash_md5"), p)
+    assert(!p.contains("lambdafunction"), p)
+    assert(!p.contains("md5(concat"), p)
+  }
+
   test("salted aggregation is two map-side-combined stages") {
     val p = plan("agg_salted_two_stage")
     val exchanges = p.linesIterator.count(
