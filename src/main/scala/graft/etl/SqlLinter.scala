@@ -101,6 +101,21 @@ final class SqlLinter(
       }
       tmplRe.findAllMatchIn(masked).foreach(m =>
         referenced += m.group(1).toLowerCase)
+      // func-style targets (check.f(a,b), func.f(a,b)) and if=
+      // conditions consume views through their ARGUMENTS, not a SQL
+      // body — scan those too, or a view read only by a func step is
+      // falsely reported unused
+      (config.name.filter(_ => isFuncStyle) ++ config.condition)
+        .map(_.toLowerCase).foreach { call =>
+          viewDefs.keys.foreach { v =>
+            if (call.matches(s"(?s).*\\b${Regex.quote(v)}\\b.*"))
+              referenced += v
+          }
+        }
+      // snapshot BEFORE this step registers its own target: references
+      // found in the expanded text below must not let a step mark its
+      // own definition as used
+      val priorViews = viewDefs.keySet.toSet
 
       config.stepType match {
         case StepType.Template =>
@@ -132,6 +147,13 @@ final class SqlLinter(
 
       expanded.foreach { text =>
         val maskedText = new CommentSubstitutor().substitute(text)
+        // re-scan the EXPANDED text: a view consumed only inside a
+        // template body is a real reference the raw-body scan can't see
+        val expandedLower = maskedText.toLowerCase
+        priorViews.foreach { v =>
+          if (expandedLower.matches(s"(?s).*\\b${Regex.quote(v)}\\b.*"))
+            referenced += v
+        }
         // variable references: `${f(...)}` is a func call (runtime),
         // `${v:default}` carries its fallback — both fine statically
         varRe.findAllMatchIn(maskedText).foreach { m =>

@@ -68,6 +68,14 @@ object DataProfiler {
       includeCorrelations: Boolean, topK: Int = 10, bins: Int = 10)
       : String = {
     val cached = df.persist()
+    // finally-scoped: the empty-input early return and any failure in
+    // the agg/histogram passes must not leak the cached DataFrame
+    try profileJsonCached(cached, title, includeCorrelations, topK, bins)
+    finally cached.unpersist()
+  }
+
+  private def profileJsonCached(cached: DataFrame, title: String,
+      includeCorrelations: Boolean, topK: Int, bins: Int): String = {
     val total = cached.count()
     if (total == 0) return s"""{"title": ${jstr(title)}, "rows": 0, "columns": {}}"""
     val fields = cached.schema.fields.toSeq
@@ -167,7 +175,6 @@ object DataProfiler {
           }.mkString("{", ", ", "}")
         }
       }
-    cached.unpersist()
     s"""{"title": ${jstr(title)}, "rows": $total, """ +
       s""""columns": $colJson, "correlations": $corrJson}"""
   }

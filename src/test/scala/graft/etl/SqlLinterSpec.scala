@@ -24,6 +24,49 @@ select * from big
     assert(vs.isEmpty, vs.mkString("; "))
   }
 
+  test("view referenced only inside a template body is not unused") {
+    // the template is defined BEFORE `big` exists, so neither its own
+    // body scan nor the output step's raw body (`@{reader}` only)
+    // mentions a known view — only the output step's EXPANDED text
+    // reads `big` (regression: the linter used to scan raw bodies only)
+    val vs = lint("""-- backend: spark
+-- target=template.reader
+select id from big where id > 0
+-- target=temp.big
+select 1 as id
+-- target=output.db.out
+select * from (@{reader}) t
+""")
+    assert(!vs.exists(_.rule == "unused-target"), vs.mkString("; "))
+  }
+
+  test("view consumed only by func-style step args is not unused") {
+    val vs = lint("""-- backend: spark
+-- target=temp.probe_t
+select 1 as id
+-- target=check.ensure_no_null_cols_in_table(probe_t)
+-- target=output.db.out, if=table_has_rows(probe_t)
+select 1 as id
+""")
+    assert(!vs.exists(_.rule == "unused-target"), vs.mkString("; "))
+  }
+
+  test("a template DEFINITION alone does not mark its views as used") {
+    // the template text mentions `lonely`, but no later step ever
+    // instantiates it — `lonely` must still be reported unused (a
+    // reference only counts when it appears in a step's expanded body)
+    val vs = lint("""-- backend: spark
+-- target=template.selfref
+select * from lonely
+-- target=temp.lonely
+select 1 as id
+-- target=output.db.out
+select 1 as id
+""")
+    assert(vs.exists(v => v.rule == "unused-target" &&
+      v.message.contains("lonely")), vs.mkString("; "))
+  }
+
   test("syntax errors are caught by Catalyst's parser") {
     // note: Spark's grammar treats from/where/group as non-reserved, so
     // the broken SQL here is structurally broken (unbalanced call)
