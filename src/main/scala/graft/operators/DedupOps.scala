@@ -73,6 +73,35 @@ object DedupOps {
            FROM sh)"""
   }
 
+  /** CTE chain `sigs → bands → pairs → scored` — the oracle analog of
+    * [[minhashPairs]] with gate-default k/bands, ending in
+    * `scored(doc_a, doc_b, jaccard)`. Shared by the pairs and clusters
+    * oracles. */
+  private def lshScoredCte(gram: Int): String = {
+    val bandRows = (0 until K / 2).map(b =>
+      s"SELECT doc_id, $b AS band_id, " +
+      s"md5(sig_${2 * b} || sig_${2 * b + 1}) AS band_hash FROM sigs"
+    ).mkString("\n           UNION ALL ")
+    s"""${sigsOracleCte(gram)},
+       bands AS ($bandRows),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         WHERE a.doc_id < b.doc_id),
+       tk AS (SELECT doc_id, list_distinct(shingles) AS dt FROM sh),
+       scored AS (
+         SELECT doc_a, doc_b,
+           cast(len(list_filter(ta.dt, x -> list_contains(tb.dt, x)))
+                as double) /
+           (len(ta.dt) + len(tb.dt) -
+            len(list_filter(ta.dt, x -> list_contains(tb.dt, x))))
+             AS jaccard
+         FROM pairs
+         JOIN tk ta ON ta.doc_id = doc_a
+         JOIN tk tb ON tb.doc_id = doc_b)"""
+  }
+
   /** Full MinHash-LSH near-dup pipeline: `k` signatures split into
     * `bands` bands of k/bands rows; docs agreeing on any whole band are
     * candidates; candidates verified with true Jaccard on shingle sets.
@@ -116,6 +145,72 @@ object DedupOps {
               (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 
+  /** Connected components over the verified LSH near-dup pairs — the
+    * dedup endgame: one canonical doc per near-dup CLUSTER (pairs chain:
+    * A~B, B~C ⇒ {A,B,C} dedupe together even when A~C missed the bands).
+    *
+    * Distributed iterative min-label propagation: every doc starts
+    * labeled with its own id; each sweep takes the min label over
+    * neighbors; converges in O(max cluster diameter) sweeps — near-dup
+    * clusters are shallow (pairs share most shingles), so 3–5 sweeps in
+    * practice, bounded by `maxIters`. Each sweep is one shuffle join +
+    * partial-agg min — no per-node driver state; the only driver action
+    * is a LIMIT-1 convergence probe per sweep (same bounded pattern as
+    * the k-means loop). At 100 TB you would localCheckpoint the label
+    * frame every few sweeps to truncate lineage; the sweep count does
+    * not change.
+    */
+  def minhashClusters(s: SparkSession, d: String, gram: Int = 2,
+      k: Int = K, bands: Int = BANDS, minJaccard: Double = 0.5,
+      maxIters: Int = 20): DataFrame = {
+    val pairs = minhashPairs(s, d, gram, k, bands)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    // undirected: labels must flow both ways
+    val edges = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // propagate only over docs that HAVE an edge: in a web-scale corpus
+    // near-dup components cover a small fraction of docs, so the sweep
+    // joins run on |edge endpoints|, not |corpus|; singletons rejoin
+    // with self-labels at the end (one anti-join, no iteration cost)
+    // persisted: the final singleton anti-join runs AFTER edges is
+    // unpersisted, and must not recompute the pairs pipeline
+    val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"),
+          col("cluster_id").as("nbr_label")), Seq("doc_b"))
+        .groupBy("doc_a").agg(min("nbr_label").as("nbr_min"))
+        .withColumnRenamed("doc_a", "doc_id")
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+            coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old"))
+        .limit(1).count() // bounded convergence probe, not a data read
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    val singletons = documents(s, d).select(col("doc_id"))
+      .join(nodes, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    labels.union(singletons)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by content hash, keep min doc_id.
     "dedup_exact" -> ((s, d) =>
@@ -132,6 +227,11 @@ object DedupOps {
     // Full LSH pipeline on 2-gram shingles: band -> bucket-join ->
     // candidate pairs -> true-Jaccard verification on shingle sets.
     "dedup_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
+
+    // Near-dup CLUSTERS: connected components (min-label propagation)
+    // over the jaccard-verified pairs; every doc labeled with the min
+    // doc_id of its cluster (own id when it has no near-dups).
+    "dedup_minhash_clusters" -> ((s, d) => minhashClusters(s, d)),
 
     // Exact n-gram Jaccard (the non-approximate baseline to MinHash):
     // top-5 most-similar docs for each query doc (doc_id < 20) by 2-gram
@@ -195,29 +295,25 @@ object DedupOps {
       val cols = (0 until K).map(j => s"sig_$j").mkString(", ")
       s"WITH ${sigsOracleCte(5)} SELECT doc_id, $cols FROM sigs"
     },
-    "dedup_minhash_pairs" -> {
-      val bandRows = (0 until K / 2).map(b =>
-        s"SELECT doc_id, $b AS band_id, " +
-        s"md5(sig_${2 * b} || sig_${2 * b + 1}) AS band_hash FROM sigs"
-      ).mkString("\n           UNION ALL ")
-      s"""WITH ${sigsOracleCte(2)},
-         bands AS ($bandRows),
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bands a JOIN bands b
-             ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-           WHERE a.doc_id < b.doc_id),
-         tk AS (SELECT doc_id, list_distinct(shingles) AS dt FROM sh)
-         SELECT doc_a, doc_b,
-           cast(len(list_filter(ta.dt, x -> list_contains(tb.dt, x)))
-                as double) /
-           (len(ta.dt) + len(tb.dt) -
-            len(list_filter(ta.dt, x -> list_contains(tb.dt, x))))
-             AS jaccard
-         FROM pairs
-         JOIN tk ta ON ta.doc_id = doc_a
-         JOIN tk tb ON tb.doc_id = doc_b"""
-    },
+    "dedup_minhash_pairs" ->
+      s"""WITH ${lshScoredCte(2)}
+         SELECT doc_a, doc_b, jaccard FROM scored""",
+
+    // connected components via transitive label reachability: a node's
+    // cluster id is the min doc_id among all nodes that can reach it
+    // through jaccard-verified edges (fixpoint of the recursive CTE)
+    "dedup_minhash_clusters" ->
+      s"""WITH RECURSIVE ${lshScoredCte(2)},
+         good AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+         edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM good
+           UNION ALL SELECT doc_b AS a, doc_a AS b FROM good),
+         reach(node, label) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node)
+         SELECT node AS doc_id, min(label) AS cluster_id
+         FROM reach GROUP BY node""",
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
                     FROM documents),

@@ -222,6 +222,17 @@ object EventOps {
             .sessionCounts(_, "ts", "1 hour", "30 minutes"))
         .filter(col("sess_start") < ReplayStage.sentinelBoundSec)),
 
+    // Stream-stream inner interval join under the REAL runtime: clicks
+    // joined to same-user purchases within 6 hours, both sides
+    // watermarked, replayed through the shared staged source. Inner
+    // join output is emitted as matches arrive (the watermark bounds
+    // STATE, not emission), so the sentinel just flows past the type
+    // filters; oracle is the equivalent batch interval join.
+    "streaming_replay_join" -> ((s, d) =>
+      replayGate(s, d, "join",
+        graft.streaming.StreamingOps
+          .intervalJoin(_, "ts", "1 hour", "click", "purchase", "6 hours"))),
+
     // Per-user, per-event-type daily rollup — the shape of a streaming
     // foreachBatch upsert target.
     "event_type_daily" -> ((s, d) =>
@@ -301,6 +312,18 @@ object EventOps {
          SELECT cast(floor(min(us) / 1000000) as bigint) AS sess_start,
            user_id, count(*) AS cnt
          FROM sess GROUP BY user_id, sid""",
+    // integer-micros band compare: Spark joins on µs-truncated
+    // timestamps (ts div 1000 from nanos), so the oracle must too — a
+    // native-ns interval compare could diverge at the band boundary
+    "streaming_replay_join" ->
+      """SELECT a.event_id AS left_id, b.event_id AS right_id,
+         a.user_id,
+         epoch_us(a.ts) AS left_us, epoch_us(b.ts) AS right_us
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND epoch_us(b.ts) >= epoch_us(a.ts)
+          AND epoch_us(b.ts) <= epoch_us(a.ts) + 21600000000
+         WHERE a.event_type = 'click' AND b.event_type = 'purchase'""",
     "event_type_daily" ->
       """SELECT cast(ts as date) AS day, event_type, count(*) AS cnt,
          count(DISTINCT user_id) AS n_users,

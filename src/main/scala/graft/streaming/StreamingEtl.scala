@@ -168,6 +168,35 @@ object StreamingOps {
       .select(col("session_window.start").cast("long").as("sess_start"),
               col("user_id"), col("cnt"))
 
+  /** Stream-stream inner interval join: `leftType` events matched with
+    * `rightType` events of the same user within `[ts, ts + within]`.
+    * Both sides carry watermarks and the join condition carries the
+    * time bound, so Spark derives a state watermark and evicts join
+    * state past `watermark + within` — state is bounded by the join
+    * horizon, not the stream length, which is what keeps a
+    * click-to-conversion join alive at production event rates. Output
+    * timestamps are epoch micros (no raw timestamps in gate outputs).
+    */
+  def intervalJoin(events: DataFrame, tsCol: String, watermark: String,
+      leftType: String, rightType: String, within: String): DataFrame = {
+    val left = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("left_id"),
+        col("user_id").as("left_user"), col(tsCol).as("left_ts"))
+      .withWatermark("left_ts", watermark)
+    val right = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("right_id"),
+        col("user_id").as("right_user"), col(tsCol).as("right_ts"))
+      .withWatermark("right_ts", watermark)
+    left.join(right,
+        col("left_user") === col("right_user") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") <= col("left_ts") + expr(s"INTERVAL $within"))
+      .select(col("left_id"), col("right_id"),
+        col("left_user").as("user_id"),
+        unix_micros(col("left_ts")).as("left_us"),
+        unix_micros(col("right_ts")).as("right_us"))
+  }
+
   /** Streaming exact dedup: first event per key wins, duplicate state
     * aged out by the watermark (dropDuplicatesWithinWatermark) — the
     * streaming twin of the batch `dedup_exact` operator. At scale the
