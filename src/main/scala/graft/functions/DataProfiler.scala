@@ -63,21 +63,38 @@ object DataProfiler {
     s
   }
 
+  /** Intermediate profile model — JSON and HTML render from the same
+    * single computation. */
+  final case class ColProfile(name: String, typ: String, isNum: Boolean,
+      count: Long, nulls: Long, distinct: Long,
+      min: Option[String], max: Option[String],
+      mean: Option[Double], std: Option[Double],
+      hist: Seq[(String, Long)])
+  final case class Profile(title: String, rows: Long,
+      cols: Seq[ColProfile],
+      corr: Option[Seq[(String, String, Option[Double])]])
+
   /** Profile `df` (already sampled) into a JSON string. */
   def profileJson(df: DataFrame, title: String,
       includeCorrelations: Boolean, topK: Int = 10, bins: Int = 10)
-      : String = {
+      : String =
+    renderJson(profile(df, title, includeCorrelations, topK, bins))
+
+  /** Compute the profile model (one pass structure, see scaladoc). */
+  def profile(df: DataFrame, title: String,
+      includeCorrelations: Boolean, topK: Int = 10, bins: Int = 10)
+      : Profile = {
     val cached = df.persist()
     // finally-scoped: the empty-input early return and any failure in
     // the agg/histogram passes must not leak the cached DataFrame
-    try profileJsonCached(cached, title, includeCorrelations, topK, bins)
+    try computeProfile(cached, title, includeCorrelations, topK, bins)
     finally cached.unpersist()
   }
 
-  private def profileJsonCached(cached: DataFrame, title: String,
-      includeCorrelations: Boolean, topK: Int, bins: Int): String = {
+  private def computeProfile(cached: DataFrame, title: String,
+      includeCorrelations: Boolean, topK: Int, bins: Int): Profile = {
     val total = cached.count()
-    if (total == 0) return s"""{"title": ${jstr(title)}, "rows": 0, "columns": {}}"""
+    if (total == 0) return Profile(title, 0, Nil, None)
     val fields = cached.schema.fields.toSeq
 
     // pass 1: every column's base stats in ONE aggregation
@@ -129,65 +146,175 @@ object DataProfiler {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .groupBy(_._1)
 
-    val colJson = fields.map { f =>
+    val cols = fields.map { f =>
       val cnt = base.getAs[Long](s"${f.name}__cnt")
-      val parts = scala.collection.mutable.ArrayBuffer[String](
-        s""""type": ${jstr(f.dataType.simpleString)}""",
-        s""""count": $cnt""",
-        s""""nulls": ${total - cnt}""",
-        s""""approx_distinct": ${base.getAs[Long](s"${f.name}__dist")}""",
-        s""""min": ${Option(base.getAs[String](s"${f.name}__min"))
-          .map(jstr).getOrElse("null")}""",
-        s""""max": ${Option(base.getAs[String](s"${f.name}__max"))
-          .map(jstr).getOrElse("null")}""")
-      if (isNumeric(f.dataType)) {
-        parts += s""""mean": ${d(s"${f.name}__mean").map(jnum).getOrElse("null")}"""
-        parts += s""""std": ${d(s"${f.name}__std").map(jnum).getOrElse("null")}"""
-      }
-      val hist = histRows.getOrElse(f.name, Array.empty)
-        .sortBy(h => (-h._3, h._2))
-        .map(h => s"[${jstr(h._2)}, ${h._3}]").mkString("[", ", ", "]")
-      parts +=
-        (if (isNumeric(f.dataType)) s""""histogram": $hist"""
-         else s""""top_values": $hist""")
-      s"${jstr(f.name)}: {${parts.mkString(", ")}}"
-    }.mkString("{", ", ", "}")
+      ColProfile(
+        name = f.name,
+        typ = f.dataType.simpleString,
+        isNum = isNumeric(f.dataType),
+        count = cnt,
+        nulls = total - cnt,
+        distinct = base.getAs[Long](s"${f.name}__dist"),
+        min = Option(base.getAs[String](s"${f.name}__min")),
+        max = Option(base.getAs[String](s"${f.name}__max")),
+        mean = if (isNumeric(f.dataType)) d(s"${f.name}__mean") else None,
+        std = if (isNumeric(f.dataType)) d(s"${f.name}__std") else None,
+        hist = histRows.getOrElse(f.name, Array.empty)
+          .sortBy(h => (-h._3, h._2)).map(h => (h._2, h._3)).toSeq)
+    }
 
-    val corrJson =
-      if (!includeCorrelations) "null"
+    val corrPairs =
+      if (!includeCorrelations) None
       else {
         // cap the pair count so the agg stays one bounded pass
         val nums = fields.filter(f => isNumeric(f.dataType)).take(8)
         val pairs = for {
           (a, i) <- nums.zipWithIndex; b <- nums.drop(i + 1)
         } yield (a.name, b.name)
-        if (pairs.isEmpty) "{}"
+        if (pairs.isEmpty) Some(Nil)
         else {
           val corrAggs = pairs.map { case (a, b) =>
             corr(col(a).cast("double"), col(b).cast("double"))
               .as(s"${a}__${b}")
           }
           val r = cached.agg(corrAggs.head, corrAggs.tail: _*).collect()(0)
-          pairs.map { case (a, b) =>
-            val v = Option(r.getAs[Any](s"${a}__${b}"))
-              .map(x => jnum(x.asInstanceOf[Double])).getOrElse("null")
-            s"${jstr(s"$a,$b")}: $v"
-          }.mkString("{", ", ", "}")
+          Some(pairs.map { case (a, b) =>
+            (a, b, Option(r.getAs[Any](s"${a}__${b}"))
+              .map(_.asInstanceOf[Double]))
+          })
         }
       }
-    s"""{"title": ${jstr(title)}, "rows": $total, """ +
+    Profile(title, total, cols, corrPairs)
+  }
+
+  /** JSON rendering — format unchanged from the pre-model version. */
+  private def renderJson(p: Profile): String = {
+    if (p.rows == 0 && p.cols.isEmpty)
+      return s"""{"title": ${jstr(p.title)}, "rows": 0, "columns": {}}"""
+    val colJson = p.cols.map { c =>
+      val parts = scala.collection.mutable.ArrayBuffer[String](
+        s""""type": ${jstr(c.typ)}""",
+        s""""count": ${c.count}""",
+        s""""nulls": ${c.nulls}""",
+        s""""approx_distinct": ${c.distinct}""",
+        s""""min": ${c.min.map(jstr).getOrElse("null")}""",
+        s""""max": ${c.max.map(jstr).getOrElse("null")}""")
+      if (c.isNum) {
+        parts += s""""mean": ${c.mean.map(jnum).getOrElse("null")}"""
+        parts += s""""std": ${c.std.map(jnum).getOrElse("null")}"""
+      }
+      val hist = c.hist
+        .map(h => s"[${jstr(h._1)}, ${h._2}]").mkString("[", ", ", "]")
+      parts +=
+        (if (c.isNum) s""""histogram": $hist"""
+         else s""""top_values": $hist""")
+      s"${jstr(c.name)}: {${parts.mkString(", ")}}"
+    }.mkString("{", ", ", "}")
+    val corrJson = p.corr match {
+      case None => "null"
+      case Some(Nil) => "{}"
+      case Some(pairs) => pairs.map { case (a, b, v) =>
+        s"${jstr(s"$a,$b")}: ${v.map(jnum).getOrElse("null")}"
+      }.mkString("{", ", ", "}")
+    }
+    s"""{"title": ${jstr(p.title)}, "rows": ${p.rows}, """ +
       s""""columns": $colJson, "correlations": $corrJson}"""
   }
 
-  /** Minimal static HTML wrapper around the same profile. */
+  /** Legacy wrapper: embeds a pre-rendered JSON string verbatim. Prefer
+    * [[renderHtml]] over a [[Profile]] for the full report. */
   def profileHtml(json: String, title: String): String =
     s"""<!DOCTYPE html><html><head><meta charset="utf-8">
        |<title>$title</title></head><body>
        |<h1>$title</h1>
-       |<pre id="profile">${json.replace("&", "&amp;")
-          .replace("<", "&lt;").replace(">", "&gt;")}</pre>
+       |<pre id="profile">${esc(json)}</pre>
        |</body></html>
        |""".stripMargin
+
+  private def esc(s: String): String = s.replace("&", "&amp;")
+    .replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
+
+  /** Static self-contained HTML report — the analog of the reference's
+    * ydata-profiling output (funcs_common.py:340-453): overview, one
+    * card per column with its stats and a histogram / top-values bar
+    * chart, and the correlation table. No scripts, no external assets —
+    * it renders anywhere the reference's report does. */
+  def renderHtml(p: Profile): String = {
+    def fmtD(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4g", Double.box(v))
+    def pct(n: Long): String = if (p.rows == 0) "0%"
+      else String.format(java.util.Locale.ROOT, "%.1f%%",
+        Double.box(n * 100.0 / p.rows))
+    val cards = p.cols.map { c =>
+      val rows = scala.collection.mutable.ArrayBuffer[(String, String)](
+        "type" -> c.typ,
+        "count" -> c.count.toString,
+        "nulls" -> s"${c.nulls} (${pct(c.nulls)})",
+        "distinct (approx)" -> c.distinct.toString,
+        "min" -> c.min.getOrElse("–"),
+        "max" -> c.max.getOrElse("–"))
+      c.mean.foreach(m => rows += ("mean" -> fmtD(m)))
+      c.std.foreach(s0 => rows += ("std" -> fmtD(s0)))
+      val statRows = rows.map { case (k, v) =>
+        s"<tr><th>${esc(k)}</th><td>${esc(v)}</td></tr>"
+      }.mkString
+      val maxCount = c.hist.map(_._2).maxOption.getOrElse(1L).max(1L)
+      val histTitle = if (c.isNum) "histogram (bin → count)"
+                      else "top values"
+      val bars = c.hist.map { case (key, n) =>
+        val w = math.max(1, (n * 100.0 / maxCount).round.toInt)
+        s"""<tr><td class="k">${esc(key)}</td>""" +
+        s"""<td class="bar"><div style="width:$w%"></div></td>""" +
+        s"""<td class="n">$n</td></tr>"""
+      }.mkString
+      s"""<section class="col">
+         |<h2>${esc(c.name)}</h2>
+         |<div class="body">
+         |<table class="stats">$statRows</table>
+         |<div class="hist"><h3>${esc(histTitle)}</h3>
+         |<table class="bars">$bars</table></div>
+         |</div>
+         |</section>""".stripMargin
+    }.mkString("\n")
+    val corrSection = p.corr match {
+      case None | Some(Nil) => ""
+      case Some(pairs) =>
+        val rows = pairs.map { case (a, b, v) =>
+          s"<tr><td>${esc(a)}</td><td>${esc(b)}</td>" +
+          s"<td>${v.map(fmtD).getOrElse("–")}</td></tr>"
+        }.mkString
+        s"""<section class="col"><h2>correlations (Pearson)</h2>
+           |<table class="stats">
+           |<tr><th>a</th><th>b</th><th>r</th></tr>$rows</table>
+           |</section>""".stripMargin
+    }
+    s"""<!DOCTYPE html><html><head><meta charset="utf-8">
+       |<title>${esc(p.title)}</title>
+       |<style>
+       |body{font:14px/1.45 system-ui,sans-serif;margin:2rem;color:#222}
+       |h1{font-size:1.4rem} h2{font-size:1.05rem;margin:.2rem 0}
+       |h3{font-size:.85rem;color:#666;margin:.2rem 0}
+       |.overview{color:#555;margin-bottom:1.2rem}
+       |section.col{border:1px solid #ddd;border-radius:6px;
+       |  padding:.8rem 1rem;margin:.8rem 0}
+       |.body{display:flex;gap:2rem;flex-wrap:wrap}
+       |table.stats th{text-align:left;color:#666;font-weight:500;
+       |  padding-right:1rem} table.stats td{font-variant-numeric:tabular-nums}
+       |table.bars td.k{max-width:18rem;overflow:hidden;white-space:nowrap;
+       |  text-overflow:ellipsis;padding-right:.6rem;color:#444}
+       |table.bars td.bar{width:12rem}
+       |table.bars td.bar div{background:#4a7fb5;height:.75rem;
+       |  border-radius:2px}
+       |table.bars td.n{padding-left:.6rem;color:#666;
+       |  font-variant-numeric:tabular-nums}
+       |</style></head><body>
+       |<h1>${esc(p.title)}</h1>
+       |<p class="overview">${p.rows} rows · ${p.cols.size} columns</p>
+       |$cards
+       |$corrSection
+       |</body></html>
+       |""".stripMargin
+  }
 
   /** Full reference protocol: sample, profile, write
     * `{outputFolder}/{db}/{table}.{html,json}`
@@ -201,8 +328,10 @@ object DataProfiler {
           s"Found unknown type $t, all supported are: html/json")
     }
     val s = sampled(df, maxCount)
-    val json = profileJson(s, s"Profiling Report for $table",
+    // ONE profile computation feeds both output formats
+    val prof = profile(s, s"Profiling Report for $table",
       includeCorrelations)
+    val json = renderJson(prof)
     val rel = table.split("\\.") match {
       case Array(db, t) => s"$db/$t"
       case _ => table
@@ -216,8 +345,7 @@ object DataProfiler {
         p.toString
       case "html" =>
         val p = base.resolveSibling(base.getFileName.toString + ".html")
-        java.nio.file.Files.writeString(p,
-          profileHtml(json, s"Profiling Report for $table"))
+        java.nio.file.Files.writeString(p, renderHtml(prof))
         p.toString
     }
   }

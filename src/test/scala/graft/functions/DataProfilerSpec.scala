@@ -57,9 +57,32 @@ class DataProfilerSpec extends AnyFunSuite {
       java.nio.file.Paths.get(out, "db1", "t1.json"))
     assert(json.contains(""""rows": 2"""))
     assert(json.contains(""""correlations": null"""))
+    // the HTML is a rendered report (per-column cards + bar charts),
+    // not a JSON dump — the analog of the reference's ydata HTML
+    val html = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "db1", "t1.html"))
+    assert(html.contains("<h2>id</h2>") && html.contains("<h2>v</h2>"))
+    assert(html.contains("2 rows · 2 columns"))
+    assert(html.contains("""class="bar""""))
+    assert(html.contains("top values")) // string column chart
+    assert(!html.contains("<pre"))
     intercept[graft.core.SqlProcessorException] {
       DataProfiler.report(df, "t", out, 10, false, Seq("pdf"))
     }
+  }
+
+  test("html report escapes content and renders correlations") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0, "<b>&x"), (2L, 4.0, "y"))
+      .toDF("id", "sc", "t<ag")
+    val prof = DataProfiler.profile(df, "T <&> title",
+      includeCorrelations = true)
+    val html = DataProfiler.renderHtml(prof)
+    assert(html.contains("T &lt;&amp;&gt; title"))
+    assert(html.contains("&lt;b&gt;&amp;x"))
+    assert(!html.contains("<b>&x"))
+    assert(html.contains("correlations (Pearson)"))
+    assert(html.contains("<td>1.000</td>")) // id vs sc strictly linear
   }
 
   test("data_profiling_report func runs the full reference signature") {
