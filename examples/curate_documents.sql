@@ -39,24 +39,21 @@ select doc_id, text, n_tokens from (
     order by doc_id) as rn
   from quality) where rn = 1
 
--- Near-dup candidates via the native one-pass MinHash expression:
--- 2 bands of 2 salted-md5 signatures over 3-gram shingles.
--- target=temp.sigs
-select doc_id,
-  minhash_md5(
-    transform(sequence(1, greatest(size(split(lower(trim(text)), ' ')) - 2, 1)),
-      i -> concat_ws(' ', slice(split(lower(trim(text)), ' '), i, 3))),
-    4) as mh
+-- Near-dup candidates via the native one-pass LSH band expression:
+-- 3-gram shingles (ngram_shingles) -> 4 salted-md5 minhash signatures
+-- folded into 2 (band_id, band_hash) pairs (minhash_bands) — the
+-- signatures never materialize, and the whole derivation is one
+-- codegen'd call per doc.
+-- target=temp.bands
+select doc_id, b.band_id, b.band_hash
 from exact_kept
+lateral view explode(minhash_bands(
+  ngram_shingles(split(lower(trim(text)), ' '), 3), 4, 2)) t as b
 
 -- target=temp.near_dup_losers
-select distinct b.doc_id from (
-    select doc_id, band, md5(concat(mh[band * 2], mh[band * 2 + 1])) as bh
-    from sigs lateral view explode(array(0, 1)) t as band) a
-  join (
-    select doc_id, band, md5(concat(mh[band * 2], mh[band * 2 + 1])) as bh
-    from sigs lateral view explode(array(0, 1)) t as band) b
-  on a.band = b.band and a.bh = b.bh and a.doc_id < b.doc_id
+select distinct b.doc_id from bands a join bands b
+  on a.band_id = b.band_id and a.band_hash = b.band_hash
+ and a.doc_id < b.doc_id
 
 -- target=temp.curated
 select k.doc_id, k.text, k.n_tokens
