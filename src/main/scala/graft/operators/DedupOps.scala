@@ -195,10 +195,15 @@ object DedupOps {
           least(col("cluster_id"),
             coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // full count, deliberately: it materializes EVERY partition of
+      // `next` into its cache before the parent is unpersisted (a
+      // limit-probe would cache only the partitions it touched and the
+      // rest would recompute through unpersisted lineage); the count
+      // itself is a partial-agg over the small label frame
       val changed = next
         .join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
         .filter(col("cluster_id") =!= col("old"))
-        .limit(1).count() // bounded convergence probe, not a data read
+        .count()
       labels.unpersist()
       labels = next
       converged = changed == 0
