@@ -59,14 +59,18 @@ final class EsReportSink(baseUrl: String, indexPrefix: String = "",
       .format(now())
     val payload = s"""{"task_id": ${q(taskId)}, """ +
       s""""report": ${q(reportJson)}, "created_at": ${q(createdAt)}}"""
+    // bounded timeouts: report shipping runs in the ETL's finally —
+    // a hung monitoring endpoint must not hang the task forever
     val req = java.net.http.HttpRequest.newBuilder()
       .uri(java.net.URI.create(
         s"${baseUrl.stripSuffix("/")}/$indexName/_doc"))
       .header("Content-Type", "application/json")
+      .timeout(java.time.Duration.ofSeconds(30))
       .POST(java.net.http.HttpRequest.BodyPublishers
         .ofString(payload, java.nio.charset.StandardCharsets.UTF_8))
       .build()
-    val resp = java.net.http.HttpClient.newHttpClient()
+    val resp = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
       .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 != 2)
       throw new RuntimeException(

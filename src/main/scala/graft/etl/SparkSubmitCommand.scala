@@ -73,11 +73,14 @@ final class SparkSubmitCommand(
     // insertion-ordered: sys-default keys first, new keys appended in
     // the order the higher tiers introduce them
     val args = scala.collection.mutable.LinkedHashMap[String, String]()
-    sysDefaults.foreach { c =>
-      val Array(k, v) = c.split("=", 2); args(k) = v
+    def kv(c: String): (String, String) = c.split("=", 2) match {
+      case Array(k, v) => (k.trim, v.trim)
+      case _ => throw new IllegalArgumentException(
+        s"malformed conf `$c`: expected key=value")
     }
+    sysDefaults.foreach { c => val (k, v) = kv(c); args(k) = v }
     Seq(userDefaultConf, config.backendConf).foreach(_.foreach { c =>
-      val Array(k, v) = c.split("=", 2).map(_.trim)
+      val (k, v) = kv(c)
       if (FileKeys.contains(k)) {
         val merged = (files(args.getOrElse(k, "")) ++
           files(v).map(resolve)).distinct
