@@ -49,8 +49,7 @@ final class EsReportSink(baseUrl: String, indexPrefix: String = "",
     if (indexPrefix.nonEmpty) s"${indexPrefix}_task_report"
     else "task_report"
 
-  private def q(s: String): String = "\"" + s.replace("\\", "\\\\")
-    .replace("\"", "\\\"").replace("\n", "\\n") + "\""
+  private def q(s: String): String = Reporter.jsonQuote(s)
 
   def ship(taskId: String, reportJson: String): Unit = {
     val createdAt = java.time.format.DateTimeFormatter

@@ -50,8 +50,7 @@ final class Reporter {
   /** Machine-readable task report — the payload the reference ships to
     * HDFS/ES (report.py:65-80); callers pick the sink. */
   def reportAsJson(taskId: String): String = {
-    def q(s: String): String = "\"" + s.replace("\\", "\\\\")
-      .replace("\"", "\\\"").replace("\n", "\\n") + "\""
+    val q = Reporter.jsonQuote _
     val steps = reports.values.map { r =>
       s"""{"id": ${q(r.step.id)}, "status": ${q(r.status)}, """ +
       s""""start_time": ${r.startTime}, "end_time": ${r.endTime}, """ +
@@ -79,6 +78,22 @@ final class Reporter {
     println(s"=== sql processor report (total ${total}s) ===\n" +
       lines.mkString("\n"))
   }
+}
+
+object Reporter {
+  /** Full JSON string escaping — step messages can carry tabs, CRs and
+    * other control characters (e.g. from SQL text or exception
+    * messages), and a partially-escaped report is invalid JSON for the
+    * monitor that consumes it. */
+  private[etl] def jsonQuote(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }
 
 final class SqlCollector {
