@@ -30,6 +30,31 @@ object WriteOps {
   private val bucketedSetup =
     scala.collection.concurrent.TrieMap[String, Unit]()
 
+  /** Small-files compaction — the maintenance operator every large
+    * parquet lake needs: N fragmented files rewritten to
+    * ceil(totalBytes / targetFileBytes) right-sized files. File count
+    * comes from actual on-disk bytes (one FS listing, no data scan);
+    * the rewrite is one read → repartition → write, so it distributes
+    * like any other job and never collects data to the driver. At
+    * cluster scale this runs per partition directory with the same
+    * byte-targeting logic.
+    */
+  def compact(s: SparkSession, srcDir: String, outDir: String,
+      targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(path)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1,
+      math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    s.read.parquet(srcDir)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    nFiles
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Static partition: a fixed partition value is overwritten in place —
     // modeled as writing the filtered slice under its partition directory.
@@ -90,6 +115,23 @@ object WriteOps {
               col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_ord"), decSum("o_totalprice").as("total"))
+    }),
+
+    // Small-files compaction round trip: fragment orders into 64 tiny
+    // files, compact to byte-targeted right-sized files, aggregate the
+    // read-back so the oracle proves no row was lost or duplicated.
+    // CompactionSpec asserts the file-count contract separately.
+    "write_compacted" -> ((s, d) => {
+      val frag = scratch("compact_src")
+      val out = scratch("compact_out")
+      orders(s, d).repartition(64)
+        .write.mode(SaveMode.Overwrite).parquet(frag)
+      compact(s, frag, out, targetFileBytes = 4L * 1024 * 1024)
+      s.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+             countDistinct(col("o_orderkey")).as("n_keys"),
+             decSum("o_totalprice").as("total"))
     }),
 
     // SaveMode append semantics (reference base.py:143-145): overwrite one
@@ -156,6 +198,11 @@ object WriteOps {
          cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
+    "write_compacted" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+         count(DISTINCT o_orderkey) AS n_keys,
+         cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+         FROM orders GROUP BY o_orderstatus""",
     "save_append" ->
       """SELECT o_orderstatus, count(*) AS cnt,
          cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
