@@ -148,7 +148,30 @@ object TextOps {
           expr("array_min(transform(" +
                "sequence(1, greatest(size(toks) - 4, 1)), " +
                "i -> md5(concat_ws(' ', slice(toks, i, 5)))))")
-            .as("fp_min5")))
+            .as("fp_min5"))),
+
+    // Benchmark decontamination: flag training docs that share any
+    // 5-gram with the eval set (docs 0-9 stand in for a benchmark).
+    // Grams travel as 16-byte md5 digests, never text; the eval side is
+    // tiny by nature (benchmarks are thousands of docs, the corpus is
+    // billions) so it is BROADCAST — the corpus-side gram stream never
+    // shuffles for the probe itself, making the check one narrow pass
+    // over the corpus plus a map-side semi-join; only the per-doc
+    // evidence count aggregates.
+    "text_decontaminate" -> ((s, d) => {
+      def grams(df: DataFrame) = df
+        .withColumn("toks", split(lower(trim(col("text"))), " "))
+        .withColumn("g", explode(array_distinct(
+          graft.functions.NgramShingles.ngram_shingles(col("toks"), 5))))
+        .select(col("doc_id"), md5(col("g")).as("gh"))
+      val docs = Tables.documents(s, d)
+      val bench = grams(docs.filter(col("doc_id") < 10))
+        .select("gh").distinct()
+      grams(docs.filter(col("doc_id") >= 10))
+        .join(broadcast(bench), Seq("gh"), "left_semi")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gh")).as("n_shared_grams"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -252,6 +275,21 @@ object TextOps {
            cast(strlen(text) - strlen(redacted) as int) AS chars_removed,
            redacted != text AS was_redacted
          FROM r""",
+    "text_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+             string_split(lower(trim(text)), ' ') AS toks FROM documents),
+         sh AS (
+           SELECT doc_id, md5(g) AS gh FROM (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 4, 1) + 1),
+               i -> array_to_string(list_slice(toks, i, i + 4), ' '))))
+               AS g
+             FROM t)),
+         bench AS (SELECT DISTINCT gh FROM sh WHERE doc_id < 10)
+         SELECT s.doc_id, count(DISTINCT s.gh) AS n_shared_grams
+         FROM sh s JOIN bench b ON s.gh = b.gh
+         WHERE s.doc_id >= 10
+         GROUP BY s.doc_id""",
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, lower(trim(text)) AS ntext,
                     string_split(lower(trim(text)), ' ') AS toks
