@@ -101,6 +101,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("md5(concat"), p)
   }
 
+  test("decontamination probe broadcasts the eval side, native shingler") {
+    val p = plan("text_decontaminate")
+    // the corpus-side gram stream must NOT shuffle for the probe: the
+    // (tiny) benchmark gram set broadcasts into a semi join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(p.contains("ngram_shingles"), p)
+    assert(!p.contains("lambdafunction"), p)
+  }
+
   test("salted aggregation is two map-side-combined stages") {
     val p = plan("agg_salted_two_stage")
     val exchanges = p.linesIterator.count(
