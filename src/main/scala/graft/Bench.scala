@@ -94,7 +94,7 @@ object Bench {
     // spark.sql.shuffle.partitions via save-mutate-restore on the shared
     // session conf, which a parallel runner would race on. Keep this loop
     // single-threaded (EventOps.replayGate asserts the restore took).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val raw = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
@@ -105,8 +105,14 @@ object Bench {
           catch { case _: Throwable => () }
           (System.nanoTime() - t0) / 1e9
         }
-        name -> median(times)
+        (name, median(times), times.head)
       }
+    val results = raw.map { case (n, med, _) => n -> med }
+    // first-rep ("cold") times published alongside the medians: for the
+    // gates with per-JVM durable state (streaming checkpoints, bucketed
+    // setup) rep 1 is the full build cost and later reps are the
+    // reuse/recovery path — both numbers are real, so report both
+    val cold = raw.map { case (n, _, c) => n -> c }
     // millisecond precision: ns digits only bloat the line (log captures
     // that keep a bounded tail were cutting the head of the query map).
     // Locale.ROOT: f"%.3f" under a comma-decimal locale would emit invalid
@@ -116,8 +122,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val coldQs = cold.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_cold":$coldQs,"reps":$reps,"sf":"$sfDir"}"""
     println(line)
 
     try {
@@ -125,13 +133,17 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "bench"))
       java.nio.file.Files.createDirectories(dir)
       val full = dir.resolve("BENCH_FULL.json")
+      // parse the "queries" object ONLY — the line also carries
+      // "queries_cold", whose entries must not shadow the medians
       val prev: Map[String, Double] =
-        if (java.nio.file.Files.exists(full))
-          "\"([a-z0-9_]+)\":([0-9.]+)".r
-            .findAllMatchIn(java.nio.file.Files.readString(full))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-            .filterNot { case (k, _) => k == "value" }
-        else Map.empty
+        if (java.nio.file.Files.exists(full)) {
+          val content = java.nio.file.Files.readString(full)
+          "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(content)
+            .map(m => "\"([a-z0-9_]+)\":([0-9.]+)".r
+              .findAllMatchIn(m.group(1))
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap)
+            .getOrElse(Map.empty)
+        } else Map.empty
       val reg = results.map { case (k, v) =>
         val p = prev.get(k)
         val ratio = p.filter(_ > 0).map(pv => fmt(v / pv)).getOrElse("null")
