@@ -233,6 +233,22 @@ object EventOps {
         graft.streaming.StreamingOps
           .intervalJoin(_, "ts", "1 hour", "click", "purchase", "6 hours"))),
 
+    // Streaming exact dedup under the REAL runtime — the fourth
+    // stateful shape (dedup state, aged out by the watermark). Only the
+    // key columns are projected, so the output is the SET of distinct
+    // (user, type, day) triples regardless of which physical row
+    // dropDuplicatesWithinWatermark happened to see first — that keeps
+    // the replay deterministic for the oracle. Sentinel rows fall to
+    // the day-bound filter like every other replay gate.
+    "streaming_replay_dedup" -> ((s, d) =>
+      replayGate(s, d, "dedup", df =>
+        graft.streaming.StreamingOps
+          .dedupStream(df.withColumn("day", col("ts").cast("date")),
+            "ts", "1 hour", Seq("user_id", "event_type", "day"))
+          .select(col("user_id"), col("event_type"),
+            unix_date(col("day")).as("day_num")))
+        .filter(col("day_num") < lit(ReplayStage.sentinelBoundSec / 86400))),
+
     // Per-user, per-event-type daily rollup — the shape of a streaming
     // foreachBatch upsert target.
     "event_type_daily" -> ((s, d) =>
@@ -312,6 +328,11 @@ object EventOps {
          SELECT cast(floor(min(us) / 1000000) as bigint) AS sess_start,
            user_id, count(*) AS cnt
          FROM sess GROUP BY user_id, sid""",
+    "streaming_replay_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+         cast(date_diff('day', DATE '1970-01-01', cast(ts as date)) as int)
+           AS day_num
+         FROM events""",
     // integer-micros band compare: Spark joins on µs-truncated
     // timestamps (ts div 1000 from nanos), so the oracle must too — a
     // native-ns interval compare could diverge at the band boundary
