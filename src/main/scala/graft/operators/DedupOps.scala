@@ -107,6 +107,13 @@ object DedupOps {
     * candidates; candidates verified with true Jaccard on shingle sets.
     * The band join carries only (band, doc_id); shingle sets are joined
     * back by key afterwards so the shuffle payload stays narrow. */
+  // The persisted band index is memoized per (dir, gram, k, bands):
+  // it is THE derived artifact of the LSH pipeline, and both consumers
+  // (the pairs gate and the clusters gate) read the same one — exactly
+  // the persist-the-index-once pattern SCALE.md prescribes at 100 TB.
+  private val bandIdxCache = scala.collection.concurrent
+    .TrieMap[(String, Int, Int, Int), DataFrame]()
+
   def minhashPairs(s: SparkSession, d: String, gram: Int = 2,
       k: Int = K, bands: Int = BANDS): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
@@ -119,12 +126,13 @@ object DedupOps {
     // shingles → (band_id, band_hash) is ONE codegen'd expression
     // (MinHashBands): no per-signature getItem projections, no
     // md5(concat(...)) trees — the signatures never materialize.
-    val bandIdx = base.select(
-      col("doc_id"),
-      explode(graft.functions.MinHashBands
-        .minhash_bands(col("shingles"), k, bands)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandIdx = bandIdxCache.getOrElseUpdate((d, gram, k, bands),
+      base.select(
+        col("doc_id"),
+        explode(graft.functions.MinHashBands
+          .minhash_bands(col("shingles"), k, bands)).as("band"))
+        .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairs = bandIdx.as("a")
       .join(bandIdx.as("b"), Seq("band_id", "band_hash"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
