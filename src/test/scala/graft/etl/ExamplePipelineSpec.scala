@@ -39,6 +39,38 @@ class ExamplePipelineSpec extends AnyFunSuite {
       .collect()(0).getInt(0) >= 5)
   }
 
+  test("golden case: curation example semantics on a crafted corpus") {
+    // dogfood the golden-data tester on the engine's own example. The
+    // corpus is built so every pipeline stage fires deterministically:
+    //  - doc 2 is an exact dup of doc 1 (hash stage drops it);
+    //  - doc 3 is a ROTATION of doc 1's cyclic text — rotations of a
+    //    cyclic token string have the SAME 3-gram shingle set, hence
+    //    identical minhash signatures and guaranteed band collision,
+    //    so the LSH stage drops it without any probabilistic luck;
+    //  - doc 4 fails the min-token gate, doc 6 the alpha-ratio gate.
+    import GoldenDataTester._
+    val etl = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/curate_documents.sql")), "UTF-8")
+    val docs = TableFixture("documents",
+      Seq("doc_id", "text"), Seq("bigint", "string"),
+      Seq(
+        Seq(1L, "alpha beta gamma alpha beta gamma"),
+        Seq(2L, "alpha beta gamma alpha beta gamma"),
+        Seq(3L, "beta gamma alpha beta gamma alpha"),
+        Seq(4L, "too short"),
+        Seq(5L, "delta epsilon zeta eta theta iota kappa"),
+        Seq(6L, "12345 67890 13579 24680 99999")))
+    val expected = TableFixture("curated.documents",
+      Seq("doc_id", "text", "n_tokens"),
+      Seq("bigint", "string", "int"),
+      Seq(
+        Seq(1L, "alpha beta gamma alpha beta gamma", 6),
+        Seq(5L, "delta epsilon zeta eta theta iota kappa", 7)))
+    val r = runCase(spark, TestCase("curation golden", etl,
+      Map.empty, Map.empty, Seq(docs), Seq(expected)))
+    assert(r.passed, r.failures.mkString("; "))
+  }
+
   test("streaming example commits its queued sink and filters correctly") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_ex_stream")
       .toString
