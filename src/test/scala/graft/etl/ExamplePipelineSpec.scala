@@ -81,16 +81,32 @@ class ExamplePipelineSpec extends AnyFunSuite {
 
     val sql = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("examples/streaming_events.sql")), "UTF-8")
+    // the watermark rides in on the source view — every SQL branch
+    // (including both sides of the stream-stream join) inherits it
     val stream = spark.readStream.schema(batch.schema).parquet(srcDir)
+      .withWatermark("ts", "1 hour")
     val runner = new graft.streaming.StreamingEtl(spark, sql,
       sources = Map("events_stream" -> stream), sinkDir = sinkDir)
     val queries = runner.run()
-    assert(queries.length == 1)
+    assert(queries.length == 2) // purchases + conversions statement set
     queries.foreach { q => q.processAllAvailable(); q.stop() }
 
     val written = spark.read.parquet(s"$sinkDir/sink__purchases")
     val expected = batch.filter(col("value") > 10.0 &&
       col("event_type") === "purchase")
     assert(written.count() == expected.count() && written.count() > 0)
+
+    // stream-stream join sink matches the equivalent batch interval join
+    val conv = spark.read.parquet(s"$sinkDir/sink__conversions")
+    val a = batch.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val b = batch.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val expJoin = a.join(b, col("user_id") === col("p_user") &&
+      col("p_ts") >= col("click_ts") &&
+      col("p_ts") <= col("click_ts") + expr("INTERVAL 6 HOURS"))
+    assert(conv.count() == expJoin.count() && conv.count() > 0)
   }
 }
