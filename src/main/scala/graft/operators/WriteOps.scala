@@ -117,6 +117,25 @@ object WriteOps {
         .agg(count(lit(1)).as("n_ord"), decSum("o_totalprice").as("total"))
     }),
 
+    // Source-format breadth: the same relations written to and read
+    // back from CSV (quoted headers) and JSON lines, then joined —
+    // proving the non-parquet source paths parse types and quoting
+    // correctly. Explicit schemas on read: schema inference is a
+    // per-run full scan AND a drift risk at scale.
+    "scan_csv_json" -> ((s, d) => {
+      val csvDir = scratch("fmt_csv")
+      val jsonDir = scratch("fmt_json")
+      val n = nation(s, d)
+      val r = region(s, d)
+      n.write.mode(SaveMode.Overwrite).option("header", "true").csv(csvDir)
+      r.write.mode(SaveMode.Overwrite).json(jsonDir)
+      val nBack = s.read.option("header", "true").schema(n.schema).csv(csvDir)
+      val rBack = s.read.schema(r.schema).json(jsonDir)
+      nBack.join(rBack, col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"),
+          col("r_name").as("region_name"))
+    }),
+
     // Small-files compaction round trip: fragment orders into 64 tiny
     // files, compact to byte-targeted right-sized files, aggregate the
     // read-back so the oracle proves no row was lost or duplicated.
@@ -198,6 +217,9 @@ object WriteOps {
          cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
+    "scan_csv_json" ->
+      """SELECT n_nationkey, n_name, r_name AS region_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey""",
     "write_compacted" ->
       """SELECT o_orderstatus, count(*) AS cnt,
          count(DISTINCT o_orderkey) AS n_keys,
