@@ -2,12 +2,14 @@
 -- config: spark.sql.shuffle.partitions=8
 
 -- An end-to-end training-data curation pipeline in the Easy-SQL step
--- language: score -> quality-filter -> exact-dedup -> near-dup drop ->
--- curated output, with checks and logging along the way.
+-- language: score -> quality-filter -> repetition gate -> exact-dedup
+-- -> near-dup drop -> curated output, with checks and logging along
+-- the way.
 --
 -- Inputs : a `documents` temp view (doc_id, text, lang, source, n_chars)
 -- Output : temp view (dry-run) / table `curated.documents`
--- Vars   : min_tokens (default 5), sim_band_guard (LSH bands per doc)
+-- Vars   : min_tokens (default 5), max_top2_frac (default 0.5),
+--          sim_band_guard (LSH bands per doc)
 
 -- target=variables
 select
@@ -31,13 +33,29 @@ select count(*) as n_docs from doc_stats
 select doc_id, text, n_tokens from doc_stats
 where n_tokens >= ${min_tokens} and alpha_ratio > 0.5
 
+-- Repetition gate (Gopher-style): drop docs dominated by a single
+-- repeated 2-gram (boilerplate, generation loops). The shuffle carries
+-- one count per (doc, distinct 2-gram), never text.
+-- target=temp.repetition
+select doc_id, max(c) / sum(c) as top2_frac from (
+  select doc_id, g, count(*) as c from quality
+  lateral view explode(
+    ngram_shingles(split(lower(trim(text)), ' '), 2)) t as g
+  group by doc_id, g)
+group by doc_id
+
+-- target=temp.unrepetitive
+select q.doc_id, q.text, q.n_tokens
+from quality q join repetition r on q.doc_id = r.doc_id
+where r.top2_frac <= ${max_top2_frac:0.5}
+
 -- Exact dedup: keep the smallest doc_id per normalized-content hash.
 -- target=temp.exact_kept
 select doc_id, text, n_tokens from (
   select *, row_number() over (
     partition by md5(lower(trim(text)))
     order by doc_id) as rn
-  from quality) where rn = 1
+  from unrepetitive) where rn = 1
 
 -- Near-dup candidates via the native one-pass LSH band expression:
 -- 3-gram shingles (ngram_shingles) -> 4 salted-md5 minhash signatures

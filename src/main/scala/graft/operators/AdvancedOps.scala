@@ -52,6 +52,29 @@ object AdvancedOps {
         .select("doc_id", "lang", "bucket", "split")
     }),
 
+    // Domain mixture sampling — the dataset-rebalancing staple: a tiny
+    // per-domain target-rate config TABLE (broadcast — at scale the
+    // mixture config is maintained data, not code) joined map-side onto
+    // the corpus, then a content-stable hash bucket decides each row.
+    // Zero shuffles: broadcast join + narrow filter, so re-weighting a
+    // 100 TB corpus costs one scan; rates change without re-shuffling,
+    // and the sample is reproducible across runs/engines/cluster sizes.
+    "sample_domain_mix" -> ((s, d) => {
+      import s.implicits._
+      val rates = Seq(1000L, 500L, 250L, 100L)
+      val weights = (0 until 20)
+        .map(i => ("src" + i, rates(i % 4)))
+        .toDF("source", "keep_permille")
+      val bucket = expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':', " +
+        "source)), 1, 8), 16, 10) as bigint) % 1000")
+      documents(s, d)
+        .join(broadcast(weights), Seq("source"))
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < col("keep_permille"))
+        .select("doc_id", "source", "bucket", "keep_permille")
+    }),
+
     // Banded range join — the no-equi-key time-range pattern: for each
     // 'error' event, count 'click' events (ANY user) within ±60 s.
     // Naively that's an O(n²) theta-join; the scale shape bins both
@@ -163,6 +186,20 @@ object AdvancedOps {
          FROM b
          WHERE bucket < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
                          ELSE 10 END)""",
+    "sample_domain_mix" ->
+      """WITH w AS (
+           SELECT 'src' || cast(i as varchar) AS source,
+             cast(CASE i % 4 WHEN 0 THEN 1000 WHEN 1 THEN 500
+                  WHEN 2 THEN 250 ELSE 100 END as bigint)
+               AS keep_permille
+           FROM range(0, 20) t(i)),
+         b AS (
+           SELECT doc_id, d.source, keep_permille,
+             cast(('0x' || substr(md5(cast(doc_id as varchar) || ':' ||
+               d.source), 1, 8)) as bigint) % 1000 AS bucket
+           FROM documents d JOIN w ON d.source = w.source)
+         SELECT doc_id, source, bucket, keep_permille
+         FROM b WHERE bucket < keep_permille""",
     // the oracle states the O(n²) truth the banded decomposition equals
     "range_join_time_band" ->
       """WITH ev AS (SELECT event_id, event_type, epoch_us(ts) AS us

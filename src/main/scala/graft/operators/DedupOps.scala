@@ -186,9 +186,10 @@ object DedupOps {
     // unpersisted, and must not recompute the pairs pipeline
     val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes
+    var persisted = nodes
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = persisted
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -197,23 +198,24 @@ object DedupOps {
           col("cluster_id").as("nbr_label")), Seq("doc_b"))
         .groupBy("doc_a").agg(min("nbr_label").as("nbr_min"))
         .withColumnRenamed("doc_a", "doc_id")
+      // carry the pre-sweep label alongside the new one so convergence
+      // is a filter over THIS frame — no extra join back to the old
+      // labels (one shuffle per sweep saved)
       val next = labels
         .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("old_id"),
           least(col("cluster_id"),
             coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // full count, deliberately: it materializes EVERY partition of
-      // `next` into its cache before the parent is unpersisted (a
-      // limit-probe would cache only the partitions it touched and the
-      // rest would recompute through unpersisted lineage); the count
-      // itself is a partial-agg over the small label frame
-      val changed = next
-        .join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old"))
-        .count()
-      labels.unpersist()
-      labels = next
+      // the filter+count scans (and therefore caches) EVERY partition of
+      // `next` before the parent is unpersisted (a limit-probe would
+      // cache only the partitions it touched and the rest would
+      // recompute through unpersisted lineage); the count itself is a
+      // partial-agg over the small label frame
+      val changed = next.filter(col("cluster_id") =!= col("old_id")).count()
+      persisted.unpersist()
+      persisted = next
+      labels = next.select("doc_id", "cluster_id")
       converged = changed == 0
       it += 1
     }

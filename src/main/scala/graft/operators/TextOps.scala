@@ -150,6 +150,67 @@ object TextOps {
                "i -> md5(concat_ws(' ', slice(toks, i, 5)))))")
             .as("fp_min5"))),
 
+    // Repetition signals (the Gopher-style quality filters): duplicate
+    // token fraction plus the most-frequent 2-gram's share of all
+    // 2-grams. Highly repetitive docs (boilerplate, SEO spam, generation
+    // loops) light up on top2_frac long before exact dedup catches them.
+    // Shape: narrow per-doc token stats + the tf-style explode→group
+    // count for the 2-gram mode — the per-key state the shuffle carries
+    // is one count per (doc, distinct 2-gram), never positions or text.
+    "text_repetition" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("toks", split(lower(trim(col("text"))), " "))
+      val stats = base.select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq"))
+      val grams = base
+        .select(col("doc_id"),
+          explode(graft.functions.NgramShingles
+            .ngram_shingles(col("toks"), 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(
+          max("cnt").as("top2_cnt"),
+          sum("cnt").as("n_2grams"))
+      stats.join(grams, Seq("doc_id"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_uniq"),
+          ((col("n_tokens") - col("n_uniq")).cast("double") /
+            col("n_tokens")).as("dup_tok_frac"),
+          col("n_2grams"), col("top2_cnt"),
+          (col("top2_cnt").cast("double") / col("n_2grams"))
+            .as("top2_frac"))
+    }),
+
+    // Corpus-trained char-trigram rarity score — the shuffle-cheap
+    // analog of the CCNet/KenLM perplexity filter: a doc whose trigrams
+    // are rare across the corpus is likely noise (mojibake, hex dumps);
+    // one whose trigrams are all corpus-common is boilerplate. Scores
+    // are integer trigram-frequency sums (order-independent, so the
+    // oracle hash-matches) with ONE final IEEE division.
+    // Scale shape: per-(doc,tri) partial counts BEFORE any shuffle
+    // (map-side combine shrinks the explode by the per-doc repeat
+    // factor), the global frequency table is a tri-keyed partial agg
+    // over those rows, and the join back is tri-keyed — the trigram
+    // vocabulary is charset-bounded, so at 100 TB both shuffles carry
+    // counts, never raw text.
+    "text_char_lm_score" -> ((s, d) => {
+      val tris = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, greatest(length(text) - 2, 1)), " +
+            "i -> substring(text, i, 3))")).as("tri"))
+        .groupBy("doc_id", "tri").agg(count(lit(1)).as("c_dt"))
+      val freq = tris.groupBy("tri").agg(sum("c_dt").as("c_t"))
+      tris.join(freq, Seq("tri"))
+        .groupBy("doc_id").agg(
+          sum("c_dt").as("n_tri"),
+          sum(col("c_dt") * col("c_t")).as("freq_sum"),
+          min("c_t").as("rarest_freq"))
+        .withColumn("avg_tri_freq",
+          col("freq_sum").cast("double") / col("n_tri"))
+    }),
+
     // Benchmark decontamination: flag training docs that share any
     // 5-gram with the eval set (docs 0-9 stand in for a benchmark).
     // Grams travel as 16-byte md5 digests, never text; the eval side is
@@ -275,6 +336,41 @@ object TextOps {
            cast(strlen(text) - strlen(redacted) as int) AS chars_removed,
            redacted != text AS was_redacted
          FROM r""",
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ')
+             AS toks FROM documents),
+         stats AS (SELECT doc_id, cast(len(toks) as int) AS n_tokens,
+             cast(len(list_distinct(toks)) as int) AS n_uniq FROM t),
+         g AS (SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(toks) - 1, 1) + 1),
+             i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+           FROM t),
+         cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+         grams AS (SELECT doc_id, max(c) AS top2_cnt,
+             cast(sum(c) as bigint) AS n_2grams FROM cnt GROUP BY 1)
+         SELECT s.doc_id, n_tokens, n_uniq,
+           cast(n_tokens - n_uniq as double) / n_tokens AS dup_tok_frac,
+           n_2grams, top2_cnt,
+           cast(top2_cnt as double) / n_2grams AS top2_frac
+         FROM stats s JOIN grams USING (doc_id)""",
+    "text_char_lm_score" ->
+      """WITH tr AS (
+           SELECT doc_id, unnest(list_transform(
+             range(1, greatest(length(text) - 2, 1) + 1),
+             i -> substr(text, i, 3))) AS tri
+           FROM documents),
+         dt AS (SELECT doc_id, tri, count(*) AS c_dt
+                FROM tr GROUP BY 1, 2),
+         freq AS (SELECT tri, cast(sum(c_dt) as bigint) AS c_t
+                  FROM dt GROUP BY 1),
+         agg AS (
+           SELECT doc_id, cast(sum(c_dt) as bigint) AS n_tri,
+             cast(sum(c_dt * c_t) as bigint) AS freq_sum,
+             min(c_t) AS rarest_freq
+           FROM dt JOIN freq USING (tri) GROUP BY doc_id)
+         SELECT doc_id, n_tri, freq_sum, rarest_freq,
+           cast(freq_sum as double) / n_tri AS avg_tri_freq
+         FROM agg""",
     "text_decontaminate" ->
       """WITH t AS (SELECT doc_id,
              string_split(lower(trim(text)), ' ') AS toks FROM documents),

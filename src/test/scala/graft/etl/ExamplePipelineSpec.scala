@@ -47,7 +47,9 @@ class ExamplePipelineSpec extends AnyFunSuite {
     //    cyclic token string have the SAME 3-gram shingle set, hence
     //    identical minhash signatures and guaranteed band collision,
     //    so the LSH stage drops it without any probabilistic luck;
-    //  - doc 4 fails the min-token gate, doc 6 the alpha-ratio gate.
+    //  - doc 4 fails the min-token gate, doc 6 the alpha-ratio gate;
+    //  - doc 7 passes both but is one 2-gram repeated (top2_frac = 1.0),
+    //    so the repetition gate drops it.
     import GoldenDataTester._
     val etl = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("examples/curate_documents.sql")), "UTF-8")
@@ -59,7 +61,8 @@ class ExamplePipelineSpec extends AnyFunSuite {
         Seq(3L, "beta gamma alpha beta gamma alpha"),
         Seq(4L, "too short"),
         Seq(5L, "delta epsilon zeta eta theta iota kappa"),
-        Seq(6L, "12345 67890 13579 24680 99999")))
+        Seq(6L, "12345 67890 13579 24680 99999"),
+        Seq(7L, "spam spam spam spam spam spam spam")))
     val expected = TableFixture("curated.documents",
       Seq("doc_id", "text", "n_tokens"),
       Seq("bigint", "string", "int"),

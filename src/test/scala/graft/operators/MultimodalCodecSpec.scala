@@ -41,4 +41,33 @@ class MultimodalCodecSpec extends AnyFunSuite {
       yield (2 * x + 2 * y.toLong * w + 123L) % 256).sum
     assert(r.out_pix_sum == expected)
   }
+
+  test("phashBatch average-hash matches the texture contract bit-for-bit") {
+    val p = ImageCodec.phashBatch(
+      ImageCodec.encodeTexBatch(Iterator(doc))).next()
+    val (w, h) = ImageCodec.dims(123L, 457L)
+    // recompute from the contract: 8x8 nearest-neighbor grid, integer
+    // mean compare (s*64 >= sum), bits packed row-major into two halves
+    val s = for { y <- 0 until 8; x <- 0 until 8 }
+      yield ImageCodec.texPixel(123L, x * w / 8, y * h / 8)
+    val sum = s.sum
+    var hi = 0L; var lo = 0L
+    for (i <- 0 until 64 if s(i).toLong * 64 >= sum)
+      if (i < 32) hi |= 1L << i else lo |= 1L << (i - 32)
+    assert(p.phash_hi == hi && p.phash_lo == lo)
+    // halves are 32-bit, so XOR/Hamming math stays non-negative
+    assert(p.phash_hi >= 0L && p.phash_hi < (1L << 32))
+    assert(p.phash_lo >= 0L && p.phash_lo < (1L << 32))
+  }
+
+  test("phash is invariant to the PNG round trip (pure function of image)") {
+    val twice = ImageCodec.phashBatch(ImageCodec.encodeTexBatch(
+      Iterator(doc, ImageCodec.Doc(124L, 300L)))).toSeq
+    val again = ImageCodec.phashBatch(ImageCodec.encodeTexBatch(
+      Iterator(doc, ImageCodec.Doc(124L, 300L)))).toSeq
+    assert(twice == again)
+    // different docs hash differently under the textured fixture
+    assert(twice.head.phash_hi != twice(1).phash_hi ||
+           twice.head.phash_lo != twice(1).phash_lo)
+  }
 }

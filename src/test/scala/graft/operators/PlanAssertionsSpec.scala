@@ -110,6 +110,27 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("lambdafunction"), p)
   }
 
+  test("domain-mix sampling is one broadcast join, zero shuffles") {
+    val p = plan("sample_domain_mix")
+    // the mixture config joins map-side; re-weighting a 100 TB corpus
+    // must cost one scan, no exchange of corpus rows
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("phash near-dup verification joins hashes, never blobs") {
+    val p = plan("multimodal_phash_neardup")
+    // the candidate join keys on (band_id, band_val); the Hamming
+    // verify joins the 24-byte hash index back — the binary blob
+    // column must be pruned out of every exchange
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(!_.contains("blob")), exchanges.mkString("\n"))
+    assert(p.contains("bit_count"), p)
+  }
+
   test("salted aggregation is two map-side-combined stages") {
     val p = plan("agg_salted_two_stage")
     val exchanges = p.linesIterator.count(
