@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotLong, MinHashBands, MinHashMd5, NgramShingles, QuantizeLong}
+import graft.functions.{ArrayDotLong, CharNgrams, MinHashBands, MinHashMd5, NgramShingles, QuantizeLong}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions as SQL functions at session build time, so a cluster
@@ -49,6 +49,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
           .asInstanceOf[Number].intValue(),
         exprs(2).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Number].intValue())
+    ): (FunctionIdentifier, ExpressionInfo,
+        FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+      (exprs: Seq[Expression]) => CharNgrams(
+        exprs.head,
+        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
           .asInstanceOf[Number].intValue())
     ): (FunctionIdentifier, ExpressionInfo,
         FunctionRegistry.FunctionBuilder))

@@ -153,6 +153,47 @@ object DedupOps {
               (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 
+  /** Incremental (batch-vs-corpus) near-dup check — how dedup actually
+    * runs in a daily-ingest pipeline: the established corpus owns a
+    * PERSISTED band index (in production a stored table, appended per
+    * ingest); a new batch derives its bands narrowly and probes the
+    * index with one equi-join. Per-ingest cost is O(batch + matched
+    * candidates), never O(corpus): the corpus is only touched through
+    * its 4-rows/doc index and the by-id shingle lookup for verified
+    * candidates. The batch here is the doc_id % 10 == 0 slice so the
+    * split stays scale-proportional across fixtures. */
+  def incrementalDups(s: SparkSession, d: String, gram: Int = 2,
+      k: Int = K, bands: Int = BANDS,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    val base = withShingles(documents(s, d), gram)
+    val isNew = col("doc_id") % 10 === 0
+    def bandsOf(df: DataFrame) = df.select(
+      col("doc_id"),
+      explode(graft.functions.MinHashBands
+        .minhash_bands(col("shingles"), k, bands)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    val corpusIdx = bandsOf(base.filter(!isNew))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = bandsOf(base.filter(isNew)).as("n")
+      .join(corpusIdx.as("o"), Seq("band_id", "band_hash"))
+      .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("dup_of"))
+      .distinct()
+    val sets = base.select(col("doc_id"),
+      array_distinct(col("shingles")).as("sh"))
+    val scored = cands
+      .join(sets.select(col("doc_id"), col("sh").as("sh_n")), Seq("doc_id"))
+      .join(sets.select(col("doc_id").as("dup_of"), col("sh").as("sh_o")),
+            Seq("dup_of"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_n"), col("sh_o"))))
+      .withColumn("uni",
+        size(col("sh_n")) + size(col("sh_o")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+    scored.filter(col("jaccard") >= minJaccard)
+      .select("doc_id", "dup_of", "jaccard")
+  }
+
   /** Connected components over the verified LSH near-dup pairs — the
     * dedup endgame: one canonical doc per near-dup CLUSTER (pairs chain:
     * A~B, B~C ⇒ {A,B,C} dedupe together even when A~C missed the bands).
@@ -248,6 +289,11 @@ object DedupOps {
     // doc_id of its cluster (own id when it has no near-dups).
     "dedup_minhash_clusters" -> ((s, d) => minhashClusters(s, d)),
 
+    // Incremental ingest dedup: new batch (doc_id % 10 == 0) probed
+    // against the persisted corpus band index; verified Jaccard >= 0.5
+    // matches are the batch rows a daily pipeline would reject.
+    "dedup_incremental" -> ((s, d) => incrementalDups(s, d)),
+
     // Exact n-gram Jaccard (the non-approximate baseline to MinHash):
     // top-5 most-similar docs for each query doc (doc_id < 20) by 2-gram
     // Jaccard. Formulated as explode → equi-join on shingle → group-count
@@ -313,6 +359,32 @@ object DedupOps {
     "dedup_minhash_pairs" ->
       s"""WITH ${lshScoredCte(2)}
          SELECT doc_a, doc_b, jaccard FROM scored""",
+
+    "dedup_incremental" -> {
+      val bandRows = (0 until K / 2).map(b =>
+        s"SELECT doc_id, $b AS band_id, " +
+        s"md5(sig_${2 * b} || sig_${2 * b + 1}) AS band_hash FROM sigs"
+      ).mkString("\n           UNION ALL ")
+      s"""WITH ${sigsOracleCte(2)},
+         bands AS ($bandRows),
+         cand AS (
+           SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_of
+           FROM bands n JOIN bands o
+             ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+           WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 != 0),
+         tk AS (SELECT doc_id, list_distinct(shingles) AS dt FROM sh),
+         scored AS (
+           SELECT c.doc_id, c.dup_of,
+             cast(len(list_filter(a.dt, x -> list_contains(b.dt, x)))
+                  as double) /
+             (len(a.dt) + len(b.dt) -
+              len(list_filter(a.dt, x -> list_contains(b.dt, x))))
+               AS jaccard
+           FROM cand c JOIN tk a ON a.doc_id = c.doc_id
+           JOIN tk b ON b.doc_id = c.dup_of)
+         SELECT doc_id, dup_of, jaccard FROM scored
+         WHERE jaccard >= 0.5"""
+    },
 
     // connected components via transitive label reachability: a node's
     // cluster id is the min doc_id among all nodes that can reach it

@@ -195,11 +195,14 @@ object TextOps {
     // vocabulary is charset-bounded, so at 100 TB both shuffles carry
     // counts, never raw text.
     "text_char_lm_score" -> ((s, d) => {
+      // native char_ngrams: the transform/sequence/substring composition
+      // is interpreted AND re-walks the string per gram (O(len²)/doc) —
+      // CharNgrams builds the code-point offset table once (O(len),
+      // codegen'd; CharNgramsSpec proves elementwise identity)
       val tris = Tables.documents(s, d)
         .select(col("doc_id"),
-          explode(expr(
-            "transform(sequence(1, greatest(length(text) - 2, 1)), " +
-            "i -> substring(text, i, 3))")).as("tri"))
+          explode(graft.functions.CharNgrams.char_ngrams(col("text"), 3))
+            .as("tri"))
         .groupBy("doc_id", "tri").agg(count(lit(1)).as("c_dt"))
       val freq = tris.groupBy("tri").agg(sum("c_dt").as("c_t"))
       tris.join(freq, Seq("tri"))

@@ -55,7 +55,44 @@ object WriteOps {
     nFiles
   }
 
+  /** 16-bit Morton (Z-order) interleave of two key columns — the math
+    * behind OPTIMIZE ZORDER BY in lakehouse table formats: range-
+    * partitioning on the interleaved value co-locates rows that are
+    * close in BOTH dimensions, so per-file min/max stats prune scans
+    * filtered on EITHER column. Pure integer bit ops (codegen'd, no
+    * UDF), deterministic, oracle-expressible. */
+  private[graft] def zvalExpr(a: String, b: String): String =
+    (0 until 16).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
+    ).mkString(" + ")
+
+  /** Z-order layout write: project the z-value, range-partition on it,
+    * sort within partitions, write. The sampling pass repartitionByRange
+    * runs to pick boundaries is one lightweight scan; the layout then
+    * serves every future two-column-filtered read with file skipping —
+    * at 100 TB this is the difference between touching 8 files and
+    * touching all of them (ZOrderSpec measures the spread contraction). */
+  private[graft] def zorderWrite(s: SparkSession, d: String,
+      out: String): Unit =
+    lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        expr(zvalExpr("l_partkey", "l_suppkey")).cast("bigint").as("zval"))
+      .repartitionByRange(8, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode(SaveMode.Overwrite).parquet(out)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Z-order clustering round trip: write the Morton-interleaved
+    // layout, read it back; the oracle recomputes the interleave per
+    // row, proving the curve math and write fidelity. File-skipping
+    // benefit is asserted separately (ZOrderSpec).
+    "write_zordered" -> ((s, d) => {
+      val out = scratch("zorder_out")
+      zorderWrite(s, d, out)
+      s.read.parquet(out)
+    }),
+
     // Static partition: a fixed partition value is overwritten in place —
     // modeled as writing the filtered slice under its partition directory.
     "insert_overwrite_static_pt" -> ((s, d) => {
@@ -204,6 +241,15 @@ object WriteOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "write_zordered" -> {
+      val z = (0 until 16).map(i =>
+        s"(((l_partkey >> $i) & 1) << ${2 * i}) + " +
+        s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})"
+      ).mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         cast($z as bigint) AS zval
+         FROM lineitem"""
+    },
     "insert_overwrite_static_pt" ->
       """SELECT o_orderpriority, count(*) AS cnt,
          cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
