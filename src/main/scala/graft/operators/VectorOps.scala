@@ -252,6 +252,169 @@ object VectorOps {
       .select("qid", "vec_id", "rn", "sim")
   }
 
+  /** PQ knobs: M subspaces of DIM/M dims, KPQ centroids per subspace.
+    * Storage per vector drops from DIM×8 B of int64s to M single-byte
+    * codes — the reason PQ is how billion-vector indexes actually store
+    * their corpus. */
+  val M = 8
+  val KPQ = 16
+  private val SUBDIM = DIM / M
+
+  /** Per-subspace Lloyd's sweeps over the PQ seed codebook — the
+    * training half of a real PQ index. All M subspaces train in ONE
+    * Spark job per sweep (explode to (j, subvec), assign against the
+    * inlined current codebook, partial-agg per-(j, c, pos) sums);
+    * driver traffic per sweep is bounded at m×kpq×subDim doubles.
+    * Deterministic: seed = first-kpq sub-vectors, ties to the lower
+    * code, fixed sweep count. Returns kpq rows × DIM ints (the same
+    * shape [[pqTopK]]'s seed codebook has, rounded onto the int grid).
+    */
+  def pqTrainedCodebook(s: SparkSession, d: String, m: Int = M,
+      kpq: Int = KPQ, iters: Int = 2): Array[Array[Long]] = {
+    val subDim = DIM / m
+    val e = quantized(embeddings(s, d))
+      .select("vec_id", "qv", "nrm").filter(col("nrm") > 0)
+    var cents: Array[Array[Long]] = e.filter(col("vec_id") < kpq)
+      .orderBy("vec_id").select("qv").collect()
+      .map(_.getSeq[Long](0).toArray)
+    val subs = e.select(col("vec_id"),
+      posexplode(array((0 until m).map(j =>
+        expr(s"slice(qv, ${j * subDim + 1}, $subDim)")): _*))
+        .as(Seq("j", "sv")))
+    var it = 0
+    while (it < iters) {
+      // assign: argmin_c ||sv - cent(j,c)||² with the codebook inlined
+      val centLit = array(cents.map(cv =>
+        array((0 until m).map(j => array(
+          cv.slice(j * subDim, (j + 1) * subDim).map(lit): _*)): _*)): _*)
+      val assigned = subs.withColumn("cb", centLit)
+        .withColumn("code", expr(
+          s"""array_min(transform(sequence(0, ${kpq - 1}, 1), c ->
+                struct(aggregate(zip_with(sv, cb[c][j],
+                         (a, b) -> (a - b) * (a - b)),
+                       0L, (acc, x) -> acc + x) as d, c as c))).c"""))
+      val sums = assigned
+        .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("j", "code", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val (j, c, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        next(c)(j * subDim + pos) =
+          math.round(r.getLong(3).toDouble / r.getLong(4))
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Total PQ quantization error (sum over corpus and subspaces of the
+    * min distance² to the codebook) — the objective Lloyd's minimizes;
+    * specs assert training never regresses it. */
+  def pqQuantError(s: SparkSession, d: String,
+      cents: Array[Array[Long]], m: Int = M): Long = {
+    val subDim = DIM / m
+    val kpq = cents.length
+    val e = quantized(embeddings(s, d))
+      .select("qv", "nrm").filter(col("nrm") > 0)
+    val centLit = array(cents.map(cv =>
+      array((0 until m).map(j => array(
+        cv.slice(j * subDim, (j + 1) * subDim).map(lit): _*)): _*)): _*)
+    e.withColumn("cb", centLit)
+      .select(expr(
+        s"""aggregate(transform(sequence(0, ${m - 1}, 1), j ->
+              array_min(transform(sequence(0, ${kpq - 1}, 1), c ->
+                aggregate(zip_with(slice(qv, j * $subDim + 1, $subDim),
+                                   cb[c][j], (a, b) -> (a - b) * (a - b)),
+                          0L, (acc, x) -> acc + x)))),
+            0L, (acc, x) -> acc + x)""").as("err"))
+      .agg(sum("err")).collect()(0).getLong(0)
+  }
+
+  /** Product-quantization top-k (IVF-PQ's compression half):
+    *
+    *  1. Codebook: per subspace, the sub-vectors of the first KPQ corpus
+    *     vectors (the same oracle-stable seed convention as IVF; swap in
+    *     trained sub-k-means centroids and nothing downstream changes).
+    *     KPQ×DIM ints — driver-held index metadata, broadcast.
+    *  2. Encode: each corpus vector → M argmin-codes, computed NARROWLY
+    *     (no shuffle, no join) from inlined centroid literals with the
+    *     native array_dot_long for every distance term. At 100 TB the
+    *     codes table is the stored artifact: M bytes/vector, ~3% of the
+    *     raw embedding bytes.
+    *  3. Search: per query, an ADC distance table (M×KPQ ints) is
+    *     computed once, broadcast, and the corpus scan sums M table
+    *     lookups per row — never touching raw vectors. One window
+    *     shuffle for the per-query top-k, same as brute force.
+    *
+    * All arithmetic is exact int64 (squared L2 on the quantized grid),
+    * so results are bit-identical to the DuckDB oracle; approx_dist is
+    * the PQ-approximated squared distance itself. */
+  def pqTopK(s: SparkSession, d: String, m: Int = M, kpq: Int = KPQ,
+      k: Int = 10,
+      codebook: Option[Array[Array[Long]]] = None): DataFrame = {
+    val subDim = DIM / m
+    val e = quantized(embeddings(s, d))
+      .select("vec_id", "qv", "nrm").filter(col("nrm") > 0)
+    // codebook: first kpq vectors by default (bounded driver metadata,
+    // like the k-means sweep sums; the oracle-stable seed convention) —
+    // pass [[pqTrainedCodebook]] for the trained quantizer, zero plan
+    // change (PqSpec proves training monotonically cuts the
+    // quantization error)
+    val cents: Array[Array[Long]] = codebook.getOrElse(
+      e.filter(col("vec_id") < kpq)
+        .orderBy("vec_id").select("qv").collect()
+        .map(_.getSeq[Long](0).toArray))
+    require(cents.length == kpq, s"need $kpq codebook vectors")
+
+    def subCent(c: Int, j: Int): Array[Long] =
+      cents(c).slice(j * subDim, (j + 1) * subDim)
+    def centLit(c: Int, j: Int): Column =
+      expr(s"array(${subCent(c, j).map(_ + "L").mkString(",")})")
+    def centNrm(c: Int, j: Int): Long = {
+      val s = subCent(c, j); s.map(x => x * x).sum
+    }
+    // dist²(subvec_j, cent(c,j)) = ||sv||² - 2·sv·cent + ||cent||²,
+    // every dot through the native codegen'd expression
+    def subDist(sv: Column, c: Int, j: Int): Column =
+      array_dot_long(sv, sv) -
+        lit(2L) * array_dot_long(sv, centLit(c, j)) +
+        lit(centNrm(c, j))
+
+    // encode: argmin over (dist, c) via array_min on orderable structs —
+    // narrow, zero-shuffle, ties to the lower code like IVF/k-means
+    val codeCols = (0 until m).map { j =>
+      val sv = expr(s"slice(qv, ${j * subDim + 1}, $subDim)")
+      array_min(array((0 until kpq).map(c =>
+        struct(subDist(sv, c, j).as("d"), lit(c).as("c"))): _*))
+        .getField("c").as(s"code_$j")
+    }
+    val codes = e.select(col("vec_id") +: codeCols: _*)
+
+    // per-query ADC table: T[j][c] = dist²(query subvec_j, cent(c,j))
+    val tCol = array((0 until m).map { j =>
+      val sv = expr(s"slice(qqv, ${j * subDim + 1}, $subDim)")
+      array((0 until kpq).map(c => subDist(sv, c, j)): _*)
+    }: _*)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"))
+      .withColumn("t", tCol)
+      .select("qid", "t")
+
+    // ADC scan: M table lookups per (corpus row, query) — codes only,
+    // raw vectors never reach this join
+    val approx = (0 until m).map(j =>
+      expr(s"t[$j][code_$j]")).reduce(_ + _)
+    val scored = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("approx_dist", approx)
+    scored.withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("approx_dist").asc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "rn", "approx_dist")
+  }
+
   /** Near-duplicate pairs: candidates share an LSH bucket; verify with
     * exact quantized cosine > `simThreshold`. The verify join is
     * quadratic WITHIN a bucket — `nplanes` is the knob that keeps
@@ -282,6 +445,7 @@ object VectorOps {
     "ann_bruteforce_topk" -> ((s, d) => bruteforceTopK(s, d)),
     "ann_lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
     "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
+    "ann_pq_topk" -> ((s, d) => pqTopK(s, d)),
     "embedding_neardup" -> ((s, d) => neardupPairs(s, d))
   )
 
@@ -309,6 +473,35 @@ object VectorOps {
                ORDER BY sim DESC, vec_id ASC) as int) AS rn
            FROM ranked) WHERE rn <= 10""",
     "ann_lsh_buckets" -> oracleBucketSql,
+    "ann_pq_topk" ->
+      s"""WITH $oracleQuantCte,
+         e2 AS (SELECT vec_id, qv FROM n WHERE nrm > 0),
+         cents AS (SELECT vec_id AS c, qv AS cqv FROM e2
+                   WHERE vec_id < $KPQ),
+         sub AS (
+           SELECT e2.vec_id, t.j, cents.c,
+             cast(list_aggregate(list_transform(range(1, ${SUBDIM + 1}),
+               i -> (e2.qv[t.j * $SUBDIM + i] - cents.cqv[t.j * $SUBDIM + i])
+                  * (e2.qv[t.j * $SUBDIM + i] - cents.cqv[t.j * $SUBDIM + i])),
+               'sum') as bigint) AS d
+           FROM e2, range(0, $M) t(j), cents),
+         codes AS (
+           SELECT vec_id, j, c AS code FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id, j
+               ORDER BY d ASC, c ASC) AS arn
+             FROM sub) WHERE arn = 1),
+         qt AS (SELECT vec_id AS qid, j, c, d FROM sub WHERE vec_id < 5),
+         adc AS (
+           SELECT qt.qid, codes.vec_id,
+             cast(sum(qt.d) as bigint) AS approx_dist
+           FROM codes JOIN qt ON qt.j = codes.j AND qt.c = codes.code
+           WHERE codes.vec_id != qt.qid
+           GROUP BY qt.qid, codes.vec_id)
+         SELECT qid, vec_id, rn, approx_dist FROM (
+           SELECT qid, vec_id, approx_dist,
+             cast(row_number() OVER (PARTITION BY qid
+               ORDER BY approx_dist ASC, vec_id ASC) as int) AS rn
+           FROM adc) WHERE rn <= 10""",
     "ann_ivf_topk" ->
       s"""WITH $oracleQuantCte,
          e2 AS (SELECT vec_id, qv, nrm FROM n WHERE nrm > 0),
