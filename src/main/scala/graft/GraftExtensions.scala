@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotLong, CharNgrams, MinHashBands, MinHashMd5, NgramShingles, QuantizeLong}
+import graft.functions.{ArrayDotLong, CharNgrams, MinHashBands, MinHashMd5, NgramShingles, PqAdcTable, PqEncode, PqKernel, QuantizeLong}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions as SQL functions at session build time, so a cluster
@@ -59,6 +59,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs.head,
         exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
           .asInstanceOf[Number].intValue())
+    ): (FunctionIdentifier, ExpressionInfo,
+        FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (exprs: Seq[Expression]) => PqEncode(
+        exprs(0), exprs(1), PqKernel.litInt(exprs(2)))
+    ): (FunctionIdentifier, ExpressionInfo,
+        FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc_table"),
+      new ExpressionInfo(classOf[PqAdcTable].getName, "pq_adc_table"),
+      (exprs: Seq[Expression]) => PqAdcTable(
+        exprs(0), exprs(1), PqKernel.litInt(exprs(2)))
     ): (FunctionIdentifier, ExpressionInfo,
         FunctionRegistry.FunctionBuilder))
     ext.injectFunction((

@@ -277,24 +277,20 @@ object VectorOps {
     var cents: Array[Array[Long]] = e.filter(col("vec_id") < kpq)
       .orderBy("vec_id").select("qv").collect()
       .map(_.getSeq[Long](0).toArray)
-    val subs = e.select(col("vec_id"),
-      posexplode(array((0 until m).map(j =>
-        expr(s"slice(qv, ${j * subDim + 1}, $subDim)")): _*))
-        .as(Seq("j", "sv")))
     var it = 0
     while (it < iters) {
-      // assign: argmin_c ||sv - cent(j,c)||² with the codebook inlined
-      val centLit = array(cents.map(cv =>
-        array((0 until m).map(j => array(
-          cv.slice(j * subDim, (j + 1) * subDim).map(lit): _*)): _*)): _*)
-      val assigned = subs.withColumn("cb", centLit)
-        .withColumn("code", expr(
-          s"""array_min(transform(sequence(0, ${kpq - 1}, 1), c ->
-                struct(aggregate(zip_with(sv, cb[c][j],
-                         (a, b) -> (a - b) * (a - b)),
-                       0L, (acc, x) -> acc + x) as d, c as c))).c"""))
+      // assign: per-subspace argmin codes via the native PQ kernel
+      // (one node, codegen'd loop), then one posexplode for the
+      // per-(j, code, pos) partial sums
+      val cbLit = typedLit(cents.map(_.toSeq).toSeq)
+      val assigned = e
+        .select(graft.functions.PqCodes.pq_encode(col("qv"), cbLit, m)
+                  .as("codes"),
+                posexplode(col("qv")).as(Seq("p", "x")))
+        .select(expr(s"cast(p div $subDim as int)").as("j"),
+                expr(s"codes[p div $subDim]").as("code"),
+                expr(s"cast(p % $subDim as int)").as("pos"), col("x"))
       val sums = assigned
-        .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy("j", "code", "pos")
         .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
         .collect()
@@ -319,16 +315,14 @@ object VectorOps {
     val kpq = cents.length
     val e = quantized(embeddings(s, d))
       .select("qv", "nrm").filter(col("nrm") > 0)
-    val centLit = array(cents.map(cv =>
-      array((0 until m).map(j => array(
-        cv.slice(j * subDim, (j + 1) * subDim).map(lit): _*)): _*)): _*)
-    e.withColumn("cb", centLit)
+    // per-row error = Σ_j min_c dist² — the row minima read straight
+    // off the native flat ADC table
+    e.select(graft.functions.PqCodes
+               .pq_adc_table(col("qv"),
+                 typedLit(cents.map(_.toSeq).toSeq), m).as("t"))
       .select(expr(
         s"""aggregate(transform(sequence(0, ${m - 1}, 1), j ->
-              array_min(transform(sequence(0, ${kpq - 1}, 1), c ->
-                aggregate(zip_with(slice(qv, j * $subDim + 1, $subDim),
-                                   cb[c][j], (a, b) -> (a - b) * (a - b)),
-                          0L, (acc, x) -> acc + x)))),
+              array_min(slice(t, j * $kpq + 1, $kpq))),
             0L, (acc, x) -> acc + x)""").as("err"))
       .agg(sum("err")).collect()(0).getLong(0)
   }
@@ -368,45 +362,29 @@ object VectorOps {
         .orderBy("vec_id").select("qv").collect()
         .map(_.getSeq[Long](0).toArray))
     require(cents.length == kpq, s"need $kpq codebook vectors")
+    // ONE codebook literal (kpq×DIM ints) feeding the native kernels.
+    // Composing encode from built-ins needs m×kpq inlined centroid
+    // literals + 3 dots per cell — a ~400-node tree whose analysis and
+    // codegen time dominated the whole gate (4 s for a 2 k-row corpus);
+    // graft.functions.{PqEncode, PqAdcTable} collapse it to one node
+    // each with a tight generated loop.
+    val cbLit = typedLit(cents.map(_.toSeq).toSeq)
 
-    def subCent(c: Int, j: Int): Array[Long] =
-      cents(c).slice(j * subDim, (j + 1) * subDim)
-    def centLit(c: Int, j: Int): Column =
-      expr(s"array(${subCent(c, j).map(_ + "L").mkString(",")})")
-    def centNrm(c: Int, j: Int): Long = {
-      val s = subCent(c, j); s.map(x => x * x).sum
-    }
-    // dist²(subvec_j, cent(c,j)) = ||sv||² - 2·sv·cent + ||cent||²,
-    // every dot through the native codegen'd expression
-    def subDist(sv: Column, c: Int, j: Int): Column =
-      array_dot_long(sv, sv) -
-        lit(2L) * array_dot_long(sv, centLit(c, j)) +
-        lit(centNrm(c, j))
+    // encode: per subspace, argmin dist² with ties to the lower code —
+    // narrow, zero-shuffle, whole-stage-codegen'd
+    import graft.functions.PqCodes.{pq_encode, pq_adc_table}
+    val codes = e.select(col("vec_id"), pq_encode(col("qv"), cbLit, m).as("codes"))
 
-    // encode: argmin over (dist, c) via array_min on orderable structs —
-    // narrow, zero-shuffle, ties to the lower code like IVF/k-means
-    val codeCols = (0 until m).map { j =>
-      val sv = expr(s"slice(qv, ${j * subDim + 1}, $subDim)")
-      array_min(array((0 until kpq).map(c =>
-        struct(subDist(sv, c, j).as("d"), lit(c).as("c"))): _*))
-        .getField("c").as(s"code_$j")
-    }
-    val codes = e.select(col("vec_id") +: codeCols: _*)
-
-    // per-query ADC table: T[j][c] = dist²(query subvec_j, cent(c,j))
-    val tCol = array((0 until m).map { j =>
-      val sv = expr(s"slice(qqv, ${j * subDim + 1}, $subDim)")
-      array((0 until kpq).map(c => subDist(sv, c, j)): _*)
-    }: _*)
+    // per-query ADC table: flat m×kpq, t[j*kpq + c] = dist²(subvec_j,
+    // cent(c, j))
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("qv").as("qqv"))
-      .withColumn("t", tCol)
-      .select("qid", "t")
+      .select(col("vec_id").as("qid"),
+              pq_adc_table(col("qv"), cbLit, m).as("t"))
 
     // ADC scan: M table lookups per (corpus row, query) — codes only,
     // raw vectors never reach this join
     val approx = (0 until m).map(j =>
-      expr(s"t[$j][code_$j]")).reduce(_ + _)
+      expr(s"t[$j * $kpq + codes[$j]]")).reduce(_ + _)
     val scored = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("approx_dist", approx)
     scored.withColumn("rn", row_number().over(Window.partitionBy("qid")
