@@ -121,6 +121,37 @@ object AdvancedOps {
         sum("p_cnt").as("cnt"))
     }),
 
+    // Salted SKEW JOIN — the join-side complement of the salted agg:
+    // when one join key is hot enough that a single sort-merge/shuffle
+    // partition drowns (the 100 TB failure mode AQE's skew split can't
+    // always save, e.g. one key > a whole partition even after split),
+    // salt the FACT side with a deterministic per-row value and
+    // replicate the DIM side across all S salt values, so the hot
+    // key's rows land on S reducers instead of one. Result is
+    // row-identical to the plain join (the oracle is the plain join);
+    // the merge hint keeps it a shuffle join so the salt actually
+    // participates in partitioning — a broadcast join would make
+    // salting moot (and broadcast IS the better fix when the dim side
+    // fits; this gate is the pattern for when it doesn't).
+    "join_skew_salted" -> ((s, d) => {
+      val S = 8
+      val fact = lineitem(s, d).select(
+        col("l_orderkey"), col("l_extendedprice"), col("l_quantity"),
+        pmod(col("l_linenumber"), lit(S)).as("salt"))
+      val dim = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("salt", explode(array((0 until S).map(lit): _*)))
+        .hint("merge")
+      fact.join(dim,
+          fact("l_orderkey") === dim("o_orderkey") &&
+          fact("salt") === dim("salt"))
+        .groupBy("o_orderpriority")
+        .agg(sum("l_quantity").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double")
+            .as("sum_base"),
+          count(lit(1)).as("cnt"))
+    }),
+
     // Exact interpolated percentiles (both engines implement the standard
     // (n-1)*p linear interpolation; quantities are integral so the
     // interpolation arithmetic is exact-then-IEEE-identical).
@@ -234,6 +265,13 @@ object AdvancedOps {
              AND t_view IS NOT NULL AND t_click > t_view
              AND t_purchase > t_click, false) AS did_full_funnel
          FROM agg""",
+    "join_skew_salted" ->
+      """SELECT o_orderpriority, sum(l_quantity) AS sum_qty,
+         cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
+           AS sum_base,
+         count(*) AS cnt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
     "percentiles_exact" ->
       """SELECT l_returnflag,
          quantile_cont(l_quantity, 0.5) AS p50,

@@ -139,4 +139,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // partial aggregates precede both exchanges (map-side combine)
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p)
   }
+
+  test("skew join salts the shuffle: merge join keyed on (key, salt)") {
+    val p = plan("join_skew_salted")
+    // the merge hint must hold (broadcast would make the salt moot)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // both join-side exchanges partition on the salt, so a hot key
+    // spreads over S reducers
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.count(_.contains("salt")) >= 2,
+      exchanges.mkString("\n"))
+  }
 }
