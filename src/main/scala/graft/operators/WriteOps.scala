@@ -93,6 +93,25 @@ object WriteOps {
       s.read.parquet(out)
     }),
 
+    // Globally range-sorted layout: repartitionByRange picks split
+    // points from a sampling pass, sortWithinPartitions orders inside
+    // each range — together a total order across files WITHOUT a
+    // single-reducer global sort (each partition sorts independently;
+    // this is how ORDER BY ... distributes anyway, made durable as a
+    // layout). Files then carry disjoint min/max key ranges, so any
+    // key- or range-filtered scan skips all but the matching files —
+    // the 1-D sibling of the z-order layout (ZOrderSpec asserts the
+    // disjoint-range contract).
+    "write_range_sorted" -> ((s, d) => {
+      val out = scratch("rangesort_out")
+      lineitem(s, d).select("l_orderkey", "l_linenumber", "l_shipdate")
+        .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))
+        .sortWithinPartitions("l_shipdate", "l_orderkey", "l_linenumber")
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      s.read.parquet(out)
+    }),
+
     // Static partition: a fixed partition value is overwritten in place —
     // modeled as writing the filtered slice under its partition directory.
     "insert_overwrite_static_pt" -> ((s, d) => {
@@ -250,6 +269,8 @@ object WriteOps {
          cast($z as bigint) AS zval
          FROM lineitem"""
     },
+    "write_range_sorted" ->
+      "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem",
     "insert_overwrite_static_pt" ->
       """SELECT o_orderpriority, count(*) AS cnt,
          cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total

@@ -61,6 +61,27 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("range-sorted layout yields disjoint per-file key ranges") {
+    // run the gate (writes to its scratch dir and returns the readback)
+    WriteOps.queries("write_range_sorted")(spark, sf).count()
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_scratch", "rangesort_out")
+      .toString
+    val files = spark.read.parquet(dir)
+      .select(col("l_shipdate"), input_file_name().as("f"))
+      .groupBy("f")
+      .agg(min("l_shipdate").as("lo"), max("l_shipdate").as("hi"))
+      .orderBy("lo")
+      .collect()
+    assert(files.length > 1, "expected a multi-file layout")
+    // consecutive files may only touch at a boundary value (equal keys
+    // can straddle a range split), never properly overlap
+    files.sliding(2).foreach { w =>
+      assert(w(0).getDate(2).getTime <= w(1).getDate(1).getTime,
+        s"file ranges overlap: ${w(0)} vs ${w(1)}")
+    }
+  }
+
   test("morton interleave is monotone in each dimension at fixed other") {
     // zval(a, b) with b fixed must be increasing in a (and vice versa):
     // the defining property that makes range partitioning on zval
