@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object WriteOps {
   import Tables._
 
-  private def scratch(name: String): String = {
+  private[graft] def scratch(name: String): String = {
     val p = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_scratch", name)
     p.toString

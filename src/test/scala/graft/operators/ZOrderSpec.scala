@@ -64,20 +64,21 @@ class ZOrderSpec extends AnyFunSuite {
   test("range-sorted layout yields disjoint per-file key ranges") {
     // run the gate (writes to its scratch dir and returns the readback)
     WriteOps.queries("write_range_sorted")(spark, sf).count()
-    val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_scratch", "rangesort_out")
-      .toString
+    val dir = WriteOps.scratch("rangesort_out")
+    // probe epoch longs, not Date/Timestamp objects: the fixture column
+    // is TIMESTAMP_NTZ, so Row.getDate/getTimestamp would mis-cast
     val files = spark.read.parquet(dir)
-      .select(col("l_shipdate"), input_file_name().as("f"))
+      .select(col("l_shipdate").cast("timestamp").cast("long").as("k"),
+        input_file_name().as("f"))
       .groupBy("f")
-      .agg(min("l_shipdate").as("lo"), max("l_shipdate").as("hi"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
       .orderBy("lo")
       .collect()
     assert(files.length > 1, "expected a multi-file layout")
     // consecutive files may only touch at a boundary value (equal keys
     // can straddle a range split), never properly overlap
     files.sliding(2).foreach { w =>
-      assert(w(0).getDate(2).getTime <= w(1).getDate(1).getTime,
+      assert(w(0).getLong(2) <= w(1).getLong(1),
         s"file ranges overlap: ${w(0)} vs ${w(1)}")
     }
   }
