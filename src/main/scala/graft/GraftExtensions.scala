@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotLong, CharNgrams, MinHashBands, MinHashMd5, NgramShingles, PqAdcTable, PqEncode, PqKernel, QuantizeLong}
+import graft.functions.{ArrayDotLong, CharNgrams, Md5Min, MinHashBands, MinHashMd5, NgramShingles, PqAdcTable, PqEncode, PqKernel, QuantizeLong}
 
 /** SparkSessionExtensions entry point: registers graft's native Catalyst
   * expressions as SQL functions at session build time, so a cluster
@@ -73,6 +73,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PqAdcTable].getName, "pq_adc_table"),
       (exprs: Seq[Expression]) => PqAdcTable(
         exprs(0), exprs(1), PqKernel.litInt(exprs(2)))
+    ): (FunctionIdentifier, ExpressionInfo,
+        FunctionRegistry.FunctionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("md5_min"),
+      new ExpressionInfo(classOf[Md5Min].getName, "md5_min"),
+      (exprs: Seq[Expression]) => Md5Min(exprs.head)
     ): (FunctionIdentifier, ExpressionInfo,
         FunctionRegistry.FunctionBuilder))
     ext.injectFunction((

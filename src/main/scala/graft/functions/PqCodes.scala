@@ -28,9 +28,11 @@ import org.apache.spark.sql.types._
   *
   * Distances are exact int64 squared L2 on the quantized grid, so
   * downstream results stay bit-identical to a SQL oracle.
-  * Null semantics: null input, null element, `dim % m != 0`, or a
-  * codebook row of the wrong length → null (the composed built-in
-  * form yields null in the same cases).
+  * Null semantics: null input, null element, `dim % m != 0`, an EMPTY
+  * codebook, or a codebook row of the wrong length → null (the composed
+  * built-in form yields null in the same cases; an empty codebook
+  * previously produced silent all-zero codes — out-of-range by
+  * definition — instead of null).
   */
 abstract class PqKernel extends BinaryExpression {
   /** Corpus/query vector: array<bigint> of dim elements. */
@@ -73,9 +75,9 @@ case class PqEncode(vec: Expression, codebook: Expression, m: Int)
     val v = a.asInstanceOf[ArrayData]
     val cb = b.asInstanceOf[ArrayData]
     val n = v.numElements()
-    if (n == 0 || n % m != 0) return null
-    val subDim = n / m
     val kpq = cb.numElements()
+    if (n == 0 || n % m != 0 || kpq == 0) return null
+    val subDim = n / m
     val bestD = Array.fill(m)(Long.MaxValue)
     val bestC = new Array[Int](m)
     var c = 0
@@ -114,10 +116,10 @@ case class PqEncode(vec: Expression, codebook: Expression, m: Int)
       val ok = ctx.freshName("ok")
       s"""
         final int $n = $a.numElements();
-        boolean $ok = $n > 0 && $n % $m == 0;
+        final int $kpq = $b.numElements();
+        boolean $ok = $n > 0 && $n % $m == 0 && $kpq > 0;
         if ($ok) {
           final int $subDim = $n / $m;
-          final int $kpq = $b.numElements();
           final long[] $bestD = new long[$m];
           final int[] $bestC = new int[$m];
           java.util.Arrays.fill($bestD, Long.MAX_VALUE);
@@ -167,9 +169,9 @@ case class PqAdcTable(vec: Expression, codebook: Expression, m: Int)
     val v = a.asInstanceOf[ArrayData]
     val cb = b.asInstanceOf[ArrayData]
     val n = v.numElements()
-    if (n == 0 || n % m != 0) return null
-    val subDim = n / m
     val kpq = cb.numElements()
+    if (n == 0 || n % m != 0 || kpq == 0) return null
+    val subDim = n / m
     val out = new Array[Long](m * kpq)
     var c = 0
     while (c < kpq) {
@@ -207,10 +209,10 @@ case class PqAdcTable(vec: Expression, codebook: Expression, m: Int)
       val ok = ctx.freshName("ok")
       s"""
         final int $n = $a.numElements();
-        boolean $ok = $n > 0 && $n % $m == 0;
+        final int $kpq = $b.numElements();
+        boolean $ok = $n > 0 && $n % $m == 0 && $kpq > 0;
         if ($ok) {
           final int $subDim = $n / $m;
-          final int $kpq = $b.numElements();
           final long[] $out = new long[$m * $kpq];
           for (int $c = 0; $ok && $c < $kpq; $c++) {
             if ($b.isNullAt($c)) { $ok = false; break; }

@@ -13,6 +13,19 @@ import org.apache.spark.sql.expressions.Window
 object AdvancedOps {
   import Tables._
 
+  /** Salt fan-out for the skew-join gate. */
+  val SKEW_SALTS = 8
+
+  /** Deterministic per-row fact-side salt for the skew join: a hash of
+    * the full row identity modulo S, so every salt value in [0, S)
+    * actually occurs and a hot key spreads over ALL S reducers.
+    * (`pmod(l_linenumber, S)` would NOT: TPC-H l_linenumber ∈ 1..7, so
+    * salt 0 never appears and 1/S of the replicated dim side is dead
+    * weight. PlanAssertionsSpec asserts full coverage.) */
+  private[graft] def skewSalt(s: Int) =
+    pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(s.toLong))
+      .cast("int")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // AS-OF JOIN: for every event, the timestamp of the same user's most
     // recent PRIOR 'error' event. Composed as a running max over a
@@ -134,10 +147,10 @@ object AdvancedOps {
     // salting moot (and broadcast IS the better fix when the dim side
     // fits; this gate is the pattern for when it doesn't).
     "join_skew_salted" -> ((s, d) => {
-      val S = 8
+      val S = SKEW_SALTS
       val fact = lineitem(s, d).select(
         col("l_orderkey"), col("l_extendedprice"), col("l_quantity"),
-        pmod(col("l_linenumber"), lit(S)).as("salt"))
+        skewSalt(S).as("salt"))
       val dim = orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"))
         .withColumn("salt", explode(array((0 until S).map(lit): _*)))

@@ -162,6 +162,14 @@ object DedupOps {
     * its 4-rows/doc index and the by-id shingle lookup for verified
     * candidates. The batch here is the doc_id % 10 == 0 slice so the
     * split stays scale-proportional across fixtures. */
+  /** The corpus-side band index of [[incrementalDups]], memoized per
+    * (dir, gram, k, bands) exactly like [[bandIdxCache]]: it is the
+    * persisted artifact every ingest probes, so re-running the gate must
+    * reuse it — NOT persist a fresh copy per invocation (the r6 ADVICE
+    * leak: repeated runs accumulated cached indexes in the session). */
+  private[graft] val corpusIdxCache = scala.collection.concurrent
+    .TrieMap[(String, Int, Int, Int), DataFrame]()
+
   def incrementalDups(s: SparkSession, d: String, gram: Int = 2,
       k: Int = K, bands: Int = BANDS,
       minJaccard: Double = 0.5): DataFrame = {
@@ -173,8 +181,9 @@ object DedupOps {
       explode(graft.functions.MinHashBands
         .minhash_bands(col("shingles"), k, bands)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-    val corpusIdx = bandsOf(base.filter(!isNew))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusIdx = corpusIdxCache.getOrElseUpdate((d, gram, k, bands),
+      bandsOf(base.filter(!isNew))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cands = bandsOf(base.filter(isNew)).as("n")
       .join(corpusIdx.as("o"), Seq("band_id", "band_hash"))
       .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("dup_of"))
@@ -204,11 +213,71 @@ object DedupOps {
     * clusters are shallow (pairs share most shingles), so 3–5 sweeps in
     * practice, bounded by `maxIters`. Each sweep is one shuffle join +
     * partial-agg min — no per-node driver state; the only driver action
-    * is a LIMIT-1 convergence probe per sweep (same bounded pattern as
-    * the k-means loop). At 100 TB you would localCheckpoint the label
-    * frame every few sweeps to truncate lineage; the sweep count does
-    * not change.
+    * is a bounded convergence count per sweep (same pattern as the
+    * k-means loop). The label frame is localCheckpoint'ed every
+    * [[CHECKPOINT_EVERY]] sweeps (see [[propagateLabels]]) so lineage
+    * depth stays bounded regardless of `maxIters`.
     */
+  /** Sweeps between lineage truncations in [[propagateLabels]]. */
+  private[graft] val CHECKPOINT_EVERY = 3
+
+  /** The min-label propagation inner loop over an undirected edge list
+    * `(doc_a, doc_b)` (both directions present): every node in `nodes`
+    * starts labeled with its own id; each sweep takes the min label over
+    * neighbors; stops on convergence or `maxIters`.
+    *
+    * Every [[CHECKPOINT_EVERY]]-th sweep the label frame is
+    * `localCheckpoint`ed (eager) instead of persisted: the checkpoint
+    * materializes the same partitions the persist would, AND truncates
+    * lineage, so a maxIters=20 run carries a ≤3-sweep-deep plan instead
+    * of a 20-join tower (whose analysis/serialization cost grows per
+    * sweep and eventually dominates). localCheckpoint is executor-local
+    * — the right tradeoff for this loop, where a lost executor just
+    * means rerunning the job; a multi-hour pipeline would use reliable
+    * `checkpoint()` on cluster storage, same call site. */
+  private[graft] def propagateLabels(edges: DataFrame, nodes: DataFrame,
+      maxIters: Int): DataFrame = {
+    var persisted = nodes
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = persisted
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"),
+          col("cluster_id").as("nbr_label")), Seq("doc_b"))
+        .groupBy("doc_a").agg(min("nbr_label").as("nbr_min"))
+        .withColumnRenamed("doc_a", "doc_id")
+      // carry the pre-sweep label alongside the new one so convergence
+      // is a filter over THIS frame — no extra join back to the old
+      // labels (one shuffle per sweep saved)
+      val swept = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id").as("old_id"),
+          least(col("cluster_id"),
+            coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+      val next =
+        if ((it + 1) % CHECKPOINT_EVERY == 0) swept.localCheckpoint(true)
+        else swept.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the filter+count scans (and therefore caches) EVERY partition of
+      // `next` before the parent is unpersisted (a limit-probe would
+      // cache only the partitions it touched and the rest would
+      // recompute through unpersisted lineage); the count itself is a
+      // partial-agg over the small label frame. (An eager localCheckpoint
+      // already materialized everything — the count is then a cached
+      // scan.)
+      val changed = next.filter(col("cluster_id") =!= col("old_id")).count()
+      persisted.unpersist()
+      persisted = next
+      labels = next.select("doc_id", "cluster_id")
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
   def minhashClusters(s: SparkSession, d: String, gram: Int = 2,
       k: Int = K, bands: Int = BANDS, minJaccard: Double = 0.5,
       maxIters: Int = 20): DataFrame = {
@@ -227,39 +296,7 @@ object DedupOps {
     // unpersisted, and must not recompute the pairs pipeline
     val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var persisted = nodes
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = persisted
-    var it = 0
-    var converged = false
-    while (!converged && it < maxIters) {
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("doc_b"),
-          col("cluster_id").as("nbr_label")), Seq("doc_b"))
-        .groupBy("doc_a").agg(min("nbr_label").as("nbr_min"))
-        .withColumnRenamed("doc_a", "doc_id")
-      // carry the pre-sweep label alongside the new one so convergence
-      // is a filter over THIS frame — no extra join back to the old
-      // labels (one shuffle per sweep saved)
-      val next = labels
-        .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("cluster_id").as("old_id"),
-          least(col("cluster_id"),
-            coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // the filter+count scans (and therefore caches) EVERY partition of
-      // `next` before the parent is unpersisted (a limit-probe would
-      // cache only the partitions it touched and the rest would
-      // recompute through unpersisted lineage); the count itself is a
-      // partial-agg over the small label frame
-      val changed = next.filter(col("cluster_id") =!= col("old_id")).count()
-      persisted.unpersist()
-      persisted = next
-      labels = next.select("doc_id", "cluster_id")
-      converged = changed == 0
-      it += 1
-    }
+    val labels = propagateLabels(edges, nodes, maxIters)
     edges.unpersist()
     val singletons = documents(s, d).select(col("doc_id"))
       .join(nodes, Seq("doc_id"), "left_anti")

@@ -138,16 +138,19 @@ object TextOps {
           (col("redacted") =!= col("text")).as("was_redacted"))),
 
     // Document fingerprinting: full-text hash + min 5-gram shingle hash
-    // (a 1-permutation MinHash — the dedup building block).
+    // (a 1-permutation MinHash — the dedup building block). Both stages
+    // are the native codegen'd kernels (NgramShingles + Md5Min), not the
+    // interpreted transform/sequence/slice/concat_ws composition — same
+    // values (the specs prove each elementwise), one WholeStageCodegen
+    // pass per document.
     "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .withColumn("toks", split(lower(trim(col("text"))), " "))
         .select(
           col("doc_id"),
           md5(lower(trim(col("text")))).as("fp_full"),
-          expr("array_min(transform(" +
-               "sequence(1, greatest(size(toks) - 4, 1)), " +
-               "i -> md5(concat_ws(' ', slice(toks, i, 5)))))")
+          graft.functions.Md5Min.md5_min(
+            graft.functions.NgramShingles.ngram_shingles(col("toks"), 5))
             .as("fp_min5"))),
 
     // Repetition signals (the Gopher-style quality filters): duplicate

@@ -277,6 +277,11 @@ object VectorOps {
     var cents: Array[Array[Long]] = e.filter(col("vec_id") < kpq)
       .orderBy("vec_id").select("qv").collect()
       .map(_.getSeq[Long](0).toArray)
+    require(cents.nonEmpty,
+      s"PQ training needs a non-empty seed: no vectors with vec_id < " +
+      s"$kpq and positive norm in $d")
+    require(cents.forall(_.length == DIM),
+      s"PQ seed vectors must all have dim $DIM")
     var it = 0
     while (it < iters) {
       // assign: per-subspace argmin codes via the native PQ kernel
@@ -361,7 +366,17 @@ object VectorOps {
       e.filter(col("vec_id") < kpq)
         .orderBy("vec_id").select("qv").collect()
         .map(_.getSeq[Long](0).toArray))
-    require(cents.length == kpq, s"need $kpq codebook vectors")
+    // guards, not a fixed-length require: a corpus where some of the
+    // first kpq vec_ids are missing/zero-norm still yields a VALID
+    // (smaller) codebook — the ADC stride below follows the actual
+    // length; only a truly empty or ragged codebook is an error
+    val kEff = cents.length
+    require(kEff > 0,
+      s"PQ codebook is empty: no vectors with vec_id < $kpq and positive " +
+      "norm — pass a trained codebook (pqTrainedCodebook)")
+    require(cents.forall(_.length == DIM),
+      s"PQ codebook rows must all have dim $DIM, got lengths " +
+      cents.map(_.length).distinct.mkString(","))
     // ONE codebook literal (kpq×DIM ints) feeding the native kernels.
     // Composing encode from built-ins needs m×kpq inlined centroid
     // literals + 3 dots per cell — a ~400-node tree whose analysis and
@@ -382,9 +397,10 @@ object VectorOps {
               pq_adc_table(col("qv"), cbLit, m).as("t"))
 
     // ADC scan: M table lookups per (corpus row, query) — codes only,
-    // raw vectors never reach this join
+    // raw vectors never reach this join. Stride is the ACTUAL codebook
+    // length (pq_adc_table lays the table out as m × |codebook|).
     val approx = (0 until m).map(j =>
-      expr(s"t[$j * $kpq + codes[$j]]")).reduce(_ + _)
+      expr(s"t[$j * $kEff + codes[$j]]")).reduce(_ + _)
     val scored = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("approx_dist", approx)
     scored.withColumn("rn", row_number().over(Window.partitionBy("qid")

@@ -69,7 +69,10 @@ class PqCodesSpec extends AnyFunSuite {
       s"cast(null as array<bigint>), ${sql(cb)}",
       s"array(1L, null, 3L, 4L), ${sql(cb)}",
       s"array(1L, 2L, 3L), ${sql(cb)}",     // dim 3 not divisible by m=2
-      s"array(1L, 2L, 3L, 4L), array(array(1L, 2L))") // cb row dim != 4
+      s"array(1L, 2L, 3L, 4L), array(array(1L, 2L))", // cb row dim != 4
+      // EMPTY codebook → null, not silent all-zero codes (which would be
+      // out-of-range table subscripts downstream)
+      "array(1L, 2L, 3L, 4L), cast(array() as array<array<bigint>>)")
     PqCodes.register(spark)
     cases.foreach { args =>
       assert(spark.sql(s"select pq_encode($args, $m) as v")

@@ -46,4 +46,28 @@ class DedupClustersSpec extends AnyFunSuite {
         s"doc $doc: distributed label ${labels(doc)} != union-find $expected")
     }
   }
+
+  test("deep propagation converges with a lineage-bounded plan") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // a 12-node path graph: min label 0 travels one hop per sweep, so
+    // convergence needs 11 sweeps — far past CHECKPOINT_EVERY
+    val fwd = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val edges = fwd.union(
+      fwd.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val nodes = (0L until 12L).toDF("doc_id")
+    val labels = DedupOps.propagateLabels(edges, nodes, maxIters = 20)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 12 && out.values.forall(_ == 0L),
+      s"path graph must collapse to cluster 0: $out")
+    // lineage is truncated by the periodic localCheckpoint: the final
+    // frame derives from a checkpointed RDD (LogicalRDD leaf), not an
+    // 11-sweep join tower
+    val plan = labels.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      plan)
+    val depth = plan.linesIterator.size
+    assert(depth < 40,
+      s"optimized plan has $depth lines — lineage not truncated:\n$plan")
+  }
 }

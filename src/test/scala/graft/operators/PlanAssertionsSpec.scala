@@ -101,6 +101,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("md5(concat"), p)
   }
 
+  test("fingerprint pass stays native — no interpreted lambdas") {
+    val p = plan("text_fingerprint")
+    // shingle + min-hash must be the codegen'd kernels, not the
+    // transform/sequence/slice/concat_ws composition
+    assert(p.contains("ngram_shingles"), p)
+    assert(p.contains("md5_min"), p)
+    assert(!p.contains("lambdafunction"), p)
+    assert(!p.contains("transform("), p)
+  }
+
   test("decontamination probe broadcasts the eval side, native shingler") {
     val p = plan("text_decontaminate")
     // the corpus-side gram stream must NOT shuffle for the probe: the
@@ -151,5 +161,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
       .filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exchanges.count(_.contains("salt")) >= 2,
       exchanges.mkString("\n"))
+  }
+
+  test("skew join salt covers the full domain") {
+    import org.apache.spark.sql.functions.countDistinct
+    // every salt value in [0, S) must actually occur on TPC-H data —
+    // a salt derived from l_linenumber (∈ 1..7) would leave value 0
+    // unused and spread the hot key over S-1 reducers only
+    val s = AdvancedOps.SKEW_SALTS
+    val salts = Tables.lineitem(spark, sf)
+      .select(AdvancedOps.skewSalt(s).as("salt"))
+    val distinct = salts.agg(countDistinct("salt")).collect()(0).getLong(0)
+    assert(distinct == s, s"expected $s distinct salts, got $distinct")
+    val range = salts.distinct().collect().map(_.getInt(0)).sorted
+    assert(range.sameElements(0 until s), range.mkString(","))
   }
 }

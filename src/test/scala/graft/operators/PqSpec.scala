@@ -71,6 +71,28 @@ class PqSpec extends AnyFunSuite {
     assert(df.count() == 50)
   }
 
+  test("degenerate codebooks are rejected with a clear error, not " +
+      "silent garbage") {
+    // empty codebook (e.g. a dir whose first-KPQ vec_ids are all
+    // missing/zero-norm, or an empty trained artifact)
+    val empty = intercept[IllegalArgumentException] {
+      VectorOps.pqTopK(spark, sf, codebook = Some(Array.empty))
+    }
+    assert(empty.getMessage.contains("empty"))
+    // ragged rows (a truncated/corrupted codebook file)
+    val ragged = intercept[IllegalArgumentException] {
+      VectorOps.pqTopK(spark, sf,
+        codebook = Some(Array(Array.fill(64)(1L), Array.fill(8)(1L))))
+    }
+    assert(ragged.getMessage.contains("dim"))
+    // a SMALLER-than-KPQ but well-formed codebook is valid: the ADC
+    // stride follows the actual length
+    val small = VectorOps.pqTrainedCodebook(spark, sf, kpq = 4, iters = 0)
+    assert(small.length == 4)
+    assert(VectorOps.pqTopK(spark, sf, kpq = 4,
+      codebook = Some(small)).count() == 50)
+  }
+
   test("codes are bounded by the codebook size (the M-bytes/vector " +
       "storage contract)") {
     import org.apache.spark.sql.functions._
