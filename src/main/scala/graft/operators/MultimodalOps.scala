@@ -187,6 +187,80 @@ object MultimodalOps {
     }
   }
 
+  /** Real WAV codec over deterministic synthetic audio — the SECOND
+    * media codec in the same batched `mapPartitions` shape, proving the
+    * header's claim that only the library call inside the batch function
+    * changes (`javax.sound.sampled` here vs `javax.imageio` above).
+    *
+    * Audio contract (mirrored by the DuckDB oracle): 8 kHz mono signed
+    * PCM16 little-endian; `n = 64 + n_chars % 64` samples; sample
+    * `s(i) = (doc_id*31 + i*17) mod 65536 - 32768`. WAV PCM is
+    * lossless, so the AudioSystem round trip recovers exactly these
+    * values — the gate verifies a real encode→RIFF-bytes→decode trip,
+    * not byte arithmetic.
+    */
+  object AudioCodec {
+    import ImageCodec.{Doc, Media}
+
+    final case class AudioMeta(doc_id: Long, sample_rate: Int,
+                               n_samples: Int, amp_sum: Long,
+                               amp_min: Int, amp_max: Int)
+
+    val SR = 8000
+
+    def nSamples(nChars: Long): Int = (64 + nChars % 64).toInt
+
+    def sample(docId: Long, i: Int): Int =
+      ((docId * 31 + i.toLong * 17) % 65536).toInt - 32768
+
+    /** Render the deterministic waveform and ENCODE to real WAV bytes. */
+    def encodeBatch(it: Iterator[Doc]): Iterator[Media] = {
+      // per-partition codec init (format object reused across the batch)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        SR.toFloat, 16, 1, true, false)
+      it.map { doc =>
+        val n = nSamples(doc.n_chars)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = sample(doc.doc_id, i)
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        Media(doc.doc_id, out.toByteArray)
+      }
+    }
+
+    /** DECODE real WAV bytes: container-parsed format + frame count,
+      * then exact PCM16 amplitude stats. */
+    def decodeBatch(it: Iterator[Media]): Iterator[AudioMeta] = it.map { m =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.blob))
+      val fmt = ais.getFormat
+      val n = ais.getFrameLength.toInt
+      val bytes = ais.readAllBytes()
+      var sum = 0L
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      var i = 0
+      while (i < n) {
+        // little-endian signed 16-bit: high byte sign-extends
+        val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+        sum += s
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+        i += 1
+      }
+      AudioMeta(m.doc_id, fmt.getSampleRate.toInt, n, sum, mn, mx)
+    }
+  }
+
   /** The perceptual-hash index (doc_id, phash_hi, phash_lo) — a REAL
     * encode→PNG-bytes→decode→hash pipeline, memoized per dataset because
     * it is the shared derived artifact of the phash gate AND the near-dup
@@ -250,6 +324,22 @@ object MultimodalOps {
         .as[Doc]
         .mapPartitions(encodeBatch _)
         .mapPartitions(resizeBatch _)
+        .toDF()
+    }),
+
+    // Audio path: synthesize real WAV bytes (RIFF container, PCM16) in
+    // one partition-wise batch, decode them in the next — same pipeline
+    // shape as the PNG decode gate with only the codec library swapped.
+    // Blobs never shuffle; the oracle predicts sample-exact amplitude
+    // stats from the audio contract (WAV PCM is lossless).
+    "multimodal_audio_meta" -> ((s, d) => {
+      import s.implicits._
+      import ImageCodec.Doc
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[Doc]
+        .mapPartitions(AudioCodec.encodeBatch _)
+        .mapPartitions(AudioCodec.decodeBatch _)
         .toDF()
     }),
 
@@ -380,6 +470,23 @@ object MultimodalOps {
                  x -> (2*x + 2*y * w + doc_id) % 256))), 'sum') as bigint)
              AS out_pix_sum
          FROM dims""",
+    // predicts the REAL decoded WAV from the audio contract: 8 kHz,
+    // n = 64 + n_chars % 64 samples, s(i) = (doc_id*31+i*17)%65536-32768
+    "multimodal_audio_meta" ->
+      """WITH d AS (
+           SELECT doc_id, 64 + n_chars % 64 AS n FROM documents),
+         s AS (
+           SELECT doc_id, n,
+             list_transform(range(0, n),
+               i -> (doc_id * 31 + i * 17) % 65536 - 32768) AS smp
+           FROM d)
+         SELECT doc_id,
+           8000 AS sample_rate,
+           cast(n as int) AS n_samples,
+           cast(list_aggregate(smp, 'sum') as bigint) AS amp_sum,
+           cast(list_aggregate(smp, 'min') as int) AS amp_min,
+           cast(list_aggregate(smp, 'max') as int) AS amp_max
+         FROM s""",
     "multimodal_frame_sample" ->
       """SELECT doc_id, cast(f as int) AS frame_idx,
          md5(substr(text, cast(f * 16 + 1 as int), 16)) AS frame_md5

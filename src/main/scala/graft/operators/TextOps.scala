@@ -153,6 +153,64 @@ object TextOps {
             graft.functions.NgramShingles.ngram_shingles(col("toks"), 5))
             .as("fp_min5"))),
 
+    // Subword token counts from a corpus-TRAINED merge vocabulary — the
+    // trainable upgrade of text_token_stats' ceil(len/4) estimate (that
+    // column is retained there for comparison). BPE-style train+apply,
+    // reformulated so both phases are exact and order-free:
+    //
+    //  TRAIN: count all intra-word char bigrams across the corpus
+    //  (counts-only shuffle, |charset|²-bounded key space), then keep a
+    //  merge bigram iff it outranks (count desc, bigram asc) EVERY
+    //  bigram it chains with (shares a boundary char, i.e. could
+    //  overlap in text); self-chaining "aa" bigrams are excluded. Any
+    //  two surviving merges can therefore never overlap — greedy
+    //  left-to-right application and independent application coincide,
+    //  which is what makes APPLY exact without sequential state. Top-64
+    //  survivors form the vocabulary.
+    //
+    //  APPLY: a word of L chars tokenizes into L - (#vocab bigrams in
+    //  it) subwords, so per doc: n_bpe_tokens = chars-excluding-spaces
+    //  minus vocab-bigram hits (space-containing bigrams never enter
+    //  the vocab, so whole-text hits == summed per-word hits).
+    //
+    // Scale shape: the train side is two counts-only aggregations plus
+    // a charset²-bounded non-equi self-join on the TINY count frame
+    // (driver-free, broadcastable metadata); the apply side is the
+    // codegen'd char_ngrams explode → broadcast semi-join on a ≤64-row
+    // vocab → per-doc count. Nothing corpus-sized shuffles except
+    // (doc_id, bigram) count rows.
+    "text_bpe_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), lower(trim(col("text"))).as("norm"))
+      val bg = docs.select(col("doc_id"),
+          explode(graft.functions.CharNgrams.char_ngrams(col("norm"), 2))
+            .as("g"))
+        .filter(length(col("g")) === 2 && !col("g").contains(" "))
+      val counts = bg.groupBy("g").agg(count(lit(1)).as("c"))
+      val cand = counts.filter(
+        substring(col("g"), 1, 1) =!= substring(col("g"), 2, 1))
+      val rivals = cand.select(col("g").as("rg"), col("c").as("rc"))
+      val accepted = cand.join(rivals,
+          col("rg") =!= col("g") &&
+            (substring(col("rg"), 1, 1) === substring(col("g"), 2, 1) ||
+             substring(col("rg"), 2, 1) === substring(col("g"), 1, 1)) &&
+            (col("rc") > col("c") ||
+             (col("rc") === col("c") && col("rg") < col("g"))),
+          "left_anti")
+      val vocab = accepted.orderBy(col("c").desc, col("g").asc)
+        .limit(64).select("g")
+      val hits = bg.join(broadcast(vocab), Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      docs.select(col("doc_id"),
+          size(split(col("norm"), " ")).as("n_words"),
+          length(regexp_replace(col("norm"), " ", "")).as("n_chars_ns"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("n_chars_ns"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (col("n_chars_ns") - coalesce(col("n_hits"), lit(0L)))
+            .as("n_bpe_tokens"))
+    }),
+
     // Repetition signals (the Gopher-style quality filters): duplicate
     // token fraction plus the most-frequent 2-gram's share of all
     // 2-grams. Highly repetitive docs (boilerplate, SEO spam, generation
@@ -342,6 +400,40 @@ object TextOps {
            cast(strlen(text) - strlen(redacted) as int) AS chars_removed,
            redacted != text AS was_redacted
          FROM r""",
+    "text_bpe_tokens" ->
+      """WITH d AS (SELECT doc_id, lower(trim(text)) AS norm
+                    FROM documents),
+         bg AS (
+           SELECT doc_id, g FROM (
+             SELECT doc_id, unnest(list_transform(
+               range(1, greatest(length(norm) - 1, 1) + 1),
+               i -> substr(norm, i, 2))) AS g
+             FROM d)
+           WHERE length(g) = 2 AND strpos(g, ' ') = 0),
+         cnt AS (SELECT g, count(*) AS c FROM bg GROUP BY g),
+         cand AS (SELECT g, c FROM cnt
+                  WHERE substr(g, 1, 1) != substr(g, 2, 1)),
+         acc AS (
+           SELECT a.g, a.c FROM cand a
+           WHERE NOT EXISTS (
+             SELECT 1 FROM cand b
+             WHERE b.g != a.g
+               AND (substr(b.g, 1, 1) = substr(a.g, 2, 1) OR
+                    substr(b.g, 2, 1) = substr(a.g, 1, 1))
+               AND (b.c > a.c OR (b.c = a.c AND b.g < a.g)))),
+         vocab AS (SELECT g FROM acc ORDER BY c DESC, g ASC LIMIT 64),
+         hits AS (SELECT doc_id, count(*) AS n_hits
+                  FROM bg JOIN vocab USING (g) GROUP BY doc_id),
+         base AS (
+           SELECT doc_id,
+             cast(len(string_split(norm, ' ')) as int) AS n_words,
+             cast(length(regexp_replace(norm, ' ', '', 'g')) as int)
+               AS n_chars_ns
+           FROM d)
+         SELECT b.doc_id, n_words, n_chars_ns,
+           coalesce(n_hits, 0) AS n_hits,
+           n_chars_ns - coalesce(n_hits, 0) AS n_bpe_tokens
+         FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id""",
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ')
              AS toks FROM documents),

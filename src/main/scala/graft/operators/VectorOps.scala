@@ -435,17 +435,43 @@ object VectorOps {
       .select("id_a", "id_b", "sim").distinct()
   }
 
+  /** Recall@10 of the IVF index against the exact brute-force scan —
+    * the quality metric an ANN deployment actually monitors, promoted
+    * from spec-only to an oracled gate. Per-query overlap rows plus the
+    * corpus-level recall (the monitored aggregate; individual queries
+    * legitimately dip at nprobe=4 — that IS the IVF tradeoff the report
+    * exists to expose). All arithmetic is exact — integer overlap
+    * counts, integer window sum, one IEEE division per ratio — so
+    * DuckDB computes the identical join; `meets_target` asserts the
+    * ≥0.9 corpus bar via an integer compare. */
+  def recallReport(s: SparkSession, d: String, k: Int = 10,
+      nQueries: Int = 5): DataFrame = {
+    val bf = bruteforceTopK(s, d, k).select(col("qid"), col("vec_id"))
+    val iv = ivfTopK(s, d, k = k).select(col("qid"), col("vec_id"))
+    val all = Window.partitionBy()
+    bf.join(iv, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+      .withColumn("corpus_overlap", sum("n_overlap").over(all))
+      .select(col("qid"), lit(k).as("k"), col("n_overlap"),
+        (col("n_overlap").cast("double") / k).as("recall"),
+        col("corpus_overlap"),
+        (col("corpus_overlap").cast("double") / (k * nQueries))
+          .as("corpus_recall"),
+        (col("corpus_overlap") >= (k * nQueries * 9 + 9) / 10)
+          .as("meets_target"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> ((s, d) => bruteforceTopK(s, d)),
     "ann_lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
     "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "ann_pq_topk" -> ((s, d) => pqTopK(s, d)),
+    "ann_recall_report" -> ((s, d) => recallReport(s, d)),
     "embedding_neardup" -> ((s, d) => neardupPairs(s, d))
   )
 
-  val oracles: Map[String, String] = Map(
-    "ann_bruteforce_topk" ->
-      s"""WITH $oracleQuantCte,
+  private def bfOracle: String =
+    s"""WITH $oracleQuantCte,
          q AS (SELECT vec_id AS qid, qv AS qqv, nrm AS qnrm FROM n
                WHERE vec_id < 5),
          scored AS (
@@ -465,39 +491,10 @@ object VectorOps {
            SELECT qid, vec_id, sim,
              cast(row_number() OVER (PARTITION BY qid
                ORDER BY sim DESC, vec_id ASC) as int) AS rn
-           FROM ranked) WHERE rn <= 10""",
-    "ann_lsh_buckets" -> oracleBucketSql,
-    "ann_pq_topk" ->
-      s"""WITH $oracleQuantCte,
-         e2 AS (SELECT vec_id, qv FROM n WHERE nrm > 0),
-         cents AS (SELECT vec_id AS c, qv AS cqv FROM e2
-                   WHERE vec_id < $KPQ),
-         sub AS (
-           SELECT e2.vec_id, t.j, cents.c,
-             cast(list_aggregate(list_transform(range(1, ${SUBDIM + 1}),
-               i -> (e2.qv[t.j * $SUBDIM + i] - cents.cqv[t.j * $SUBDIM + i])
-                  * (e2.qv[t.j * $SUBDIM + i] - cents.cqv[t.j * $SUBDIM + i])),
-               'sum') as bigint) AS d
-           FROM e2, range(0, $M) t(j), cents),
-         codes AS (
-           SELECT vec_id, j, c AS code FROM (
-             SELECT *, row_number() OVER (PARTITION BY vec_id, j
-               ORDER BY d ASC, c ASC) AS arn
-             FROM sub) WHERE arn = 1),
-         qt AS (SELECT vec_id AS qid, j, c, d FROM sub WHERE vec_id < 5),
-         adc AS (
-           SELECT qt.qid, codes.vec_id,
-             cast(sum(qt.d) as bigint) AS approx_dist
-           FROM codes JOIN qt ON qt.j = codes.j AND qt.c = codes.code
-           WHERE codes.vec_id != qt.qid
-           GROUP BY qt.qid, codes.vec_id)
-         SELECT qid, vec_id, rn, approx_dist FROM (
-           SELECT qid, vec_id, approx_dist,
-             cast(row_number() OVER (PARTITION BY qid
-               ORDER BY approx_dist ASC, vec_id ASC) as int) AS rn
-           FROM adc) WHERE rn <= 10""",
-    "ann_ivf_topk" ->
-      s"""WITH $oracleQuantCte,
+           FROM ranked) WHERE rn <= 10"""
+
+  private def ivfOracle: String =
+    s"""WITH $oracleQuantCte,
          e2 AS (SELECT vec_id, qv, nrm FROM n WHERE nrm > 0),
          cents AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm
                    FROM e2 WHERE vec_id < $NLIST),
@@ -532,7 +529,58 @@ object VectorOps {
            SELECT qid, vec_id, sim,
              cast(row_number() OVER (PARTITION BY qid
                ORDER BY sim DESC, vec_id ASC) as int) AS rn
-           FROM cand) WHERE rn <= 10""",
+           FROM cand) WHERE rn <= 10"""
+
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce_topk" -> bfOracle,
+    "ann_lsh_buckets" -> oracleBucketSql,
+    // the two index outputs join as subqueries (nested WITH): exact
+    // integer overlap counts, one IEEE division per ratio, integer
+    // ≥-bar compare on the corpus aggregate
+    "ann_recall_report" ->
+      s"""WITH bf AS ($bfOracle),
+         ivf AS ($ivfOracle),
+         ov AS (
+           SELECT bf.qid, count(*) AS n_overlap
+           FROM bf JOIN ivf ON bf.qid = ivf.qid AND bf.vec_id = ivf.vec_id
+           GROUP BY bf.qid)
+         SELECT qid, 10 AS k, n_overlap,
+           cast(n_overlap as double) / 10 AS recall,
+           cast(sum(n_overlap) OVER () as bigint) AS corpus_overlap,
+           cast(cast(sum(n_overlap) OVER () as bigint) as double) / 50
+             AS corpus_recall,
+           cast(sum(n_overlap) OVER () as bigint) >= 45 AS meets_target
+         FROM ov""",
+    "ann_pq_topk" ->
+      s"""WITH $oracleQuantCte,
+         e2 AS (SELECT vec_id, qv FROM n WHERE nrm > 0),
+         cents AS (SELECT vec_id AS c, qv AS cqv FROM e2
+                   WHERE vec_id < $KPQ),
+         sub AS (
+           SELECT e2.vec_id, t.j, cents.c,
+             cast(list_aggregate(list_transform(range(1, ${SUBDIM + 1}),
+               i -> (e2.qv[t.j * $SUBDIM + i] - cents.cqv[t.j * $SUBDIM + i])
+                  * (e2.qv[t.j * $SUBDIM + i] - cents.cqv[t.j * $SUBDIM + i])),
+               'sum') as bigint) AS d
+           FROM e2, range(0, $M) t(j), cents),
+         codes AS (
+           SELECT vec_id, j, c AS code FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id, j
+               ORDER BY d ASC, c ASC) AS arn
+             FROM sub) WHERE arn = 1),
+         qt AS (SELECT vec_id AS qid, j, c, d FROM sub WHERE vec_id < 5),
+         adc AS (
+           SELECT qt.qid, codes.vec_id,
+             cast(sum(qt.d) as bigint) AS approx_dist
+           FROM codes JOIN qt ON qt.j = codes.j AND qt.c = codes.code
+           WHERE codes.vec_id != qt.qid
+           GROUP BY qt.qid, codes.vec_id)
+         SELECT qid, vec_id, rn, approx_dist FROM (
+           SELECT qid, vec_id, approx_dist,
+             cast(row_number() OVER (PARTITION BY qid
+               ORDER BY approx_dist ASC, vec_id ASC) as int) AS rn
+           FROM adc) WHERE rn <= 10""",
+    "ann_ivf_topk" -> ivfOracle,
     "embedding_neardup" ->
       s"""WITH $oracleQuantCte,
          planes(p, w) AS (VALUES

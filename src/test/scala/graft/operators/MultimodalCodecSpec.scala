@@ -2,7 +2,7 @@ package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import MultimodalOps.ImageCodec
+import MultimodalOps.{AudioCodec, ImageCodec}
 
 /** The multimodal gates run a REAL `javax.imageio` PNG round trip; this
   * spec pins that the blob is an actual PNG stream and that decode
@@ -58,6 +58,37 @@ class MultimodalCodecSpec extends AnyFunSuite {
     // halves are 32-bit, so XOR/Hamming math stays non-negative
     assert(p.phash_hi >= 0L && p.phash_hi < (1L << 32))
     assert(p.phash_lo >= 0L && p.phash_lo < (1L << 32))
+  }
+
+  test("audio encodeBatch emits a genuine RIFF/WAVE container") {
+    val m = AudioCodec.encodeBatch(Iterator(doc)).next()
+    assert(new String(m.blob.take(4), "US-ASCII") == "RIFF")
+    assert(new String(m.blob.slice(8, 12), "US-ASCII") == "WAVE")
+    // container carries a header, not just raw PCM
+    assert(m.blob.length > AudioCodec.nSamples(457L) * 2)
+  }
+
+  test("audio decodeBatch recovers contract samples exactly (PCM16 is " +
+      "lossless)") {
+    val a = AudioCodec.decodeBatch(
+      AudioCodec.encodeBatch(Iterator(doc))).next()
+    val n = AudioCodec.nSamples(457L)
+    assert(a.sample_rate == AudioCodec.SR)
+    assert(a.n_samples == n)
+    val samples = (0 until n).map(AudioCodec.sample(123L, _))
+    assert(a.amp_sum == samples.map(_.toLong).sum)
+    assert(a.amp_min == samples.min)
+    assert(a.amp_max == samples.max)
+    // the signed round trip is real in both directions: doc 123's
+    // contract samples are all negative; doc 1100's start positive
+    // (1100*31 % 65536 = 34100 > 32768)
+    assert(a.amp_min < 0 && a.amp_max < 0)
+    val b = AudioCodec.decodeBatch(AudioCodec.encodeBatch(
+      Iterator(ImageCodec.Doc(1100L, 300L)))).next()
+    val bs = (0 until AudioCodec.nSamples(300L))
+      .map(AudioCodec.sample(1100L, _))
+    assert(b.amp_max == bs.max && b.amp_max > 0)
+    assert(b.amp_min == bs.min)
   }
 
   test("phash is invariant to the PNG round trip (pure function of image)") {
