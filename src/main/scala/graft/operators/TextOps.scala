@@ -211,6 +211,52 @@ object TextOps {
             .as("n_bpe_tokens"))
     }),
 
+    // BM25 retrieval scoring (Robertson/Sparck-Jones, k1=1.2 b=0.75) —
+    // top-10 docs per query term, the ranking function behind every
+    // lexical retrieval stage. Reformulated as ONE exact integer
+    // rational per (doc, term) with a single IEEE division, the same
+    // determinism standard as tfidf above (idf is the rational
+    // (N+1)/(df+1) form — rank-equivalent to the log, bit-stable):
+    //
+    //   score = 44·tf·L·(N+1) / ((20·tf·L + 6·L + 18·dl·N)·(df+1))
+    //
+    // which is tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) · idf with
+    // avgdl = L/N, numerator and denominator cleared by 20·L. Exact
+    // while 44·tf·L·(N+1) < 2^63 (≈ corpora of 10^8 docs × 10^9 tokens;
+    // beyond that, drop to doubles — ranking only needs monotonicity).
+    //
+    // Scale shape: dl is a counts-only doc-keyed aggregation; tf is
+    // filtered to the query terms BEFORE its shuffle (the candidate set
+    // is query-term-bounded, not corpus-bounded); df and the corpus
+    // totals are term-count/1-row broadcasts; the final rank windows
+    // over ≤ |terms|·N scored rows.
+    "text_bm25" -> ((s, d) => {
+      val terms = Seq("spark", "merge", "window")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val corpus = dl.agg(sum("dl").as("big_l"),
+                          count(lit(1)).as("n_docs"))
+      val tf = toks.filter(col("tok").isin(terms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(corpus))
+        .withColumn("score",
+          (lit(44L) * col("tf") * col("big_l") * (col("n_docs") + 1))
+            .cast("double") /
+          ((lit(20L) * col("tf") * col("big_l") + lit(6L) * col("big_l") +
+            lit(18L) * col("dl") * col("n_docs")) * (col("df") + 1))
+            .cast("double"))
+      val w = Window.partitionBy("tok")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("tok", "doc_id", "tf", "dl", "score", "rn")
+    }),
+
     // Repetition signals (the Gopher-style quality filters): duplicate
     // token fraction plus the most-frequent 2-gram's share of all
     // 2-grams. Highly repetitive docs (boilerplate, SEO spam, generation
@@ -434,6 +480,31 @@ object TextOps {
            coalesce(n_hits, 0) AS n_hits,
            n_chars_ns - coalesce(n_hits, 0) AS n_bpe_tokens
          FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id""",
+    "text_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(trim(text)), ' '))
+             AS tok
+           FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         corpus AS (SELECT cast(sum(dl) as bigint) AS big_l,
+                           count(*) AS n_docs FROM dl),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                WHERE tok IN ('spark', 'merge', 'window')
+                GROUP BY doc_id, tok),
+         df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         scored AS (
+           SELECT tf.doc_id, tf.tok, tf.tf, dl.dl,
+             cast(44 * tf.tf * c.big_l * (c.n_docs + 1) as double) /
+             cast((20 * tf.tf * c.big_l + 6 * c.big_l +
+                   18 * dl.dl * c.n_docs) * (df.df + 1) as double)
+               AS score
+           FROM tf JOIN df USING (tok) JOIN dl USING (doc_id),
+                corpus c)
+         SELECT tok, doc_id, tf, dl, score, rn FROM (
+           SELECT tok, doc_id, tf, dl, score,
+             cast(row_number() OVER (PARTITION BY tok
+               ORDER BY score DESC, doc_id ASC) as int) AS rn
+           FROM scored) WHERE rn <= 10""",
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ')
              AS toks FROM documents),

@@ -225,11 +225,7 @@ object VectorOps {
       .withColumn("dot", array_dot_long(col("qv"), col("cqv")))
       .withColumn("dist",
         col("nrm") - lit(2L) * col("dot") + col("cnrm"))
-    val cells = assigned.groupBy("vec_id")
-      .agg(min_by(struct(col("cid"), col("qv"), col("nrm")),
-                  struct(col("dist"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cell"),
-              col("m.qv").as("qv"), col("m.nrm").as("nrm"))
+    val cells = coarseCells(assigned)
     val qprobe = assigned.filter(col("vec_id") < 5)
       .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
         .orderBy(col("dist").asc, col("cid").asc)))
@@ -250,6 +246,68 @@ object VectorOps {
         .orderBy(col("sim").desc, col("vec_id").asc)))
       .filter(col("rn") <= k)
       .select("qid", "vec_id", "rn", "sim")
+  }
+
+  /** Nearest-coarse-centroid cell per vector from an `assigned`
+    * (vec_id, cid, qv, nrm, dist) frame: map-side-combined min_by, ties
+    * to the lower cid — shared by the IVF search and [[semanticDedup]].
+    */
+  private def coarseCells(assigned: DataFrame): DataFrame =
+    assigned.groupBy("vec_id")
+      .agg(min_by(struct(col("cid"), col("qv"), col("nrm")),
+                  struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"),
+              col("m.qv").as("qv"), col("m.nrm").as("nrm"))
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the coarse quantizer,
+    * then call a vector a duplicate iff some LOWER-id vector in the SAME
+    * cell has cosine ≥ `tau` — keep-lowest-id, the deterministic stand-in
+    * for the paper's keep-farthest-from-centroid rule. Output is the full
+    * per-vector report (cell, cell size, nearest lower-id in-cell cosine,
+    * is_dup/keep), i.e. the audit table a curation run persists.
+    *
+    * Scale shape: identical to [[ivfTopK]]'s index half — centroids
+    * broadcast, assignment narrow + map-side-combined min_by, and the
+    * quadratic cosine verify runs WITHIN cells only (an equi-join on
+    * cell), so `nlist` is the knob that bounds the per-cell candidate
+    * set as the corpus grows; at 100 TB cells come from
+    * [[kmeansCentroidFrame]] with nlist ~ sqrt(n), same plan shape.
+    *
+    * tau=0.4 on the synthetic near-orthogonal corpus (max pairwise
+    * cosine ≈ 0.46) exercises both branches; real embedding corpora run
+    * tau ≈ 0.95+. All arithmetic exact int64 except one IEEE sqrt/div
+    * per candidate pair — hash-identical to the DuckDB oracle. */
+  def semanticDedup(s: SparkSession, d: String, nlist: Int = NLIST,
+      tau: Double = 0.4): DataFrame = {
+    val e = quantized(embeddings(s, d))
+      .select("vec_id", "qv", "nrm").filter(col("nrm") > 0)
+    val cents = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("qv").as("cqv"),
+              col("nrm").as("cnrm"))
+    val assigned = e.join(broadcast(cents))
+      .withColumn("dot", array_dot_long(col("qv"), col("cqv")))
+      .withColumn("dist",
+        col("nrm") - lit(2L) * col("dot") + col("cnrm"))
+    val cells = coarseCells(assigned)
+    val lo = cells.select(col("cell"), col("vec_id").as("id_lo"),
+                          col("qv").as("qv_lo"), col("nrm").as("nrm_lo"))
+    // nearest lower-id in-cell neighbour: per-cell-bounded equi-join,
+    // max() collapses it back to one row per vector before any output
+    val nn = cells.join(lo, Seq("cell"))
+      .filter(col("id_lo") < col("vec_id"))
+      .withColumn("sim",
+        array_dot_long(col("qv"), col("qv_lo")).cast("double") /
+          (sqrt(col("nrm").cast("double")) *
+           sqrt(col("nrm_lo").cast("double"))))
+      .groupBy("vec_id").agg(max("sim").as("nn_lower_sim"))
+    val sizes = cells.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+    cells.join(sizes, Seq("cell")).join(nn, Seq("vec_id"), "left")
+      .withColumn("is_dup",
+        coalesce(col("nn_lower_sim") >= tau, lit(false)))
+      .select(col("vec_id"), col("cell"), col("n_cell"),
+              col("nn_lower_sim"), col("is_dup"),
+              (!col("is_dup")).as("keep"))
   }
 
   /** PQ knobs: M subspaces of DIM/M dims, KPQ centroids per subspace.
@@ -409,6 +467,66 @@ object VectorOps {
       .select("qid", "vec_id", "rn", "approx_dist")
   }
 
+  /** Scalar-quantization (SQ8) top-k — the third real index family next
+    * to IVF (coarse) and PQ (product): each dimension is affinely mapped
+    * onto 0..255, so a stored vector is DIM single bytes (8× smaller
+    * than the int64 grid, 4× smaller than float32) with NO codebook to
+    * train. The search is asymmetric ADC — the query stays at full
+    * resolution against dequantized corpus codes — computed exactly:
+    *
+    *   255²·dist² ≈ Σᵢ (255·(qᵢ−mnᵢ) − codeᵢ·(mxᵢ−mnᵢ))²
+    *
+    * i.e. both sides are scaled onto one integer grid (uq / uc below)
+    * and the scan is the dot identity |uq|² − 2·uq·uc + |uc|² on the
+    * native codegen'd kernel — raw corpus vectors never reach the join.
+    *
+    * Per-dim [mn,mx] is one 64-key map-side-combined aggregation whose
+    * 64-row result is driver-held index metadata (the same bounded
+    * protocol as the IVF/PQ codebooks), inlined back as literals. The
+    * encode pass is narrow and runs ONCE — at 100 TB the codes table is
+    * the persisted artifact, like PQ's. Round-half-up encode is exact
+    * integer ((a·510 + span) div (2·span)), so codes, scaled grids, and
+    * distances are all bit-identical to the DuckDB oracle. */
+  def sq8TopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val e = quantized(embeddings(s, d))
+      .select("vec_id", "qv", "nrm").filter(col("nrm") > 0)
+    val mm = e.select(posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("pos").collect()
+    require(mm.length == DIM, s"expected $DIM per-dim ranges, got ${mm.length}")
+    val mn = mm.map(_.getLong(1))
+    val span = mm.map(r => r.getLong(2) - r.getLong(1))
+    val mnLit = mn.map(v => s"${v}L").mkString(", ")
+    val spLit = span.map(v => s"${v}L").mkString(", ")
+    // encode + dequantize onto the 255× grid in one narrow pass (Spark
+    // array subscripts are 0-based in SQL text); a constant dimension
+    // (span 0) contributes 0 from both sides by construction
+    val codesExpr =
+      s"""transform(sequence(0, ${DIM - 1}), i ->
+            CASE WHEN array($spLit)[i] = 0L THEN 0L
+            ELSE ((qv[i] - array($mnLit)[i]) * 510L + array($spLit)[i])
+                 div (2L * array($spLit)[i]) END)"""
+    val corpus = e
+      .withColumn("codes", expr(codesExpr))
+      .withColumn("uc", expr(
+        s"zip_with(codes, array($spLit), (c, sp) -> c * sp)"))
+      .withColumn("ucn", array_dot_long(col("uc"), col("uc")))
+      .select("vec_id", "uc", "ucn")
+    val q = e.filter(col("vec_id") < 5)
+      .withColumn("uq", expr(
+        s"zip_with(qv, array($mnLit), (x, mn) -> 255L * (x - mn))"))
+      .withColumn("uqn", array_dot_long(col("uq"), col("uq")))
+      .select(col("vec_id").as("qid"), col("uq"), col("uqn"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("sq_dist",
+        col("uqn") - lit(2L) * array_dot_long(col("uq"), col("uc")) +
+          col("ucn"))
+    scored.withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("sq_dist").asc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "rn", "sq_dist")
+  }
+
   /** Near-duplicate pairs: candidates share an LSH bucket; verify with
     * exact quantized cosine > `simThreshold`. The verify join is
     * quadratic WITHIN a bucket — `nplanes` is the knob that keeps
@@ -466,7 +584,9 @@ object VectorOps {
     "ann_lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
     "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "ann_pq_topk" -> ((s, d) => pqTopK(s, d)),
+    "ann_sq8_topk" -> ((s, d) => sq8TopK(s, d)),
     "ann_recall_report" -> ((s, d) => recallReport(s, d)),
+    "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "embedding_neardup" -> ((s, d) => neardupPairs(s, d))
   )
 
@@ -581,6 +701,70 @@ object VectorOps {
                ORDER BY approx_dist ASC, vec_id ASC) as int) AS rn
            FROM adc) WHERE rn <= 10""",
     "ann_ivf_topk" -> ivfOracle,
+    // SQ8: the oracle recomputes the per-dim ranges inline (exact
+    // integer min/max, so identical to the collected literals) and sums
+    // the squared grid differences directly — integer-equal to the
+    // spark-side dot identity
+    "ann_sq8_topk" ->
+      s"""WITH $oracleQuantCte,
+         e2 AS (SELECT vec_id, qv FROM n WHERE nrm > 0),
+         mm AS (SELECT i, min(qv[i]) AS mn,
+                  max(qv[i]) - min(qv[i]) AS sp
+                FROM e2, range(1, $DIM + 1) t(i) GROUP BY i),
+         cu AS (
+           SELECT e2.vec_id, mm.i,
+             (CASE WHEN mm.sp = 0 THEN 0
+              ELSE ((e2.qv[mm.i] - mm.mn) * 510 + mm.sp)
+                   // (2 * mm.sp) END) * mm.sp AS uc
+           FROM e2, mm),
+         qu AS (
+           SELECT e2.vec_id AS qid, mm.i,
+             255 * (e2.qv[mm.i] - mm.mn) AS uq
+           FROM e2, mm WHERE e2.vec_id < 5),
+         dist AS (
+           SELECT qu.qid, cu.vec_id,
+             cast(sum((qu.uq - cu.uc) * (qu.uq - cu.uc)) as bigint)
+               AS sq_dist
+           FROM cu JOIN qu ON cu.i = qu.i AND cu.vec_id != qu.qid
+           GROUP BY qu.qid, cu.vec_id)
+         SELECT qid, vec_id, rn, sq_dist FROM (
+           SELECT qid, vec_id, sq_dist,
+             cast(row_number() OVER (PARTITION BY qid
+               ORDER BY sq_dist ASC, vec_id ASC) as int) AS rn
+           FROM dist) WHERE rn <= 10""",
+    "dedup_semantic" ->
+      s"""WITH $oracleQuantCte,
+         e2 AS (SELECT vec_id, qv, nrm FROM n WHERE nrm > 0),
+         cents AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm
+                   FROM e2 WHERE vec_id < $NLIST),
+         assigned AS (
+           SELECT e2.vec_id, cents.cid, e2.qv, e2.nrm,
+             e2.nrm - 2 * cast(list_aggregate(list_transform(
+               range(1, $DIM + 1), i -> e2.qv[i] * cents.cqv[i]), 'sum')
+               as bigint) + cents.cnrm AS dist
+           FROM e2, cents),
+         cells AS (
+           SELECT vec_id, cid AS cell, qv, nrm FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist ASC, cid ASC) AS arn
+             FROM assigned) WHERE arn = 1),
+         nn AS (
+           SELECT a.vec_id,
+             max(cast(cast(list_aggregate(list_transform(
+               range(1, $DIM + 1), i -> a.qv[i] * b.qv[i]), 'sum')
+               as bigint) as double) /
+               (sqrt(cast(a.nrm as double)) * sqrt(cast(b.nrm as double))))
+               AS nn_lower_sim
+           FROM cells a JOIN cells b
+             ON a.cell = b.cell AND b.vec_id < a.vec_id
+           GROUP BY a.vec_id),
+         sizes AS (SELECT cell, count(*) AS n_cell FROM cells
+                   GROUP BY cell)
+         SELECT c.vec_id, c.cell, s.n_cell, nn.nn_lower_sim,
+           coalesce(nn.nn_lower_sim >= 0.4, false) AS is_dup,
+           NOT coalesce(nn.nn_lower_sim >= 0.4, false) AS keep
+         FROM cells c JOIN sizes s USING (cell)
+         LEFT JOIN nn ON c.vec_id = nn.vec_id""",
     "embedding_neardup" ->
       s"""WITH $oracleQuantCte,
          planes(p, w) AS (VALUES

@@ -163,6 +163,48 @@ class PlanAssertionsSpec extends AnyFunSuite {
       exchanges.mkString("\n"))
   }
 
+  test("SQ8 scan joins codes against a broadcast query side") {
+    val p = plan("ann_sq8_topk")
+    // the corpus side streams; only the 5-query side is broadcast, and
+    // the per-query top-k prunes before the final sort
+    assert(p.contains("BroadcastExchange") ||
+           p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    // the per-candidate distance projection runs on the native kernel,
+    // not an interpreted higher-order function (encode's one-off
+    // zip_with stays upstream of the join, evaluated once per corpus
+    // row, never per candidate pair)
+    val distLine = p.linesIterator.find(_.contains("AS sq_dist"))
+    assert(distLine.isDefined, p)
+    assert(distLine.get.contains("array_dot_long"), distLine.get)
+    assert(!distLine.get.contains("zip_with"), distLine.get)
+  }
+
+  test("semantic dedup broadcasts centroids; verify join is cell-keyed") {
+    val p = plan("dedup_semantic")
+    assert(p.contains("BroadcastExchange"), p)
+    // the quadratic cosine verify is an equi-join on the cell id — a
+    // cross join here would be the 100 TB-hostile all-pairs plan
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bm25 broadcasts term stats only; doc-length join shuffles") {
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(k)
+    spark.conf.set(k, "-1")
+    try {
+      val p = plan("text_bm25")
+      // exactly the two deliberate broadcasts survive: the per-term df
+      // frame and the 1-row corpus totals — never the doc-length side,
+      // which is corpus-sized
+      assert(p.linesIterator.count(_.contains("BroadcastExchange")) == 2, p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+             p)
+    } finally spark.conf.set(k, saved)
+  }
+
   test("skew join salt covers the full domain") {
     import org.apache.spark.sql.functions.countDistinct
     // every salt value in [0, S) must actually occur on TPC-H data —

@@ -95,6 +95,46 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean recall@10 $mean with kmeans quantizer: $recalls")
   }
 
+  test("SQ8 8-bit codes recall nearly all of the exact top-10") {
+    val exact = topk("ann_bruteforce_topk")
+    val sq = topk("ann_sq8_topk")
+    assert(exact.keySet == sq.keySet && exact.nonEmpty)
+    val recalls = exact.keys.toSeq.map { q =>
+      sq(q).toSet.intersect(exact(q).toSet).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    // 8 bits/dim is near-lossless relative to the int64 grid (the
+    // per-dim span here is ~1000 grid steps → quantization error per
+    // dim ≤ 2 steps); cosine vs L2 ranking differences cost a little
+    assert(mean >= 0.8, s"mean SQ8 recall@10 $mean: $recalls")
+  }
+
+  test("semantic dedup: per-cell lowest id always kept; tau is monotone") {
+    val sf01 = "/root/testdata/sf0.01"
+    def report(tau: Double) =
+      VectorOps.semanticDedup(spark, sf01, tau = tau)
+        .select("vec_id", "cell", "nn_lower_sim", "is_dup", "keep")
+        .collect()
+    val rows = report(0.4)
+    assert(rows.nonEmpty)
+    // keep is the complement of is_dup, row by row
+    assert(rows.forall(r => r.getBoolean(4) == !r.getBoolean(3)))
+    // the lowest vec_id of every cell has no lower-id neighbour: null
+    // sim, never a duplicate
+    val cellMin = rows.groupBy(_.getLong(1))
+      .map { case (_, rs) => rs.minBy(_.getLong(0)) }
+    assert(cellMin.forall(r => r.isNullAt(2) && !r.getBoolean(3)))
+    // raising tau never marks MORE vectors duplicate; tau=0.99 marks none
+    def dups(tau: Double) = report(tau)
+      .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    val loose = dups(0.3)
+    val tight = dups(0.45)
+    assert(tight.subsetOf(loose),
+      s"tau 0.3 -> 0.45 gained dups: ${tight -- loose}")
+    assert(dups(0.99).isEmpty,
+      "near-orthogonal synthetic corpus cannot contain 0.99-cosine dups")
+  }
+
   test("more minhash bands recall at least the candidates of fewer bands") {
     val sf01 = "/root/testdata/sf0.01"
     def pairSet(bands: Int): Set[(Long, Long)] =
