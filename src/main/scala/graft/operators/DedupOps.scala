@@ -304,6 +304,44 @@ object DedupOps {
     labels.union(singletons)
   }
 
+  /** Containment-pair candidates: doc pairs sharing ≥ 1 kept shingle,
+    * scored both directions, kept when the LARGER containment clears
+    * `tau` (i.e. at least one side is mostly inside the other). See the
+    * gate comment for the df-cap rationale; `tau` is monotone — a
+    * tighter threshold is always a subset (spec). */
+  def containmentPairs(s: SparkSession, d: String, gram: Int = 2,
+      tau: Double = 0.6, maxDf: Long = 250L): DataFrame = {
+    val sh = documents(s, d)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .withColumn("shingles",
+        graft.functions.NgramShingles.ngram_shingles(col("toks"), gram))
+      .select(col("doc_id"),
+        explode(array_distinct(col("shingles"))).as("sh"))
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    // kept shingle space: df-capped; sizes MUST come from the same
+    // space or the ratio silently degrades into a lower bound
+    val kept = sh.join(df.select("sh"), Seq("sh"))
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = kept.select(col("sh"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("sh"), col("doc_id").as("doc_b"))
+    val inter = a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+            Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+            Seq("doc_b"))
+      .withColumn("cont_ab",
+        col("inter").cast("double") / col("sz_a"))
+      .withColumn("cont_ba",
+        col("inter").cast("double") / col("sz_b"))
+      .filter(greatest(col("cont_ab"), col("cont_ba")) >= tau)
+      .select("doc_a", "doc_b", "inter", "sz_a", "sz_b",
+              "cont_ab", "cont_ba")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by content hash, keep min doc_id.
     "dedup_exact" -> ((s, d) =>
@@ -364,6 +402,22 @@ object DedupOps {
         .filter(col("rn") <= 5)
         .select("qid", "doc_id", "rn", "jaccard")
     }),
+
+    // Asymmetric n-gram CONTAINMENT (Broder's c(A,B) = |A∩B|/|A|): the
+    // near-dup signal symmetric Jaccard misses — a short doc embedded in
+    // a longer one (article + boilerplate wrapper, quote-heavy reposts)
+    // scores high containment from the small side while its Jaccard
+    // stays low. Same scale-safe shape as dedup_ngram_jaccard (explode →
+    // shingle equi-join → group-count, never pairwise set ops) plus the
+    // knob that shape NEEDS at corpus scale: shingles whose document
+    // frequency exceeds `maxDf` are dropped from BOTH the intersection
+    // and the per-doc sizes (containment stays a true ratio over the
+    // kept shingle space). Hot stopword-shingles are what make the
+    // equi-join fan out quadratically — df-capping bounds every
+    // shingle's pair contribution at maxDf², turning worst-case join
+    // size into a config choice instead of a corpus property.
+    "dedup_containment" -> ((s, d) =>
+      containmentPairs(s, d)),
 
     // SimHash: 16-bit fingerprint from per-token md5 bit votes.
     "dedup_simhash" -> ((s, d) => {
@@ -463,6 +517,34 @@ object DedupOps {
              cast(row_number() OVER (PARTITION BY qid
                ORDER BY jaccard DESC, doc_id ASC) as int) AS rn
            FROM scored) WHERE rn <= 5""",
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ')
+                    AS toks FROM documents),
+         shl AS (SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(toks) - 1, 1) + 1),
+             i -> array_to_string(list_slice(toks, i, i + 1), ' ')))
+             AS shs
+           FROM t),
+         sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+         keptsh AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh
+                    GROUP BY sh) WHERE df <= 250),
+         kept AS (SELECT doc_id, sh FROM sh JOIN keptsh USING (sh)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM kept
+                   GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS inter
+           FROM kept a JOIN kept b
+             ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           cast(inter as double) / sa.sz AS cont_ab,
+           cast(inter as double) / sb.sz AS cont_ba
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE greatest(cast(inter as double) / sa.sz,
+                        cast(inter as double) / sb.sz) >= 0.6""",
     "dedup_simhash" -> {
       val sumCols = (0 until 16).map { k =>
         s"sum(CASE WHEN strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) " +
