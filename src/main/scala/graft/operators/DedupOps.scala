@@ -304,6 +304,38 @@ object DedupOps {
     labels.union(singletons)
   }
 
+  /** Duplicated fixed-width substring report — the windowed-hash
+    * approximation of exact-substring dedup (Lee et al. 2021,
+    * arXiv:2107.06499, which removes verbatim text repeated across a
+    * corpus; their suffix-array pass is single-machine, the W-char
+    * window digest is the shape that distributes). Every distinct
+    * W-char window of a doc is digested once (native CharNgrams, one
+    * O(len) pass); a window appearing in ≥ 2 docs is verbatim-shared
+    * text, and `shared_frac` is the per-doc fraction a curation run
+    * thresholds on (≥ ~0.5 ⇒ mostly boilerplate/copy).
+    *
+    * Scale shape: windows travel as 16-byte digests, never text; both
+    * shuffles (window df, per-doc rollup) carry counts. Total shuffle
+    * bytes ~ 16·len/doc — linear in corpus size, no pairwise term at
+    * all (this is the dedup signal with NO candidate join: the df
+    * table itself is the index, and at 100 TB it is the persisted
+    * artifact an incremental ingest probes). */
+  def substringReport(s: SparkSession, d: String, w: Int = 30)
+      : DataFrame = {
+    val win = documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.CharNgrams.char_ngrams(
+          lower(trim(col("text"))), w))).as("win"))
+      .select(col("doc_id"), md5(col("win")).as("wh"))
+    val df = win.groupBy("wh").agg(count(lit(1)).as("ndocs"))
+    win.join(df, Seq("wh"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col("n_windows"))
+  }
+
   /** Containment-pair candidates: doc pairs sharing ≥ 1 kept shingle,
     * scored both directions, kept when the LARGER containment clears
     * `tau` (i.e. at least one side is mostly inside the other). See the
@@ -419,6 +451,11 @@ object DedupOps {
     "dedup_containment" -> ((s, d) =>
       containmentPairs(s, d)),
 
+    // Verbatim-substring duplication report: per-doc fraction of 30-char
+    // windows shared with any other doc (windowed-hash form of
+    // exact-substring dedup — see substringReport's scaladoc).
+    "dedup_substring" -> ((s, d) => substringReport(s, d)),
+
     // SimHash: 16-bit fingerprint from per-token md5 bit votes.
     "dedup_simhash" -> ((s, d) => {
       val toks = documents(s, d)
@@ -517,6 +554,21 @@ object DedupOps {
              cast(row_number() OVER (PARTITION BY qid
                ORDER BY jaccard DESC, doc_id ASC) as int) AS rn
            FROM scored) WHERE rn <= 5""",
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS norm
+                    FROM documents),
+         w AS (SELECT DISTINCT doc_id, md5(g) AS wh FROM (
+           SELECT doc_id, unnest(list_transform(
+             range(1, greatest(length(norm) - 29, 1) + 1),
+             i -> substr(norm, i, 30))) AS g
+           FROM t)),
+         df AS (SELECT wh, count(*) AS ndocs FROM w GROUP BY wh)
+         SELECT doc_id, count(*) AS n_windows,
+           cast(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) as bigint)
+             AS n_shared,
+           cast(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) as double)
+             / count(*) AS shared_frac
+         FROM w JOIN df USING (wh) GROUP BY doc_id""",
     "dedup_containment" ->
       """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ')
                     AS toks FROM documents),

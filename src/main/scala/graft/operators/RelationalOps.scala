@@ -160,6 +160,52 @@ object RelationalOps {
         .withColumnRenamed("seg_b", "seg")
     }),
 
+    // Full outer join with genuine danglers on BOTH sides (rare-balance
+    // customers vs rare-balance suppliers per nation) — the side column
+    // proves each null-extension path executed. Both inputs are
+    // pre-aggregated to one row per nation BEFORE the join, so the
+    // full-outer exchange carries counts, never base rows.
+    "join_full_outer" -> ((s, d) => {
+      val c = customer(s, d).filter(col("c_acctbal") > 9950)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = supplier(s, d).filter(col("s_acctbal") > 9500)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          when(col("n_cust").isNull, "supp_only")
+            .when(col("n_supp").isNull, "cust_only")
+            .otherwise("both").as("side"))
+    }),
+
+    // Wide pivot with an EXPLICIT value domain — at scale the domain
+    // must be passed, not discovered: pivot(col) without values runs a
+    // blocking distinct job over the corpus first, and an unbounded
+    // domain (user ids, urls) would OOM the driver on the column list.
+    // The plan is one map-side-combined aggregate keyed on the row key
+    // only; pivot columns are conditional aggregation, not a shuffle
+    // per column.
+    "pivot_wide" -> ((s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(decSum("l_quantity"))
+        .select(col("l_returnflag"),
+          col("F").as("qty_f"), col("O").as("qty_o"))),
+
+    // Long unpivot (melt): the inverse reshape, a narrow 4× row
+    // explosion with zero shuffle — column names become data, which is
+    // how metric-per-row stores ingest wide fact tables.
+    "unpivot_long" -> ((s, d) =>
+      lineitem(s, d).filter(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+                col("l_discount"), col("l_tax")),
+          "metric", "value")),
+
     // --- subqueries (SQL surface via temp views) --------------------------
     "subquery_scalar" -> ((s, d) => {
       orders(s, d).createOrReplaceTempView("g_orders_sq")
@@ -363,6 +409,42 @@ object RelationalOps {
          SELECT seg_b AS seg, count(*) AS cnt
          FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg_b
          GROUP BY seg_b""",
+    "join_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+                    FROM customer WHERE c_acctbal > 9950
+                    GROUP BY c_nationkey),
+            s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+                    FROM supplier WHERE s_acctbal > 9500
+                    GROUP BY s_nationkey)
+         SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp,
+           CASE WHEN n_cust IS NULL THEN 'supp_only'
+                WHEN n_supp IS NULL THEN 'cust_only'
+                ELSE 'both' END AS side
+         FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey""",
+    "pivot_wide" ->
+      """SELECT l_returnflag,
+           cast(sum(CASE WHEN l_linestatus = 'F'
+                    THEN cast(l_quantity as decimal(18,2)) END) as double)
+             AS qty_f,
+           cast(sum(CASE WHEN l_linestatus = 'O'
+                    THEN cast(l_quantity as decimal(18,2)) END) as double)
+             AS qty_o
+         FROM lineitem GROUP BY l_returnflag""",
+    "unpivot_long" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                l_quantity AS value
+         FROM lineitem WHERE l_orderkey < 100
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+         FROM lineitem WHERE l_orderkey < 100
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+         FROM lineitem WHERE l_orderkey < 100
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+         FROM lineitem WHERE l_orderkey < 100""",
     "subquery_scalar" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > (

@@ -498,16 +498,20 @@ object VectorOps {
     val span = mm.map(r => r.getLong(2) - r.getLong(1))
     val mnLit = mn.map(v => s"${v}L").mkString(", ")
     val spLit = span.map(v => s"${v}L").mkString(", ")
-    // encode + dequantize onto the 255× grid in one narrow pass (Spark
-    // array subscripts are 0-based in SQL text); a constant dimension
-    // (span 0) contributes 0 from both sides by construction
-    val codesExpr =
-      s"""transform(sequence(0, ${DIM - 1}), i ->
-            CASE WHEN array($spLit)[i] = 0L THEN 0L
-            ELSE ((qv[i] - array($mnLit)[i]) * 510L + array($spLit)[i])
-                 div (2L * array($spLit)[i]) END)"""
+    // encode + dequantize onto the 255× grid in one narrow pass, pure
+    // zip_with over the literal arrays — an `array(...)[i]` subscript
+    // inside a transform lambda is NOT constant-folded (the 64-element
+    // CreateArray re-evaluates per element per row; measured 7× slower
+    // by graft.tools.Sq8Probe), while zip_with iterates the folded
+    // literal once per row. A constant dimension (span 0) contributes
+    // 0 from both sides by construction.
     val corpus = e
-      .withColumn("codes", expr(codesExpr))
+      .withColumn("am", expr(
+        s"zip_with(qv, array($mnLit), (x, mn) -> x - mn)"))
+      .withColumn("codes", expr(
+        s"""zip_with(am, array($spLit), (a, sp) ->
+              CASE WHEN sp = 0L THEN 0L
+              ELSE (a * 510L + sp) div (2L * sp) END)"""))
       .withColumn("uc", expr(
         s"zip_with(codes, array($spLit), (c, sp) -> c * sp)"))
       .withColumn("ucn", array_dot_long(col("uc"), col("uc")))

@@ -51,3 +51,23 @@ class DedupContainmentSpec extends AnyFunSuite {
       "a 20-doc df cap on this corpus should actually drop candidates")
   }
 }
+
+/** Invariants of the windowed-substring duplication report. */
+class DedupSubstringSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("one row per doc; shared windows bounded and ratio-consistent") {
+    val rows = DedupOps.substringReport(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val (nw, ns, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nw >= 1 && ns >= 0 && ns <= nw, s"bad counts ($nw, $ns)")
+      assert(frac == ns.toDouble / nw)
+    }
+    // this corpus contains verbatim cross-doc text; the report must see it
+    assert(rows.exists(_.getLong(2) > 0), "no shared windows found")
+  }
+}
