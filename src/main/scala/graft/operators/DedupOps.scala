@@ -336,6 +336,52 @@ object DedupOps {
         col("n_shared").cast("double") / col("n_windows"))
   }
 
+  /** Cross-doc span dedup WITH corpus rewrite — the C4/RefinedWeb-style
+    * "remove duplicated spans, keep the first occurrence" pass (C4 drops
+    * repeated three-sentence spans; this corpus has no sentence
+    * delimiters, so the unit is a disjoint `w`-token block). Every span
+    * whose text already occurred at a smaller (doc_id, pos) is deleted
+    * and the document is reassembled from its surviving spans in order.
+    *
+    * Scale shape — document text never enters a shuffle:
+    *  1. spans live as an array on the doc row (row-local segmentation);
+    *  2. the keep-first decision flows as a (doc_id, pos, 16-byte digest)
+    *     stream through ONE digest-keyed window;
+    *  3. only the DROP-list — (doc_id, array<int> positions), a few bytes
+    *     per affected doc — travels back, and the rewrite is a row-local
+    *     lambda over the span array already sitting on the doc row.
+    * The drop side is usually tiny (duplication is sparse) so AQE
+    * broadcasts it; with a doc_id-bucketed corpus even the doc side of
+    * that join is shuffle-free. Output is a narrow audit row per doc
+    * (digest of the rewritten text, not the text itself). */
+  def spanRewrite(s: SparkSession, d: String, w: Int = 8): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .withColumn("spans", expr(
+        s"""transform(sequence(0, cast(ceil(size(toks) / ${w}.0) as int) - 1),
+              i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))"""))
+      .select(col("doc_id"), col("spans"))
+    val hashes = docs
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"), md5(col("span")).as("sh"))
+    val firstWin = Window.partitionBy("sh").orderBy(col("doc_id"), col("pos"))
+    val drops = hashes
+      .withColumn("rn", row_number().over(firstWin))
+      .filter(col("rn") > 1)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("drop_pos"))
+    docs.join(drops, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        "filter(spans, (sp, i) -> drop_pos IS NULL" +
+          " OR NOT array_contains(drop_pos, i))"))
+      .withColumn("new_text", concat_ws(" ", col("kept")))
+      .select(col("doc_id"),
+        size(col("spans")).cast("long").as("n_spans"),
+        coalesce(size(col("drop_pos")), lit(0)).cast("long").as("n_dropped"),
+        md5(col("new_text")).as("new_digest"),
+        length(col("new_text")).cast("long").as("new_nchars"))
+  }
+
   /** Containment-pair candidates: doc pairs sharing ≥ 1 kept shingle,
     * scored both directions, kept when the LARGER containment clears
     * `tau` (i.e. at least one side is mostly inside the other). See the
@@ -456,6 +502,11 @@ object DedupOps {
     // exact-substring dedup — see substringReport's scaladoc).
     "dedup_substring" -> ((s, d) => substringReport(s, d)),
 
+    // Span dedup with corpus rewrite: drop 8-token blocks already seen
+    // at a smaller (doc_id, pos), reassemble, report digest-only audit
+    // rows (see spanRewrite's scaladoc for the no-text-shuffle shape).
+    "dedup_span_rewrite" -> ((s, d) => spanRewrite(s, d)),
+
     // SimHash: 16-bit fingerprint from per-token md5 bit votes.
     "dedup_simhash" -> ((s, d) => {
       val toks = documents(s, d)
@@ -554,6 +605,27 @@ object DedupOps {
              cast(row_number() OVER (PARTITION BY qid
                ORDER BY jaccard DESC, doc_id ASC) as int) AS rn
            FROM scored) WHERE rn <= 5""",
+    "dedup_span_rewrite" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ')
+                    AS toks FROM documents),
+         sp AS (SELECT doc_id, i AS pos,
+                  array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ')
+                    AS span
+                FROM t, unnest(range(0,
+                  cast(ceil(length(toks)/8.0) AS bigint))) AS u(i)),
+         r AS (SELECT doc_id, pos, span, row_number() OVER (
+                 PARTITION BY md5(span) ORDER BY doc_id, pos) AS rn
+               FROM sp),
+         neu AS (SELECT doc_id,
+                  array_to_string(list(span ORDER BY pos), ' ') AS new_text,
+                  count(*) AS n_kept
+                 FROM r WHERE rn = 1 GROUP BY doc_id),
+         ns AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id)
+         SELECT ns.doc_id, cast(n_spans AS bigint) AS n_spans,
+           cast(n_spans - coalesce(n_kept, 0) AS bigint) AS n_dropped,
+           md5(coalesce(new_text, '')) AS new_digest,
+           cast(length(coalesce(new_text, '')) AS bigint) AS new_nchars
+         FROM ns LEFT JOIN neu USING (doc_id)""",
     "dedup_substring" ->
       """WITH t AS (SELECT doc_id, lower(trim(text)) AS norm
                     FROM documents),

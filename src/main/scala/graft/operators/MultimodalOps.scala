@@ -261,6 +261,76 @@ object MultimodalOps {
     }
   }
 
+  /** Real JPEG codec — the THIRD media codec in the batch shape, and the
+    * first LOSSY one: the decoded pixels are encoder-dependent, so the
+    * oracle-checkable outputs are the lossless container facts (dims,
+    * pixel count) plus an in-query verified ERROR BOUND against the
+    * rendered contract. `within_tol` is computed by comparing every
+    * decoded pixel to the gradient contract and asserting max|err| ≤ 32
+    * — a real decode producing garbage fails the gate even though exact
+    * pixel values are not hashable. The gradient images are smooth, so
+    * 8×8-DCT quantization error stays far below the bound.
+    */
+  object JpegCodec {
+    import ImageCodec.{Doc, Media, dims}
+
+    final case class JpegMeta(doc_id: Long, width: Int, height: Int,
+                              n_pixels: Long, within_tol: Boolean)
+
+    /** JPEG-specific pixel contract: a wrap-FREE ramp (max value 134 at
+      * the 16×14 dims bound). The shared gradient contract wraps mod 256
+      * — a 255-step edge whose DCT ringing exceeds any honest tolerance;
+      * a genuinely smooth plane keeps quantization error ≤ ~10. */
+    def jpegPixel(docId: Long, x: Int, y: Int): Int =
+      x * 3 + y * 2 + (docId % 64).toInt
+
+    /** Render the gradient contract and encode to real JPEG bytes. */
+    def encodeBatch(it: Iterator[Doc]): Iterator[Media] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { doc =>
+        val (w, h) = dims(doc.doc_id, doc.n_chars)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, jpegPixel(doc.doc_id, x, y)); x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", out)
+        Media(doc.doc_id, out.toByteArray)
+      }
+    }
+
+    /** Decode real JPEG bytes; verify the lossy error bound in-query. */
+    def decodeBatch(it: Iterator[Media]): Iterator[JpegMeta] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.blob))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var maxErr = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val err = math.abs(
+              raster.getSample(x, y, 0) - jpegPixel(m.doc_id, x, y))
+            if (err > maxErr) maxErr = err
+            x += 1
+          }
+          y += 1
+        }
+        JpegMeta(m.doc_id, w, h, w.toLong * h, maxErr <= 32)
+      }
+    }
+  }
+
   /** The perceptual-hash index (doc_id, phash_hi, phash_lo) — a REAL
     * encode→PNG-bytes→decode→hash pipeline, memoized per dataset because
     * it is the shared derived artifact of the phash gate AND the near-dup
@@ -340,6 +410,21 @@ object MultimodalOps {
         .as[Doc]
         .mapPartitions(AudioCodec.encodeBatch _)
         .mapPartitions(AudioCodec.decodeBatch _)
+        .toDF()
+    }),
+
+    // Lossy-codec path: real JPEG encode→decode in the same batch shape.
+    // Dims/pixel-count are container-lossless (oracled exactly); pixel
+    // fidelity is verified in-query as a bounded max-error flag the
+    // oracle expects to be uniformly true (see JpegCodec's scaladoc).
+    "multimodal_decode_jpeg" -> ((s, d) => {
+      import s.implicits._
+      import ImageCodec.Doc
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[Doc]
+        .mapPartitions(JpegCodec.encodeBatch _)
+        .mapPartitions(JpegCodec.decodeBatch _)
         .toDF()
     }),
 
@@ -470,6 +555,17 @@ object MultimodalOps {
                  x -> (2*x + 2*y * w + doc_id) % 256))), 'sum') as bigint)
              AS out_pix_sum
          FROM dims""",
+    // JPEG is lossy: the oracle predicts the lossless container facts
+    // (dims from the contract) and expects the in-query max-error bound
+    // to hold for every doc
+    "multimodal_decode_jpeg" ->
+      """SELECT doc_id,
+           cast(8 + doc_id % 9 as int) AS width,
+           cast(8 + n_chars % 7 as int) AS height,
+           cast((8 + doc_id % 9) * (8 + n_chars % 7) as bigint)
+             AS n_pixels,
+           true AS within_tol
+         FROM documents""",
     // predicts the REAL decoded WAV from the audio contract: 8 kHz,
     // n = 64 + n_chars % 64 samples, s(i) = (doc_id*31+i*17)%65536-32768
     "multimodal_audio_meta" ->

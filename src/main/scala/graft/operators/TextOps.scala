@@ -36,6 +36,19 @@ object TextOps {
         .withColumn("avg_token_len",
           col("total_len").cast("double") / col("n_tokens"))),
 
+    // Context packing: GPT-style concat-and-chunk. Documents are laid
+    // end-to-end in doc_id order and cut every 256 tokens; the output is
+    // the (chunk, doc) assignment with each doc's token offset and its
+    // token count inside the chunk — what a training loader materializes
+    // as fixed-length sequences. The global token offset is a
+    // DISTRIBUTED two-stage prefix sum, not one global window: per-block
+    // totals (one narrow counts shuffle), an exclusive prefix over the
+    // tiny block-totals frame (corpus/B rows — the only single-partition
+    // step, and it is O(n/B)), broadcast back, then an intra-block
+    // window partitioned by block. At 100 TB no stage sees more than a
+    // block of rows in one partition and nothing wide ever shuffles.
+    "text_pack_chunks" -> ((s, d) => packChunks(s, d)),
+
     // Quality scoring: length band + stopword density + digit penalty.
     "text_quality" -> ((s, d) =>
       Tables.documents(s, d)
@@ -345,7 +358,56 @@ object TextOps {
     })
   )
 
+  /** Concat-and-chunk context packing (see the gate comment). `chunk` is
+    * the context length in tokens; `block` is the prefix-sum block size —
+    * the scale knob: the single-partition step touches corpus/block rows,
+    * so a deployment sizes it to keep that frame in one executor's
+    * memory (1e9 docs / 1e6 block = 1000 rows). Equality with the
+    * single-window definition is spec-proven at small SF. */
+  def packChunks(s: SparkSession, d: String, chunk: Int = 256,
+      block: Long = 64L): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("cnt"))
+      .withColumn("blk", expr(s"doc_id div $block"))
+    val blkTot = counts.groupBy("blk").agg(sum("cnt").as("blk_tot"))
+    val wBlk = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkOff = blkTot.withColumn("blk_off",
+      coalesce(sum("blk_tot").over(wBlk), lit(0L)))
+    val wIn = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = counts
+      .join(broadcast(blkOff.select("blk", "blk_off")), Seq("blk"))
+      .withColumn("off",
+        col("blk_off") + coalesce(sum("cnt").over(wIn), lit(0L)))
+    off.select(col("doc_id"), col("cnt"), col("off"),
+        explode(expr(
+          s"sequence(off div $chunk, (off + cnt - 1) div $chunk)"))
+          .as("chunk_id"))
+      .withColumn("tok_in_chunk",
+        least(col("off") + col("cnt"), (col("chunk_id") + 1) * chunk) -
+          greatest(col("off"), col("chunk_id") * chunk))
+      .select("chunk_id", "doc_id", "off", "cnt", "tok_in_chunk")
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_pack_chunks" ->
+      """WITH c AS (SELECT doc_id,
+             cast(length(string_split(trim(text), ' ')) AS bigint) AS cnt
+           FROM documents),
+         o AS (SELECT doc_id, cnt,
+             cast(coalesce(sum(cnt) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bigint) AS off
+           FROM c)
+         SELECT chunk_id, doc_id, off, cnt,
+           least(off + cnt, (chunk_id + 1) * 256)
+             - greatest(off, chunk_id * 256) AS tok_in_chunk
+         FROM (SELECT doc_id, cnt, off,
+                 unnest(range(off // 256, (off + cnt - 1) // 256 + 1))
+                   AS chunk_id
+               FROM o)""",
     "text_token_stats" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
                     FROM documents)

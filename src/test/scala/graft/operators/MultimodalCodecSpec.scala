@@ -102,3 +102,34 @@ class MultimodalCodecSpec extends AnyFunSuite {
            twice.head.phash_lo != twice(1).phash_lo)
   }
 }
+
+/** The JPEG gate is the first LOSSY codec: the spec pins the JFIF magic,
+  * the lossless container facts, and that the DCT quantization error on
+  * the wrap-free ramp contract stays far inside the gate's ≤ 32 bound. */
+class JpegCodecSpec extends AnyFunSuite {
+
+  import MultimodalOps.JpegCodec
+
+  private val docs = Seq(
+    ImageCodec.Doc(0L, 10L), ImageCodec.Doc(123L, 457L),
+    ImageCodec.Doc(63L, 99L), ImageCodec.Doc(64L, 6L))
+
+  test("encodeBatch emits genuine JPEG bytes (SOI + JFIF marker)") {
+    val m = JpegCodec.encodeBatch(Iterator(docs(1))).next()
+    assert((m.blob(0) & 0xff) == 0xff &&
+      (m.blob(1) & 0xff) == 0xd8, "missing SOI marker")
+    assert((m.blob(2) & 0xff) == 0xff, "no marker after SOI")
+  }
+
+  test("decode recovers dims and holds the lossy error bound") {
+    val out = JpegCodec.encodeBatch(docs.iterator)
+    val metas = JpegCodec.decodeBatch(out).toSeq
+    assert(metas.size == docs.size)
+    metas.zip(docs).foreach { case (meta, doc) =>
+      val (w, h) = ImageCodec.dims(doc.doc_id, doc.n_chars)
+      assert(meta.width == w && meta.height == h)
+      assert(meta.n_pixels == w.toLong * h)
+      assert(meta.within_tol, s"doc ${doc.doc_id} exceeded max-error bound")
+    }
+  }
+}

@@ -218,4 +218,35 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val range = salts.distinct().collect().map(_.getInt(0)).sorted
     assert(range.sameElements(0 until s), range.mkString(","))
   }
+
+  /** Run the query so AQE finalizes, then return the FINAL plan only
+    * (the printed AdaptiveSparkPlan repeats the initial plan below the
+    * final one — counting across both would double-count exchanges). */
+  private def finalPlan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("span rewrite: document text never enters a shuffle") {
+    val p = finalPlan("dedup_span_rewrite")
+    // every hash exchange carries digests/positions; the doc side joins
+    // the (broadcast) drop-list without shuffling its span arrays
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach { l =>
+        assert(!l.contains("text#") && !l.contains("spans#"), l)
+      }
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("pack chunks: exactly one single-partition step (block totals)") {
+    val p = finalPlan("text_pack_chunks")
+    val singles = p.linesIterator
+      .count(_.contains("Exchange SinglePartition"))
+    assert(singles == 1, s"$singles single-partition exchanges:\n$p")
+    // the per-doc cumulative window stays partitioned by block
+    assert(p.contains("windowspecdefinition(blk#"), p)
+    // the block-offset frame comes back as a broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
