@@ -324,8 +324,15 @@ object TextOps {
           explode(graft.functions.CharNgrams.char_ngrams(col("text"), 3))
             .as("tri"))
         .groupBy("doc_id", "tri").agg(count(lit(1)).as("c_dt"))
+      // the trained LM table is charset-bounded (377 trigrams on this
+      // corpus; ≤ |charset|³ always) — BROADCAST it back instead of
+      // re-shuffling the corpus-size tri-count stream on tri. The
+      // shared tris subtree is one shuffle, reused by both consumers
+      // (ReusedExchange, plan-asserted); at 100 TB the join becomes
+      // map-side and the only corpus-size shuffles are the two
+      // aggregations.
       val freq = tris.groupBy("tri").agg(sum("c_dt").as("c_t"))
-      tris.join(freq, Seq("tri"))
+      tris.join(broadcast(freq), Seq("tri"))
         .groupBy("doc_id").agg(
           sum("c_dt").as("n_tri"),
           sum(col("c_dt") * col("c_t")).as("freq_sum"),

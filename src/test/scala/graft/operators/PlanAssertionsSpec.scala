@@ -228,6 +228,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
+  test("char-LM joins a broadcast vocab; tri-count shuffle is reused") {
+    val p = finalPlan("text_char_lm_score")
+    // the trained freq table is charset-bounded — it must come back as
+    // a broadcast, never re-shuffle the corpus-size tri-count stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    // both consumers of the tri-count aggregate share ONE shuffle
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage")
+      || p.contains("TableCacheQueryStage"), p)
+  }
+
   test("span rewrite: document text never enters a shuffle") {
     val p = finalPlan("dedup_span_rewrite")
     // every hash exchange carries digests/positions; the doc side joins
