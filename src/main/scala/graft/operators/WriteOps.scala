@@ -55,6 +55,61 @@ object WriteOps {
     nFiles
   }
 
+  /** MERGE-style keyed upsert into a partitioned parquet table, the
+    * operator a lakehouse spells `MERGE INTO t USING batch ON key`.
+    * Plain parquet has no row-level commit, so the scalable shape is
+    * partition-scoped copy-on-write — exactly what Delta/Iceberg/Hudi
+    * CoW tables do under the hood:
+    *  1. the batch's touched partitions are computed from the batch
+    *     (tiny, broadcast) — the table is read back ONLY for those
+    *     partitions (partition pruning; untouched data is never opened);
+    *  2. merge = union + keep-latest-per-key (one shuffle on the key,
+    *     batch rows win via a src-priority row_number);
+    *  3. staged commit: the merged slice is materialized to a stage dir
+    *     first (breaking the read-from-write-path cycle), then
+    *     dynamically overwrites ONLY the touched partitions.
+    * At 100 TB the rewrite cost is proportional to touched partitions,
+    * not table size; untouched partition files are physically untouched
+    * (spec-asserted on file mtimes). */
+  private[graft] def upsertLoad(s: SparkSession, d: String,
+      base: String): Unit =
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("pt_year"))
+      .write.mode(SaveMode.Overwrite).partitionBy("pt_year").parquet(base)
+
+  /** The 1997 change batch: every 1997 order re-priced (+100), plus the
+    * same orders cloned to brand-new keys (inserts). */
+  private[graft] def upsertBatch(s: SparkSession, d: String): DataFrame = {
+    val t97 = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("pt_year"))
+      .filter(col("pt_year") === 1997)
+    t97.withColumn("o_totalprice", col("o_totalprice") + 100.0)
+      .unionByName(t97.select(
+        (col("o_orderkey") + 100000000L).as("o_orderkey"),
+        col("o_custkey"), lit(1.0).as("o_totalprice"), col("pt_year")))
+  }
+
+  private[graft] def upsertMerge(s: SparkSession, d: String,
+      base: String, stage: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val batch = upsertBatch(s, d)
+    val affected = batch.select("pt_year").distinct()
+    val cur = s.read.parquet(base)
+      .join(broadcast(affected), Seq("pt_year"), "left_semi")
+    val merged = batch.withColumn("src", lit(1))
+      .unionByName(cur.withColumn("src", lit(0)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_orderkey").orderBy(col("src").desc)))
+      .filter(col("rn") === 1).drop("rn", "src")
+    merged.write.mode(SaveMode.Overwrite).parquet(stage)
+    s.read.parquet(stage)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pt_year").parquet(base)
+  }
+
   /** 16-bit Morton (Z-order) interleave of two key columns — the math
     * behind OPTIMIZE ZORDER BY in lakehouse table formats: range-
     * partitioning on the interleaved value co-locates rows that are
@@ -209,6 +264,20 @@ object WriteOps {
              decSum("o_totalprice").as("total"))
     }),
 
+    // MERGE INTO over plain parquet: partition-scoped copy-on-write
+    // upsert (see upsertMerge's scaladoc) — load, merge the 1997 change
+    // batch via staged commit + dynamic overwrite, read back the table.
+    "write_upsert" -> ((s, d) => {
+      val base = scratch("upsert_tbl")
+      upsertLoad(s, d, base)
+      upsertMerge(s, d, base, scratch("upsert_stage"))
+      s.read.parquet(base)
+        .groupBy("pt_year")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          decSum("o_totalprice").as("total"))
+    }),
+
     // SaveMode append semantics (reference base.py:143-145): overwrite one
     // slice, append a second, read back the union.
     "save_append" -> ((s, d) => {
@@ -292,6 +361,25 @@ object WriteOps {
          count(DISTINCT o_orderkey) AS n_keys,
          cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
          FROM orders GROUP BY o_orderstatus""",
+    "write_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         upd AS (
+           SELECT o_orderkey, o_custkey,
+             o_totalprice + 100.0 AS o_totalprice, pt_year
+           FROM t WHERE pt_year = 1997
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, 1.0, pt_year
+           FROM t WHERE pt_year = 1997),
+         fin AS (
+           SELECT * FROM t
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+           UNION ALL SELECT * FROM upd)
+         SELECT pt_year, cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total
+         FROM fin GROUP BY pt_year""",
     "save_append" ->
       """SELECT o_orderstatus, count(*) AS cnt,
          cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.TestSpark
+
+/** The write_upsert gate's scale claim: the merge rewrites ONLY the
+  * partitions the change batch touches — proven on file mtimes, not
+  * just row values.
+  */
+class UpsertSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def partFiles(base: String, pt: Int): Map[String, Long] = {
+    val dir = java.nio.file.Paths.get(base, s"pt_year=$pt")
+    val s = java.nio.file.Files.list(dir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    s.map(p => p.toString ->
+      java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+  }
+
+  test("merge rewrites only the touched partition; values are merged") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_upsert_spec").toString
+    val stage = base + "_stage"
+    WriteOps.upsertLoad(spark, sf, base)
+    val before1996 = partFiles(base, 1996)
+    val before1997 = partFiles(base, 1997)
+    Thread.sleep(1100) // mtime granularity guard
+    WriteOps.upsertMerge(spark, sf, base, stage)
+    // untouched partition: identical files, byte-for-byte same mtimes
+    assert(partFiles(base, 1996) == before1996,
+      "1996 partition was rewritten by a 1997-only batch")
+    // touched partition: actually rewritten
+    assert(partFiles(base, 1997) != before1997,
+      "1997 partition was not rewritten")
+    // merged values: every 1997 key bumped, inserts present, others not
+    val t = spark.read.parquet(base)
+    val orig = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("pt_year"))
+    val o97 = orig.filter(col("pt_year") === 1997)
+    val n97 = o97.count()
+    assert(t.filter(col("pt_year") === 1997).count() == 2 * n97)
+    // updated rows carry the +100 price
+    val bumped = t.filter(col("pt_year") === 1997 &&
+        col("o_orderkey") < 100000000L)
+      .join(o97.select(col("o_orderkey"),
+        col("o_totalprice").as("old_price")), Seq("o_orderkey"))
+      .filter(col("o_totalprice") =!= col("old_price") + 100.0)
+      .count()
+    assert(bumped == 0, s"$bumped rows missing the price bump")
+    // non-1997 rows identical to the original load
+    val others = t.filter(col("pt_year") =!= 1997)
+    val origOthers = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("pt_year"))
+      .filter(col("pt_year") =!= 1997)
+    assert(others.except(origOthers).isEmpty &&
+      origOthers.except(others).isEmpty)
+  }
+}
