@@ -110,6 +110,67 @@ object WriteOps {
       .partitionBy("pt_year").parquet(base)
   }
 
+  /** SCD Type-2 historization — the OTHER merge shape a warehouse needs:
+    * instead of replacing a matched row (write_upsert), the current
+    * version is CLOSED (valid_to stamped) and the new version opened,
+    * so every key keeps its full change history with validity
+    * intervals.
+    *
+    * Storage layout is the scale story: the table partitions on
+    * `is_current`. A merge (a) APPENDS the closed rows to the history
+    * partition — history files are immutable, append cost = changed
+    * rows; (b) rewrites the current partition via a staged commit —
+    * cost = current size, never table-plus-history size. History grows
+    * forever but is never rewritten (Scd2Spec proves merge #2 leaves
+    * merge #1's history files byte-identical). The change batch drives
+    * the key probe and is broadcast (a corpus-scale batch would fall
+    * back to a shuffle join on the key). */
+  private[graft] def scd2Load(s: SparkSession, d: String,
+      base: String): Unit =
+    customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .withColumn("valid_from", lit(0))
+      .withColumn("valid_to", lit(9999))
+      .withColumn("is_current", lit(true))
+      .write.mode(SaveMode.Overwrite).partitionBy("is_current")
+      .parquet(base)
+
+  /** Change batch for version `v`: every key ≡ 0 (mod 7) re-balanced
+    * (+50·v, from the source system's view of the dim), plus — in batch
+    * 1 only — brand-new keys. */
+  private[graft] def scd2Batch(s: SparkSession, d: String,
+      v: Int): DataFrame = {
+    val ch = customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .filter(col("c_custkey") % 7 === 0)
+    val upd = ch.withColumn("c_acctbal", col("c_acctbal") + 50.0 * v)
+    if (v == 1)
+      upd.unionByName(ch.select(
+        (col("c_custkey") + 1000000L).as("c_custkey"),
+        col("c_nationkey"), lit(10.0).as("c_acctbal")))
+    else upd
+  }
+
+  private[graft] def scd2Merge(s: SparkSession, d: String, base: String,
+      stage: String, v: Int): Unit = {
+    val b = scd2Batch(s, d, v)
+    val cur = s.read.parquet(base + "/is_current=true")
+    val keys = b.select("c_custkey")
+    // close: current versions of batched keys move to history (append —
+    // existing history files are never touched)
+    cur.join(broadcast(keys), Seq("c_custkey"), "left_semi")
+      .withColumn("valid_to", lit(v))
+      .write.mode(SaveMode.Append).parquet(base + "/is_current=false")
+    // open: surviving current rows + the batch as new open versions
+    val stay = cur.join(broadcast(keys), Seq("c_custkey"), "left_anti")
+    val opened = b.withColumn("valid_from", lit(v))
+      .withColumn("valid_to", lit(9999))
+    stay.unionByName(opened)
+      .write.mode(SaveMode.Overwrite).parquet(stage)
+    s.read.parquet(stage)
+      .write.mode(SaveMode.Overwrite).parquet(base + "/is_current=true")
+  }
+
   /** 16-bit Morton (Z-order) interleave of two key columns — the math
     * behind OPTIMIZE ZORDER BY in lakehouse table formats: range-
     * partitioning on the interleaved value co-locates rows that are
@@ -278,6 +339,25 @@ object WriteOps {
           decSum("o_totalprice").as("total"))
     }),
 
+    // SCD2 historization across TWO change batches (see scd2Merge's
+    // scaladoc): history accumulates closed versions by append, the
+    // current partition is rewritten, and the read-back groups by the
+    // full validity interval.
+    "write_scd2" -> ((s, d) => {
+      val base = scratch("scd2_tbl")
+      val stage = scratch("scd2_stage")
+      scd2Load(s, d, base)
+      scd2Merge(s, d, base, stage, v = 1)
+      scd2Merge(s, d, base, stage, v = 2)
+      s.read.parquet(base)
+        // partition inference leaves booleans as strings — cast back
+        .withColumn("is_current", col("is_current").cast("boolean"))
+        .groupBy("is_current", "valid_from", "valid_to")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("c_custkey")).as("n_keys"),
+          decSum("c_acctbal").as("total"))
+    }),
+
     // SaveMode append semantics (reference base.py:143-145): overwrite one
     // slice, append a second, read back the union.
     "save_append" -> ((s, d) => {
@@ -361,6 +441,27 @@ object WriteOps {
          count(DISTINCT o_orderkey) AS n_keys,
          cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
          FROM orders GROUP BY o_orderstatus""",
+    "write_scd2" ->
+      """WITH c AS (SELECT c_custkey AS k, c_nationkey AS nat,
+             c_acctbal AS bal FROM customer),
+         ch AS (SELECT * FROM c WHERE k % 7 = 0),
+         rws AS (
+           SELECT k, bal, cast(0 AS int) AS valid_from,
+             cast(9999 AS int) AS valid_to, true AS is_current
+           FROM c WHERE k % 7 <> 0
+           UNION ALL
+           SELECT k, bal, 0, 1, false FROM ch
+           UNION ALL
+           SELECT k, bal + 50.0, 1, 2, false FROM ch
+           UNION ALL
+           SELECT k, bal + 100.0, 2, 9999, true FROM ch
+           UNION ALL
+           SELECT k + 1000000, 10.0, 1, 9999, true FROM ch)
+         SELECT is_current, valid_from, valid_to,
+           cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT k) AS bigint) AS n_keys,
+           cast(sum(cast(bal AS decimal(18,2))) AS double) AS total
+         FROM rws GROUP BY 1, 2, 3""",
     "write_upsert" ->
       """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
              cast(year(o_orderdate) AS int) AS pt_year FROM orders),
