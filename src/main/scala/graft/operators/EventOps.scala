@@ -152,6 +152,104 @@ object EventOps {
     s.read.parquet(sink.toString)
   }
 
+  /** The streaming CDC-apply gate: staged replay source → foreachBatch
+    * keyed merge into a versioned state table → read the latest
+    * version back. Same durable checkpoint/restart mechanics as
+    * [[replayGate]]; the sink is the versioned table instead of an
+    * append file sink. */
+  private def upsertReplayGate(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val stage = ReplayStage.dir(s, d, schema)
+    val (tbl, ckpt) = replayCkpts.getOrElseUpdate((d, "upsert"), {
+      val sk = java.nio.file.Files.createTempDirectory("g_upsert_tbl")
+      val ck = java.nio.file.Files.createTempDirectory("g_upsert_ckpt")
+      deleteOnExit(sk); deleteOnExit(ck)
+      (sk, ck)
+    })
+    val stream = s.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(stage)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    val apply: (DataFrame, Long) => Unit =
+      (batch, id) => cdcMergeBatch(s, tbl.toString, batch, id)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch(apply)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .queryName("g_stream_upsert").start()
+    try { if (!q.awaitTermination(300000)) q.processAllAvailable() }
+    finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", saved)
+      require(s.conf.get("spark.sql.shuffle.partitions") == saved,
+        "shuffle.partitions restore raced with a concurrent mutation")
+    }
+    s.read.parquet(latestVersion(tbl.toString, Long.MaxValue).get)
+      .select(col("user_id"), col("n_events"),
+        col("last.last_ts_sec").as("last_ts_sec"),
+        col("last.last_event_id").as("last_event_id"),
+        col("last.last_event_type").as("last_event_type"))
+  }
+
+  /** Apply one micro-batch of the streaming CDC upsert: merge the
+    * batch's per-user partial (count + latest event) into the keyed
+    * state table, committing the result as version directory
+    * `v<batchId>`. Versioned copy-on-write is what makes foreachBatch
+    * EXACTLY-ONCE: foreachBatch is at-least-once (a crash between sink
+    * write and checkpoint commit replays the batch), but re-applying
+    * batch b rebuilds `v<b>` from the same predecessor version and
+    * overwrites it — idempotent, the same txn-id dedup a lakehouse
+    * commit log performs (UpsertReplaySpec proves re-apply is a no-op).
+    * The merge itself is one key-equi full-outer of batch vs latest
+    * state: counts add, the latest-event struct takes the max — both
+    * commutative/associative, so batch boundaries never change the
+    * result. */
+  private[graft] def cdcMergeBatch(s: SparkSession, tblRoot: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    val agg = batch
+      .filter(expr("unix_seconds(ts)") < ReplayStage.sentinelBoundSec)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(expr("unix_seconds(ts)").as("last_ts_sec"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"))).as("last"))
+    val prev = latestVersion(tblRoot, below = batchId)
+    val merged = prev match {
+      case None => agg
+      case Some(p) =>
+        val cur = s.read.parquet(p)
+        cur.select(col("user_id"), col("n_events").as("c_n"),
+            col("last").as("c_last"))
+          .join(agg.select(col("user_id"), col("n_events").as("b_n"),
+            col("last").as("b_last")), Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("c_n"), lit(0L)) +
+              coalesce(col("b_n"), lit(0L))).as("n_events"),
+            when(col("c_last").isNull, col("b_last"))
+              .when(col("b_last").isNull, col("c_last"))
+              .otherwise(greatest(col("c_last"), col("b_last")))
+              .as("last"))
+    }
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$tblRoot/v$batchId")
+  }
+
+  private[graft] def latestVersion(tblRoot: String,
+      below: Long): Option[String] = {
+    val root = java.nio.file.Paths.get(tblRoot)
+    if (!java.nio.file.Files.exists(root)) None
+    else {
+      val vs = java.nio.file.Files.list(root).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+        .filter(_.startsWith("v")).map(_.drop(1).toLong)
+        .filter(_ < below)
+      if (vs.isEmpty) None else Some(s"$tblRoot/v${vs.max}")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling window aggregate — same operator Structured Streaming uses
     // after a withWatermark; window() aligns to the epoch, so the bucket
@@ -240,6 +338,12 @@ object EventOps {
     // dropDuplicatesWithinWatermark happened to see first — that keeps
     // the replay deterministic for the oracle. Sentinel rows fall to
     // the day-bound filter like every other replay gate.
+    // Streaming CDC apply: foreachBatch merges each micro-batch's
+    // per-user partial into a keyed state table committed as versioned
+    // copy-on-write (v<batchId> dirs — the txn-id dedup that upgrades
+    // foreachBatch's at-least-once to exactly-once; see cdcMergeBatch).
+    "streaming_replay_upsert" -> ((s, d) => upsertReplayGate(s, d)),
+
     "streaming_replay_dedup" -> ((s, d) =>
       replayGate(s, d, "dedup", df =>
         graft.streaming.StreamingOps
@@ -328,6 +432,21 @@ object EventOps {
          SELECT cast(floor(min(us) / 1000000) as bigint) AS sess_start,
            user_id, count(*) AS cnt
          FROM sess GROUP BY user_id, sid""",
+    // the state table after full replay = per-user count + latest event;
+    // "latest" compares (second-truncated ts, event_id) exactly as the
+    // merge's struct max does — ns-resolution ordering could diverge
+    // inside one second
+    "streaming_replay_upsert" ->
+      """SELECT user_id, n_events, ts_sec AS last_ts_sec,
+           event_id AS last_event_id, event_type AS last_event_type
+         FROM (SELECT user_id, event_id, event_type,
+                 epoch_ns(ts) // 1000000000 AS ts_sec,
+                 cast(count(*) OVER (PARTITION BY user_id) AS bigint)
+                   AS n_events,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) // 1000000000 DESC,
+                            event_id DESC) AS rn
+               FROM events) WHERE rn = 1""",
     "streaming_replay_dedup" ->
       """SELECT DISTINCT user_id, event_type,
          cast(date_diff('day', DATE '1970-01-01', cast(ts as date)) as int)
