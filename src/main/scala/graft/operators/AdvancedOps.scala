@@ -88,6 +88,38 @@ object AdvancedOps {
         .select("doc_id", "source", "bucket", "keep_permille")
     }),
 
+    // Temperature-scaled domain mixture (the multilingual/multi-domain
+    // sampling rule, arXiv:1901.07291 §3.1): sampled share ∝ p_d^α with
+    // α = 0.5 — upweights rare domains, damps dominant ones. All inputs
+    // are exact integers; the two FP steps are sqrt (correctly rounded
+    // per IEEE 754 in both engines) and ONE division each. The
+    // normalizer Σ√n_d is a cross-domain float sum, whose value depends
+    // on summation ORDER — both engines compute it as an ordered fold
+    // over the domain-sorted weight list (collect → sort → foldLeft
+    // here, list(... ORDER BY) + list_aggregate in DuckDB), the
+    // reproducibility discipline any FP reduction needs to hash-match
+    // across engines. The domain frame is tiny (bounded domain count);
+    // the only corpus-size work is the count aggregation.
+    "sample_temperature_mix" -> ((s, d) => {
+      documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .createOrReplaceTempView("g_tmix_counts")
+      s.sql("""
+        SELECT source, n_docs,
+          cast(n_docs as double) /
+            (SELECT cast(sum(n_docs) as double) FROM g_tmix_counts)
+            AS share,
+          sqrt(cast(n_docs as double)) AS w,
+          sqrt(cast(n_docs as double)) / (
+            SELECT aggregate(
+              array_sort(collect_list(named_struct(
+                'source', source,
+                'w', sqrt(cast(n_docs as double))))),
+              cast(0 as double), (a, x) -> a + x.w)
+            FROM g_tmix_counts) AS sampled_share
+        FROM g_tmix_counts""")
+    }),
+
     // Banded range join — the no-equi-key time-range pattern: for each
     // 'error' event, count 'click' events (ANY user) within ±60 s.
     // Naively that's an O(n²) theta-join; the scale shape bins both
@@ -230,6 +262,22 @@ object AdvancedOps {
          FROM b
          WHERE bucket < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
                          ELSE 10 END)""",
+    // the Σ√n_d normalizer is an ORDERED fold over the domain-sorted
+    // list in both engines (see the gate comment) — an unordered float
+    // sum could differ in the last ulp and fail the hash
+    "sample_temperature_mix" ->
+      """WITH c AS (SELECT source, cast(count(*) AS bigint) AS n_docs
+                    FROM documents GROUP BY source),
+         t AS (SELECT cast(sum(n_docs) AS double) AS tot,
+                 list_aggregate(
+                   list(sqrt(cast(n_docs AS double)) ORDER BY source),
+                   'sum') AS denom
+               FROM c)
+         SELECT source, n_docs,
+           cast(n_docs AS double) / tot AS share,
+           sqrt(cast(n_docs AS double)) AS w,
+           sqrt(cast(n_docs AS double)) / denom AS sampled_share
+         FROM c, t""",
     "sample_domain_mix" ->
       """WITH w AS (
            SELECT 'src' || cast(i as varchar) AS source,

@@ -55,3 +55,33 @@ class NoOracleGatesSpec extends AnyFunSuite {
     assert(first == second, "checkpoint-recovery rerun diverged from replay")
   }
 }
+
+/** Distributional properties of the temperature mixture the row-level
+  * oracle doesn't state: α = 0.5 flattens the mixture (rare domains up,
+  * dominant domains down) and the sampled shares still sum to 1. */
+class TemperatureMixSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.etl.TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("sampled shares form a flatter distribution summing to 1") {
+    val rows = graft.SparkEntry.queries("sample_temperature_mix")(
+      spark, sf).collect()
+    val share = rows.map(_.getDouble(2))
+    val sampled = rows.map(_.getDouble(4))
+    assert(math.abs(sampled.sum - 1.0) < 1e-9)
+    assert(math.abs(share.sum - 1.0) < 1e-9)
+    // flattening: the sampled ratio between most- and least-likely
+    // domain is the sqrt of the raw ratio
+    val rawRatio = share.max / share.min
+    val sampledRatio = sampled.max / sampled.min
+    assert(math.abs(sampledRatio - math.sqrt(rawRatio)) < 1e-9,
+      s"expected sqrt($rawRatio), got $sampledRatio")
+    // every below-average domain is upweighted, above-average damped
+    rows.foreach { r =>
+      val (s0, s1) = (r.getDouble(2), r.getDouble(4))
+      if (s0 < 1.0 / rows.length) assert(s1 > s0)
+      if (s0 > 1.0 / rows.length) assert(s1 < s0)
+    }
+  }
+}
