@@ -113,3 +113,43 @@ class ExamplePipelineSpec extends AnyFunSuite {
     assert(conv.count() == expJoin.count() && conv.count() > 0)
   }
 }
+
+/** The examples/incremental_merge.sql pipeline: MERGE INTO semantics in
+  * the step language — golden expectations on a crafted dim + batch. */
+class IncrementalMergeExampleSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("golden case: update beats stored row, insert lands, others pass") {
+    import spark.implicits._
+    Seq(
+      (1L, 10L, 100.0, 0L), // will be updated by the batch
+      (2L, 20L, 200.0, 0L), // untouched
+      (3L, 30L, 300.0, 0L)  // untouched
+    ).toDF("c_custkey", "c_nationkey", "c_acctbal", "version")
+      .createOrReplaceTempView("dim_current")
+    Seq(
+      (1L, 10L, 150.0, 1L), // update
+      (9L, 90L, 999.0, 1L)  // insert
+    ).toDF("c_custkey", "c_nationkey", "c_acctbal", "version")
+      .createOrReplaceTempView("changes")
+
+    val sql = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/incremental_merge.sql")), "UTF-8")
+    val backend = new SparkBackend(spark)
+    new SqlProcessor(backend, sql).run(dryRun = true)
+
+    val outView = backend.tempTables()
+      .find(_.matches("customer_merged_[0-9a-f]+_output"))
+    assert(outView.isDefined,
+      s"no merged output view in ${backend.tempTables()}")
+    val got = spark.table(outView.get)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 10L, 150.0, 1L),
+      (2L, 20L, 200.0, 0L),
+      (3L, 30L, 300.0, 0L),
+      (9L, 90L, 999.0, 1L)))
+  }
+}
