@@ -467,6 +467,96 @@ object VectorOps {
       .select("qid", "vec_id", "rn", "approx_dist")
   }
 
+  /** IVF-PQ — the composition billion-vector indexes actually deploy
+    * (FAISS `IVFx,PQy`): the IVF coarse quantizer bounds WHERE to look
+    * (nprobe cells per query), PQ bounds WHAT each candidate costs to
+    * score (M byte codes + table lookups, raw vectors never touched in
+    * the scan). This is the `by_residual=false` variant — one GLOBAL
+    * codebook, so one ADC table per query serves every probed cell
+    * (residual encoding would need nprobe per-cell tables per query;
+    * the global-table tradeoff is exactly what FAISS's option toggles).
+    *
+    * The third stage is FAISS's too: the ADC scan selects a SHORTLIST
+    * (`rerank` per query), then an exact integer-L2 re-rank touches raw
+    * vectors for shortlist rows only. Measured on this corpus
+    * (graft.tools.RecallProbe, vs exact-L2 top-10): ADC-only ordering
+    * recalls 0.36; shortlist 40 → 0.78; shortlist 100 → 0.88 (sf0.001)
+    * / 0.92 (sf0.01) and SATURATES — the residual misses are IVF cell
+    * misses, so past that point nprobe is the binding knob, not the
+    * shortlist.
+    *
+    * Scale shape: candidate volume = nprobe/nlist of the corpus (IVF),
+    * each candidate scored by M integer lookups (PQ), both index
+    * artifacts (cell map: 8 B/vec; codes: M B/vec) persistable and
+    * probed incrementally; the exact re-rank is nq × rerank by-id
+    * lookups. The prunings compose multiplicatively — the scan does
+    * nprobe/nlist × M/DIM of brute-force work plus a constant-bounded
+    * re-rank. */
+  def ivfpqTopK(s: SparkSession, d: String, nlist: Int = NLIST,
+      nprobe: Int = NPROBE, m: Int = M, kpq: Int = KPQ,
+      k: Int = 10, rerank: Int = 100,
+      centroids: Option[DataFrame] = None,
+      codebook: Option[Array[Array[Long]]] = None): DataFrame = {
+    val e = quantized(embeddings(s, d))
+      .select("vec_id", "qv", "nrm").filter(col("nrm") > 0)
+    val cents = centroids.getOrElse(
+      e.filter(col("vec_id") < nlist)
+        .select(col("vec_id").as("cid"), col("qv").as("cqv"),
+                col("nrm").as("cnrm")))
+    val assigned = e.join(broadcast(cents))
+      .withColumn("dot", array_dot_long(col("qv"), col("cqv")))
+      .withColumn("dist",
+        col("nrm") - lit(2L) * col("dot") + col("cnrm"))
+    val cells = coarseCells(assigned)
+    // global PQ codebook (same seed convention as pqTopK; pass
+    // pqTrainedCodebook for the trained quantizer — zero plan change)
+    val cbRows = codebook.getOrElse(
+      e.filter(col("vec_id") < kpq)
+        .orderBy("vec_id").select("qv").collect()
+        .map(_.getSeq[Long](0).toArray))
+    require(cbRows.nonEmpty, "IVF-PQ codebook is empty")
+    val kEff = cbRows.length
+    val cbLit = typedLit(cbRows.map(_.toSeq).toSeq)
+    import graft.functions.PqCodes.{pq_encode, pq_adc_table}
+    // the stored index: cell + codes per vector (8 + M bytes)
+    val codes = cells.select(col("vec_id"), col("cell"),
+      pq_encode(col("qv"), cbLit, m).as("codes"))
+    val qprobe = assigned.filter(col("vec_id") < 5)
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("dist").asc, col("cid").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+              pq_adc_table(col("qv"), cbLit, m).as("t"))
+    val approx = (0 until m).map(j =>
+      expr(s"t[$j * $kEff + codes[$j]]")).reduce(_ + _)
+    val shortlist = codes.join(broadcast(qprobe), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(q), "qid")
+      .withColumn("approx_dist", approx)
+      .withColumn("srn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("approx_dist").asc, col("vec_id").asc)))
+      .filter(col("srn") <= rerank)
+      .select("qid", "vec_id")
+    // exact re-rank: only the ≤ rerank shortlist rows per query ever
+    // touch raw vectors — two by-id lookups + integer L2, the stage
+    // that turns ADC's approximate ordering into exact ranks
+    val qraw = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"),
+              col("nrm").as("qnrm"))
+    shortlist
+      .join(e, Seq("vec_id"))
+      .join(broadcast(qraw), Seq("qid"))
+      .withColumn("dist",
+        col("nrm") - lit(2L) * array_dot_long(col("qqv"), col("qv")) +
+          col("qnrm"))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("dist").asc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "rn", "dist")
+  }
+
   /** Scalar-quantization (SQ8) top-k — the third real index family next
     * to IVF (coarse) and PQ (product): each dimension is affinely mapped
     * onto 0..255, so a stored vector is DIM single bytes (8× smaller
@@ -588,6 +678,10 @@ object VectorOps {
     "ann_lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
     "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "ann_pq_topk" -> ((s, d) => pqTopK(s, d)),
+
+    // IVF coarse pruning × PQ byte-code scoring — the deployed
+    // composition (see ivfpqTopK's scaladoc).
+    "ann_ivfpq_topk" -> ((s, d) => ivfpqTopK(s, d)),
     "ann_sq8_topk" -> ((s, d) => sq8TopK(s, d)),
     "ann_recall_report" -> ((s, d) => recallReport(s, d)),
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
@@ -705,6 +799,76 @@ object VectorOps {
                ORDER BY approx_dist ASC, vec_id ASC) as int) AS rn
            FROM adc) WHERE rn <= 10""",
     "ann_ivf_topk" -> ivfOracle,
+    // IVF cell membership bounds the candidates; the PQ `sub` distances
+    // serve both the corpus encode (argmin per subspace) and the query
+    // ADC tables, exactly as in the ann_pq_topk oracle
+    "ann_ivfpq_topk" ->
+      s"""WITH $oracleQuantCte,
+         e2 AS (SELECT vec_id, qv, nrm FROM n WHERE nrm > 0),
+         ivfc AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm
+                  FROM e2 WHERE vec_id < $NLIST),
+         assigned AS (
+           SELECT e2.vec_id, ivfc.cid,
+             e2.nrm - 2 * cast(list_aggregate(list_transform(
+               range(1, $DIM + 1), i -> e2.qv[i] * ivfc.cqv[i]), 'sum')
+               as bigint) + ivfc.cnrm AS dist
+           FROM e2, ivfc),
+         cellmap AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist ASC, cid ASC) AS arn
+             FROM assigned) WHERE arn = 1),
+         qprobe AS (
+           SELECT vec_id AS qid, cid AS cell FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist ASC, cid ASC) AS prn
+             FROM assigned WHERE vec_id < 5) WHERE prn <= $NPROBE),
+         cents AS (SELECT vec_id AS c, qv AS cqv FROM e2
+                   WHERE vec_id < $KPQ),
+         sub AS (
+           SELECT e2.vec_id, t.j, cents.c,
+             cast(list_aggregate(list_transform(range(1, ${SUBDIM + 1}),
+               i -> (e2.qv[t.j * $SUBDIM + i] - cents.cqv[t.j * $SUBDIM + i])
+                  * (e2.qv[t.j * $SUBDIM + i] - cents.cqv[t.j * $SUBDIM + i])),
+               'sum') as bigint) AS d
+           FROM e2, range(0, $M) t(j), cents),
+         codes AS (
+           SELECT vec_id, j, c AS code FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id, j
+               ORDER BY d ASC, c ASC) AS arn
+             FROM sub) WHERE arn = 1),
+         qt AS (SELECT vec_id AS qid, j, c, d FROM sub WHERE vec_id < 5),
+         cand AS (
+           SELECT p.qid, cm.vec_id
+           FROM qprobe p JOIN cellmap cm
+             ON cm.cell = p.cell AND cm.vec_id != p.qid),
+         adc AS (
+           SELECT cand.qid, cand.vec_id,
+             cast(sum(qt.d) as bigint) AS approx_dist
+           FROM cand
+           JOIN codes ON codes.vec_id = cand.vec_id
+           JOIN qt ON qt.qid = cand.qid AND qt.j = codes.j
+                  AND qt.c = codes.code
+           GROUP BY cand.qid, cand.vec_id),
+         short AS (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY approx_dist ASC, vec_id ASC) AS srn
+             FROM adc) WHERE srn <= 100),
+         rr AS (
+           SELECT short.qid, short.vec_id,
+             cn.nrm - 2 * cast(list_aggregate(list_transform(
+               range(1, $DIM + 1), i -> qq.qv[i] * cn.qv[i]), 'sum')
+               as bigint) + qq.nrm AS dist
+           FROM short
+           JOIN e2 cn ON cn.vec_id = short.vec_id
+           JOIN e2 qq ON qq.vec_id = short.qid)
+         SELECT qid, vec_id, rn, dist FROM (
+           SELECT qid, vec_id, dist,
+             cast(row_number() OVER (PARTITION BY qid
+               ORDER BY dist ASC, vec_id ASC) as int) AS rn
+           FROM rr) WHERE rn <= 10""",
     // SQ8: the oracle recomputes the per-dim ranges inline (exact
     // integer min/max, so identical to the collected literals) and sums
     // the squared grid differences directly — integer-equal to the

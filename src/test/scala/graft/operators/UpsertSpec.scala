@@ -64,3 +64,31 @@ class UpsertSpec extends AnyFunSuite {
       origOthers.except(others).isEmpty)
   }
 }
+
+/** Plan lock for the pruning claim: the batch's partition predicate
+  * propagates through the semi-join into a STATIC PartitionFilter on
+  * the base-table scan — untouched partitions are never opened. */
+class UpsertPruningSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("merge read-back scans only the touched partition") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_upsert_prune").toString
+    WriteOps.upsertLoad(spark, sf, base)
+    val batch = WriteOps.upsertBatch(spark, sf)
+    val cur = spark.read.parquet(base)
+      .join(broadcast(batch.select("pt_year").distinct()),
+        Seq("pt_year"), "left_semi")
+    cur.collect()
+    val plan = cur.queryExecution.executedPlan.toString
+    val baseScan = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains(base))
+    assert(baseScan.nonEmpty, plan)
+    baseScan.foreach { l =>
+      assert(l.contains("PartitionFilters: [(pt_year#") &&
+        l.contains("= 1997)"), s"no static partition filter:\n$l")
+    }
+  }
+}
