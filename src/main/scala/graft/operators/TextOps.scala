@@ -341,6 +341,46 @@ object TextOps {
           col("freq_sum").cast("double") / col("n_tri"))
     }),
 
+    // Collocation extraction: top bigrams by LIFT — p(ab)/(p(a)·p(b)),
+    // the exponent-free core of PMI. PMI itself needs log(), which is
+    // NOT guaranteed correctly rounded and could differ between engines
+    // in the last ulp; lift is rank-identical (log is monotone) and
+    // computes as ONE exact integer rational — cnt_ab·N² over
+    // B·cnt_a·cnt_b — with a single IEEE division. Counts-only
+    // shuffles (bigram tf, unigram tf, one word-keyed join); min-count
+    // floor keeps the tail noise out.
+    "text_bigram_lift" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .withColumn("toks", split(lower(trim(col("text"))), " "))
+      toks.select(explode(graft.functions.NgramShingles
+          .ngram_shingles(col("toks"), 2)).as("bg"))
+        .filter(size(split(col("bg"), " ")) === 2)
+        .groupBy("bg").agg(count(lit(1)).as("cnt_ab"))
+        .filter(col("cnt_ab") >= 5)
+        .createOrReplaceTempView("g_blift_bg")
+      toks.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .createOrReplaceTempView("g_blift_uni")
+      s.sql("""
+        WITH n AS (SELECT cast(sum(cnt) as bigint) AS n_tok
+                   FROM g_blift_uni),
+        b AS (SELECT cast(sum(cnt_ab) as bigint) AS n_bg
+              FROM g_blift_bg),
+        sc AS (
+          SELECT substring_index(bg, ' ', 1) AS w1,
+            substring_index(bg, ' ', -1) AS w2, cnt_ab
+          FROM g_blift_bg)
+        SELECT w1, w2, cnt_ab, u1.cnt AS cnt_a, u2.cnt AS cnt_b,
+          cast(cnt_ab * (SELECT n_tok FROM n) * (SELECT n_tok FROM n)
+               as double) /
+            cast((SELECT n_bg FROM b) * u1.cnt * u2.cnt as double)
+            AS lift
+        FROM sc
+        JOIN g_blift_uni u1 ON u1.w = sc.w1
+        JOIN g_blift_uni u2 ON u2.w = sc.w2
+        ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 20""")
+    }),
+
     // Benchmark decontamination: flag training docs that share any
     // 5-gram with the eval set (docs 0-9 stand in for a benchmark).
     // Grams travel as 16-byte md5 digests, never text; the eval side is
@@ -415,6 +455,35 @@ object TextOps {
                  unnest(range(off // 256, (off + cnt - 1) // 256 + 1))
                    AS chunk_id
                FROM o)""",
+    // same exact integer rational; split_part mirrors substring_index
+    // (bigram tokens contain no spaces by construction)
+    "text_bigram_lift" ->
+      """WITH t AS (SELECT string_split(lower(trim(text)), ' ') AS toks
+                    FROM documents),
+         bg AS (SELECT bgx AS bg, cast(count(*) AS bigint) AS cnt_ab
+                FROM (
+                  SELECT unnest(list_transform(
+                    range(1, greatest(len(toks) - 1, 1) + 1),
+                    i -> array_to_string(list_slice(toks, i, i + 1), ' ')))
+                    AS bgx
+                  FROM t)
+                WHERE len(string_split(bgx, ' ')) = 2
+                GROUP BY bgx HAVING count(*) >= 5),
+         uni AS (SELECT w, cast(count(*) AS bigint) AS cnt
+                 FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         n AS (SELECT cast(sum(cnt) AS bigint) AS n_tok FROM uni),
+         b AS (SELECT cast(sum(cnt_ab) AS bigint) AS n_bg FROM bg),
+         sc AS (SELECT split_part(bg, ' ', 1) AS w1,
+                  split_part(bg, ' ', 2) AS w2, cnt_ab FROM bg)
+         SELECT w1, w2, cnt_ab, u1.cnt AS cnt_a, u2.cnt AS cnt_b,
+           cast(cnt_ab * (SELECT n_tok FROM n) * (SELECT n_tok FROM n)
+                AS double) /
+             cast((SELECT n_bg FROM b) * u1.cnt * u2.cnt AS double)
+             AS lift
+         FROM sc
+         JOIN uni u1 ON u1.w = sc.w1
+         JOIN uni u2 ON u2.w = sc.w2
+         ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 20""",
     "text_token_stats" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
                     FROM documents)
