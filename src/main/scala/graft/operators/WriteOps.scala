@@ -308,6 +308,36 @@ object WriteOps {
           col("r_name").as("region_name"))
     }),
 
+    // Malformed-input hardening: a JSONL source where a known subset of
+    // lines is deliberately truncated mid-record. PERMISSIVE mode with
+    // a _corrupt_record column QUARANTINES bad lines (other fields
+    // null, raw line captured) instead of failing the job — the
+    // production posture for crawl-scale ingestion where some fraction
+    // of every batch is broken; FAILFAST would kill a 100 TB job on
+    // the first bad line. The oracle predicts both groups exactly from
+    // the corruption contract (every doc_id ≡ 0 mod 50 truncated).
+    "scan_json_corrupt" -> ((s, d) => {
+      val dir = scratch("json_corrupt")
+      documents(s, d).select(
+        when(col("doc_id") % 50 === 0,
+          concat(lit("{\"doc_id\": "), col("doc_id"),
+            lit(", \"n_chars\": ")))
+        .otherwise(
+          concat(lit("{\"doc_id\": "), col("doc_id"),
+            lit(", \"n_chars\": "), col("n_chars"), lit("}")))
+        .as("value"))
+        .write.mode(SaveMode.Overwrite).text(dir)
+      s.read
+        .schema("doc_id LONG, n_chars LONG, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir)
+        .groupBy(col("_corrupt_record").isNotNull.as("is_corrupt"))
+        .agg(count(lit(1)).as("cnt"),
+          sum("doc_id").as("sum_ids"),
+          sum("n_chars").as("sum_chars"))
+    }),
+
     // Small-files compaction round trip: fragment orders into 64 tiny
     // files, compact to byte-targeted right-sized files, aggregate the
     // read-back so the oracle proves no row was lost or duplicated.
@@ -436,6 +466,17 @@ object WriteOps {
     "scan_csv_json" ->
       """SELECT n_nationkey, n_name, r_name AS region_name
          FROM nation JOIN region ON n_regionkey = r_regionkey""",
+    // predicts the PERMISSIVE outcome from the corruption contract:
+    // corrupt rows parse nothing (sums NULL), good rows parse exactly
+    "scan_json_corrupt" ->
+      """WITH g AS (SELECT doc_id, n_chars, doc_id % 50 = 0 AS is_corrupt
+                    FROM documents)
+         SELECT is_corrupt, cast(count(*) AS bigint) AS cnt,
+           CASE WHEN is_corrupt THEN NULL
+                ELSE cast(sum(doc_id) AS bigint) END AS sum_ids,
+           CASE WHEN is_corrupt THEN NULL
+                ELSE cast(sum(n_chars) AS bigint) END AS sum_chars
+         FROM g GROUP BY is_corrupt""",
     "write_compacted" ->
       """SELECT o_orderstatus, count(*) AS cnt,
          count(DISTINCT o_orderkey) AS n_keys,
