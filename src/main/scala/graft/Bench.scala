@@ -145,10 +145,10 @@ object Bench {
     val remeasured: Map[String, Double] = suspects.toSeq.sorted.map { n =>
       n -> median(timeQuery(SparkEntry.queries(n)))
     }.toMap
+    val firstMedians = raw.map { case (n, med, _) => n -> med }.toMap
     val loadNotes: Map[String, (Double, Double)] = remeasured.collect {
-      case (n, re) if raw.exists(r => r._1 == n) &&
-          prev.get(n).exists(p => re / p <= 1.5) =>
-        n -> (raw.find(_._1 == n).get._2, re)
+      case (n, re) if prev.get(n).exists(p => re / p <= 1.5) =>
+        n -> (firstMedians(n), re)
     }
     val results = raw.map { case (n, med, _) =>
       // publish min(first, re-run): both are medians of real reps, and

@@ -111,8 +111,11 @@ object DedupOps {
   // it is THE derived artifact of the LSH pipeline, and both consumers
   // (the pairs gate and the clusters gate) read the same one — exactly
   // the persist-the-index-once pattern SCALE.md prescribes at 100 TB.
+  // keys carry the owning SparkSession's identity: a memoized frame is
+  // dead once its session stops, and a fresh session must rebuild
+  // rather than receive a frame bound to the stopped one
   private val bandIdxCache = scala.collection.concurrent
-    .TrieMap[(String, Int, Int, Int), DataFrame]()
+    .TrieMap[(Int, String, Int, Int, Int), DataFrame]()
 
   def minhashPairs(s: SparkSession, d: String, gram: Int = 2,
       k: Int = K, bands: Int = BANDS): DataFrame = {
@@ -126,7 +129,8 @@ object DedupOps {
     // shingles → (band_id, band_hash) is ONE codegen'd expression
     // (MinHashBands): no per-signature getItem projections, no
     // md5(concat(...)) trees — the signatures never materialize.
-    val bandIdx = bandIdxCache.getOrElseUpdate((d, gram, k, bands),
+    val bandIdx = bandIdxCache.getOrElseUpdate(
+      (System.identityHashCode(s), d, gram, k, bands),
       base.select(
         col("doc_id"),
         explode(graft.functions.MinHashBands
@@ -168,7 +172,7 @@ object DedupOps {
     * reuse it — NOT persist a fresh copy per invocation (the r6 ADVICE
     * leak: repeated runs accumulated cached indexes in the session). */
   private[graft] val corpusIdxCache = scala.collection.concurrent
-    .TrieMap[(String, Int, Int, Int), DataFrame]()
+    .TrieMap[(Int, String, Int, Int, Int), DataFrame]()
 
   def incrementalDups(s: SparkSession, d: String, gram: Int = 2,
       k: Int = K, bands: Int = BANDS,
@@ -181,7 +185,8 @@ object DedupOps {
       explode(graft.functions.MinHashBands
         .minhash_bands(col("shingles"), k, bands)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-    val corpusIdx = corpusIdxCache.getOrElseUpdate((d, gram, k, bands),
+    val corpusIdx = corpusIdxCache.getOrElseUpdate(
+      (System.identityHashCode(s), d, gram, k, bands),
       bandsOf(base.filter(!isNew))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cands = bandsOf(base.filter(isNew)).as("n")
@@ -235,6 +240,23 @@ object DedupOps {
     * — the right tradeoff for this loop, where a lost executor just
     * means rerunning the job; a multi-hour pipeline would use reliable
     * `checkpoint()` on cluster storage, same call site. */
+  /** Release a dead sweep frame's storage. `Dataset.unpersist` frees
+    * cache-manager entries but is a NO-OP for `localCheckpoint` blocks
+    * (they live as RDD-level persistence outside the cache manager), so
+    * checkpointed sweeps would pile up full label-frame copies until
+    * GC; unpersisting the physical scan RDD frees them immediately.
+    * Only ever called on a PREDECESSOR frame whose successor is already
+    * fully materialized — freeing checkpoint blocks makes the frame
+    * unrecomputable. */
+  private def freeFrame(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.executedPlan.collectLeaves().foreach {
+      case r: org.apache.spark.sql.execution.RDDScanExec =>
+        r.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
   private[graft] def propagateLabels(edges: DataFrame, nodes: DataFrame,
       maxIters: Int): DataFrame = {
     var persisted = nodes
@@ -269,7 +291,7 @@ object DedupOps {
       // already materialized everything — the count is then a cached
       // scan.)
       val changed = next.filter(col("cluster_id") =!= col("old_id")).count()
-      persisted.unpersist()
+      freeFrame(persisted)
       persisted = next
       labels = next.select("doc_id", "cluster_id")
       converged = changed == 0
@@ -395,10 +417,7 @@ object DedupOps {
     * tighter threshold is always a subset (spec). */
   def containmentPairs(s: SparkSession, d: String, gram: Int = 2,
       tau: Double = 0.6, maxDf: Long = 250L): DataFrame = {
-    val sh = documents(s, d)
-      .withColumn("toks", split(lower(trim(col("text"))), " "))
-      .withColumn("shingles",
-        graft.functions.NgramShingles.ngram_shingles(col("toks"), gram))
+    val sh = withShingles(documents(s, d), gram)
       .select(col("doc_id"),
         explode(array_distinct(col("shingles"))).as("sh"))
     val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))

@@ -187,7 +187,11 @@ object EventOps {
       require(s.conf.get("spark.sql.shuffle.partitions") == saved,
         "shuffle.partitions restore raced with a concurrent mutation")
     }
-    s.read.parquet(latestVersion(tbl.toString, Long.MaxValue).get)
+    val latest = latestVersion(tbl.toString, Long.MaxValue)
+    require(latest.isDefined,
+      s"streaming upsert replay produced no version dir under $tbl — " +
+      "the staged source yielded no micro-batches")
+    s.read.parquet(latest.get)
       .select(col("user_id"), col("n_events"),
         col("last.last_ts_sec").as("last_ts_sec"),
         col("last.last_event_id").as("last_event_id"),
@@ -242,10 +246,13 @@ object EventOps {
     val root = java.nio.file.Paths.get(tblRoot)
     if (!java.nio.file.Files.exists(root)) None
     else {
-      val vs = java.nio.file.Files.list(root).toArray.toSeq
-        .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
-        .filter(_.startsWith("v")).map(_.drop(1).toLong)
-        .filter(_ < below)
+      val stream = java.nio.file.Files.list(root)
+      val vs =
+        try stream.toArray.toSeq
+          .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+          .filter(_.startsWith("v")).map(_.drop(1).toLong)
+          .filter(_ < below)
+        finally stream.close() // Files.list leaks an fd if not closed
       if (vs.isEmpty) None else Some(s"$tblRoot/v${vs.max}")
     }
   }

@@ -337,11 +337,12 @@ object MultimodalOps {
     * gate (at 100 TB the hash index is ~24 B/doc, ~0.002% of corpus
     * bytes — you would persist/write it once and serve every consumer
     * from it, exactly like the LSH band index in DedupOps). */
+  // session identity in the key: see DedupOps.bandIdxCache
   private val phashCache = scala.collection.concurrent
-    .TrieMap[String, DataFrame]()
+    .TrieMap[(Int, String), DataFrame]()
 
   private def phashIndex(s: SparkSession, d: String): DataFrame =
-    phashCache.getOrElseUpdate(d, {
+    phashCache.getOrElseUpdate((System.identityHashCode(s), d), {
       import s.implicits._
       import ImageCodec._
       documents(s, d)

@@ -345,8 +345,13 @@ object TextOps {
     // the exponent-free core of PMI. PMI itself needs log(), which is
     // NOT guaranteed correctly rounded and could differ between engines
     // in the last ulp; lift is rank-identical (log is monotone) and
-    // computes as ONE exact integer rational — cnt_ab·N² over
-    // B·cnt_a·cnt_b — with a single IEEE division. Counts-only
+    // computes as cnt_ab·N²/(B·cnt_a·cnt_b) in DOUBLES with an
+    // identical multiply order in both engines: every factor is an
+    // exact integer that converts losslessly below 2^53, and the same
+    // IEEE multiply/divide sequence is bit-stable cross-engine — while
+    // an int64 numerator would silently wrap once cnt_ab·N² passes
+    // 2^63 (N ≈ 2e9 tokens), i.e. exactly at the corpus scale this
+    // operator targets. Counts-only
     // shuffles (bigram tf, unigram tf, one word-keyed join); min-count
     // floor keeps the tail noise out.
     "text_bigram_lift" -> ((s, d) => {
@@ -371,9 +376,10 @@ object TextOps {
             substring_index(bg, ' ', -1) AS w2, cnt_ab
           FROM g_blift_bg)
         SELECT w1, w2, cnt_ab, u1.cnt AS cnt_a, u2.cnt AS cnt_b,
-          cast(cnt_ab * (SELECT n_tok FROM n) * (SELECT n_tok FROM n)
-               as double) /
-            cast((SELECT n_bg FROM b) * u1.cnt * u2.cnt as double)
+          cast(cnt_ab as double) * cast((SELECT n_tok FROM n) as double)
+            * cast((SELECT n_tok FROM n) as double)
+            / (cast((SELECT n_bg FROM b) as double)
+               * cast(u1.cnt as double) * cast(u2.cnt as double))
             AS lift
         FROM sc
         JOIN g_blift_uni u1 ON u1.w = sc.w1
@@ -476,9 +482,10 @@ object TextOps {
          sc AS (SELECT split_part(bg, ' ', 1) AS w1,
                   split_part(bg, ' ', 2) AS w2, cnt_ab FROM bg)
          SELECT w1, w2, cnt_ab, u1.cnt AS cnt_a, u2.cnt AS cnt_b,
-           cast(cnt_ab * (SELECT n_tok FROM n) * (SELECT n_tok FROM n)
-                AS double) /
-             cast((SELECT n_bg FROM b) * u1.cnt * u2.cnt AS double)
+           cast(cnt_ab AS double) * cast((SELECT n_tok FROM n) AS double)
+             * cast((SELECT n_tok FROM n) AS double)
+             / (cast((SELECT n_bg FROM b) AS double)
+                * cast(u1.cnt AS double) * cast(u2.cnt AS double))
              AS lift
          FROM sc
          JOIN uni u1 ON u1.w = sc.w1

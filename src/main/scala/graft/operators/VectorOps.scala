@@ -492,8 +492,9 @@ object VectorOps {
     * lookups. The prunings compose multiplicatively — the scan does
     * nprobe/nlist × M/DIM of brute-force work plus a constant-bounded
     * re-rank. */
+  // session identity in the key: see DedupOps.bandIdxCache
   private val ivfpqIdxCache = scala.collection.concurrent
-    .TrieMap[(String, Int, Int, Int), DataFrame]()
+    .TrieMap[(Int, String, Int, Int, Int), DataFrame]()
 
   def ivfpqTopK(s: SparkSession, d: String, nlist: Int = NLIST,
       nprobe: Int = NPROBE, m: Int = M, kpq: Int = KPQ,
@@ -532,7 +533,8 @@ object VectorOps {
     // describe them, and a trained index must not shadow the seed one
     val codes =
       if (centroids.isEmpty && codebook.isEmpty)
-        ivfpqIdxCache.getOrElseUpdate((d, nlist, m, kpq), buildIdx
+        ivfpqIdxCache.getOrElseUpdate(
+          (System.identityHashCode(s), d, nlist, m, kpq), buildIdx
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else buildIdx
     val qprobe = assigned.filter(col("vec_id") < 5)
@@ -675,8 +677,13 @@ object VectorOps {
     val bf = bruteforceTopK(s, d, k).select(col("qid"), col("vec_id"))
     val iv = ivfTopK(s, d, k = k).select(col("qid"), col("vec_id"))
     val all = Window.partitionBy()
-    bf.join(iv, Seq("qid", "vec_id"))
-      .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+    // start from EVERY query bf knows: a query whose probe set misses
+    // all k exact neighbours must surface as n_overlap = 0, not vanish
+    // from the report (an inner-join-then-group would drop it and
+    // overstate the average)
+    bf.join(iv.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+      .groupBy("qid").agg(
+        coalesce(sum("hit"), lit(0L)).as("n_overlap"))
       .withColumn("corpus_overlap", sum("n_overlap").over(all))
       .select(col("qid"), lit(k).as("k"), col("n_overlap"),
         (col("n_overlap").cast("double") / k).as("recall"),
@@ -773,8 +780,10 @@ object VectorOps {
       s"""WITH bf AS ($bfOracle),
          ivf AS ($ivfOracle),
          ov AS (
-           SELECT bf.qid, count(*) AS n_overlap
-           FROM bf JOIN ivf ON bf.qid = ivf.qid AND bf.vec_id = ivf.vec_id
+           SELECT bf.qid,
+             cast(count(ivf.vec_id) AS bigint) AS n_overlap
+           FROM bf LEFT JOIN ivf
+             ON bf.qid = ivf.qid AND bf.vec_id = ivf.vec_id
            GROUP BY bf.qid)
          SELECT qid, 10 AS k, n_overlap,
            cast(n_overlap as double) / 10 AS recall,

@@ -71,3 +71,22 @@ class DedupClustersSpec extends AnyFunSuite {
       s"optimized plan has $depth lines — lineage not truncated:\n$plan")
   }
 }
+
+/** The sweep-frame lifecycle: localCheckpoint blocks are freed via the
+  * physical RDD (Dataset.unpersist is a no-op for them), so repeated
+  * cluster runs must not accumulate persisted RDDs. */
+class ClusterStorageLifecycleSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.etl.TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("repeated runs do not grow executor storage") {
+    DedupOps.minhashClusters(spark, sf).count() // warm (band idx memoizes)
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    DedupOps.minhashClusters(spark, sf).count()
+    DedupOps.minhashClusters(spark, sf).count()
+    val after3 = spark.sparkContext.getPersistentRDDs.size
+    assert(after3 <= after1 + 1,
+      s"persistent RDDs grew $after1 -> $after3 across reruns")
+  }
+}

@@ -14,7 +14,8 @@ class DedupIncrementalSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("corpus band index is memoized across invocations") {
-    val key = (sf, 2, DedupOps.K, DedupOps.BANDS)
+    val key =
+      (System.identityHashCode(spark), sf, 2, DedupOps.K, DedupOps.BANDS)
     DedupOps.corpusIdxCache.remove(key)
     val n1 = DedupOps.incrementalDups(spark, sf).count()
     assert(DedupOps.corpusIdxCache.contains(key))

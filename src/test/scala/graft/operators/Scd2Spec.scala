@@ -17,11 +17,15 @@ class Scd2Spec extends AnyFunSuite {
   private def files(dir: String): Map[String, Long] = {
     val p = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.exists(p)) Map.empty
-    else java.nio.file.Files.list(p).toArray.toSeq
-      .map(_.asInstanceOf[java.nio.file.Path])
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(q => q.toString ->
-        java.nio.file.Files.getLastModifiedTime(q).toMillis).toMap
+    else {
+      val stream = java.nio.file.Files.list(p)
+      try stream.toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(q => q.toString ->
+          java.nio.file.Files.getLastModifiedTime(q).toMillis).toMap
+      finally stream.close()
+    }
   }
 
   test("history is append-only; validity chains are complete") {

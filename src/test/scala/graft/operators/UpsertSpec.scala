@@ -16,11 +16,13 @@ class UpsertSpec extends AnyFunSuite {
 
   private def partFiles(base: String, pt: Int): Map[String, Long] = {
     val dir = java.nio.file.Paths.get(base, s"pt_year=$pt")
-    val s = java.nio.file.Files.list(dir).toArray.toSeq
+    val stream = java.nio.file.Files.list(dir)
+    try stream.toArray.toSeq
       .map(_.asInstanceOf[java.nio.file.Path])
       .filter(_.getFileName.toString.endsWith(".parquet"))
-    s.map(p => p.toString ->
-      java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      .map(p => p.toString ->
+        java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    finally stream.close()
   }
 
   test("merge rewrites only the touched partition; values are merged") {
