@@ -213,7 +213,8 @@ object VectorOps {
     * corpus instead of all of it. */
   def ivfTopK(s: SparkSession, d: String, nlist: Int = NLIST,
       nprobe: Int = NPROBE, k: Int = 10,
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None,
+      eligible: Option[DataFrame] = None): DataFrame = {
     val e = quantized(embeddings(s, d))
       .select("vec_id", "qv", "nrm").filter(col("nrm") > 0)
     val cents = centroids.getOrElse(
@@ -234,7 +235,15 @@ object VectorOps {
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("qv").as("qqv"),
               col("nrm").as("qnrm"))
-    val cand = cells.join(broadcast(qprobe), "cell")
+    // filtered search: the metadata predicate (an `eligible` id frame)
+    // applies INSIDE the index scan — a semi-join on the narrow id list
+    // BEFORE any distance math, so ineligible vectors are never scored.
+    // That's the pre-filter strategy; post-filtering an unfiltered
+    // top-k would silently return < k (or nothing) under selective
+    // predicates.
+    val probed = cells.join(broadcast(qprobe), "cell")
+    val cand = eligible.fold(probed)(el =>
+        probed.join(el, Seq("vec_id"), "left_semi"))
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(q), "qid")
       .withColumn("dot", array_dot_long(col("qqv"), col("qv")))
@@ -704,6 +713,19 @@ object VectorOps {
     // composition (see ivfpqTopK's scaladoc).
     "ann_ivfpq_topk" -> ((s, d) => ivfpqTopK(s, d)),
     "ann_sq8_topk" -> ((s, d) => sq8TopK(s, d)),
+
+    // Filtered vector search (the RAG-retrieval staple: "nearest docs
+    // FROM source X"): the metadata predicate joins embeddings to the
+    // documents table by id and lands as a semi-join INSIDE the IVF
+    // scan — eligible ids prune candidates before any distance math
+    // (pre-filter; a post-filtered top-k under-returns on selective
+    // predicates). The id list is narrow however wide the metadata is.
+    "ann_filtered_topk" -> ((s, d) => {
+      val eligible = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1", "src2", "src3"))
+        .select(col("doc_id").as("vec_id"))
+      ivfTopK(s, d, eligible = Some(eligible))
+    }),
     "ann_recall_report" -> ((s, d) => recallReport(s, d)),
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "embedding_neardup" -> ((s, d) => neardupPairs(s, d))
@@ -770,8 +792,23 @@ object VectorOps {
                ORDER BY sim DESC, vec_id ASC) as int) AS rn
            FROM cand) WHERE rn <= 10"""
 
+  /** The filtered-search oracle IS the IVF oracle with the eligibility
+    * semi-join spliced into its candidate step — string surgery keeps
+    * the two in lockstep (any fix to ivfOracle flows through). doc_id
+    * is unique, so the inner join is an exact semi-join. */
+  private def filteredIvfOracle: String = {
+    val marker = "JOIN cells c ON p.cell = c.cell AND c.vec_id != p.qid"
+    require(ivfOracle.contains(marker), "ivfOracle shape changed")
+    ivfOracle.replace(marker,
+      marker + """
+           JOIN (SELECT doc_id AS fvid FROM documents
+                 WHERE source IN ('src0','src1','src2','src3')) f
+             ON f.fvid = c.vec_id""")
+  }
+
   val oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" -> bfOracle,
+    "ann_filtered_topk" -> filteredIvfOracle,
     "ann_lsh_buckets" -> oracleBucketSql,
     // the two index outputs join as subqueries (nested WITH): exact
     // integer overlap counts, one IEEE division per ratio, integer

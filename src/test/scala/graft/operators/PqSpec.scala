@@ -156,3 +156,40 @@ class IvfPqSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Filtered-search invariants: every hit satisfies the metadata
+  * predicate, and the pre-filter never invents hits that an unfiltered
+  * probe of the same cells wouldn't contain. */
+class FilteredSearchSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.etl.TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("hits satisfy the predicate and nest inside the unfiltered scan") {
+    import org.apache.spark.sql.functions._
+    val res = graft.SparkEntry.queries("ann_filtered_topk")(spark, sf)
+    val eligible = Tables.documents(spark, sf)
+      .filter(col("source").isin("src0", "src1", "src2", "src3"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(eligible.contains(r.getLong(1)),
+        s"hit ${r.getLong(1)} fails the metadata predicate")
+    }
+    // the filtered result is the eligible subset of the probed cells:
+    // re-ranking the unfiltered scan's eligible hits gives the same set
+    val unfiltered = VectorOps.ivfTopK(spark, sf, k = 500)
+      .filter(col("vec_id").isin(eligible.toSeq.map(Long.box): _*))
+    val expect = unfiltered
+      .withColumn("rn2", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rn2") <= 10)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, "filtered result diverges from re-ranked " +
+      "eligible subset of the probed cells")
+  }
+}
