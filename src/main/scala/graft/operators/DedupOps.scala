@@ -527,6 +527,20 @@ object DedupOps {
     // exact-substring dedup — see substringReport's scaladoc).
     "dedup_substring" -> ((s, d) => substringReport(s, d)),
 
+    // Leakage-safe train/test split: assignment hashes the near-dup
+    // CLUSTER id, not the doc id — doc-granular splits leak
+    // near-duplicate text across the boundary (a test doc's twin in
+    // train inflates eval scores), so the split unit must be the
+    // connected component. Composition of the clusters pipeline with
+    // the engine's content-stable md5-bucket convention; ~80/20 by
+    // cluster. Spec proves no verified near-dup pair straddles the
+    // split.
+    "sample_leakage_safe_split" -> ((s, d) =>
+      minhashClusters(s, d).withColumn("split",
+        when(expr("cast(conv(substring(md5(cast(cluster_id as string))" +
+          ", 1, 8), 16, 10) as bigint) % 10") < 8, "train")
+          .otherwise("test"))),
+
     // Span dedup with corpus rewrite: drop 8-token blocks already seen
     // at a smaller (doc_id, pos), reassemble, report digest-only audit
     // rows (see spanRewrite's scaladoc for the no-text-shuffle shape).
@@ -593,6 +607,24 @@ object DedupOps {
     // connected components via transitive label reachability: a node's
     // cluster id is the min doc_id among all nodes that can reach it
     // through jaccard-verified edges (fixpoint of the recursive CTE)
+    // cluster assignment + the engine's md5-bucket hash on cluster_id
+    "sample_leakage_safe_split" ->
+      s"""WITH RECURSIVE ${lshScoredCte(2)},
+         good AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+         edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM good
+           UNION ALL SELECT doc_b AS a, doc_a AS b FROM good),
+         reach(node, label) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node),
+         cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+                FROM reach GROUP BY node)
+         SELECT doc_id, cluster_id,
+           CASE WHEN cast(('0x' || substr(md5(cast(cluster_id AS varchar)),
+                  1, 8)) AS bigint) % 10 < 8
+                THEN 'train' ELSE 'test' END AS split
+         FROM cl""",
     "dedup_minhash_clusters" ->
       s"""WITH RECURSIVE ${lshScoredCte(2)},
          good AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),

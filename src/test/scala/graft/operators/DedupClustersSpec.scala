@@ -90,3 +90,30 @@ class ClusterStorageLifecycleSpec extends AnyFunSuite {
       s"persistent RDDs grew $after1 -> $after3 across reruns")
   }
 }
+
+/** The leakage-safe split's defining property: no verified near-dup
+  * pair ever straddles the train/test boundary. */
+class LeakageSafeSplitSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.etl.TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("no near-dup pair straddles the split; both sides populated") {
+    import org.apache.spark.sql.functions._
+    val split = graft.SparkEntry.queries("sample_leakage_safe_split")(
+      spark, sf).select("doc_id", "split")
+    val pairs = DedupOps.minhashPairs(spark, sf)
+      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    val straddlers = pairs
+      .join(split.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "sa"), Seq("doc_a"))
+      .join(split.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "sb"), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddlers == 0, s"$straddlers near-dup pairs leak across split")
+    val bySide = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySide.getOrElse("train", 0L) > 0 &&
+      bySide.getOrElse("test", 0L) > 0, bySide.toString)
+  }
+}
