@@ -238,6 +238,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
       || p.contains("TableCacheQueryStage"), p)
   }
 
+  test("filtered search: predicate semi-join sits under the top-k") {
+    val p = finalPlan("ann_filtered_topk")
+    // the eligibility frame must arrive as a LeftSemi join inside the
+    // scan (pre-filter), and the ranking window must sit ABOVE it —
+    // i.e. ineligible vectors are pruned before any candidate ranking
+    assert(p.contains("LeftSemi"), p)
+    val semiAt = p.indexOf("LeftSemi")
+    val windowAt = p.indexOf("Window")
+    assert(windowAt >= 0 && windowAt < semiAt,
+      s"ranking window not above the semi-join (window@$windowAt, " +
+        s"semi@$semiAt)")
+  }
+
   test("span rewrite: document text never enters a shuffle") {
     val p = finalPlan("dedup_span_rewrite")
     // every hash exchange carries digests/positions; the doc side joins
