@@ -52,9 +52,7 @@ object AdvancedOps {
     // needs NO shuffle (pure narrow filter; rates change without
     // re-shuffling anything).
     "sample_stratified_split" -> ((s, d) => {
-      val bucket = expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) " +
-        "as bigint) % 100")
+      val bucket = Tables.md5Bucket(col("doc_id"), 100)
       val keepRate = when(col("lang") === "en", 50)
         .when(col("lang") === "de", 20).otherwise(10)
       documents(s, d)
@@ -78,9 +76,8 @@ object AdvancedOps {
       val weights = (0 until 20)
         .map(i => ("src" + i, rates(i % 4)))
         .toDF("source", "keep_permille")
-      val bucket = expr(
-        "cast(conv(substring(md5(concat(cast(doc_id as string), ':', " +
-        "source)), 1, 8), 16, 10) as bigint) % 1000")
+      val bucket = Tables.md5Bucket(
+        concat(col("doc_id").cast("string"), lit(":"), col("source")), 1000)
       documents(s, d)
         .join(broadcast(weights), Seq("source"))
         .withColumn("bucket", bucket)

@@ -537,8 +537,7 @@ object DedupOps {
     // split.
     "sample_leakage_safe_split" -> ((s, d) =>
       minhashClusters(s, d).withColumn("split",
-        when(expr("cast(conv(substring(md5(cast(cluster_id as string))" +
-          ", 1, 8), 16, 10) as bigint) % 10") < 8, "train")
+        when(Tables.md5Bucket(col("cluster_id"), 10) < 8, "train")
           .otherwise("test"))),
 
     // Span dedup with corpus rewrite: drop 8-token blocks already seen
@@ -565,7 +564,28 @@ object DedupOps {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+    /** The split oracle IS the clusters oracle with the md5-bucket split
+    * wrapped around its final select — see the map comment. */
+  private def leakageSplitOracle: String = {
+    val clusters = s"""WITH RECURSIVE ${lshScoredCte(2)},
+         good AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+         edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM good
+           UNION ALL SELECT doc_b AS a, doc_a AS b FROM good),
+         reach(node, label) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node)
+         SELECT node AS doc_id, min(label) AS cluster_id
+         FROM reach GROUP BY node"""
+    s"""SELECT doc_id, cluster_id,
+           CASE WHEN cast(('0x' || substr(md5(cast(cluster_id AS varchar)),
+                  1, 8)) AS bigint) % 10 < 8
+                THEN 'train' ELSE 'test' END AS split
+         FROM ($clusters) cl"""
+  }
+
+val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS text_hash,
          min(doc_id) AS keep_id, count(*) AS n_dups
@@ -604,27 +624,15 @@ object DedupOps {
          WHERE jaccard >= 0.5"""
     },
 
+    // cluster assignment + the engine's md5-bucket hash on cluster_id:
+    // the split oracle IS the clusters oracle with the hash wrapped
+    // around its final select — string surgery keeps the two gates'
+    // cluster semantics in lockstep (any clusters-oracle fix flows
+    // through), like VectorOps.filteredIvfOracle
+    "sample_leakage_safe_split" -> leakageSplitOracle,
     // connected components via transitive label reachability: a node's
     // cluster id is the min doc_id among all nodes that can reach it
     // through jaccard-verified edges (fixpoint of the recursive CTE)
-    // cluster assignment + the engine's md5-bucket hash on cluster_id
-    "sample_leakage_safe_split" ->
-      s"""WITH RECURSIVE ${lshScoredCte(2)},
-         good AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
-         edges AS (
-           SELECT doc_a AS a, doc_b AS b FROM good
-           UNION ALL SELECT doc_b AS a, doc_a AS b FROM good),
-         reach(node, label) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node),
-         cl AS (SELECT node AS doc_id, min(label) AS cluster_id
-                FROM reach GROUP BY node)
-         SELECT doc_id, cluster_id,
-           CASE WHEN cast(('0x' || substr(md5(cast(cluster_id AS varchar)),
-                  1, 8)) AS bigint) % 10 < 8
-                THEN 'train' ELSE 'test' END AS split
-         FROM cl""",
     "dedup_minhash_clusters" ->
       s"""WITH RECURSIVE ${lshScoredCte(2)},
          good AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),

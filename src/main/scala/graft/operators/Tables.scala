@@ -12,6 +12,19 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The engine's content-stable hash bucket — the cross-engine
+    * contract every sampling/split gate shares (DuckDB mirror:
+    * `cast(('0x' || substr(md5(<key>), 1, 8)) as bigint) % mod`).
+    * First 8 hex chars of md5 → non-negative 32-bit value → mod.
+    * Single-sourced so a typo can't silently break engine parity in
+    * one gate. */
+  private[graft] def md5Bucket(key: org.apache.spark.sql.Column,
+      mod: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % mod
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")

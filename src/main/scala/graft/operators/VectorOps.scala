@@ -237,13 +237,14 @@ object VectorOps {
               col("nrm").as("qnrm"))
     // filtered search: the metadata predicate (an `eligible` id frame)
     // applies INSIDE the index scan — a semi-join on the narrow id list
-    // BEFORE any distance math, so ineligible vectors are never scored.
-    // That's the pre-filter strategy; post-filtering an unfiltered
-    // top-k would silently return < k (or nothing) under selective
-    // predicates.
-    val probed = cells.join(broadcast(qprobe), "cell")
-    val cand = eligible.fold(probed)(el =>
-        probed.join(el, Seq("vec_id"), "left_semi"))
+    // BEFORE the cells×qprobe fanout (each cell's vectors replicate per
+    // probing query, so pruning first avoids building rows that are
+    // immediately discarded) and before any distance math. That's the
+    // pre-filter strategy; post-filtering an unfiltered top-k would
+    // silently return < k (or nothing) under selective predicates.
+    val scanSide = eligible.fold(cells)(el =>
+      cells.join(el, Seq("vec_id"), "left_semi"))
+    val cand = scanSide.join(broadcast(qprobe), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(q), "qid")
       .withColumn("dot", array_dot_long(col("qqv"), col("qv")))

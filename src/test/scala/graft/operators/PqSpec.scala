@@ -178,8 +178,11 @@ class FilteredSearchSpec extends AnyFunSuite {
         s"hit ${r.getLong(1)} fails the metadata predicate")
     }
     // the filtered result is the eligible subset of the probed cells:
-    // re-ranking the unfiltered scan's eligible hits gives the same set
-    val unfiltered = VectorOps.ivfTopK(spark, sf, k = 500)
+    // re-ranking the unfiltered scan's eligible hits gives the same set.
+    // k must cover EVERY candidate or the nesting check is incomplete —
+    // derive it from the corpus instead of assuming 500 stays enough
+    val corpusN = Tables.embeddings(spark, sf).count().toInt
+    val unfiltered = VectorOps.ivfTopK(spark, sf, k = corpusN)
       .filter(col("vec_id").isin(eligible.toSeq.map(Long.box): _*))
     val expect = unfiltered
       .withColumn("rn2", row_number().over(
