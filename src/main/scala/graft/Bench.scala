@@ -15,6 +15,12 @@ import org.apache.spark.sql.SparkSession
   *    >1.5× are re-measured before publication (noise guard; see the
   *    load_note stamps) — driver-load spikes produced phantom 3-14×
   *    "regressions" in two consecutive rounds.
+  *
+  * Two guards keep the baseline honest: a per-query re-measure for
+  * isolated >1.5× spikes, and a whole-run uniform-load guard — when the
+  * MEDIAN cur/prev ratio exceeds 1.1 the run is load-inflated (a run
+  * property, not a per-query one) and BENCH_FULL.json is NOT overwritten;
+  * the payload parks in BENCH_FULL_DISCARDED.json instead.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -180,8 +186,27 @@ object Bench {
         "\"" + k + "\":{\"first\":" + fmt(first) +
           ",\"remeasured\":" + fmt(re) + "}"
       }.mkString(",\"load_note\":{", ",", "}")
+    // UNIFORM-LOAD GUARD: the per-query noise guard above catches isolated
+    // spikes, but a driver running the oracle/judge concurrently inflates
+    // EVERY query by a similar factor — a run property, not a per-query
+    // one (r5/r6/r7 all produced this fingerprint; SCALE.md documents it).
+    // If the MEDIAN ratio vs the committed baseline exceeds 1.1, the run
+    // is load-inflated: publish the line (the driver captures stdout
+    // regardless) with a self-documenting stamp, but REFUSE to overwrite
+    // the committed BENCH_FULL.json baseline — the inflated numbers would
+    // otherwise become next round's "prev" and read as a phantom
+    // improvement when load normalizes.
+    val ratiosVsPrev = results.flatMap { case (n, v) =>
+      prev.get(n).filter(_ > 0).map(v / _) }
+    val medianRatio =
+      if (ratiosVsPrev.size >= 20) Some(median(ratiosVsPrev)) else None
+    val uniformLoad = medianRatio.exists(_ > 1.1)
+    val uniformJson = medianRatio
+      .map(r => s""","median_ratio_vs_baseline":${fmt(r)}""" +
+        (if (uniformLoad) s""","discarded_uniform_load":true""" else ""))
+      .getOrElse("")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_cold":$coldQs,"reps":$reps$noteJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_cold":$coldQs,"reps":$reps$noteJson$uniformJson,"sf":"$sfDir"}"""
     println(line)
 
     // a BENCH_ONLY isolation run must not clobber the committed full
@@ -191,17 +216,28 @@ object Bench {
       only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_DIR")
     if (artifactsEnabled) try {
       java.nio.file.Files.createDirectories(benchDir)
-      val reg = results.map { case (k, v) =>
+      val runStamp = medianRatio.map(r =>
+        s""""__run__":{"median_ratio_vs_baseline":${fmt(r)},"uniform_load":$uniformLoad}""")
+      val reg = (runStamp.toSeq ++ results.map { case (k, v) =>
         val p = prev.get(k)
         val ratio = p.filter(_ > 0).map(pv => fmt(v / pv)).getOrElse("null")
         val note = loadNotes.get(k).map { case (first, _) =>
           s""","load_note":"first median ${fmt(first)} disproved by re-run"""" }
           .getOrElse("")
         s""""$k":{"prev":${p.map(fmt).getOrElse("null")},"cur":${fmt(v)},"ratio":$ratio$note}"""
-      }.mkString("{", ",", "}")
+      }).mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         benchDir.resolve("BENCH_REGRESSION.json"), reg)
-      java.nio.file.Files.writeString(fullPath, line)
+      if (uniformLoad) {
+        // preserve the committed baseline; park the inflated payload in a
+        // sidecar so the run is still inspectable
+        java.nio.file.Files.writeString(
+          benchDir.resolve("BENCH_FULL_DISCARDED.json"), line)
+        System.err.println(
+          s"[bench] uniform load detected (median ratio ${medianRatio.map(fmt).getOrElse("?")} " +
+            "> 1.1 vs committed baseline); BENCH_FULL.json preserved, " +
+            "run parked in BENCH_FULL_DISCARDED.json")
+      } else java.nio.file.Files.writeString(fullPath, line)
     } catch { case e: Exception =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }

@@ -97,14 +97,18 @@ object AdvancedOps {
     // reproducibility discipline any FP reduction needs to hash-match
     // across engines. The domain frame is tiny (bounded domain count);
     // the only corpus-size work is the count aggregation.
+    // per-invocation view name + drop-after-analysis (sql() analyzes
+    // eagerly): no collision if two gates evaluate concurrently in one
+    // session, no fixed name leaked into the caller's catalog
     "sample_temperature_mix" -> ((s, d) => {
+      val v = "g_tmix_counts" + Tables.invocationSuffix()
       documents(s, d).groupBy("source")
         .agg(count(lit(1)).as("n_docs"))
-        .createOrReplaceTempView("g_tmix_counts")
-      s.sql("""
+        .createOrReplaceTempView(v)
+      try s.sql(s"""
         SELECT source, n_docs,
           cast(n_docs as double) /
-            (SELECT cast(sum(n_docs) as double) FROM g_tmix_counts)
+            (SELECT cast(sum(n_docs) as double) FROM $v)
             AS share,
           sqrt(cast(n_docs as double)) AS w,
           sqrt(cast(n_docs as double)) / (
@@ -113,8 +117,9 @@ object AdvancedOps {
                 'source', source,
                 'w', sqrt(cast(n_docs as double))))),
               cast(0 as double), (a, x) -> a + x.w)
-            FROM g_tmix_counts) AS sampled_share
-        FROM g_tmix_counts""")
+            FROM $v) AS sampled_share
+        FROM $v""")
+      finally s.catalog.dropTempView(v)
     }),
 
     // Banded range join — the no-equi-key time-range pattern: for each

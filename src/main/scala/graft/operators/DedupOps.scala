@@ -107,15 +107,12 @@ object DedupOps {
     * candidates; candidates verified with true Jaccard on shingle sets.
     * The band join carries only (band, doc_id); shingle sets are joined
     * back by key afterwards so the shuffle payload stays narrow. */
-  // The persisted band index is memoized per (dir, gram, k, bands):
-  // it is THE derived artifact of the LSH pipeline, and both consumers
-  // (the pairs gate and the clusters gate) read the same one — exactly
-  // the persist-the-index-once pattern SCALE.md prescribes at 100 TB.
-  // keys carry the owning SparkSession's identity: a memoized frame is
-  // dead once its session stops, and a fresh session must rebuild
-  // rather than receive a frame bound to the stopped one
-  private val bandIdxCache = scala.collection.concurrent
-    .TrieMap[(Int, String, Int, Int, Int), DataFrame]()
+  // The persisted band index is memoized per (session, dir, gram, k,
+  // bands) via SessionMemo: it is THE derived artifact of the LSH
+  // pipeline, and both consumers (the pairs gate and the clusters
+  // gate) read the same one — exactly the persist-the-index-once
+  // pattern SCALE.md prescribes at 100 TB. SessionMemo drops a
+  // session's entries when the session stops (no dead-session pinning).
 
   def minhashPairs(s: SparkSession, d: String, gram: Int = 2,
       k: Int = K, bands: Int = BANDS): DataFrame = {
@@ -129,8 +126,8 @@ object DedupOps {
     // shingles → (band_id, band_hash) is ONE codegen'd expression
     // (MinHashBands): no per-signature getItem projections, no
     // md5(concat(...)) trees — the signatures never materialize.
-    val bandIdx = bandIdxCache.getOrElseUpdate(
-      (System.identityHashCode(s), d, gram, k, bands),
+    val bandIdx = graft.core.SessionMemo.getOrElseUpdate(
+      s, ("dedup_band", d, gram, k, bands))(
       base.select(
         col("doc_id"),
         explode(graft.functions.MinHashBands
@@ -166,13 +163,14 @@ object DedupOps {
     * its 4-rows/doc index and the by-id shingle lookup for verified
     * candidates. The batch here is the doc_id % 10 == 0 slice so the
     * split stays scale-proportional across fixtures. */
-  /** The corpus-side band index of [[incrementalDups]], memoized per
-    * (dir, gram, k, bands) exactly like [[bandIdxCache]]: it is the
-    * persisted artifact every ingest probes, so re-running the gate must
-    * reuse it — NOT persist a fresh copy per invocation (the r6 ADVICE
-    * leak: repeated runs accumulated cached indexes in the session). */
-  private[graft] val corpusIdxCache = scala.collection.concurrent
-    .TrieMap[(Int, String, Int, Int, Int), DataFrame]()
+  /** Memo key of [[incrementalDups]]'s corpus-side band index (for the
+    * spec's reuse assertions): the persisted artifact every ingest
+    * probes, memoized per (session, dir, gram, k, bands) via
+    * SessionMemo, so re-running the gate reuses it — NOT a fresh
+    * persisted copy per invocation (the r6 ADVICE leak: repeated runs
+    * accumulated cached indexes in the session). */
+  private[graft] def corpusIdxKey(d: String, gram: Int, k: Int,
+      bands: Int): Any = ("dedup_corpus_band", d, gram, k, bands)
 
   def incrementalDups(s: SparkSession, d: String, gram: Int = 2,
       k: Int = K, bands: Int = BANDS,
@@ -185,8 +183,8 @@ object DedupOps {
       explode(graft.functions.MinHashBands
         .minhash_bands(col("shingles"), k, bands)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-    val corpusIdx = corpusIdxCache.getOrElseUpdate(
-      (System.identityHashCode(s), d, gram, k, bands),
+    val corpusIdx = graft.core.SessionMemo.getOrElseUpdate(
+      s, corpusIdxKey(d, gram, k, bands))(
       bandsOf(base.filter(!isNew))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cands = bandsOf(base.filter(isNew)).as("n")
@@ -245,16 +243,26 @@ object DedupOps {
     * (they live as RDD-level persistence outside the cache manager), so
     * checkpointed sweeps would pile up full label-frame copies until
     * GC; unpersisting the physical scan RDD frees them immediately.
-    * Only ever called on a PREDECESSOR frame whose successor is already
-    * fully materialized — freeing checkpoint blocks makes the frame
-    * unrecomputable. */
-  private def freeFrame(df: DataFrame): Unit = {
+    *
+    * The RDD-level free runs ONLY when the live successor is itself a
+    * fresh localCheckpoint (`successorCheckpointed`): a plain-persisted
+    * successor's recompute lineage still runs through the predecessor
+    * chain's checkpoint RDD, and freeing that RDD would turn an
+    * executor loss (evicted successor blocks) into an unrecoverable job
+    * abort instead of a stage recompute. At a checkpoint boundary the
+    * successor is self-contained (eagerly materialized, lineage
+    * truncated at its own RDD), so every upstream checkpoint block is
+    * provably dead. Cost of the guard: stale checkpoint blocks live at
+    * most CHECKPOINT_EVERY extra sweeps. */
+  private def freeFrame(df: DataFrame,
+      successorCheckpointed: Boolean): Unit = {
     df.unpersist()
-    df.queryExecution.executedPlan.collectLeaves().foreach {
-      case r: org.apache.spark.sql.execution.RDDScanExec =>
-        r.rdd.unpersist(false)
-      case _ => ()
-    }
+    if (successorCheckpointed)
+      df.queryExecution.executedPlan.collectLeaves().foreach {
+        case r: org.apache.spark.sql.execution.RDDScanExec =>
+          r.rdd.unpersist(false)
+        case _ => ()
+      }
   }
 
   private[graft] def propagateLabels(edges: DataFrame, nodes: DataFrame,
@@ -279,8 +287,9 @@ object DedupOps {
         .select(col("doc_id"), col("cluster_id").as("old_id"),
           least(col("cluster_id"),
             coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+      val checkpointSweep = (it + 1) % CHECKPOINT_EVERY == 0
       val next =
-        if ((it + 1) % CHECKPOINT_EVERY == 0) swept.localCheckpoint(true)
+        if (checkpointSweep) swept.localCheckpoint(true)
         else swept.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // the filter+count scans (and therefore caches) EVERY partition of
@@ -291,7 +300,7 @@ object DedupOps {
       // already materialized everything — the count is then a cached
       // scan.)
       val changed = next.filter(col("cluster_id") =!= col("old_id")).count()
-      freeFrame(persisted)
+      freeFrame(persisted, successorCheckpointed = checkpointSweep)
       persisted = next
       labels = next.select("doc_id", "cluster_id")
       converged = changed == 0

@@ -106,9 +106,26 @@ object EventOps {
     * floor (~2.5 s) that SCALE.md documents as invocation overhead, not
     * data cost.
     */
+  /** Scope `spark.sql.legacy.parquet.nanosAsLong=true` to `body`: the
+    * raw events.parquet carries TIMESTAMP(NANOS) and needs the flag for
+    * the footer read + staging, but leaving it set would mutate the
+    * read semantics of every LATER parquet read in the shared session —
+    * save/restore, same discipline as the shuffle.partitions scoping
+    * below. (The staged replay files and gate sinks store ts as
+    * int64/micros, so nothing outside this scope needs the flag.) */
+  private def withNanosAsLong[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val saved = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try body
+    finally saved match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   private def replayGate(s: SparkSession, d: String, name: String,
-      agg: DataFrame => DataFrame): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      agg: DataFrame => DataFrame): DataFrame = withNanosAsLong(s) {
     val schema = s.read.parquet(s"$d/events.parquet").schema // footer only
     val stage = ReplayStage.dir(s, d, schema)
     val (sink, ckpt) = replayCkpts.getOrElseUpdate((d, name), {
@@ -157,8 +174,8 @@ object EventOps {
     * version back. Same durable checkpoint/restart mechanics as
     * [[replayGate]]; the sink is the versioned table instead of an
     * append file sink. */
-  private def upsertReplayGate(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def upsertReplayGate(s: SparkSession, d: String): DataFrame =
+      withNanosAsLong(s) {
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val stage = ReplayStage.dir(s, d, schema)
     val (tbl, ckpt) = replayCkpts.getOrElseUpdate((d, "upsert"), {

@@ -337,12 +337,8 @@ object MultimodalOps {
     * gate (at 100 TB the hash index is ~24 B/doc, ~0.002% of corpus
     * bytes — you would persist/write it once and serve every consumer
     * from it, exactly like the LSH band index in DedupOps). */
-  // session identity in the key: see DedupOps.bandIdxCache
-  private val phashCache = scala.collection.concurrent
-    .TrieMap[(Int, String), DataFrame]()
-
   private def phashIndex(s: SparkSession, d: String): DataFrame =
-    phashCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    graft.core.SessionMemo.getOrElseUpdate(s, ("mm_phash", d)) {
       import s.implicits._
       import ImageCodec._
       documents(s, d)
@@ -352,7 +348,7 @@ object MultimodalOps {
         .mapPartitions(phashBatch _)
         .toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata path: blob byte length + content digest, pure column ops.

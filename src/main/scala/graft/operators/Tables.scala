@@ -41,6 +41,14 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))
   }
+  /** Unique per-invocation suffix for session temp-view names: gates
+    * that drop to SQL over temp views must not collide if two gates
+    * (or two datasets) ever evaluate concurrently in one session, and
+    * must not leak fixed names into the caller's catalog. */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] def invocationSuffix(): String =
+    s"_i${viewSeq.incrementAndGet()}"
+
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

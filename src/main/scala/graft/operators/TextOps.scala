@@ -354,7 +354,13 @@ object TextOps {
     // operator targets. Counts-only
     // shuffles (bigram tf, unigram tf, one word-keyed join); min-count
     // floor keeps the tail noise out.
+    // per-invocation view names + drop-after-analysis: a fixed view
+    // name would race two concurrent gate evaluations in one session
+    // and leak into the caller's catalog; sql() analyzes eagerly, so
+    // the returned frame no longer needs the views
     "text_bigram_lift" -> ((s, d) => {
+      val suf = Tables.invocationSuffix()
+      val (vBg, vUni) = (s"g_blift_bg$suf", s"g_blift_uni$suf")
       val toks = Tables.documents(s, d)
         .withColumn("toks", split(lower(trim(col("text"))), " "))
       toks.select(explode(graft.functions.NgramShingles
@@ -362,19 +368,19 @@ object TextOps {
         .filter(size(split(col("bg"), " ")) === 2)
         .groupBy("bg").agg(count(lit(1)).as("cnt_ab"))
         .filter(col("cnt_ab") >= 5)
-        .createOrReplaceTempView("g_blift_bg")
+        .createOrReplaceTempView(vBg)
       toks.select(explode(col("toks")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
-        .createOrReplaceTempView("g_blift_uni")
-      s.sql("""
+        .createOrReplaceTempView(vUni)
+      try s.sql(s"""
         WITH n AS (SELECT cast(sum(cnt) as bigint) AS n_tok
-                   FROM g_blift_uni),
+                   FROM $vUni),
         b AS (SELECT cast(sum(cnt_ab) as bigint) AS n_bg
-              FROM g_blift_bg),
+              FROM $vBg),
         sc AS (
           SELECT substring_index(bg, ' ', 1) AS w1,
             substring_index(bg, ' ', -1) AS w2, cnt_ab
-          FROM g_blift_bg)
+          FROM $vBg)
         SELECT w1, w2, cnt_ab, u1.cnt AS cnt_a, u2.cnt AS cnt_b,
           cast(cnt_ab as double) * cast((SELECT n_tok FROM n) as double)
             * cast((SELECT n_tok FROM n) as double)
@@ -382,9 +388,12 @@ object TextOps {
                * cast(u1.cnt as double) * cast(u2.cnt as double))
             AS lift
         FROM sc
-        JOIN g_blift_uni u1 ON u1.w = sc.w1
-        JOIN g_blift_uni u2 ON u2.w = sc.w2
+        JOIN $vUni u1 ON u1.w = sc.w1
+        JOIN $vUni u2 ON u2.w = sc.w2
         ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 20""")
+      finally {
+        s.catalog.dropTempView(vBg); s.catalog.dropTempView(vUni)
+      }
     }),
 
     // Benchmark decontamination: flag training docs that share any

@@ -502,9 +502,9 @@ object VectorOps {
     * lookups. The prunings compose multiplicatively — the scan does
     * nprobe/nlist × M/DIM of brute-force work plus a constant-bounded
     * re-rank. */
-  // session identity in the key: see DedupOps.bandIdxCache
-  private val ivfpqIdxCache = scala.collection.concurrent
-    .TrieMap[(Int, String, Int, Int, Int), DataFrame]()
+  /** SessionMemo key of the memoized IVF-PQ index (spec hook). */
+  private[graft] def ivfpqIdxKey(d: String, nlist: Int, m: Int,
+      kpq: Int): Any = ("ann_ivfpq_idx", d, nlist, m, kpq)
 
   def ivfpqTopK(s: SparkSession, d: String, nlist: Int = NLIST,
       nprobe: Int = NPROBE, m: Int = M, kpq: Int = KPQ,
@@ -543,8 +543,8 @@ object VectorOps {
     // describe them, and a trained index must not shadow the seed one
     val codes =
       if (centroids.isEmpty && codebook.isEmpty)
-        ivfpqIdxCache.getOrElseUpdate(
-          (System.identityHashCode(s), d, nlist, m, kpq), buildIdx
+        graft.core.SessionMemo.getOrElseUpdate(
+          s, ivfpqIdxKey(d, nlist, m, kpq))(buildIdx
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else buildIdx
     val qprobe = assigned.filter(col("vec_id") < 5)

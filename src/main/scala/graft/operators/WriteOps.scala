@@ -316,12 +316,18 @@ object WriteOps {
     // of every batch is broken; FAILFAST would kill a 100 TB job on
     // the first bad line. The oracle predicts both groups exactly from
     // the corruption contract (every doc_id ≡ 0 mod 50 truncated).
+    // Corrupt lines truncate INSIDE the first key token (`{"doc_id<n>`,
+    // unterminated key string), so NO prefix field is parseable — the
+    // oracle's "corrupt rows parse nothing" contract holds regardless
+    // of spark.sql.json.enablePartialResults (which can retain
+    // already-parsed fields of a record that fails mid-parse and is
+    // conf/version-sensitive; a mid-record truncation after a complete
+    // doc_id field would silently drift on it).
     "scan_json_corrupt" -> ((s, d) => {
       val dir = scratch("json_corrupt")
       documents(s, d).select(
         when(col("doc_id") % 50 === 0,
-          concat(lit("{\"doc_id\": "), col("doc_id"),
-            lit(", \"n_chars\": ")))
+          concat(lit("{\"doc_id"), col("doc_id")))
         .otherwise(
           concat(lit("{\"doc_id\": "), col("doc_id"),
             lit(", \"n_chars\": "), col("n_chars"), lit("}")))
