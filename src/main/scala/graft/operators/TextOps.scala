@@ -18,6 +18,269 @@ object TextOps {
   private val stopwords = Seq("the", "data", "table", "value", "row", "key")
   private val stopList  = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Iterative-BPE knobs: 4 merge rounds × up to 16 merges each = a
+    * ≤64-merge vocabulary, same budget as the old single-round gate. */
+  private[graft] val BPE_ROUNDS = 4
+  private[graft] val BPE_K_PER_ROUND = 16
+  /** Acceptance window: only the top-CAND_CAP pairs by (count desc,
+    * key asc) enter the acceptance check. Self-contained by
+    * construction — a pair's blockers always outrank it, so every
+    * blocker of a windowed pair is itself in the window — and it
+    * bounds the chaining self-join at vocab-independent O(CAP²)
+    * regardless of how many distinct pairs the corpus produces. Both
+    * engines apply the same window, so it is part of the operator's
+    * definition, not an approximation. */
+  private[graft] val BPE_CAND_CAP = 512
+  /** Pair-key separator between the two tokens of a merge candidate —
+    * a control char that cannot occur in text, so multi-char token
+    * boundaries stay unambiguous ("ab"+"c" vs "a"+"bc"). */
+  private val BPE_SEP = "\u0001"
+
+  /** Iterative BPE train+apply, exact and order-free in both engines.
+    *
+    * Each round over the CURRENT segmentation (round 0 = characters):
+    *
+    *  TRAIN: count adjacent token pairs (counts-only shuffle; pairs
+    *  containing a space never merge), then accept a pair iff it
+    *  outranks (count desc, key asc) EVERY pair it chains with (shares
+    *  a boundary token — could overlap in text); self-chaining (x,x)
+    *  pairs are excluded. Any two accepted merges therefore never
+    *  overlap, and a pair cannot occur at adjacent positions, so
+    *  occurrences of the whole batch are DISJOINT: greedy left-to-right
+    *  application and simultaneous application coincide — what makes
+    *  APPLY exact without sequential driver state. Top-`kPer` accepted
+    *  pairs form the round's merge batch.
+    *
+    *  APPLY: with hits h(i) = pair(t_i, t_{i+1}) ∈ batch, the new
+    *  token list keeps index i unless h(i-1) (consumed by the previous
+    *  merge) and emits t_i·t_{i+1} where h(i) — pure array transforms
+    *  over an index sequence, identical in Spark and DuckDB; the batch
+    *  rides along as a collected ≤kPer-element array (broadcast 1-row
+    *  cross join), never a driver literal.
+    *
+    * Scale shape: per round, the corpus-size work is ONE counts-only
+    * (pair, count) aggregation and one narrow per-doc re-segmentation;
+    * the acceptance self-join runs on the tiny distinct-pair count
+    * frame (vocab²-bounded), and the batch is bounded metadata. Token
+    * lists never shuffle. Monotonicity: every merge strictly decreases
+    * a doc's token count, so n_tok_r is non-increasing in r
+    * (BpeIterativeSpec asserts it per doc and strictly per round at
+    * corpus level). */
+  /** Trained merge batches, memoized per (dir, rounds, kPer): the
+    * vocabulary is the persisted artifact of BPE training (like the
+    * LSH band index or PQ codebook — in production a stored table),
+    * so re-invocations are apply-only. Values are plain strings
+    * (bounded: rounds × kPer pair keys), no session reference.
+    *
+    * Per round: segment with the batches so far (native BpePairs, one
+    * JVM pass per doc), count adjacent pairs (counts-only shuffle),
+    * keep the top-[[BPE_CAND_CAP]] window, accept the non-chaining
+    * pairs (CAP²-bounded self-join), collect the top-kPer batch
+    * (bounded driver metadata — the same protocol as the PQ
+    * codebook). */
+  private val bpeVocabCache = scala.collection.concurrent
+    .TrieMap[(String, Int, Int), Seq[Seq[String]]]()
+
+  private[graft] def bpeTrain(s: SparkSession, d: String, rounds: Int,
+      kPer: Int): Seq[Seq[String]] =
+    bpeVocabCache.getOrElseUpdate((d, rounds, kPer), {
+      val docs = Tables.documents(s, d)
+        .select(lower(trim(col("text"))).as("norm"))
+      var batches = Vector.empty[Seq[String]]
+      for (_ <- 1 to rounds) {
+        val cand = docs
+          .select(explode(graft.functions.BpeOps
+            .bpe_pairs(col("norm"), batches)).as("p"))
+          .filter(!col("p").contains(" "))
+          .groupBy("p").agg(count(lit(1)).as("c"))
+          .withColumn("l", substring_index(col("p"), BPE_SEP, 1))
+          .withColumn("r", substring_index(col("p"), BPE_SEP, -1))
+          .filter(col("l") =!= col("r"))
+          .orderBy(col("c").desc, col("p").asc).limit(BPE_CAND_CAP)
+        val rivals = cand.select(col("p").as("qp"), col("l").as("ql"),
+          col("r").as("qr"), col("c").as("qc"))
+        val accepted = cand.join(rivals,
+          col("qp") =!= col("p") &&
+            (col("ql") === col("r") || col("qr") === col("l")) &&
+            (col("qc") > col("c") ||
+             (col("qc") === col("c") && col("qp") < col("p"))),
+          "left_anti")
+        val batch = accepted.orderBy(col("c").desc, col("p").asc)
+          .limit(kPer).select("p")
+          .collect().map(_.getString(0)).toSeq.sorted
+        batches :+= batch
+      }
+      batches
+    })
+
+  private[graft] def bpeTokens(s: SparkSession, d: String, rounds: Int,
+      kPer: Int): DataFrame = {
+    val batches = bpeTrain(s, d, rounds, kPer)
+    Tables.documents(s, d)
+      .select(col("doc_id"), lower(trim(col("text"))).as("norm"))
+      .withColumn("rc", graft.functions.BpeOps
+        .bpe_round_counts(col("norm"), batches))
+      .select(
+        Seq(col("doc_id"),
+          size(split(col("norm"), " ")).cast("int").as("n_words"),
+          length(regexp_replace(col("norm"), " ", "")).cast("int")
+            .as("n_chars_ns")) ++
+        (0 to rounds).map(r =>
+          element_at(col("rc"), r + 1).as(s"n_tok_r$r")) :+
+        element_at(col("rc"), rounds + 1).as("n_bpe_tokens"): _*)
+  }
+
+  /** Higher-order-function reference implementation of [[bpeTokens]]:
+    * the literal hit-mask formulation the DuckDB oracle mirrors,
+    * kept for BpeIterativeSpec's native-vs-reference equivalence
+    * proof (same standard as the CharNgrams/Md5Min elementwise
+    * specs). ~35× slower than the native path at sf0.1 — test-only. */
+  private[graft] def bpeTokensHof(s: SparkSession, d: String,
+      rounds: Int, kPer: Int): DataFrame = {
+    val nonSpace = "cast(size(filter(toks, t -> t != ' ')) as int)"
+    var cur = Tables.documents(s, d)
+      .select(col("doc_id"), lower(trim(col("text"))).as("norm"))
+      .withColumn("toks", expr(
+        "case when length(norm) = 0 then array() " +
+        "else transform(sequence(1, length(norm)), " +
+        "i -> substring(norm, i, 1)) end"))
+      .withColumn("n_tok_r0", expr(nonSpace))
+    for (r <- 1 to rounds) {
+      val pairsExpr =
+        "case when size(toks) < 2 then array() " +
+        "else transform(sequence(1, size(toks) - 1), " +
+        s"i -> concat(element_at(toks, i), '$BPE_SEP', " +
+        "element_at(toks, i + 1))) end"
+      val cand = cur.select(explode(expr(pairsExpr)).as("p"))
+        .filter(!col("p").contains(" "))
+        .groupBy("p").agg(count(lit(1)).as("c"))
+        .withColumn("l", substring_index(col("p"), BPE_SEP, 1))
+        .withColumn("r", substring_index(col("p"), BPE_SEP, -1))
+        .filter(col("l") =!= col("r"))
+        .orderBy(col("c").desc, col("p").asc).limit(BPE_CAND_CAP)
+      val rivals = cand.select(col("p").as("qp"), col("l").as("ql"),
+        col("r").as("qr"), col("c").as("qc"))
+      val accepted = cand.join(rivals,
+        col("qp") =!= col("p") &&
+          (col("ql") === col("r") || col("qr") === col("l")) &&
+          (col("qc") > col("c") ||
+           (col("qc") === col("c") && col("qp") < col("p"))),
+        "left_anti")
+      val batch = accepted.orderBy(col("c").desc, col("p").asc)
+        .limit(kPer)
+        .agg(sort_array(collect_list(col("p"))).as("batch"))
+      cur = cur.crossJoin(broadcast(batch))
+        .withColumn("hits", expr(
+          "case when size(toks) < 2 then array() " +
+          "else transform(sequence(1, size(toks) - 1), " +
+          s"i -> array_contains(batch, concat(element_at(toks, i), " +
+          s"'$BPE_SEP', element_at(toks, i + 1)))) end"))
+        // hp pads hits with a false on each side so every index the
+        // apply touches is in-range (no ANSI element_at OOB)
+        .withColumn("hp", expr("concat(array(false), hits, array(false))"))
+        .withColumn("toks", expr(
+          "case when size(toks) < 2 then toks else transform(" +
+          "filter(sequence(1, size(toks)), i -> NOT element_at(hp, i)), " +
+          "i -> if(element_at(hp, i + 1), " +
+          "concat(element_at(toks, i), element_at(toks, i + 1)), " +
+          "element_at(toks, i))) end"))
+        .withColumn(s"n_tok_r$r", expr(nonSpace))
+        .drop("batch", "hits", "hp")
+    }
+    cur.select(
+      Seq(col("doc_id"),
+        size(split(col("norm"), " ")).cast("int").as("n_words"),
+        length(regexp_replace(col("norm"), " ", "")).cast("int")
+          .as("n_chars_ns")) ++
+      (0 to rounds).map(r => col(s"n_tok_r$r")) :+
+      col(s"n_tok_r$rounds").as("n_bpe_tokens"): _*)
+  }
+
+  /** DuckDB mirror of [[bpeTokens]]: the rounds unroll as chained CTEs
+    * (seg_0 → seg_R), each carrying the per-round counts forward so
+    * every CTE is referenced exactly once (no repeated-inline blowup).
+    */
+  private[graft] def bpeOracleSql(rounds: Int, kPer: Int): String = {
+    val sep = "chr(1)"
+    val sb = new StringBuilder
+    sb.append(
+      """WITH seg_0 AS (
+        |  SELECT doc_id, lower(trim(text)) AS norm,
+        |    CASE WHEN length(lower(trim(text))) = 0
+        |         THEN cast([] AS varchar[])
+        |         ELSE list_transform(range(1, length(lower(trim(text))) + 1),
+        |              i -> substr(lower(trim(text)), i, 1)) END AS toks,
+        |    cast(CASE WHEN length(lower(trim(text))) = 0 THEN 0
+        |         ELSE len(list_filter(
+        |           list_transform(range(1, length(lower(trim(text))) + 1),
+        |             i -> substr(lower(trim(text)), i, 1)),
+        |           t -> t != ' ')) END AS int) AS n_tok_r0
+        |  FROM documents)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val prev = s"seg_${r - 1}"
+      val carried = (0 until r).map(i => s"n_tok_r$i").mkString(", ")
+      sb.append(
+        s""",
+        |cnt_$r AS (
+        |  SELECT p, count(*) AS c,
+        |    split_part(p, $sep, 1) AS l, split_part(p, $sep, 2) AS r
+        |  FROM (
+        |    SELECT unnest(CASE WHEN len(toks) < 2 THEN cast([] AS varchar[])
+        |      ELSE list_transform(range(1, len(toks)),
+        |           i -> toks[i] || $sep || toks[i + 1]) END) AS p
+        |    FROM $prev)
+        |  WHERE strpos(p, ' ') = 0
+        |  GROUP BY p),
+        |cand_$r AS (SELECT * FROM cnt_$r WHERE l != r
+        |            ORDER BY c DESC, p ASC LIMIT ${BPE_CAND_CAP}),
+        |acc_$r AS (
+        |  SELECT a.p, a.c FROM cand_$r a
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM cand_$r b
+        |    WHERE b.p != a.p AND (b.l = a.r OR b.r = a.l)
+        |      AND (b.c > a.c OR (b.c = a.c AND b.p < a.p)))),
+        |batch_$r AS (
+        |  SELECT coalesce(list_sort(list(p)), cast([] AS varchar[]))
+        |    AS batch
+        |  FROM (SELECT p FROM acc_$r ORDER BY c DESC, p ASC
+        |        LIMIT $kPer)),
+        |seg_$r AS (
+        |  SELECT doc_id, norm, $carried,
+        |    CASE WHEN len(toks) < 2 THEN toks ELSE
+        |      list_transform(
+        |        list_filter(range(1, len(toks) + 1), i -> NOT hp[i]),
+        |        i -> CASE WHEN hp[i + 1] THEN toks[i] || toks[i + 1]
+        |                  ELSE toks[i] END) END AS toks,
+        |    cast(len(list_filter(
+        |      CASE WHEN len(toks) < 2 THEN toks ELSE
+        |        list_transform(
+        |          list_filter(range(1, len(toks) + 1), i -> NOT hp[i]),
+        |          i -> CASE WHEN hp[i + 1] THEN toks[i] || toks[i + 1]
+        |                    ELSE toks[i] END) END,
+        |      t -> t != ' ')) AS int) AS n_tok_r$r
+        |  FROM (
+        |    SELECT doc_id, norm, $carried, toks,
+        |      cast([false] AS boolean[]) ||
+        |      (CASE WHEN len(toks) < 2 THEN cast([] AS boolean[])
+        |        ELSE list_transform(range(1, len(toks)),
+        |             i -> list_contains(batch,
+        |                  toks[i] || $sep || toks[i + 1])) END)
+        |      || cast([false] AS boolean[]) AS hp
+        |    FROM $prev, batch_$r))""".stripMargin)
+    }
+    val tokCols = (0 to rounds).map(r => s"n_tok_r$r").mkString(", ")
+    sb.append(
+      s"""
+      |SELECT doc_id,
+      |  cast(len(string_split(norm, ' ')) AS int) AS n_words,
+      |  cast(length(regexp_replace(norm, ' ', '', 'g')) AS int)
+      |    AS n_chars_ns,
+      |  $tokCols,
+      |  n_tok_r$rounds AS n_bpe_tokens
+      |FROM seg_$rounds""".stripMargin)
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens, distinct tokens, total/avg token
     // length, and a BPE-ish subword estimate (ceil(len/4) per token).
@@ -166,63 +429,15 @@ object TextOps {
             graft.functions.NgramShingles.ngram_shingles(col("toks"), 5))
             .as("fp_min5"))),
 
-    // Subword token counts from a corpus-TRAINED merge vocabulary — the
-    // trainable upgrade of text_token_stats' ceil(len/4) estimate (that
-    // column is retained there for comparison). BPE-style train+apply,
-    // reformulated so both phases are exact and order-free:
-    //
-    //  TRAIN: count all intra-word char bigrams across the corpus
-    //  (counts-only shuffle, |charset|²-bounded key space), then keep a
-    //  merge bigram iff it outranks (count desc, bigram asc) EVERY
-    //  bigram it chains with (shares a boundary char, i.e. could
-    //  overlap in text); self-chaining "aa" bigrams are excluded. Any
-    //  two surviving merges can therefore never overlap — greedy
-    //  left-to-right application and independent application coincide,
-    //  which is what makes APPLY exact without sequential state. Top-64
-    //  survivors form the vocabulary.
-    //
-    //  APPLY: a word of L chars tokenizes into L - (#vocab bigrams in
-    //  it) subwords, so per doc: n_bpe_tokens = chars-excluding-spaces
-    //  minus vocab-bigram hits (space-containing bigrams never enter
-    //  the vocab, so whole-text hits == summed per-word hits).
-    //
-    // Scale shape: the train side is two counts-only aggregations plus
-    // a charset²-bounded non-equi self-join on the TINY count frame
-    // (driver-free, broadcastable metadata); the apply side is the
-    // codegen'd char_ngrams explode → broadcast semi-join on a ≤64-row
-    // vocab → per-doc count. Nothing corpus-sized shuffles except
-    // (doc_id, bigram) count rows.
-    "text_bpe_tokens" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), lower(trim(col("text"))).as("norm"))
-      val bg = docs.select(col("doc_id"),
-          explode(graft.functions.CharNgrams.char_ngrams(col("norm"), 2))
-            .as("g"))
-        .filter(length(col("g")) === 2 && !col("g").contains(" "))
-      val counts = bg.groupBy("g").agg(count(lit(1)).as("c"))
-      val cand = counts.filter(
-        substring(col("g"), 1, 1) =!= substring(col("g"), 2, 1))
-      val rivals = cand.select(col("g").as("rg"), col("c").as("rc"))
-      val accepted = cand.join(rivals,
-          col("rg") =!= col("g") &&
-            (substring(col("rg"), 1, 1) === substring(col("g"), 2, 1) ||
-             substring(col("rg"), 2, 1) === substring(col("g"), 1, 1)) &&
-            (col("rc") > col("c") ||
-             (col("rc") === col("c") && col("rg") < col("g"))),
-          "left_anti")
-      val vocab = accepted.orderBy(col("c").desc, col("g").asc)
-        .limit(64).select("g")
-      val hits = bg.join(broadcast(vocab), Seq("g"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-      docs.select(col("doc_id"),
-          size(split(col("norm"), " ")).as("n_words"),
-          length(regexp_replace(col("norm"), " ", "")).as("n_chars_ns"))
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_words"), col("n_chars_ns"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (col("n_chars_ns") - coalesce(col("n_hits"), lit(0L)))
-            .as("n_bpe_tokens"))
-    }),
+    // Subword token counts from a corpus-TRAINED merge vocabulary — a
+    // real ITERATIVE BPE (Sennrich et al. 2016 shape): BPE_ROUNDS
+    // train/apply rounds, each accepting a conflict-free batch of up to
+    // BPE_K_PER_ROUND merges over the CURRENT segmentation, so merged
+    // tokens from round r become merge candidates in round r+1 ("th" →
+    // "the"). See [[bpeTokens]] for the exact/order-free formulation
+    // and the scale shape.
+    "text_bpe_tokens" -> ((s, d) =>
+      bpeTokens(s, d, BPE_ROUNDS, BPE_K_PER_ROUND)),
 
     // BM25 retrieval scoring (Robertson/Sparck-Jones, k1=1.2 b=0.75) —
     // top-10 docs per query term, the ranking function behind every
@@ -600,40 +815,7 @@ object TextOps {
            cast(strlen(text) - strlen(redacted) as int) AS chars_removed,
            redacted != text AS was_redacted
          FROM r""",
-    "text_bpe_tokens" ->
-      """WITH d AS (SELECT doc_id, lower(trim(text)) AS norm
-                    FROM documents),
-         bg AS (
-           SELECT doc_id, g FROM (
-             SELECT doc_id, unnest(list_transform(
-               range(1, greatest(length(norm) - 1, 1) + 1),
-               i -> substr(norm, i, 2))) AS g
-             FROM d)
-           WHERE length(g) = 2 AND strpos(g, ' ') = 0),
-         cnt AS (SELECT g, count(*) AS c FROM bg GROUP BY g),
-         cand AS (SELECT g, c FROM cnt
-                  WHERE substr(g, 1, 1) != substr(g, 2, 1)),
-         acc AS (
-           SELECT a.g, a.c FROM cand a
-           WHERE NOT EXISTS (
-             SELECT 1 FROM cand b
-             WHERE b.g != a.g
-               AND (substr(b.g, 1, 1) = substr(a.g, 2, 1) OR
-                    substr(b.g, 2, 1) = substr(a.g, 1, 1))
-               AND (b.c > a.c OR (b.c = a.c AND b.g < a.g)))),
-         vocab AS (SELECT g FROM acc ORDER BY c DESC, g ASC LIMIT 64),
-         hits AS (SELECT doc_id, count(*) AS n_hits
-                  FROM bg JOIN vocab USING (g) GROUP BY doc_id),
-         base AS (
-           SELECT doc_id,
-             cast(len(string_split(norm, ' ')) as int) AS n_words,
-             cast(length(regexp_replace(norm, ' ', '', 'g')) as int)
-               AS n_chars_ns
-           FROM d)
-         SELECT b.doc_id, n_words, n_chars_ns,
-           coalesce(n_hits, 0) AS n_hits,
-           n_chars_ns - coalesce(n_hits, 0) AS n_bpe_tokens
-         FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id""",
+    "text_bpe_tokens" -> bpeOracleSql(BPE_ROUNDS, BPE_K_PER_ROUND),
     "text_bm25" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(lower(trim(text)), ' '))
