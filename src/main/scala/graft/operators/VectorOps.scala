@@ -676,6 +676,94 @@ object VectorOps {
       .select("qid", "vec_id", "rn", "dist")
   }
 
+  /** Batch predicate for the incremental-ingest ANN gate: every 10th
+    * vector from KPQ up is "today's ingest" (ids < KPQ stay in the
+    * corpus so the deployed centroid/codebook seeds never move —
+    * retraining the quantizer is a separate rollout, see
+    * [[deployedCentroids]]). Scale-proportional across fixtures, like
+    * dedup_incremental's doc_id % 10 split. */
+  private def isNewVec =
+    col("vec_id") % 10 === 7 && col("vec_id") >= KPQ
+
+  /** SessionMemo key of the incremental gate's corpus IVF-PQ index. */
+  private[graft] def annIncIdxKey(d: String): Any =
+    ("ann_inc_idx", d, NLIST, M, KPQ)
+
+  /** Incremental ANN ingest — the daily-pipeline twin of
+    * [[dedup_incremental]]: the established corpus owns a PERSISTED
+    * IVF-PQ index (cell + M byte codes per vector, built once and
+    * memoized via SessionMemo; in production a stored table appended
+    * per ingest), and a new batch probes it for nearest established
+    * neighbours WITHOUT rebuilding cells or codebook. Per-ingest cost
+    * is O(batch × probed-cells-fraction), never O(corpus re-encode):
+    * the corpus is touched only through its ~2%-of-raw codes index and
+    * the by-id raw lookup for the re-rank shortlist.
+    *
+    * Batch-side work is narrow: assign each new vector to its nprobe
+    * nearest cells and build its ADC table against the broadcast
+    * centroid/codebook metadata, then equi-join the codes index on
+    * cell. The ADC-table join keys on qid WITHOUT a broadcast hint —
+    * the batch is operationally bounded but not driver-tiny, so at
+    * scale it shuffle-joins; the cell fanout (batch × nprobe vs corpus
+    * index) dominates either way. Exact integer re-rank of the
+    * shortlist makes the output deterministic and DuckDB-oracled,
+    * same as [[ivfpqTopK]]'s third stage. */
+  def incrementalTopK(s: SparkSession, d: String, k: Int = 5,
+      nprobe: Int = NPROBE, rerank: Int = 50): DataFrame = {
+    val e = quantized(embeddings(s, d))
+      .select("vec_id", "qv", "nrm").filter(col("nrm") > 0)
+    val corpus = e.filter(!isNewVec)
+    val batch = e.filter(isNewVec)
+    val cents = corpus.filter(col("vec_id") < NLIST)
+      .select(col("vec_id").as("cid"), col("qv").as("cqv"),
+              col("nrm").as("cnrm"))
+    val cbRows = corpus.filter(col("vec_id") < KPQ)
+      .orderBy("vec_id").select("qv").collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(cbRows.nonEmpty, "incremental ANN codebook is empty")
+    val kEff = cbRows.length
+    val cbLit = typedLit(cbRows.map(_.toSeq).toSeq)
+    import graft.functions.PqCodes.{pq_encode, pq_adc_table}
+    def assign(df: DataFrame) = df.join(broadcast(cents))
+      .withColumn("dot", array_dot_long(col("qv"), col("cqv")))
+      .withColumn("dist",
+        col("nrm") - lit(2L) * col("dot") + col("cnrm"))
+    val corpusIdx = graft.core.SessionMemo.getOrElseUpdate(
+      s, annIncIdxKey(d))(
+      coarseCells(assign(corpus))
+        .select(col("vec_id"), col("cell"),
+          pq_encode(col("qv"), cbLit, M).as("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val qprobe = assign(batch)
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("dist").asc, col("cid").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val qt = batch.select(col("vec_id").as("qid"),
+      pq_adc_table(col("qv"), cbLit, M).as("t"))
+    val approx = (0 until M).map(j =>
+      expr(s"t[$j * $kEff + codes[$j]]")).reduce(_ + _)
+    val shortlist = corpusIdx.join(broadcast(qprobe), "cell")
+      .join(qt, "qid")
+      .withColumn("approx_dist", approx)
+      .withColumn("srn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("approx_dist").asc, col("vec_id").asc)))
+      .filter(col("srn") <= rerank)
+      .select("qid", "vec_id")
+    val qraw = batch.select(col("vec_id").as("qid"),
+      col("qv").as("qqv"), col("nrm").as("qnrm"))
+    shortlist
+      .join(corpus, Seq("vec_id"))
+      .join(qraw, Seq("qid"))
+      .withColumn("dist",
+        col("nrm") - lit(2L) * array_dot_long(col("qqv"), col("qv")) +
+          col("qnrm"))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("dist").asc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "rn", "dist")
+  }
+
   /** Scalar-quantization (SQ8) top-k — the third real index family next
     * to IVF (coarse) and PQ (product): each dimension is affinely mapped
     * onto 0..255, so a stored vector is DIM single bytes (8× smaller
@@ -852,6 +940,11 @@ object VectorOps {
         eligible = Some(eligible))
     }),
     "ann_recall_report" -> ((s, d) => recallReport(s, d)),
+
+    // Incremental ingest: a new batch probes the memoized corpus
+    // IVF-PQ index for nearest established neighbours — no cell or
+    // codebook rebuild (AnnIncrementalSpec asserts the reuse).
+    "ann_incremental_topk" -> ((s, d) => incrementalTopK(s, d)),
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "embedding_neardup" -> ((s, d) => neardupPairs(s, d))
   )
@@ -1029,6 +1122,78 @@ object VectorOps {
                ORDER BY approx_dist ASC, vec_id ASC) as int) AS rn
            FROM adc) WHERE rn <= 10""",
     "ann_ivf_topk" -> ivfOracle,
+    // incremental ingest: identical index CTEs to ann_ivfpq_topk, but
+    // the cell map / codes come from the established corpus only and
+    // the probe/ADC side is the new batch — corpus and batch are
+    // disjoint, so no self-exclusion is needed in cand
+    "ann_incremental_topk" -> {
+      val isNew = s"(vec_id % 10 = 7 AND vec_id >= $KPQ)"
+      s"""WITH $oracleQuantCte,
+         e2 AS (SELECT vec_id, qv, nrm FROM n WHERE nrm > 0),
+         ivfc AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm
+                  FROM e2 WHERE vec_id < $NLIST),
+         assigned AS (
+           SELECT e2.vec_id, ivfc.cid,
+             e2.nrm - 2 * cast(list_aggregate(list_transform(
+               range(1, $DIM + 1), i -> e2.qv[i] * ivfc.cqv[i]), 'sum')
+               as bigint) + ivfc.cnrm AS dist
+           FROM e2, ivfc),
+         cellmap AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist ASC, cid ASC) AS arn
+             FROM assigned WHERE NOT $isNew) WHERE arn = 1),
+         qprobe AS (
+           SELECT vec_id AS qid, cid AS cell FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist ASC, cid ASC) AS prn
+             FROM assigned WHERE $isNew) WHERE prn <= $NPROBE),
+         cents AS (SELECT vec_id AS c, qv AS cqv FROM e2
+                   WHERE vec_id < $KPQ),
+         sub AS (
+           SELECT e2.vec_id, t.j, cents.c,
+             cast(list_aggregate(list_transform(range(1, ${SUBDIM + 1}),
+               i -> (e2.qv[t.j * $SUBDIM + i] - cents.cqv[t.j * $SUBDIM + i])
+                  * (e2.qv[t.j * $SUBDIM + i] - cents.cqv[t.j * $SUBDIM + i])),
+               'sum') as bigint) AS d
+           FROM e2, range(0, $M) t(j), cents),
+         codes AS (
+           SELECT vec_id, j, c AS code FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id, j
+               ORDER BY d ASC, c ASC) AS arn
+             FROM sub WHERE NOT $isNew) WHERE arn = 1),
+         qt AS (SELECT vec_id AS qid, j, c, d FROM sub WHERE $isNew),
+         cand AS (
+           SELECT p.qid, cm.vec_id
+           FROM qprobe p JOIN cellmap cm ON cm.cell = p.cell),
+         adc AS (
+           SELECT cand.qid, cand.vec_id,
+             cast(sum(qt.d) as bigint) AS approx_dist
+           FROM cand
+           JOIN codes ON codes.vec_id = cand.vec_id
+           JOIN qt ON qt.qid = cand.qid AND qt.j = codes.j
+                  AND qt.c = codes.code
+           GROUP BY cand.qid, cand.vec_id),
+         short AS (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY approx_dist ASC, vec_id ASC) AS srn
+             FROM adc) WHERE srn <= 50),
+         rr AS (
+           SELECT short.qid, short.vec_id,
+             cn.nrm - 2 * cast(list_aggregate(list_transform(
+               range(1, $DIM + 1), i -> qq.qv[i] * cn.qv[i]), 'sum')
+               as bigint) + qq.nrm AS dist
+           FROM short
+           JOIN e2 cn ON cn.vec_id = short.vec_id
+           JOIN e2 qq ON qq.vec_id = short.qid)
+         SELECT qid, vec_id, rn, dist FROM (
+           SELECT qid, vec_id, dist,
+             cast(row_number() OVER (PARTITION BY qid
+               ORDER BY dist ASC, vec_id ASC) as int) AS rn
+           FROM rr) WHERE rn <= 5"""
+    },
     // IVF cell membership bounds the candidates; the PQ `sub` distances
     // serve both the corpus encode (argmin per subspace) and the query
     // ADC tables, exactly as in the ann_pq_topk oracle
