@@ -58,15 +58,41 @@ object SkewProbe {
     // broadcast it.
     val dim = big.select("k").distinct()
       .withColumn("pad", lit("x" * 64))
+    val salted = big.withColumn("salt",
+      pmod(monotonically_increasing_id(), lit(32)).cast("int"))
+    val dimX = dim.withColumn("salt",
+      explode(array((0 until 32).map(lit): _*)))
     time("plain skewed join") {
       big.join(dim.hint("merge"), "k").write
         .format("noop").mode("overwrite").save()
     }
     time("salted skewed join") {
-      val salted = big.withColumn("salt",
-        pmod(monotonically_increasing_id(), lit(32)).cast("int"))
-      val dimX = dim.withColumn("salt",
-        explode(array((0 until 32).map(lit): _*)))
+      salted.join(dimX.hint("merge"), Seq("k", "salt")).write
+        .format("noop").mode("overwrite").save()
+    }
+    // reducer balance WITH the salt: the hot key's rows spread over 32
+    // (k, salt) shuffle keys, so the max partition is bounded by
+    // ~rows/32 + the benign tail — the "reducer-time bound" the salt
+    // exists to provide when partials can't absorb the key
+    val saltedBalance = salted
+      .withColumn("part", pmod(hash(col("k"), col("salt")), lit(32)))
+      .groupBy("part").count().agg(max("count"), avg("count"))
+      .as[(Long, Double)].collect().head
+    println(f"salted shuffle balance: max=${saltedBalance._1} " +
+      f"avg=${saltedBalance._2}%.0f " +
+      f"(skew x${saltedBalance._1 / saltedBalance._2}%.1f)")
+
+    // AQE interplay: the runtime skew-join split is the FIRST answer at
+    // scale (no dim replication); the manual salt must compose with it,
+    // not fight it — measure both under AQE + skewJoin enabled
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    time("AQE skew-split plain join") {
+      big.join(dim.hint("merge"), "k").write
+        .format("noop").mode("overwrite").save()
+    }
+    time("AQE + salted join") {
       salted.join(dimX.hint("merge"), Seq("k", "salt")).write
         .format("noop").mode("overwrite").save()
     }

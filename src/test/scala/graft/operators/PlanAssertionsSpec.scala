@@ -262,6 +262,31 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("skew join keeps the salted shape under AQE skew-join") {
+    // AQE's runtime skew split must COMPOSE with the manual salt, not
+    // replace it: the finalized plan still merge-joins on (key, salt)
+    // with both exchanges partitioned on the salt (so a single key
+    // hotter than anything AQE can split stays spread over S reducers)
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = finalPlan("join_skew_salted")
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("BroadcastHashJoin"), p)
+      val exchanges = p.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exchanges.count(_.contains("salt")) >= 2,
+        exchanges.mkString("\n"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("pack chunks: exactly one single-partition step (block totals)") {
     val p = finalPlan("text_pack_chunks")
     val singles = p.linesIterator
