@@ -79,27 +79,44 @@ object WriteOps {
       .write.mode(SaveMode.Overwrite).partitionBy("pt_year").parquet(base)
 
   /** The 1997 change batch: every 1997 order re-priced (+100), plus the
-    * same orders cloned to brand-new keys (inserts). */
-  private[graft] def upsertBatch(s: SparkSession, d: String): DataFrame = {
+    * same orders cloned to brand-new keys (inserts). With `evolve`, the
+    * batch carries a brand-new column (`o_channel`: updates "web",
+    * inserts "bulk") the table has never seen — the MERGE-batch shape
+    * real pipelines produce when an upstream system adds a field. */
+  private[graft] def upsertBatch(s: SparkSession, d: String,
+      evolve: Boolean = false): DataFrame = {
     val t97 = orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         year(col("o_orderdate")).as("pt_year"))
       .filter(col("pt_year") === 1997)
-    t97.withColumn("o_totalprice", col("o_totalprice") + 100.0)
-      .unionByName(t97.select(
-        (col("o_orderkey") + 100000000L).as("o_orderkey"),
-        col("o_custkey"), lit(1.0).as("o_totalprice"), col("pt_year")))
+    val upd = t97.withColumn("o_totalprice", col("o_totalprice") + 100.0)
+    val ins = t97.select(
+      (col("o_orderkey") + 100000000L).as("o_orderkey"),
+      col("o_custkey"), lit(1.0).as("o_totalprice"), col("pt_year"))
+    if (evolve)
+      upd.withColumn("o_channel", lit("web"))
+        .unionByName(ins.withColumn("o_channel", lit("bulk")))
+    else upd.unionByName(ins)
   }
 
+  /** `evolve = true` allows the batch to carry columns the table lacks:
+    * the union null-fills stay rows (allowMissingColumns), the staged
+    * commit writes the widened schema into the TOUCHED partitions only,
+    * and untouched partition files stay byte-identical — the
+    * parquet-native analogue of a lakehouse ADD COLUMN commit, where
+    * evolution costs nothing for files the merge doesn't rewrite. The
+    * read side resolves the on-disk schema mix with mergeSchema (see
+    * the write_upsert_evolve gate). */
   private[graft] def upsertMerge(s: SparkSession, d: String,
-      base: String, stage: String): Unit = {
+      base: String, stage: String, evolve: Boolean = false): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val batch = upsertBatch(s, d)
+    val batch = upsertBatch(s, d, evolve)
     val affected = batch.select("pt_year").distinct()
     val cur = s.read.parquet(base)
       .join(broadcast(affected), Seq("pt_year"), "left_semi")
     val merged = batch.withColumn("src", lit(1))
-      .unionByName(cur.withColumn("src", lit(0)))
+      .unionByName(cur.withColumn("src", lit(0)),
+        allowMissingColumns = evolve)
       .withColumn("rn", row_number().over(
         Window.partitionBy("o_orderkey").orderBy(col("src").desc)))
       .filter(col("rn") === 1).drop("rn", "src")
@@ -375,6 +392,26 @@ object WriteOps {
           decSum("o_totalprice").as("total"))
     }),
 
+    // MERGE with SCHEMA EVOLUTION: same partition-scoped CoW, but the
+    // change batch adds a column the table has never seen. Stay rows
+    // null-fill, the widened schema lands in touched partitions only,
+    // and the read side resolves the on-disk mix with mergeSchema —
+    // counting per-channel rows proves updates/inserts carry the new
+    // column while every pre-existing row reads back NULL.
+    "write_upsert_evolve" -> ((s, d) => {
+      val base = scratch("upsert_evo_tbl")
+      upsertLoad(s, d, base)
+      upsertMerge(s, d, base, scratch("upsert_evo_stage"), evolve = true)
+      s.read.option("mergeSchema", "true").parquet(base)
+        .groupBy("pt_year")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          decSum("o_totalprice").as("total"),
+          count(col("o_channel")).as("n_chan"),
+          count(when(col("o_channel") === "web", 1)).as("n_web"),
+          count(when(col("o_channel") === "bulk", 1)).as("n_bulk"))
+    }),
+
     // SCD2 historization across TWO change batches (see scd2Merge's
     // scaladoc): history accumulates closed versions by append, the
     // current partition is rewritten, and the read-back groups by the
@@ -527,6 +564,33 @@ object WriteOps {
            cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
              AS total
+         FROM fin GROUP BY pt_year""",
+    "write_upsert_evolve" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         upd AS (
+           SELECT o_orderkey, o_custkey,
+             o_totalprice + 100.0 AS o_totalprice, pt_year,
+             'web' AS o_channel
+           FROM t WHERE pt_year = 1997
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, 1.0, pt_year,
+             'bulk'
+           FROM t WHERE pt_year = 1997),
+         fin AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, pt_year,
+             cast(NULL AS varchar) AS o_channel
+           FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+           UNION ALL SELECT * FROM upd)
+         SELECT pt_year, cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total,
+           cast(count(o_channel) AS bigint) AS n_chan,
+           cast(count(CASE WHEN o_channel = 'web' THEN 1 END) AS bigint)
+             AS n_web,
+           cast(count(CASE WHEN o_channel = 'bulk' THEN 1 END) AS bigint)
+             AS n_bulk
          FROM fin GROUP BY pt_year""",
     "save_append" ->
       """SELECT o_orderstatus, count(*) AS cnt,

@@ -65,6 +65,39 @@ class UpsertSpec extends AnyFunSuite {
     assert(others.except(origOthers).isEmpty &&
       origOthers.except(others).isEmpty)
   }
+  test("schema evolution: batch adds a column; stay rows null-fill; " +
+      "untouched partition files stay byte-identical") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_upsert_evo").toString
+    val stage = base + "_stage"
+    WriteOps.upsertLoad(spark, sf, base)
+    val before1996 = partFiles(base, 1996)
+    Thread.sleep(1100) // mtime granularity guard
+    WriteOps.upsertMerge(spark, sf, base, stage, evolve = true)
+    // evolution is free for files the merge doesn't rewrite
+    assert(partFiles(base, 1996) == before1996,
+      "1996 partition was rewritten by an evolving 1997-only batch")
+    val t = spark.read.option("mergeSchema", "true").parquet(base)
+    assert(t.columns.contains("o_channel"),
+      "mergeSchema read must surface the evolved column")
+    // stay rows (untouched partitions AND the table generally, pre-
+    // merge) read back NULL for the new column
+    assert(t.filter(col("pt_year") =!= 1997 &&
+      col("o_channel").isNotNull).count() == 0)
+    // updated rows carry 'web', inserted rows 'bulk' — nothing else
+    val y97 = t.filter(col("pt_year") === 1997)
+    assert(y97.filter(col("o_channel").isNull).count() == 0,
+      "every 1997 row was in the batch and must carry the column")
+    assert(y97.filter(col("o_orderkey") < 100000000L &&
+      col("o_channel") =!= "web").count() == 0)
+    assert(y97.filter(col("o_orderkey") >= 100000000L &&
+      col("o_channel") =!= "bulk").count() == 0)
+    // a plain (no-mergeSchema) read of an untouched partition still
+    // works — old readers are unaffected by the evolution
+    val old = spark.read.parquet(base + "/pt_year=1996")
+    assert(!old.columns.contains("o_channel"))
+    assert(old.count() > 0)
+  }
 }
 
 /** Plan lock for the pruning claim: the batch's partition predicate
