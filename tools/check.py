@@ -40,6 +40,17 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{SFDIR}/{t}.parquet')")
+# The driver's events.parquet carries ts as TIMESTAMP(NANOS); the
+# derived sf1 fixture (graft.tools.ScaleGen) writes the same values as
+# int64 nanos (Spark can't author nanos timestamps). Normalize the view
+# so every oracle's epoch(ts)/date math sees a timestamp either way.
+ts_type = str(con.execute(
+    "SELECT data_type FROM information_schema.columns "
+    "WHERE table_name = 'events' AND column_name = 'ts'").fetchone()[0])
+if ts_type.upper().startswith("BIGINT"):
+    con.execute("CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+                f"(make_timestamp(ts // 1000) AS ts) FROM "
+                f"read_parquet('{SFDIR}/events.parquet')")
 
 
 def typecat(t, duck=False):
