@@ -19,11 +19,33 @@ import org.apache.spark.sql.functions._
   * functions — only the library call inside changes.
   *
   * At scale: blobs stay in their partition (no shuffle); decode
-  * parallelism = input splits; metadata-only queries prune the blob column
-  * at the parquet scan (columnar projection).
+  * parallelism is pinned to the session's shuffle width by an explicit
+  * repartition of the 16-byte metadata rows BEFORE the codec stage (see
+  * `codecInput`); metadata-only queries prune the blob column at the
+  * parquet scan (columnar projection).
   */
 object MultimodalOps {
   import Tables.documents
+
+  /** Narrow codec input: (doc_id, n_chars) projected and spread over the
+    * session's shuffle width BEFORE the CPU-bound codec stage. A
+    * mapPartitions codec inherits the scan's accidental parallelism —
+    * the input can arrive as a handful of splits (one small file here; a
+    * few fat row groups in production), leaving one task to grind the
+    * whole corpus while every other core idles (measured 17× instead of
+    * 10× on the 10× sf1 fixture). The exchange moves 16-byte rows —
+    * ~0.002% of the blob bytes born AFTER it — so blobs themselves still
+    * never shuffle. The partition count is explicit, so AQE won't
+    * coalesce the small exchange back into few partitions.
+    */
+  private def codecInput(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[ImageCodec.Doc] = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .as[ImageCodec.Doc]
+  }
 
   /** Real PNG codec over deterministic synthetic images.
     *
@@ -341,9 +363,7 @@ object MultimodalOps {
     graft.core.SessionMemo.getOrElseUpdate(s, ("mm_phash", d)) {
       import s.implicits._
       import ImageCodec._
-      documents(s, d)
-        .select(col("doc_id"), col("n_chars"))
-        .as[Doc]
+      codecInput(s, d)
         .mapPartitions(encodeTexBatch _)
         .mapPartitions(phashBatch _)
         .toDF()
@@ -373,9 +393,7 @@ object MultimodalOps {
     "multimodal_decode" -> ((s, d) => {
       import s.implicits._
       import ImageCodec._
-      documents(s, d)
-        .select(col("doc_id"), col("n_chars"))
-        .as[Doc]
+      codecInput(s, d)
         .mapPartitions(encodeBatch _)
         .mapPartitions(decodeBatch _)
         .toDF()
@@ -386,9 +404,7 @@ object MultimodalOps {
     "multimodal_resize" -> ((s, d) => {
       import s.implicits._
       import ImageCodec._
-      documents(s, d)
-        .select(col("doc_id"), col("n_chars"))
-        .as[Doc]
+      codecInput(s, d)
         .mapPartitions(encodeBatch _)
         .mapPartitions(resizeBatch _)
         .toDF()
@@ -401,10 +417,7 @@ object MultimodalOps {
     // stats from the audio contract (WAV PCM is lossless).
     "multimodal_audio_meta" -> ((s, d) => {
       import s.implicits._
-      import ImageCodec.Doc
-      documents(s, d)
-        .select(col("doc_id"), col("n_chars"))
-        .as[Doc]
+      codecInput(s, d)
         .mapPartitions(AudioCodec.encodeBatch _)
         .mapPartitions(AudioCodec.decodeBatch _)
         .toDF()
@@ -416,10 +429,7 @@ object MultimodalOps {
     // oracle expects to be uniformly true (see JpegCodec's scaladoc).
     "multimodal_decode_jpeg" -> ((s, d) => {
       import s.implicits._
-      import ImageCodec.Doc
-      documents(s, d)
-        .select(col("doc_id"), col("n_chars"))
-        .as[Doc]
+      codecInput(s, d)
         .mapPartitions(JpegCodec.encodeBatch _)
         .mapPartitions(JpegCodec.decodeBatch _)
         .toDF()

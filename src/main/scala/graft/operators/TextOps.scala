@@ -334,6 +334,54 @@ object TextOps {
         .select("doc_id", "n_tokens", "stop_cnt", "digit_cnt",
                 "stop_ratio", "score_pts")),
 
+    // Gopher-style rule filter (the shape of Rae et al. 2021,
+    // arXiv:2112.11446 Table A1, thresholds adapted to this corpus'
+    // ~30-token docs): each rule is an independent boolean column plus
+    // the final keep decision — what a production pipeline materializes
+    // so it can audit WHY a document was dropped, not just that it was.
+    // Every ratio test is integer cross-multiplied (alpha_ok is
+    // alpha_cnt*5 >= n_words*4, never a 0.8 double compare) so the gate
+    // is hash-exact cross-engine. Pure narrow codegen'd transforms over
+    // the scan — zero shuffle, scales as a projection at any corpus size.
+    "text_gopher_filter" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(trim(col("text")), " "))
+        .withColumn("n_words", size(col("toks")))
+        .withColumn("total_len",
+          expr("aggregate(transform(toks, t -> length(t)), 0, " +
+               "(a, x) -> a + x)"))
+        .withColumn("alpha_cnt",
+          expr("size(filter(toks, t -> t rlike '[a-z]'))"))
+        .withColumn("digit_word_cnt",
+          expr("size(filter(toks, t -> t rlike '^[0-9]+$'))"))
+        .withColumn("stop_hits",
+          expr(s"size(filter(array_distinct(toks), t -> t IN ($stopList)))"))
+        // '#' chars + '…'-spelled-as-'...' runs, the two Gopher symbol
+        // classes; counts derive from length deltas (no regex scan)
+        .withColumn("sym_cnt",
+          (length(col("text")) -
+             length(translate(col("text"), "#", "")) +
+           ((length(col("text")) -
+             length(expr("replace(text, '...', '')"))) / lit(3)))
+            .cast("int"))
+        .withColumn("words_ok",
+          col("n_words") >= 20 && col("n_words") <= 2000)
+        .withColumn("wlen_ok",
+          lit(3) * col("n_words") <= col("total_len") &&
+            col("total_len") <= lit(10) * col("n_words"))
+        .withColumn("alpha_ok",
+          col("alpha_cnt") * 5 >= col("n_words") * 4)
+        .withColumn("digit_ok",
+          col("digit_word_cnt") * 10 <= col("n_words"))
+        .withColumn("sym_ok", col("sym_cnt") * 10 < col("n_words"))
+        .withColumn("stop_ok", col("stop_hits") >= 2)
+        .withColumn("keep",
+          col("words_ok") && col("wlen_ok") && col("alpha_ok") &&
+            col("digit_ok") && col("sym_ok") && col("stop_ok"))
+        .select("doc_id", "n_words", "sym_cnt", "stop_hits", "words_ok",
+                "wlen_ok", "alpha_ok", "digit_ok", "sym_ok", "stop_ok",
+                "keep")),
+
     // Language ID: n-gram/stopword-marker heuristic. CJK codepoints force
     // zh; otherwise the language with the most marker hits wins (ties in
     // a fixed en > de > fr > es order).
@@ -748,6 +796,41 @@ object TextOps {
                  THEN 30 ELSE 0 END +
             CASE WHEN digit_cnt = 0 THEN 20 ELSE 0 END as int) AS score_pts
          FROM u""",
+    "text_gopher_filter" ->
+      s"""WITH t AS (
+           SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+             cast(len(toks) as int) AS n_words,
+             cast(list_aggregate(list_transform(toks, t -> length(t)),
+                  'sum') as int) AS total_len,
+             cast(len(list_filter(toks,
+                  t -> regexp_matches(t, '[a-z]'))) as int) AS alpha_cnt,
+             cast(len(list_filter(toks,
+                  t -> regexp_matches(t, '^[0-9]+$$'))) as int)
+               AS digit_word_cnt,
+             cast(len(list_filter(list_distinct(toks),
+                  t -> t IN ($stopList))) as int) AS stop_hits,
+             cast(length(text) - length(replace(text, '#', '')) +
+                  (length(text) - length(replace(text, '...', ''))) // 3
+                  as int) AS sym_cnt
+           FROM t),
+         r AS (
+           SELECT doc_id, n_words, sym_cnt, stop_hits,
+             (n_words BETWEEN 20 AND 2000) AS words_ok,
+             (3 * n_words <= total_len AND total_len <= 10 * n_words)
+               AS wlen_ok,
+             (alpha_cnt * 5 >= n_words * 4) AS alpha_ok,
+             (digit_word_cnt * 10 <= n_words) AS digit_ok,
+             (sym_cnt * 10 < n_words) AS sym_ok,
+             (stop_hits >= 2) AS stop_ok
+           FROM u)
+         SELECT doc_id, n_words, sym_cnt, stop_hits, words_ok, wlen_ok,
+           alpha_ok, digit_ok, sym_ok, stop_ok,
+           (words_ok AND wlen_ok AND alpha_ok AND digit_ok AND sym_ok
+            AND stop_ok) AS keep
+         FROM r""",
     "text_lang_id" -> {
       def h(ws: Seq[String]) = {
         val l = ws.map(w => s"'$w'").mkString(", ")
