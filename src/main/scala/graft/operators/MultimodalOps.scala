@@ -235,6 +235,69 @@ object MultimodalOps {
     def sample(docId: Long, i: Int): Int =
       ((docId * 31 + i.toLong * 17) % 65536).toInt - 32768
 
+    /** The WAVE writer/reader SPI instances, resolved ONCE per JVM via
+      * the public `ServiceLoader` mechanism. Going through
+      * `AudioSystem.write`/`getAudioInputStream` per document funnels
+      * every executor thread through the JDK's globally synchronized
+      * provider registry (`JDK13Services.getProviders`) — measured on
+      * the sf1 fixture as a full serialization of the codec stage: the
+      * 32-way repartition bought zero speedup until the registry lock
+      * left the hot loop. The codec exercised is still the JDK's real
+      * WAVE implementation, just looked up through its standard SPI. */
+    private lazy val wavWriter
+        : Option[javax.sound.sampled.spi.AudioFileWriter] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .asScala.find(_.isFileTypeSupported(
+          javax.sound.sampled.AudioFileFormat.Type.WAVE))
+    }
+    private lazy val wavReaders
+        : Seq[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .asScala.toSeq
+    }
+
+    /** Probe surface: which SPI implementations the ServiceLoader
+      * resolution actually found (empty reader list = every decode falls
+      * back to the globally synchronized AudioSystem entry point). */
+    private[graft] def spiStatus: String =
+      s"writer=${wavWriter.map(_.getClass.getName)} " +
+        s"readers=${wavReaders.map(_.getClass.getName)}"
+
+    /** The reader that last accepted a blob, promoted to first-try. The
+      * JDK's reader list is NOT uniformly cheap to reject through: it
+      * includes SoftMidiAudioFileReader, whose reject path consults the
+      * MidiSystem provider registry — the same globally synchronized
+      * JDK13Services lock, re-entered through a side door (measured as
+      * NEGATIVE thread scaling, 0.4×, in graft.tools.AudioProbe).
+      * Remembering the accepting reader makes steady-state decode one
+      * lock-free header parse per blob. */
+    @volatile private var acceptingReader
+        : Option[javax.sound.sampled.spi.AudioFileReader] = None
+
+    private def openWav(blob: Array[Byte])
+        : javax.sound.sampled.AudioInputStream = {
+      def tryOne(r: javax.sound.sampled.spi.AudioFileReader)
+          : Option[javax.sound.sampled.AudioInputStream] =
+        try Some(r.getAudioInputStream(
+          new java.io.ByteArrayInputStream(blob)))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        }
+      acceptingReader.flatMap(tryOne).orElse {
+        wavReaders.iterator.map(r => r -> tryOne(r)).collectFirst {
+          case (r, Some(a)) => acceptingReader = Some(r); a
+        }
+      }.getOrElse(
+        // no SPI reader took it: the (locked) entry point is still the
+        // authoritative fallback rather than a decode failure
+        javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(blob)))
+    }
+
     /** Render the deterministic waveform and ENCODE to real WAV bytes. */
     def encodeBatch(it: Iterator[Doc]): Iterator[Media] = {
       // per-partition codec init (format object reused across the batch)
@@ -253,8 +316,12 @@ object MultimodalOps {
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
         val out = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        wavWriter match {
+          case Some(w) => w.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          case None => javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        }
         Media(doc.doc_id, out.toByteArray)
       }
     }
@@ -262,8 +329,7 @@ object MultimodalOps {
     /** DECODE real WAV bytes: container-parsed format + frame count,
       * then exact PCM16 amplitude stats. */
     def decodeBatch(it: Iterator[Media]): Iterator[AudioMeta] = it.map { m =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(m.blob))
+      val ais = openWav(m.blob)
       val fmt = ais.getFormat
       val n = ais.getFrameLength.toInt
       val bytes = ais.readAllBytes()
