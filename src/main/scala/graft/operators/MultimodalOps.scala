@@ -27,24 +27,56 @@ import org.apache.spark.sql.functions._
 object MultimodalOps {
   import Tables.documents
 
-  /** Narrow codec input: (doc_id, n_chars) projected and spread over the
-    * session's shuffle width BEFORE the CPU-bound codec stage. A
-    * mapPartitions codec inherits the scan's accidental parallelism —
-    * the input can arrive as a handful of splits (one small file here; a
-    * few fat row groups in production), leaving one task to grind the
-    * whole corpus while every other core idles (measured 17× instead of
-    * 10× on the 10× sf1 fixture). The exchange moves 16-byte rows —
-    * ~0.002% of the blob bytes born AFTER it — so blobs themselves still
-    * never shuffle. The partition count is explicit, so AQE won't
+  /** Docs per codec task the pre-codec exchange targets: small enough
+    * that a corpus-scale input fans out to the full session width (sf1's
+    * 50k docs → all 32 threads; the 17×-on-10×-data bug the exchange
+    * fixed), large enough that a small fixture doesn't pay 32 task
+    * launches for sub-millisecond slices (sf0.1's 5k docs → 8 tasks,
+    * sf0.01's 500 → the scan's own splits, exchange skipped). */
+  private[graft] val CODEC_ROWS_PER_TASK = 640L
+
+  /** Driver-side parquet footer row count — no Spark job: the codec
+    * width decision must not cost a count() per invocation. Single-file
+    * fixtures only (TESTDATA.md layout); anything else → None and the
+    * caller falls back to the full session width (correct, never
+    * under-parallel). */
+  private def footerRowCount(s: SparkSession, path: String)
+      : Option[Long] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, s.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try Some(r.getRecordCount) finally r.close()
+    } catch { case _: Exception => None }
+
+  /** Narrow codec input: (doc_id, n_chars) projected and spread over
+    * min(session width, rows / [[CODEC_ROWS_PER_TASK]]) partitions
+    * BEFORE the CPU-bound codec stage. A mapPartitions codec inherits
+    * the scan's accidental parallelism — the input can arrive as a
+    * handful of splits (one small file here; a few fat row groups in
+    * production), leaving one task to grind the whole corpus while
+    * every other core idles (measured 17× instead of 10× on the 10×
+    * sf1 fixture). The exchange moves 16-byte rows — ~0.002% of the
+    * blob bytes born AFTER it — so blobs themselves still never
+    * shuffle. The width is ROW-SCALED, not a blanket session width: a
+    * 32-way exchange of a small fixture is pure task-launch overhead
+    * (the r8 sf0.1 `multimodal_phash*` regression), and when the scan
+    * already provides at least the target splits the exchange is
+    * skipped outright. The partition count is explicit, so AQE won't
     * coalesce the small exchange back into few partitions.
     */
   private def codecInput(s: SparkSession, d: String)
       : org.apache.spark.sql.Dataset[ImageCodec.Doc] = {
     import s.implicits._
-    documents(s, d)
-      .select(col("doc_id"), col("n_chars"))
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
-      .as[ImageCodec.Doc]
+    val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val narrow = documents(s, d).select(col("doc_id"), col("n_chars"))
+    val target = footerRowCount(s, s"$d/documents.parquet")
+      .map(r => math.max(1L, math.min(width.toLong,
+        (r + CODEC_ROWS_PER_TASK - 1) / CODEC_ROWS_PER_TASK)).toInt)
+      .getOrElse(width)
+    if (narrow.rdd.getNumPartitions >= target) narrow.as[ImageCodec.Doc]
+    else narrow.repartition(target).as[ImageCodec.Doc]
   }
 
   /** Real PNG codec over deterministic synthetic images.
