@@ -226,8 +226,14 @@ object Bench {
           .getOrElse("")
         s""""$k":{"prev":${p.map(fmt).getOrElse("null")},"cur":${fmt(v)},"ratio":$ratio$note}"""
       }).mkString("{", ",", "}")
+      // on a uniform-load run the per-query ratios are inflated by the
+      // same machine-wide factor the baseline guard rejects — parking
+      // them in the regression sidecar would show phantom regressions to
+      // any reader not checking the __run__ stamp, so the sidecar is
+      // parked alongside the discarded FULL payload instead
       java.nio.file.Files.writeString(
-        benchDir.resolve("BENCH_REGRESSION.json"), reg)
+        benchDir.resolve(if (uniformLoad) "BENCH_REGRESSION_DISCARDED.json"
+                         else "BENCH_REGRESSION.json"), reg)
       if (uniformLoad) {
         // preserve the committed baseline; park the inflated payload in a
         // sidecar so the run is still inspectable

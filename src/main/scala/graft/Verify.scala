@@ -47,6 +47,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // resolve dir-dependent oracle state (trained IVF centroid VALUES)
+    // for THIS dir, not whichever gate mutated the cache last
+    graft.operators.VectorOps.pinOracleDir(sfDir)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

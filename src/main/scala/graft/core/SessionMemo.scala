@@ -28,20 +28,42 @@ object SessionMemo {
     }
 
   /** Memoize `build` under (session, key); `key` should be a
-    * namespaced tuple, e.g. `("dedup_band", dir, gram, k, bands)`. */
+    * namespaced tuple, e.g. `("dedup_band", dir, gram, k, bands)`.
+    *
+    * Race-safe under concurrent gate evaluation (a scenario the repo
+    * supports via `Tables.invocationSuffix`): `TrieMap.getOrElseUpdate`
+    * may run its by-name default in two threads at once, so both the
+    * per-session map and the per-key entry are installed with
+    * `putIfAbsent` — the eviction listener is registered only by the
+    * thread whose map won, and a losing builder's `.persist()`ed frame
+    * is unpersisted instead of leaking cached blocks for the session
+    * lifetime. */
   def getOrElseUpdate(s: SparkSession, key: Any)(build: => DataFrame)
       : DataFrame = {
     sweepStopped()
-    val m = perSession.getOrElseUpdate(s, {
-      s.sparkContext.addSparkListener(new SparkListener {
-        override def onApplicationEnd(
-            e: SparkListenerApplicationEnd): Unit = {
-          perSession.remove(s); ()
-        }
-      })
-      TrieMap.empty[Any, DataFrame]
-    })
-    m.getOrElseUpdate(key, build)
+    val m = perSession.get(s).getOrElse {
+      val fresh = TrieMap.empty[Any, DataFrame]
+      perSession.putIfAbsent(s, fresh) match {
+        case None =>
+          s.sparkContext.addSparkListener(new SparkListener {
+            override def onApplicationEnd(
+                e: SparkListenerApplicationEnd): Unit = {
+              perSession.remove(s); ()
+            }
+          })
+          fresh
+        case Some(existing) => existing
+      }
+    }
+    m.get(key).getOrElse {
+      val built = build
+      m.putIfAbsent(key, built) match {
+        case None => built
+        case Some(winner) =>
+          try built.unpersist() catch { case _: Exception => () }
+          winner
+      }
+    }
   }
 
   // introspection hooks for specs (memoization/reuse assertions)

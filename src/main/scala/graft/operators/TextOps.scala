@@ -79,11 +79,24 @@ object TextOps {
     * (bounded driver metadata — the same protocol as the PQ
     * codebook). */
   private val bpeVocabCache = scala.collection.concurrent
-    .TrieMap[(String, Int, Int), Seq[Seq[String]]]()
+    .TrieMap[(String, Int, Int, Long), Seq[Seq[String]]]()
+
+  /** Cheap content stamp of the corpus the vocabulary was trained on
+    * (size ⊕ mtime of documents.parquet): fixtures are normally
+    * immutable, but a fixture REGENERATED in the same JVM (e.g.
+    * testdata_sf1 rebuilt by ScaleGen) must retrain rather than
+    * silently reuse batches trained on the old bytes while the oracle
+    * retrains on the new ones. */
+  private def corpusStamp(d: String): Long =
+    try {
+      val p = java.nio.file.Paths.get(s"$d/documents.parquet")
+      java.nio.file.Files.size(p) ^
+        java.nio.file.Files.getLastModifiedTime(p).toMillis
+    } catch { case _: Exception => 0L }
 
   private[graft] def bpeTrain(s: SparkSession, d: String, rounds: Int,
       kPer: Int): Seq[Seq[String]] =
-    bpeVocabCache.getOrElseUpdate((d, rounds, kPer), {
+    bpeVocabCache.getOrElseUpdate((d, rounds, kPer, corpusStamp(d)), {
       val docs = Tables.documents(s, d)
         .select(lower(trim(col("text"))).as("norm"))
       var batches = Vector.empty[Seq[String]]

@@ -237,6 +237,14 @@ object VectorOps {
       Boolean)]()
   @volatile private var lastDeployedKey: Option[(String, Int, Int)] = None
 
+  /** The fixture dir whose centroids the oracle SQL must inline —
+    * pinned by Verify before dumping oracleSql, so a multi-fixture JVM
+    * resolves the VALUES trained on the dir being VERIFIED rather than
+    * whichever gate ran last ([[lastDeployedKey]] remains the fallback
+    * for single-dir sessions: Bench, specs, the CLI). */
+  @volatile private var pinnedOracleDir: Option[String] = None
+  def pinOracleDir(d: String): Unit = pinnedOracleDir = Some(d)
+
   /** (deployedRows, trainedRows, promoted). */
   private[graft] def deployedCentroids(s: SparkSession, d: String,
       nlist: Int = NLIST, iters: Int = TRAIN_ITERS)
@@ -283,7 +291,10 @@ object VectorOps {
     * compare against, so gate and oracle can never disagree: the gate
     * path always runs the promotion first). */
   private def deployedCentsValuesSql: Option[(String, String)] =
-    lastDeployedKey.flatMap(deployedCentCache.get).map {
+    pinnedOracleDir.map(d => (d, NLIST, TRAIN_ITERS))
+      .filter(deployedCentCache.contains)
+      .orElse(lastDeployedKey)
+      .flatMap(deployedCentCache.get).map {
       case (deployed, trained, _) =>
         def values(rows: Array[(Long, Array[Long], Long)]) = {
           val vals = rows.map { case (cid, qv, nrm) =>

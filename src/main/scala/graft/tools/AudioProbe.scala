@@ -29,9 +29,13 @@ object AudioProbe {
     }
 
     def inThreads(k: Int)(stage: (Int, Int) => Unit): Unit = {
+      // last thread takes the n % k remainder so single- and
+      // multi-thread runs process identical workloads (throughput is
+      // computed against the full n)
       val per = n / k
       val ts = (0 until k).map { t =>
-        new Thread(() => stage(t * per, (t + 1) * per))
+        new Thread(() => stage(t * per,
+          if (t == k - 1) n else (t + 1) * per))
       }
       ts.foreach(_.start()); ts.foreach(_.join())
     }
