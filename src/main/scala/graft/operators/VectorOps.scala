@@ -721,6 +721,25 @@ object VectorOps {
     * same as [[ivfpqTopK]]'s third stage. */
   def incrementalTopK(s: SparkSession, d: String, k: Int = 5,
       nprobe: Int = NPROBE, rerank: Int = 50): DataFrame = {
+    val ctx = incIndexCtx(s, d)
+    probeIncIdx(ctx, ctx.idx, k, nprobe, rerank)
+  }
+
+  /** The shared setup of the incremental-ingest gates: corpus/batch
+    * split, broadcastable centroid metadata, collected codebook
+    * (bounded: KPQ × DIM longs), and the memoized persisted IVF-PQ
+    * codes index. */
+  private final case class IncCtx(corpus: DataFrame, batch: DataFrame,
+      cents: DataFrame, cbLit: org.apache.spark.sql.Column, kEff: Int,
+      idx: DataFrame)
+
+  private def assignCents(df: DataFrame, cents: DataFrame): DataFrame =
+    df.join(broadcast(cents))
+      .withColumn("dot", array_dot_long(col("qv"), col("cqv")))
+      .withColumn("dist",
+        col("nrm") - lit(2L) * col("dot") + col("cnrm"))
+
+  private def incIndexCtx(s: SparkSession, d: String): IncCtx = {
     val e = quantized(embeddings(s, d))
       .select("vec_id", "qv", "nrm").filter(col("nrm") > 0)
     val corpus = e.filter(!isNewVec)
@@ -732,39 +751,45 @@ object VectorOps {
       .orderBy("vec_id").select("qv").collect()
       .map(_.getSeq[Long](0).toArray)
     require(cbRows.nonEmpty, "incremental ANN codebook is empty")
-    val kEff = cbRows.length
     val cbLit = typedLit(cbRows.map(_.toSeq).toSeq)
-    import graft.functions.PqCodes.{pq_encode, pq_adc_table}
-    def assign(df: DataFrame) = df.join(broadcast(cents))
-      .withColumn("dot", array_dot_long(col("qv"), col("cqv")))
-      .withColumn("dist",
-        col("nrm") - lit(2L) * col("dot") + col("cnrm"))
+    import graft.functions.PqCodes.pq_encode
     val corpusIdx = graft.core.SessionMemo.getOrElseUpdate(
       s, annIncIdxKey(d))(
-      coarseCells(assign(corpus))
+      coarseCells(assignCents(corpus, cents))
         .select(col("vec_id"), col("cell"),
           pq_encode(col("qv"), cbLit, M).as("codes"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val qprobe = assign(batch)
+    IncCtx(corpus, batch, cents, cbLit, cbRows.length, corpusIdx)
+  }
+
+  /** The probe stage of [[incrementalTopK]] against an EXPLICIT codes
+    * index frame — separated from the index build so the delete gate
+    * can probe a tombstone-filtered or compacted index through the
+    * identical pipeline: batch cell assignment, ADC shortlist against
+    * `idx`, exact integer re-rank. */
+  private def probeIncIdx(ctx: IncCtx, idx: DataFrame, k: Int,
+      nprobe: Int, rerank: Int): DataFrame = {
+    import graft.functions.PqCodes.pq_adc_table
+    val qprobe = assignCents(ctx.batch, ctx.cents)
       .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
         .orderBy(col("dist").asc, col("cid").asc)))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("qid"), col("cid").as("cell"))
-    val qt = batch.select(col("vec_id").as("qid"),
-      pq_adc_table(col("qv"), cbLit, M).as("t"))
+    val qt = ctx.batch.select(col("vec_id").as("qid"),
+      pq_adc_table(col("qv"), ctx.cbLit, M).as("t"))
     val approx = (0 until M).map(j =>
-      expr(s"t[$j * $kEff + codes[$j]]")).reduce(_ + _)
-    val shortlist = corpusIdx.join(broadcast(qprobe), "cell")
+      expr(s"t[$j * ${ctx.kEff} + codes[$j]]")).reduce(_ + _)
+    val shortlist = idx.join(broadcast(qprobe), "cell")
       .join(qt, "qid")
       .withColumn("approx_dist", approx)
       .withColumn("srn", row_number().over(Window.partitionBy("qid")
         .orderBy(col("approx_dist").asc, col("vec_id").asc)))
       .filter(col("srn") <= rerank)
       .select("qid", "vec_id")
-    val qraw = batch.select(col("vec_id").as("qid"),
+    val qraw = ctx.batch.select(col("vec_id").as("qid"),
       col("qv").as("qqv"), col("nrm").as("qnrm"))
     shortlist
-      .join(corpus, Seq("vec_id"))
+      .join(ctx.corpus, Seq("vec_id"))
       .join(qraw, Seq("qid"))
       .withColumn("dist",
         col("nrm") - lit(2L) * array_dot_long(col("qqv"), col("qv")) +
@@ -773,6 +798,52 @@ object VectorOps {
         .orderBy(col("dist").asc, col("vec_id").asc)))
       .filter(col("rn") <= k)
       .select("qid", "vec_id", "rn", "dist")
+  }
+
+  /** Tombstone set for [[deleteCompactTopK]]: an established-corpus
+    * slice (disjoint from the ingest batch by construction — deleted
+    * ids are corpus rows). Ids below NLIST/KPQ may be tombstoned as
+    * DATA while still serving as centroid/codebook GEOMETRY: deleting
+    * a vector removes it from search results, not from the trained
+    * quantizer — retraining is a separate rollout
+    * ([[deployedCentroids]]). */
+  private[graft] def isDeletedVec = col("vec_id") % 17 === 3
+
+  /** ANN index maintenance — deletes and compaction on the persisted
+    * IVF-PQ index, the lifecycle step after [[incrementalTopK]]'s
+    * additive ingest: a real vector store must (a) stop serving
+    * deleted vectors IMMEDIATELY (tombstones: the probe anti-joins the
+    * narrow delete set against the codes index — O(index), the raw
+    * corpus is never re-encoded) and (b) eventually RECLAIM their
+    * index space (compaction: the stored index table is rewritten
+    * minus tombstones into byte-targeted files via the same machinery
+    * as `write_compacted`, after which the tombstone set resets to
+    * empty). The gate probes BOTH states through the identical
+    * pipeline and returns the union labeled by `stage` — the oracle
+    * expects the two stages row-identical, so any tombstone leaking
+    * into the compacted index (or compaction changing results) is a
+    * hash mismatch, not just a spec failure. */
+  def deleteCompactTopK(s: SparkSession, d: String, k: Int = 5,
+      nprobe: Int = NPROBE, rerank: Int = 50): DataFrame = {
+    val ctx = incIndexCtx(s, d)
+    val tombstones = ctx.idx.filter(isDeletedVec).select("vec_id")
+    val live = ctx.idx.join(tombstones, Seq("vec_id"), "left_anti")
+    val fromTombstoned = probeIncIdx(ctx, live, k, nprobe, rerank)
+      .withColumn("stage", lit("tombstoned"))
+    // the stored index table: materialized once per run (in production
+    // this is the appended-per-ingest index table the probes serve from)
+    val idxDir = WriteOps.scratch(s"ann_idx_${d.hashCode.toHexString}")
+    val compDir = WriteOps.scratch(
+      s"ann_idx_compacted_${d.hashCode.toHexString}")
+    ctx.idx.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(idxDir)
+    WriteOps.compact(s, idxDir, compDir, targetFileBytes = 1L << 20,
+      transform = df =>
+        df.join(tombstones, Seq("vec_id"), "left_anti"))
+    val fromCompacted =
+      probeIncIdx(ctx, s.read.parquet(compDir), k, nprobe, rerank)
+        .withColumn("stage", lit("compacted"))
+    fromTombstoned.unionByName(fromCompacted)
   }
 
   /** Scalar-quantization (SQ8) top-k — the third real index family next
@@ -956,6 +1027,7 @@ object VectorOps {
     // IVF-PQ index for nearest established neighbours — no cell or
     // codebook rebuild (AnnIncrementalSpec asserts the reuse).
     "ann_incremental_topk" -> ((s, d) => incrementalTopK(s, d)),
+    "ann_delete_compact" -> ((s, d) => deleteCompactTopK(s, d)),
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "embedding_neardup" -> ((s, d) => neardupPairs(s, d))
   )
@@ -1051,6 +1123,81 @@ object VectorOps {
     * cache as populated by the gate runs, and SparkEntry.oracleSql is
     * dumped AFTER every gate has executed — a val would freeze the
     * seed fallback at object-init time. */
+  /** The incremental-ingest probe oracle (mirrors [[incrementalTopK]])
+    * with a candidate-side filter hook: `candFilter` restricts which
+    * index entries (`cm` = the corpus cellmap) the shortlist may draw
+    * from — `TRUE` for the plain ingest gate, the tombstone exclusion
+    * for [[deleteCompactTopK]]. */
+  private def incProbeOracleSql(candFilter: String): String = {
+    val isNew = s"(vec_id % 10 = 7 AND vec_id >= $KPQ)"
+    s"""WITH $oracleQuantCte,
+         e2 AS (SELECT vec_id, qv, nrm FROM n WHERE nrm > 0),
+         ivfc AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm
+                  FROM e2 WHERE vec_id < $NLIST),
+         assigned AS (
+           SELECT e2.vec_id, ivfc.cid,
+             e2.nrm - 2 * cast(list_aggregate(list_transform(
+               range(1, $DIM + 1), i -> e2.qv[i] * ivfc.cqv[i]), 'sum')
+               as bigint) + ivfc.cnrm AS dist
+           FROM e2, ivfc),
+         cellmap AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist ASC, cid ASC) AS arn
+             FROM assigned WHERE NOT $isNew) WHERE arn = 1),
+         qprobe AS (
+           SELECT vec_id AS qid, cid AS cell FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist ASC, cid ASC) AS prn
+             FROM assigned WHERE $isNew) WHERE prn <= $NPROBE),
+         cents AS (SELECT vec_id AS c, qv AS cqv FROM e2
+                   WHERE vec_id < $KPQ),
+         sub AS (
+           SELECT e2.vec_id, t.j, cents.c,
+             cast(list_aggregate(list_transform(range(1, ${SUBDIM + 1}),
+               i -> (e2.qv[t.j * $SUBDIM + i] - cents.cqv[t.j * $SUBDIM + i])
+                  * (e2.qv[t.j * $SUBDIM + i] - cents.cqv[t.j * $SUBDIM + i])),
+               'sum') as bigint) AS d
+           FROM e2, range(0, $M) t(j), cents),
+         codes AS (
+           SELECT vec_id, j, c AS code FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id, j
+               ORDER BY d ASC, c ASC) AS arn
+             FROM sub WHERE NOT $isNew) WHERE arn = 1),
+         qt AS (SELECT vec_id AS qid, j, c, d FROM sub WHERE $isNew),
+         cand AS (
+           SELECT p.qid, cm.vec_id
+           FROM qprobe p JOIN cellmap cm ON cm.cell = p.cell
+           WHERE $candFilter),
+         adc AS (
+           SELECT cand.qid, cand.vec_id,
+             cast(sum(qt.d) as bigint) AS approx_dist
+           FROM cand
+           JOIN codes ON codes.vec_id = cand.vec_id
+           JOIN qt ON qt.qid = cand.qid AND qt.j = codes.j
+                  AND qt.c = codes.code
+           GROUP BY cand.qid, cand.vec_id),
+         short AS (
+           SELECT qid, vec_id FROM (
+             SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY approx_dist ASC, vec_id ASC) AS srn
+             FROM adc) WHERE srn <= 50),
+         rr AS (
+           SELECT short.qid, short.vec_id,
+             cn.nrm - 2 * cast(list_aggregate(list_transform(
+               range(1, $DIM + 1), i -> qq.qv[i] * cn.qv[i]), 'sum')
+               as bigint) + qq.nrm AS dist
+           FROM short
+           JOIN e2 cn ON cn.vec_id = short.vec_id
+           JOIN e2 qq ON qq.vec_id = short.qid)
+         SELECT qid, vec_id, rn, dist FROM (
+           SELECT qid, vec_id, dist,
+             cast(row_number() OVER (PARTITION BY qid
+               ORDER BY dist ASC, vec_id ASC) as int) AS rn
+           FROM rr) WHERE rn <= 5"""
+  }
+
   def oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" -> bfOracle,
     "ann_filtered_topk" -> filteredIvfOracle,
@@ -1137,74 +1284,17 @@ object VectorOps {
     // the cell map / codes come from the established corpus only and
     // the probe/ADC side is the new batch — corpus and batch are
     // disjoint, so no self-exclusion is needed in cand
-    "ann_incremental_topk" -> {
-      val isNew = s"(vec_id % 10 = 7 AND vec_id >= $KPQ)"
-      s"""WITH $oracleQuantCte,
-         e2 AS (SELECT vec_id, qv, nrm FROM n WHERE nrm > 0),
-         ivfc AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm
-                  FROM e2 WHERE vec_id < $NLIST),
-         assigned AS (
-           SELECT e2.vec_id, ivfc.cid,
-             e2.nrm - 2 * cast(list_aggregate(list_transform(
-               range(1, $DIM + 1), i -> e2.qv[i] * ivfc.cqv[i]), 'sum')
-               as bigint) + ivfc.cnrm AS dist
-           FROM e2, ivfc),
-         cellmap AS (
-           SELECT vec_id, cid AS cell FROM (
-             SELECT *, row_number() OVER (PARTITION BY vec_id
-               ORDER BY dist ASC, cid ASC) AS arn
-             FROM assigned WHERE NOT $isNew) WHERE arn = 1),
-         qprobe AS (
-           SELECT vec_id AS qid, cid AS cell FROM (
-             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-               ORDER BY dist ASC, cid ASC) AS prn
-             FROM assigned WHERE $isNew) WHERE prn <= $NPROBE),
-         cents AS (SELECT vec_id AS c, qv AS cqv FROM e2
-                   WHERE vec_id < $KPQ),
-         sub AS (
-           SELECT e2.vec_id, t.j, cents.c,
-             cast(list_aggregate(list_transform(range(1, ${SUBDIM + 1}),
-               i -> (e2.qv[t.j * $SUBDIM + i] - cents.cqv[t.j * $SUBDIM + i])
-                  * (e2.qv[t.j * $SUBDIM + i] - cents.cqv[t.j * $SUBDIM + i])),
-               'sum') as bigint) AS d
-           FROM e2, range(0, $M) t(j), cents),
-         codes AS (
-           SELECT vec_id, j, c AS code FROM (
-             SELECT *, row_number() OVER (PARTITION BY vec_id, j
-               ORDER BY d ASC, c ASC) AS arn
-             FROM sub WHERE NOT $isNew) WHERE arn = 1),
-         qt AS (SELECT vec_id AS qid, j, c, d FROM sub WHERE $isNew),
-         cand AS (
-           SELECT p.qid, cm.vec_id
-           FROM qprobe p JOIN cellmap cm ON cm.cell = p.cell),
-         adc AS (
-           SELECT cand.qid, cand.vec_id,
-             cast(sum(qt.d) as bigint) AS approx_dist
-           FROM cand
-           JOIN codes ON codes.vec_id = cand.vec_id
-           JOIN qt ON qt.qid = cand.qid AND qt.j = codes.j
-                  AND qt.c = codes.code
-           GROUP BY cand.qid, cand.vec_id),
-         short AS (
-           SELECT qid, vec_id FROM (
-             SELECT qid, vec_id,
-               row_number() OVER (PARTITION BY qid
-                 ORDER BY approx_dist ASC, vec_id ASC) AS srn
-             FROM adc) WHERE srn <= 50),
-         rr AS (
-           SELECT short.qid, short.vec_id,
-             cn.nrm - 2 * cast(list_aggregate(list_transform(
-               range(1, $DIM + 1), i -> qq.qv[i] * cn.qv[i]), 'sum')
-               as bigint) + qq.nrm AS dist
-           FROM short
-           JOIN e2 cn ON cn.vec_id = short.vec_id
-           JOIN e2 qq ON qq.vec_id = short.qid)
-         SELECT qid, vec_id, rn, dist FROM (
-           SELECT qid, vec_id, dist,
-             cast(row_number() OVER (PARTITION BY qid
-               ORDER BY dist ASC, vec_id ASC) as int) AS rn
-           FROM rr) WHERE rn <= 5"""
-    },
+    "ann_incremental_topk" -> incProbeOracleSql("TRUE"),
+
+    // the delete gate = the incremental probe with the tombstone set
+    // excluded from the candidate index, expected IDENTICAL from both
+    // the tombstoned and the compacted index (CROSS JOIN on the stage
+    // labels): a tombstone surviving compaction, or compaction changing
+    // any result row, breaks the hash
+    "ann_delete_compact" ->
+      s"""SELECT r.qid, r.vec_id, r.rn, r.dist, s.stage
+         FROM (${incProbeOracleSql("NOT (cm.vec_id % 17 = 3)")}) r
+         CROSS JOIN (VALUES ('tombstoned'), ('compacted')) s(stage)""",
     // IVF cell membership bounds the candidates; the PQ `sub` distances
     // serve both the corpus encode (argmin per subspace) and the query
     // ADC tables, exactly as in the ann_pq_topk oracle

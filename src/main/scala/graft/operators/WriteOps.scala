@@ -39,8 +39,14 @@ object WriteOps {
     * cluster scale this runs per partition directory with the same
     * byte-targeting logic.
     */
+  /** `transform` lets a caller fold a row-drop into the rewrite (e.g.
+    * the ANN index compaction anti-joins its tombstone set) without a
+    * second pass; the file-count target is still sized from the SOURCE
+    * bytes — an upper bound when the transform drops rows, which only
+    * errs toward smaller-than-target files. */
   def compact(s: SparkSession, srcDir: String, outDir: String,
-      targetFileBytes: Long): Int = {
+      targetFileBytes: Long,
+      transform: DataFrame => DataFrame = identity): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val path = new org.apache.hadoop.fs.Path(srcDir)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -49,7 +55,7 @@ object WriteOps {
       .map(_.getLen).sum
     val nFiles = math.max(1,
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    s.read.parquet(srcDir)
+    transform(s.read.parquet(srcDir))
       .repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
     nFiles
