@@ -144,6 +144,30 @@ object EventOps {
           unix_date(col("day")).as("day_num")))
       .filter(col("day_num") < lit(ReplayStage.sentinelBoundSec / 86400))
 
+  /** The three windowed/joined replay gates, `variant`-suffixed like
+    * [[dedupReplay]] so StreamingRocksDbSpec can run each stateful
+    * shape (fixed buckets, merging session state, two-sided join
+    * state) on the RocksDB provider against its own checkpoint. */
+  private[graft] def tumblingReplay(s: SparkSession, d: String,
+      variant: String = ""): DataFrame =
+    replayGate(s, d, "tumbling" + variant,
+        graft.streaming.StreamingOps
+          .tumblingCounts(_, "ts", "1 hour", "10 minutes"))
+      .filter(col("bucket_start") < ReplayStage.sentinelBoundSec)
+
+  private[graft] def sessionsReplay(s: SparkSession, d: String,
+      variant: String = ""): DataFrame =
+    replayGate(s, d, "sessions" + variant,
+        graft.streaming.StreamingOps
+          .sessionCounts(_, "ts", "1 hour", "30 minutes"))
+      .filter(col("sess_start") < ReplayStage.sentinelBoundSec)
+
+  private[graft] def joinReplay(s: SparkSession, d: String,
+      variant: String = ""): DataFrame =
+    replayGate(s, d, "join" + variant,
+      graft.streaming.StreamingOps
+        .intervalJoin(_, "ts", "1 hour", "click", "purchase", "6 hours"))
+
   /** Checkpoint dir of an already-run replay gate — spec access for
     * asserting on the state-store layout (e.g. RocksDB snapshots). */
   private[graft] def replayCkptPath(d: String,
@@ -350,11 +374,7 @@ object EventOps {
     // (complete-mode memory sink, the round-2 shape, would not).
     // Staging/sentinel protocol is shared with streaming_replay_sessions
     // via ReplayStage; see replayGate for the mechanics.
-    "streaming_replay_tumbling" -> ((s, d) =>
-      replayGate(s, d, "tumbling",
-          graft.streaming.StreamingOps
-            .tumblingCounts(_, "ts", "1 hour", "10 minutes"))
-        .filter(col("bucket_start") < ReplayStage.sentinelBoundSec)),
+    "streaming_replay_tumbling" -> ((s, d) => tumblingReplay(s, d)),
 
     // Session windows under the REAL streaming runtime: same staged
     // replay protocol as streaming_replay_tumbling (append + watermark +
@@ -364,11 +384,7 @@ object EventOps {
     // half-open [ts, ts+gap): events exactly `gap` apart do NOT merge,
     // so the oracle splits on `>= gap`, unlike the batch
     // sessionize_events gate which (also per the reference) uses `> gap`.
-    "streaming_replay_sessions" -> ((s, d) =>
-      replayGate(s, d, "sessions",
-          graft.streaming.StreamingOps
-            .sessionCounts(_, "ts", "1 hour", "30 minutes"))
-        .filter(col("sess_start") < ReplayStage.sentinelBoundSec)),
+    "streaming_replay_sessions" -> ((s, d) => sessionsReplay(s, d)),
 
     // Stream-stream inner interval join under the REAL runtime: clicks
     // joined to same-user purchases within 6 hours, both sides
@@ -376,10 +392,7 @@ object EventOps {
     // join output is emitted as matches arrive (the watermark bounds
     // STATE, not emission), so the sentinel just flows past the type
     // filters; oracle is the equivalent batch interval join.
-    "streaming_replay_join" -> ((s, d) =>
-      replayGate(s, d, "join",
-        graft.streaming.StreamingOps
-          .intervalJoin(_, "ts", "1 hour", "click", "purchase", "6 hours"))),
+    "streaming_replay_join" -> ((s, d) => joinReplay(s, d)),
 
     // Streaming CDC apply: foreachBatch merges each micro-batch's
     // per-user partial into a keyed state table committed as versioned

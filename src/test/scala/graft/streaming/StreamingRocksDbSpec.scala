@@ -79,6 +79,69 @@ class StreamingRocksDbSpec extends AnyFunSuite {
     assert(again == base, "restart from RocksDB checkpoint must be a no-op")
   }
 
+  test("streaming_replay_sessions: merging session-window state " +
+      "identical under RocksDB, restart reproduces it") {
+    // session windows are the largest state shape (state MERGES as
+    // events arrive, instead of accumulating per fixed key), so this is
+    // the one most worth proving on the production store
+    val base = rows(EventOps.sessionsReplay(spark, sf))
+    assert(base.nonEmpty)
+    val rocks = withRocksDb {
+      rows(EventOps.sessionsReplay(spark, sf, "_rocksdb"))
+    }
+    assert(rocks == base,
+      "session-window result must be state-backend-invariant")
+    val ckpt = EventOps.replayCkptPath(sf, "sessions_rocksdb")
+      .getOrElse(fail("rocksdb variant checkpoint not registered"))
+    val files = stateFiles(ckpt)
+    assert(files.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+      s"expected RocksDB state artifacts under $ckpt, got: $files")
+    assert(!files.exists(_.endsWith(".delta")),
+      s"HDFS-backed provider artifacts leaked into the RocksDB run: $files")
+    val again = withRocksDb {
+      rows(EventOps.sessionsReplay(spark, sf, "_rocksdb"))
+    }
+    assert(again == base,
+      "restart from RocksDB checkpoint must be a no-op")
+  }
+
+  test("streaming_replay_tumbling: windowed agg identical under " +
+      "RocksDB, restart reproduces it") {
+    val base = rows(EventOps.tumblingReplay(spark, sf))
+    assert(base.nonEmpty)
+    val rocks = withRocksDb {
+      rows(EventOps.tumblingReplay(spark, sf, "_rocksdb"))
+    }
+    assert(rocks == base,
+      "tumbling-window result must be state-backend-invariant")
+    val again = withRocksDb {
+      rows(EventOps.tumblingReplay(spark, sf, "_rocksdb"))
+    }
+    assert(again == base,
+      "restart from RocksDB checkpoint must be a no-op")
+  }
+
+  test("streaming_replay_join: two-sided stream-stream join state " +
+      "identical under RocksDB, restart reproduces it") {
+    val base = rows(EventOps.joinReplay(spark, sf))
+    assert(base.nonEmpty)
+    val rocks = withRocksDb {
+      rows(EventOps.joinReplay(spark, sf, "_rocksdb"))
+    }
+    assert(rocks == base,
+      "stream-stream join result must be state-backend-invariant")
+    val ckpt = EventOps.replayCkptPath(sf, "join_rocksdb")
+      .getOrElse(fail("rocksdb variant checkpoint not registered"))
+    val files = stateFiles(ckpt)
+    assert(files.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+      s"expected RocksDB state artifacts under $ckpt, got: $files")
+    val again = withRocksDb {
+      rows(EventOps.joinReplay(spark, sf, "_rocksdb"))
+    }
+    assert(again == base,
+      "restart from RocksDB checkpoint must be a no-op")
+  }
+
   test("streaming_replay_upsert: CDC apply identical under RocksDB, " +
       "restart keeps the versioned table converged") {
     val base = rows(EventOps.upsertReplayGate(spark, sf))
