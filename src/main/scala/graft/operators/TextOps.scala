@@ -79,7 +79,7 @@ object TextOps {
     * (bounded driver metadata — the same protocol as the PQ
     * codebook). */
   private val bpeVocabCache = scala.collection.concurrent
-    .TrieMap[(String, Int, Int, Long), Seq[Seq[String]]]()
+    .TrieMap[(String, Int, Int, Int, Long), Seq[Seq[String]]]()
 
   /** Cheap content stamp of the corpus the vocabulary was trained on
     * (size ⊕ mtime of documents.parquet): fixtures are normally
@@ -94,9 +94,17 @@ object TextOps {
         java.nio.file.Files.getLastModifiedTime(p).toMillis
     } catch { case _: Exception => 0L }
 
+  /** `cap` (the acceptance window; [[BPE_CAND_CAP]] in production) is
+    * parameterized ONLY so BpeIterativeSpec can prove the accepted
+    * batches invariant under a doubled window: the window is
+    * self-contained (every blocker of a windowed pair outranks it in
+    * the same (count desc, key asc) order, so no blocker is ever
+    * clipped), hence widening the window can only append
+    * strictly-lower-ranked accepted pairs BELOW the kPer cut — it can
+    * never flip an acceptance inside it. */
   private[graft] def bpeTrain(s: SparkSession, d: String, rounds: Int,
-      kPer: Int): Seq[Seq[String]] =
-    bpeVocabCache.getOrElseUpdate((d, rounds, kPer, corpusStamp(d)), {
+      kPer: Int, cap: Int = BPE_CAND_CAP): Seq[Seq[String]] =
+    bpeVocabCache.getOrElseUpdate((d, rounds, kPer, cap, corpusStamp(d)), {
       val docs = Tables.documents(s, d)
         .select(lower(trim(col("text"))).as("norm"))
       var batches = Vector.empty[Seq[String]]
@@ -109,7 +117,7 @@ object TextOps {
           .withColumn("l", substring_index(col("p"), BPE_SEP, 1))
           .withColumn("r", substring_index(col("p"), BPE_SEP, -1))
           .filter(col("l") =!= col("r"))
-          .orderBy(col("c").desc, col("p").asc).limit(BPE_CAND_CAP)
+          .orderBy(col("c").desc, col("p").asc).limit(cap)
         val rivals = cand.select(col("p").as("qp"), col("l").as("ql"),
           col("r").as("qr"), col("c").as("qc"))
         val accepted = cand.join(rivals,

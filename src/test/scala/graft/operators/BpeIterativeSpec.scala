@@ -71,4 +71,19 @@ class BpeIterativeSpec extends AnyFunSuite {
       .head.getLong(0)
     assert(r2 < r1)
   }
+
+  test("accepted merge batches are invariant to doubling the " +
+      "candidate cap") {
+    // the acceptance window is self-contained (every blocker of a
+    // windowed pair outranks it, so no blocker is ever clipped) —
+    // widening the window must not change a single accepted batch.
+    // Guards the O(CAP²) bound's correctness side on this corpus.
+    val base = TextOps.bpeTrain(spark, sf,
+      TextOps.BPE_ROUNDS, TextOps.BPE_K_PER_ROUND)
+    val wide = TextOps.bpeTrain(spark, sf,
+      TextOps.BPE_ROUNDS, TextOps.BPE_K_PER_ROUND,
+      cap = TextOps.BPE_CAND_CAP * 2)
+    assert(base == wide,
+      "doubling BPE_CAND_CAP changed the accepted merge batches")
+  }
 }
