@@ -63,6 +63,32 @@ select * from seg
         .select("segment", "n_customers", "total_bal")
     }),
 
+    // The END-TO-END composition gate: the full curation example
+    // (examples/curate_documents.sql — quality filter → repetition gate
+    // → exact dedup → MinHash near-dup drop → curated output) through
+    // the REAL CLI path, DataProcess.run: header-directive parsing,
+    // in-file spark confs, native-function registration, the complete
+    // step list (variables, temp chains, log, check,
+    // output-with-auto-create), then the WRITTEN catalog table read
+    // back. The step language and the operator catalog are each gated
+    // separately; this verifies them COMPOSED, the way a user actually
+    // runs the engine.
+    "etl_curate_e2e" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("documents")
+      s.sql("create database if not exists curated")
+      s.sql("drop table if exists curated.documents")
+      val etl = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("examples/curate_documents.sql")),
+        "UTF-8")
+      // the example's `-- config:` line retunes shuffle width on the
+      // SHARED session — scope it like the streaming gates do
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      try graft.DataProcess.run(etl, Map.empty, dryRun = false,
+        baseDir = Some("examples"), existingSession = Some(s))
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      s.table("curated.documents").select("doc_id", "text", "n_tokens")
+    }),
+
     // Steps exercised: list_variables + variables feeding an IN-list and
     // a scalar into later SQL, log step, cache step.
     "etl_list_vars" -> ((s, d) => {
@@ -95,6 +121,61 @@ select o_orderstatus, count(*) as cnt from filtered group by o_orderstatus
          FROM customer GROUP BY c_mktsegment""",
     "etl_list_vars" ->
       """SELECT o_orderstatus, count(*) AS cnt FROM orders
-         GROUP BY o_orderstatus"""
+         GROUP BY o_orderstatus""",
+
+    // mirrors every stage of examples/curate_documents.sql; the minhash
+    // CTEs follow DedupOps' oracle conventions (salted-md5 signature
+    // mins, band digests over concatenated hex) at the example's
+    // k=4 / bands=2 / 3-word-gram parameters
+    "etl_curate_e2e" -> {
+      val sigCols = (0 until 4).map(j =>
+        s"list_aggregate(list_transform(shingles, x -> md5('$j|' || x)), " +
+        s"'min') AS sig_$j").mkString(",\n             ")
+      s"""WITH t AS (SELECT doc_id, text,
+             string_split(lower(trim(text)), ' ') AS toks FROM documents),
+         doc_stats AS (SELECT doc_id, text, toks,
+             len(toks) AS n_tokens,
+             cast(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) as double)
+               / greatest(len(text), 1) AS alpha_ratio
+           FROM t),
+         quality AS (SELECT doc_id, text, toks, n_tokens FROM doc_stats
+           WHERE n_tokens >= 5 AND alpha_ratio > 0.5),
+         grams2 AS (SELECT doc_id, g, count(*) AS c FROM (
+             SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(toks) - 1, 1) + 1),
+               i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+             FROM quality) GROUP BY doc_id, g),
+         repetition AS (SELECT doc_id,
+             cast(max(c) as double) / cast(sum(c) as double) AS top2_frac
+           FROM grams2 GROUP BY doc_id),
+         unrep AS (SELECT q.doc_id, q.text, q.toks, q.n_tokens
+           FROM quality q JOIN repetition r ON q.doc_id = r.doc_id
+           WHERE r.top2_frac <= 0.5),
+         exact_kept AS (SELECT doc_id, text, toks, n_tokens FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+             FROM unrep) WHERE rn = 1),
+         sh AS (SELECT doc_id, list_transform(
+             range(1, greatest(len(toks) - 2, 1) + 1),
+             i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               AS shingles
+           FROM exact_kept),
+         sigs AS (SELECT doc_id,
+             $sigCols
+           FROM sh),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(sig_0 || sig_1) AS band_hash
+           FROM sigs
+           UNION ALL
+           SELECT doc_id, 1, md5(sig_2 || sig_3) FROM sigs),
+         losers AS (SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id),
+         curated AS (SELECT k.doc_id, k.text, k.n_tokens FROM exact_kept k
+           WHERE NOT EXISTS (SELECT 1 FROM losers l
+                             WHERE l.doc_id = k.doc_id))
+         SELECT doc_id, text, cast(n_tokens as int) AS n_tokens
+         FROM curated"""
+    }
   )
 }
