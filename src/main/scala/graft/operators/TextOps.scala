@@ -302,6 +302,151 @@ object TextOps {
     sb.toString
   }
 
+  /** Gopher-style per-document signal counts — the shared integer feature
+    * frame under both `text_gopher_filter` (rule thresholds) and
+    * `text_quality_classifier` (learned weights). Pure narrow codegen'd
+    * transforms over the scan: zero shuffle at any corpus size. */
+  private def gopherSignals(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(trim(col("text")), " "))
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("total_len",
+        expr("aggregate(transform(toks, t -> length(t)), 0, " +
+             "(a, x) -> a + x)"))
+      .withColumn("alpha_cnt",
+        expr("size(filter(toks, t -> t rlike '[a-z]'))"))
+      .withColumn("digit_word_cnt",
+        expr("size(filter(toks, t -> t rlike '^[0-9]+$'))"))
+      .withColumn("stop_hits",
+        expr(s"size(filter(array_distinct(toks), t -> t IN ($stopList)))"))
+      // '#' chars + '…'-spelled-as-'...' runs, the two Gopher symbol
+      // classes; counts derive from length deltas (no regex scan)
+      .withColumn("sym_cnt",
+        (length(col("text")) -
+           length(translate(col("text"), "#", "")) +
+         ((length(col("text")) -
+           length(expr("replace(text, '...', '')"))) / lit(3)))
+          .cast("int"))
+
+  /** Trained quality classifier — the model-based filtering step real
+    * curation pipelines run after rule filters (the fastText-style
+    * quality scorer of the GPT-3 / LLaMA data recipes): a logistic
+    * model over the Gopher signal ratios, trained against the rule
+    * conjunction as weak labels, then scored over every document. The
+    * learned decision is a smooth re-weighting of the same evidence —
+    * unlike the rule filter it ranks borderline documents instead of
+    * hard-dropping them.
+    *
+    * Exactness discipline (what makes a TRAINED model hash-verifiable
+    * cross-engine — the oracle retrains from scratch in SQL, it does
+    * not get the weights handed to it):
+    *  - the squashing function is the algebraic fast sigmoid
+    *    p = 0.5 + z/(2(1+|z|)) — add/mul/div/abs are exactly-rounded
+    *    IEEE ops, unlike exp(), whose last-ulp behavior differs
+    *    between engines;
+    *  - per-document gradient contributions are floor-quantized onto a
+    *    2^24 fixed-point grid and summed as int64 — the reduction is
+    *    exact and ORDER-INDEPENDENT, so partition count, AQE, and
+    *    reduce order cannot change the trained weights (the same
+    *    discipline as the k-means integer grid and the temperature-mix
+    *    ordered fold);
+    *  - the learning rate is a power of two, so the weight update
+    *    multiplies exactly; every expression tree (dot product left-
+    *    associated, update parenthesization) is written identically in
+    *    both engines, and identical exactly-rounded ops on identical
+    *    inputs give identical bits.
+    *
+    * Scale shape: each round is ONE narrow projection over the corpus
+    * plus a 7-long + count reduce (map-side combined, bytes of shuffle);
+    * weights are driver-held bounded metadata, broadcast back inside
+    * literals. Scoring is a zero-shuffle projection. At 100 TB the cost
+    * is `rounds` linear scans. Capacity: a per-document quantized
+    * gradient unit is ≤ ~2^32 (|resid·x| ≤ CLF_NEG_W · x1max ≈ 2^8 on
+    * ≤2000-word documents, times the 2^24 grid), so int64 sums stay
+    * overflow-free past 2^30 ≈ 10^9 documents; each halving of CLF_Q
+    * doubles that, still far above any float-sum's exactness. */
+  private[graft] val CLF_ROUNDS = 12
+  private[graft] val CLF_Q = 16777216.0 // 2^24 — exact fixed-point grid
+  private[graft] val CLF_LR = 0.5       // power of two: exact multiply
+  /** Minority-class (drop, y=0) loss weight — a power of two, so the
+    * residual reweighting multiplies exactly. Without it the ~9:1
+    * keep-skewed corpus collapses the model onto the majority class. */
+  private[graft] val CLF_NEG_W = 8.0
+  private val CLF_DIM = 7               // bias + 6 signal features
+
+  /** Feature frame: doc_id, weak label y (gopher keep), x1..x6 ratio
+    * features. Every feature is ints combined by ONE exactly-rounded
+    * IEEE division (denominators ≥ 1 by construction), then shifted by
+    * a DYADIC constant near its rule threshold (exactly representable,
+    * so the shift is bit-exact too) — signed evidence converges in few
+    * sweeps where raw all-positive ratios drift to the majority class. */
+  private[graft] def clfFeatures(s: SparkSession, d: String): DataFrame =
+    gopherSignals(s, d)
+      .withColumn("y",
+        (col("n_words") >= 20 && col("n_words") <= 2000 &&
+         lit(3) * col("n_words") <= col("total_len") &&
+         col("total_len") <= lit(10) * col("n_words") &&
+         col("alpha_cnt") * 5 >= col("n_words") * 4 &&
+         col("digit_word_cnt") * 10 <= col("n_words") &&
+         col("sym_cnt") * 10 < col("n_words") &&
+         col("stop_hits") >= 2).cast("int"))
+      .withColumn("x1",
+        col("n_words").cast("double") / lit(64.0) - lit(0.3125))
+      .withColumn("x2",
+        col("total_len").cast("double") / (lit(8.0) * col("n_words"))
+          - lit(0.375))
+      .withColumn("x3",
+        col("alpha_cnt").cast("double") / col("n_words") - lit(0.8125))
+      .withColumn("x4",
+        lit(0.125) - col("digit_word_cnt").cast("double") / col("n_words"))
+      .withColumn("x5",
+        least(col("stop_hits"), lit(8)).cast("double") / lit(8.0)
+          - lit(0.25))
+      .withColumn("x6",
+        lit(0.125) - col("sym_cnt").cast("double") / col("n_words"))
+      .select("doc_id", "y", "x1", "x2", "x3", "x4", "x5", "x6")
+
+  /** Left-associated dot product — the shared scoring tree. */
+  private def clfScore(w: Array[Double]): org.apache.spark.sql.Column =
+    (1 until CLF_DIM).foldLeft(lit(w(0)): org.apache.spark.sql.Column)(
+      (acc, j) => acc + lit(w(j)) * col(s"x$j"))
+
+  /** `rounds` full-batch gradient sweeps from w = 0. Each sweep is one
+    * aggregation job over `feats`; the driver holds only the CLF_DIM
+    * int64 gradient sums. */
+  private[graft] def clfTrain(feats: DataFrame, rounds: Int = CLF_ROUNDS)
+      : Array[Double] = {
+    var w = Array.fill(CLF_DIM)(0.0)
+    var r = 0
+    while (r < rounds) {
+      val z = clfScore(w)
+      val p = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+      val resid = (p - col("y").cast("double")) *
+        when(col("y") === 0, lit(CLF_NEG_W)).otherwise(lit(1.0))
+      val aggs = (0 until CLF_DIM).map { j =>
+        val xj = if (j == 0) lit(1.0) else col(s"x$j")
+        sum(floor(resid * xj * lit(CLF_Q))).as(s"g$j")
+      } :+ count(lit(1)).as("n")
+      val row = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val n = row.getLong(CLF_DIM).toDouble
+      w = Array.tabulate(CLF_DIM)(j =>
+        w(j) - CLF_LR * ((row.getLong(j).toDouble / CLF_Q) / n))
+      r += 1
+    }
+    w
+  }
+
+  /** The gate: train on the corpus, score every document. */
+  private[graft] def qualityClassifier(s: SparkSession, d: String)
+      : DataFrame = {
+    val feats = clfFeatures(s, d)
+    val w = clfTrain(feats)
+    feats
+      .withColumn("score", clfScore(w))
+      .withColumn("pred", col("score") > lit(0.0))
+      .select("doc_id", "y", "score", "pred")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens, distinct tokens, total/avg token
     // length, and a BPE-ish subword estimate (ceil(len/4) per token).
@@ -365,26 +510,7 @@ object TextOps {
     // is hash-exact cross-engine. Pure narrow codegen'd transforms over
     // the scan — zero shuffle, scales as a projection at any corpus size.
     "text_gopher_filter" -> ((s, d) =>
-      Tables.documents(s, d)
-        .withColumn("toks", split(trim(col("text")), " "))
-        .withColumn("n_words", size(col("toks")))
-        .withColumn("total_len",
-          expr("aggregate(transform(toks, t -> length(t)), 0, " +
-               "(a, x) -> a + x)"))
-        .withColumn("alpha_cnt",
-          expr("size(filter(toks, t -> t rlike '[a-z]'))"))
-        .withColumn("digit_word_cnt",
-          expr("size(filter(toks, t -> t rlike '^[0-9]+$'))"))
-        .withColumn("stop_hits",
-          expr(s"size(filter(array_distinct(toks), t -> t IN ($stopList)))"))
-        // '#' chars + '…'-spelled-as-'...' runs, the two Gopher symbol
-        // classes; counts derive from length deltas (no regex scan)
-        .withColumn("sym_cnt",
-          (length(col("text")) -
-             length(translate(col("text"), "#", "")) +
-           ((length(col("text")) -
-             length(expr("replace(text, '...', '')"))) / lit(3)))
-            .cast("int"))
+      gopherSignals(s, d)
         .withColumn("words_ok",
           col("n_words") >= 20 && col("n_words") <= 2000)
         .withColumn("wlen_ok",
@@ -402,6 +528,14 @@ object TextOps {
         .select("doc_id", "n_words", "sym_cnt", "stop_hits", "words_ok",
                 "wlen_ok", "alpha_ok", "digit_ok", "sym_ok", "stop_ok",
                 "keep")),
+
+    // Model-based quality filter: logistic model over the Gopher signal
+    // ratios, trained in 12 exact fixed-point gradient sweeps against
+    // the rule conjunction as weak labels, then scored corpus-wide. The
+    // DuckDB oracle RETRAINS the model from scratch (unrolled rounds) —
+    // the training math itself is what's verified. See
+    // [[qualityClassifier]] for the cross-engine exactness discipline.
+    "text_quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
 
     // Language ID: n-gram/stopword-marker heuristic. CJK codepoints force
     // zh; otherwise the language with the most marker hits wins (ties in
@@ -737,7 +871,91 @@ object TextOps {
       .select("chunk_id", "doc_id", "off", "cnt", "tok_in_chunk")
   }
 
+  /** The Gopher signal CTEs (t, u) shared by the rule-filter and the
+    * classifier oracles — the DuckDB mirror of [[gopherSignals]]. */
+  private val gopherSignalsSql =
+    s"""t AS (
+           SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+             cast(len(toks) as int) AS n_words,
+             cast(list_aggregate(list_transform(toks, t -> length(t)),
+                  'sum') as int) AS total_len,
+             cast(len(list_filter(toks,
+                  t -> regexp_matches(t, '[a-z]'))) as int) AS alpha_cnt,
+             cast(len(list_filter(toks,
+                  t -> regexp_matches(t, '^[0-9]+$$'))) as int)
+               AS digit_word_cnt,
+             cast(len(list_filter(list_distinct(toks),
+                  t -> t IN ($stopList))) as int) AS stop_hits,
+             cast(length(text) - length(replace(text, '#', '')) +
+                  (length(text) - length(replace(text, '...', ''))) // 3
+                  as int) AS sym_cnt
+           FROM t)"""
+
+  /** Full from-scratch retraining of the quality classifier in DuckDB:
+    * the [[CLF_ROUNDS]] gradient sweeps unroll as chained CTEs (w0 →
+    * g1/w1 → … → wR), each round's gradient the same floor-quantized
+    * int64 sum over the same fast-sigmoid residuals, every expression
+    * tree written with [[clfTrain]]'s parenthesization. Exactly-rounded
+    * IEEE ops on identical inputs make both engines' weights — and the
+    * per-document scores — bit-identical. */
+  private def clfOracleSql: String = {
+    val dot = "w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + " +
+      "w.w4 * f.x4 + w.w5 * f.x5 + w.w6 * f.x6"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH $gopherSignalsSql,
+         f AS (
+           SELECT doc_id,
+             cast((n_words BETWEEN 20 AND 2000 AND
+                   3 * n_words <= total_len AND
+                   total_len <= 10 * n_words AND
+                   alpha_cnt * 5 >= n_words * 4 AND
+                   digit_word_cnt * 10 <= n_words AND
+                   sym_cnt * 10 < n_words AND stop_hits >= 2) as int) AS y,
+             cast(n_words as double) / 64.0 - 0.3125 AS x1,
+             cast(total_len as double) / (8.0 * n_words) - 0.375 AS x2,
+             cast(alpha_cnt as double) / n_words - 0.8125 AS x3,
+             0.125 - cast(digit_word_cnt as double) / n_words AS x4,
+             cast(least(stop_hits, 8) as double) / 8.0 - 0.25 AS x5,
+             0.125 - cast(sym_cnt as double) / n_words AS x6
+           FROM u),
+         w0 AS (SELECT ${(0 until CLF_DIM).map(j =>
+               s"cast(0 as double) AS w$j").mkString(", ")})""")
+    for (r <- 1 to CLF_ROUNDS) {
+      val grads = (0 until CLF_DIM).map { j =>
+        val xj = if (j == 0) "1.0" else s"x$j"
+        s"sum(cast(floor(resid * $xj * 16777216.0) as bigint)) AS g$j"
+      }.mkString(",\n             ")
+      val ups = (0 until CLF_DIM).map(j =>
+        s"w.w$j - 0.5 * ((cast(g.g$j as double) / 16777216.0) / g.n)" +
+          s" AS w$j").mkString(",\n             ")
+      sb.append(s""",
+         r$r AS (
+           SELECT *,
+             ((0.5 + z / (2.0 * (1.0 + abs(z)))) - cast(y as double))
+               * (CASE WHEN y = 0 THEN 8.0 ELSE 1.0 END) AS resid
+           FROM (SELECT f.*, ($dot) AS z
+                 FROM f CROSS JOIN w${r - 1} w)),
+         g$r AS (
+           SELECT $grads,
+             count(*) AS n
+           FROM r$r),
+         w$r AS (
+           SELECT $ups
+           FROM w${r - 1} w CROSS JOIN g$r g)""")
+    }
+    sb.append(s"""
+         SELECT doc_id, y, score, score > 0.0 AS pred
+         FROM (SELECT f.doc_id, f.y, ($dot) AS score
+               FROM f CROSS JOIN w$CLF_ROUNDS w)""")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_quality_classifier" -> clfOracleSql,
     "text_pack_chunks" ->
       """WITH c AS (SELECT doc_id,
              cast(length(string_split(trim(text), ' ')) AS bigint) AS cnt
@@ -818,25 +1036,7 @@ object TextOps {
             CASE WHEN digit_cnt = 0 THEN 20 ELSE 0 END as int) AS score_pts
          FROM u""",
     "text_gopher_filter" ->
-      s"""WITH t AS (
-           SELECT doc_id, text, string_split(trim(text), ' ') AS toks
-           FROM documents),
-         u AS (
-           SELECT doc_id,
-             cast(len(toks) as int) AS n_words,
-             cast(list_aggregate(list_transform(toks, t -> length(t)),
-                  'sum') as int) AS total_len,
-             cast(len(list_filter(toks,
-                  t -> regexp_matches(t, '[a-z]'))) as int) AS alpha_cnt,
-             cast(len(list_filter(toks,
-                  t -> regexp_matches(t, '^[0-9]+$$'))) as int)
-               AS digit_word_cnt,
-             cast(len(list_filter(list_distinct(toks),
-                  t -> t IN ($stopList))) as int) AS stop_hits,
-             cast(length(text) - length(replace(text, '#', '')) +
-                  (length(text) - length(replace(text, '...', ''))) // 3
-                  as int) AS sym_cnt
-           FROM t),
+      s"""WITH $gopherSignalsSql,
          r AS (
            SELECT doc_id, n_words, sym_cnt, stop_hits,
              (n_words BETWEEN 20 AND 2000) AS words_ok,
