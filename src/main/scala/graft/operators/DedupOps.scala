@@ -172,38 +172,103 @@ object DedupOps {
   private[graft] def corpusIdxKey(d: String, gram: Int, k: Int,
       bands: Int): Any = ("dedup_corpus_band", d, gram, k, bands)
 
-  def incrementalDups(s: SparkSession, d: String, gram: Int = 2,
-      k: Int = K, bands: Int = BANDS,
-      minJaccard: Double = 0.5): DataFrame = {
-    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
-    val base = withShingles(documents(s, d), gram)
-    val isNew = col("doc_id") % 10 === 0
-    def bandsOf(df: DataFrame) = df.select(
+  /** Arrival slice convention shared by the incremental gates: the
+    * doc_id % 10 == 0 docs play the NEW batch, the rest the established
+    * corpus — scale-proportional across fixtures. */
+  private[graft] val NEW_DOC = col("doc_id") % 10 === 0
+
+  private def bandsFrame(df: DataFrame, k: Int, bands: Int): DataFrame =
+    df.select(
       col("doc_id"),
       explode(graft.functions.MinHashBands
         .minhash_bands(col("shingles"), k, bands)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-    val corpusIdx = graft.core.SessionMemo.getOrElseUpdate(
+
+  /** The established corpus's persisted band index — the artifact every
+    * ingest (batch gate and streaming twin alike) probes. Memoized per
+    * (session, dir, gram, k, bands) via SessionMemo. */
+  private[graft] def corpusBandIndex(s: SparkSession, d: String,
+      gram: Int, k: Int, bands: Int): DataFrame =
+    graft.core.SessionMemo.getOrElseUpdate(
       s, corpusIdxKey(d, gram, k, bands))(
-      bandsOf(base.filter(!isNew))
+      bandsFrame(withShingles(documents(s, d).filter(!NEW_DOC), gram),
+        k, bands)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val cands = bandsOf(base.filter(isNew)).as("n")
-      .join(corpusIdx.as("o"), Seq("band_id", "band_hash"))
+
+  /** Probe one batch of arriving docs against the persisted corpus
+    * index: bands derive narrowly from the batch, ONE equi-join yields
+    * candidates, verification joins shingle sets by id — each side
+    * filtered to the rows that can match BEFORE its shuffle, so the
+    * verify join moves O(batch + candidates) rows, never the corpus. */
+  private[graft] def probeAgainstCorpus(s: SparkSession, d: String,
+      newDocs: DataFrame, gram: Int, k: Int, bands: Int,
+      minJaccard: Double): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    val newSh = withShingles(newDocs, gram)
+    val cands = bandsFrame(newSh, k, bands).as("n")
+      .join(corpusBandIndex(s, d, gram, k, bands).as("o"),
+            Seq("band_id", "band_hash"))
       .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("dup_of"))
       .distinct()
-    val sets = base.select(col("doc_id"),
-      array_distinct(col("shingles")).as("sh"))
-    val scored = cands
-      .join(sets.select(col("doc_id"), col("sh").as("sh_n")), Seq("doc_id"))
-      .join(sets.select(col("doc_id").as("dup_of"), col("sh").as("sh_o")),
-            Seq("dup_of"))
+    val newSets = newSh.select(col("doc_id"),
+      array_distinct(col("shingles")).as("sh_n"))
+    val oldSets = withShingles(documents(s, d).filter(!NEW_DOC), gram)
+      .select(col("doc_id").as("dup_of"),
+        array_distinct(col("shingles")).as("sh_o"))
+    cands
+      .join(newSets, Seq("doc_id"))
+      .join(oldSets, Seq("dup_of"))
       .withColumn("inter",
         size(array_intersect(col("sh_n"), col("sh_o"))))
       .withColumn("uni",
         size(col("sh_n")) + size(col("sh_o")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-    scored.filter(col("jaccard") >= minJaccard)
+      .filter(col("jaccard") >= minJaccard)
       .select("doc_id", "dup_of", "jaccard")
+  }
+
+  def incrementalDups(s: SparkSession, d: String, gram: Int = 2,
+      k: Int = K, bands: Int = BANDS,
+      minJaccard: Double = 0.5): DataFrame =
+    probeAgainstCorpus(s, d, documents(s, d).filter(NEW_DOC),
+      gram, k, bands, minJaccard)
+
+  /** Streaming twin of [[incrementalDups]] — near-dup flagging at
+    * ingest time, gate `streaming_ingest_neardup`: arriving document
+    * micro-batches probe the SAME persisted corpus band index through
+    * the real Structured Streaming runtime. The probe runs per batch in
+    * foreachBatch (the incremental-batch serving pattern); each batch's
+    * verified matches land as an overwrite of its own `b<batchId>` sink
+    * dir, which is what makes the at-least-once foreachBatch contract
+    * exactly-once here — a replayed batch rebuilds the identical dir
+    * (same discipline as the versioned CDC sink). Batch-invariance of
+    * the probe (each doc vs the static index) means the drained sink
+    * equals the batch gate's result, so the SAME DuckDB oracle verifies
+    * both. `variant` suffixes the sink/checkpoint for spec restarts.
+    *
+    * At 100 TB: per-batch cost is O(batch + its candidates); the
+    * corpus-scale index is built once before the stream starts and
+    * persists across batches — exactly the dedup_incremental scale
+    * story, now restart-safe under a durable checkpoint. */
+  private[graft] def streamingIngestDups(s: SparkSession, d: String,
+      variant: String = ""): DataFrame = {
+    import graft.streaming.DocIngest
+    corpusBandIndex(s, d, 2, K, BANDS) // serving artifact: built pre-stream
+    val (sink, ckpt) = DocIngest.sinkCkpt(d, "ingest_neardup" + variant)
+    val apply: (DataFrame, Long) => Unit = (batch, id) =>
+      // coalesce(1): tiny per-batch result, and a zero-row batch still
+      // commits one schema-bearing file so the sink read-back never
+      // sees a fileless dir
+      probeAgainstCorpus(s, d, batch.filter(NEW_DOC), 2, K, BANDS, 0.5)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(sink.resolve(s"b$id").toString)
+    val q = DocIngest.source(s, d).writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch(apply)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .queryName("g_ingest_neardup" + variant).start()
+    DocIngest.await(q)
+    s.read.option("recursiveFileLookup", "true").parquet(sink.toString)
   }
 
   /** Connected components over the verified LSH near-dup pairs — the
@@ -489,6 +554,11 @@ object DedupOps {
     // matches are the batch rows a daily pipeline would reject.
     "dedup_incremental" -> ((s, d) => incrementalDups(s, d)),
 
+    // The streaming twin: the same probe, run per arriving micro-batch
+    // under the real streaming runtime with a durable checkpoint. Same
+    // oracle — batch-invariance of the probe is the verified property.
+    "streaming_ingest_neardup" -> ((s, d) => streamingIngestDups(s, d)),
+
     // Exact n-gram Jaccard (the non-approximate baseline to MinHash):
     // top-5 most-similar docs for each query doc (doc_id < 20) by 2-gram
     // Jaccard. Formulated as explode → equi-join on shingle → group-count
@@ -602,25 +672,14 @@ object DedupOps {
          FROM ($clusters) cl"""
   }
 
-val oracles: Map[String, String] = Map(
-    "dedup_exact" ->
-      """SELECT md5(lower(trim(text))) AS text_hash,
-         min(doc_id) AS keep_id, count(*) AS n_dups
-         FROM documents GROUP BY 1""",
-    "dedup_minhash_sigs" -> {
-      val cols = (0 until K).map(j => s"sig_$j").mkString(", ")
-      s"WITH ${sigsOracleCte(5)} SELECT doc_id, $cols FROM sigs"
-    },
-    "dedup_minhash_pairs" ->
-      s"""WITH ${lshScoredCte(2)}
-         SELECT doc_a, doc_b, jaccard FROM scored""",
-
-    "dedup_incremental" -> {
-      val bandRows = (0 until K / 2).map(b =>
-        s"SELECT doc_id, $b AS band_id, " +
-        s"md5(sig_${2 * b} || sig_${2 * b + 1}) AS band_hash FROM sigs"
-      ).mkString("\n           UNION ALL ")
-      s"""WITH ${sigsOracleCte(2)},
+/** Oracle of [[incrementalDups]] AND its streaming twin (the gates
+    * return identical frames — see [[streamingIngestDups]]). */
+  private lazy val incrementalOracle: String = {
+    val bandRows = (0 until K / 2).map(b =>
+      s"SELECT doc_id, $b AS band_id, " +
+      s"md5(sig_${2 * b} || sig_${2 * b + 1}) AS band_hash FROM sigs"
+    ).mkString("\n           UNION ALL ")
+    s"""WITH ${sigsOracleCte(2)},
          bands AS ($bandRows),
          cand AS (
            SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_of
@@ -639,7 +698,25 @@ val oracles: Map[String, String] = Map(
            JOIN tk b ON b.doc_id = c.dup_of)
          SELECT doc_id, dup_of, jaccard FROM scored
          WHERE jaccard >= 0.5"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS text_hash,
+         min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1""",
+    "dedup_minhash_sigs" -> {
+      val cols = (0 until K).map(j => s"sig_$j").mkString(", ")
+      s"WITH ${sigsOracleCte(5)} SELECT doc_id, $cols FROM sigs"
     },
+    "dedup_minhash_pairs" ->
+      s"""WITH ${lshScoredCte(2)}
+         SELECT doc_a, doc_b, jaccard FROM scored""",
+
+    "dedup_incremental" -> incrementalOracle,
+    // batch-invariance makes the streaming twin's drained sink equal
+    // the batch probe — verified against the SAME retraining-free SQL
+    "streaming_ingest_neardup" -> incrementalOracle,
 
     // cluster assignment + the engine's md5-bucket hash on cluster_id:
     // the split oracle IS the clusters oracle with the hash wrapped

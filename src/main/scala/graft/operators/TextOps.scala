@@ -307,7 +307,13 @@ object TextOps {
     * `text_quality_classifier` (learned weights). Pure narrow codegen'd
     * transforms over the scan: zero shuffle at any corpus size. */
   private def gopherSignals(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    gopherSignalsFrom(Tables.documents(s, d))
+
+  /** [[gopherSignals]] over an arbitrary documents frame — batch scan or
+    * streaming micro-batch source alike (every transform is stateless,
+    * so the same column tree serves both runtimes). */
+  private def gopherSignalsFrom(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(trim(col("text")), " "))
       .withColumn("n_words", size(col("toks")))
       .withColumn("total_len",
@@ -381,7 +387,13 @@ object TextOps {
     * so the shift is bit-exact too) — signed evidence converges in few
     * sweeps where raw all-positive ratios drift to the majority class. */
   private[graft] def clfFeatures(s: SparkSession, d: String): DataFrame =
-    gopherSignals(s, d)
+    clfFeaturesFrom(Tables.documents(s, d))
+
+  /** The feature frame over an arbitrary documents frame — stateless
+    * column tree, so it also types a streaming micro-batch source
+    * (see [[streamingScore]]). */
+  private def clfFeaturesFrom(docs: DataFrame): DataFrame =
+    gopherSignalsFrom(docs)
       .withColumn("y",
         (col("n_words") >= 20 && col("n_words") <= 2000 &&
          lit(3) * col("n_words") <= col("total_len") &&
@@ -445,6 +457,41 @@ object TextOps {
       .withColumn("score", clfScore(w))
       .withColumn("pred", col("score") > lit(0.0))
       .select("doc_id", "y", "score", "pred")
+  }
+
+  /** Train-offline / score-online — gate `streaming_ingest_score`: the
+    * classifier trains on the static corpus BEFORE the stream starts
+    * (12 batch sweeps, weights are driver-held bounded metadata), then
+    * serves as a stateless streaming projection over arriving document
+    * micro-batches — the weights ride into every batch as literals in
+    * the column tree, exactly how a scoring model deploys against a
+    * live feed. The sink is the plain streaming file sink (its commit
+    * log is what makes an append sink exactly-once), drained under
+    * `Trigger.AvailableNow` with a durable checkpoint, so a
+    * re-invocation exercises offset-log recovery. Scoring each doc
+    * depends only on the doc and the frozen weights, so the drained
+    * sink equals the batch gate's frame — the SAME retrain-from-scratch
+    * DuckDB oracle verifies both.
+    *
+    * At 100 TB/day of arrivals: per-batch cost is one narrow codegen'd
+    * projection — no state stores, no shuffle, nothing corpus-sized in
+    * the stream. */
+  private[graft] def streamingScore(s: SparkSession, d: String)
+      : DataFrame = {
+    import graft.streaming.DocIngest
+    val w = clfTrain(clfFeatures(s, d))
+    val (sink, ckpt) = DocIngest.sinkCkpt(d, "ingest_score")
+    val q = clfFeaturesFrom(DocIngest.source(s, d))
+      .withColumn("score", clfScore(w))
+      .withColumn("pred", col("score") > lit(0.0))
+      .select("doc_id", "y", "score", "pred")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("parquet").option("path", sink.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .queryName("g_ingest_score").start()
+    DocIngest.await(q)
+    s.read.parquet(sink.toString)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -536,6 +583,11 @@ object TextOps {
     // the training math itself is what's verified. See
     // [[qualityClassifier]] for the cross-engine exactness discipline.
     "text_quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
+
+    // The serving twin: same trained model, scored over arriving
+    // document micro-batches in the streaming runtime. Same oracle —
+    // scoring is stateless, so batching cannot change the frame.
+    "streaming_ingest_score" -> ((s, d) => streamingScore(s, d)),
 
     // Language ID: n-gram/stopword-marker heuristic. CJK codepoints force
     // zh; otherwise the language with the most marker hits wins (ties in
@@ -956,6 +1008,10 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_quality_classifier" -> clfOracleSql,
+    // the streaming serve path returns the identical frame (stateless
+    // scoring under frozen weights) — verified against the same
+    // retrain-from-scratch SQL
+    "streaming_ingest_score" -> clfOracleSql,
     "text_pack_chunks" ->
       """WITH c AS (SELECT doc_id,
              cast(length(string_split(trim(text), ' ')) AS bigint) AS cnt
