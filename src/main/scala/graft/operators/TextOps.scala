@@ -448,12 +448,33 @@ object TextOps {
     w
   }
 
+  /** Trained weights per (dir, rounds) — the classifier's analog of
+    * [[bpeVocabCache]]: training is 12 aggregation sweeps whose input —
+    * the tokenize/HOF feature projection — costs far more than the
+    * 7-long reduce itself, so (a) the feature frame is persisted for
+    * the sweeps (materialize-features-once, the same discipline a
+    * 100 TB pipeline applies by writing the feature table before
+    * training) and (b) the resulting 7 doubles are memoized so the
+    * batch gate and the streaming serve path train ONCE per fixture.
+    * Same immutable-fixture assumption as bpeVocabCache; weights are
+    * deterministic (order-independent fixed-point reduction), so which
+    * caller trains first cannot change them. */
+  private val clfWeightsCache =
+    scala.collection.concurrent.TrieMap[(String, Int), Array[Double]]()
+
+  private[graft] def trainedWeights(s: SparkSession, d: String,
+      rounds: Int = CLF_ROUNDS): Array[Double] =
+    clfWeightsCache.getOrElseUpdate((d, rounds), {
+      val feats = clfFeatures(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try clfTrain(feats, rounds) finally feats.unpersist()
+    })
+
   /** The gate: train on the corpus, score every document. */
   private[graft] def qualityClassifier(s: SparkSession, d: String)
       : DataFrame = {
-    val feats = clfFeatures(s, d)
-    val w = clfTrain(feats)
-    feats
+    val w = trainedWeights(s, d)
+    clfFeatures(s, d)
       .withColumn("score", clfScore(w))
       .withColumn("pred", col("score") > lit(0.0))
       .select("doc_id", "y", "score", "pred")
@@ -479,7 +500,7 @@ object TextOps {
   private[graft] def streamingScore(s: SparkSession, d: String)
       : DataFrame = {
     import graft.streaming.DocIngest
-    val w = clfTrain(clfFeatures(s, d))
+    val w = trainedWeights(s, d)
     val (sink, ckpt) = DocIngest.sinkCkpt(d, "ingest_score")
     val q = clfFeaturesFrom(DocIngest.source(s, d))
       .withColumn("score", clfScore(w))
