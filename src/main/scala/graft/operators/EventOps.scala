@@ -61,7 +61,16 @@ object EventOps {
           stage.resolve("events.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         val row = org.apache.spark.sql.Row(schema.fields.map { f =>
-          if (f.name == "ts") sentinelNs
+          if (f.name == "ts") f.dataType match {
+            // match the fixture's physical shape (TESTDATA vintages:
+            // int64 nanos under the legacy flag, or TIMESTAMP_NTZ micros)
+            case org.apache.spark.sql.types.LongType => sentinelNs
+            case org.apache.spark.sql.types.TimestampNTZType =>
+              java.time.LocalDateTime.ofEpochSecond(
+                sentinelNs / 1000000000L, 0, java.time.ZoneOffset.UTC)
+            case _ =>
+              java.time.Instant.ofEpochSecond(sentinelNs / 1000000000L)
+          }
           else if (f.name == "user_id") -1L
           else if (f.name == "event_type") "__sentinel__"
           else null
@@ -106,13 +115,14 @@ object EventOps {
     * floor (~2.5 s) that SCALE.md documents as invocation overhead, not
     * data cost.
     */
-  /** Scope `spark.sql.legacy.parquet.nanosAsLong=true` to `body`: the
-    * raw events.parquet carries TIMESTAMP(NANOS) and needs the flag for
-    * the footer read + staging, but leaving it set would mutate the
-    * read semantics of every LATER parquet read in the shared session —
-    * save/restore, same discipline as the shuffle.partitions scoping
-    * below. (The staged replay files and gate sinks store ts as
-    * int64/micros, so nothing outside this scope needs the flag.) */
+  /** Scope `spark.sql.legacy.parquet.nanosAsLong=true` to `body`:
+    * TIMESTAMP(NANOS)-vintage events fixtures need the flag for the
+    * footer read + staging (on micros-vintage fixtures it is a no-op),
+    * but leaving it set would mutate the read semantics of every LATER
+    * parquet read in the shared session — save/restore, same discipline
+    * as the shuffle.partitions scoping below. (The staged replay files
+    * and gate sinks store ts in the source fixture's shape;
+    * [[Tables.tsAsUtcInstant]] normalizes either shape at read.) */
   private def withNanosAsLong[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val saved = s.conf.getOption(key)
@@ -184,10 +194,9 @@ object EventOps {
       deleteOnExit(sk); deleteOnExit(ck)
       (sk, ck)
     })
-    val stream = s.readStream.schema(schema)
+    val stream = Tables.tsAsUtcInstant(s.readStream.schema(schema)
       .option("recursiveFileLookup", "true")
-      .parquet(stage)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(stage))
     // state-store instances = shuffle partitions at first batch; the
     // windowed-agg state is tiny (one row per group), so 2 partitions
     // minimize per-batch store open/commit overhead without touching the
@@ -234,10 +243,9 @@ object EventOps {
       deleteOnExit(sk); deleteOnExit(ck)
       (sk, ck)
     })
-    val stream = s.readStream.schema(schema)
+    val stream = Tables.tsAsUtcInstant(s.readStream.schema(schema)
       .option("recursiveFileLookup", "true")
-      .parquet(stage)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(stage))
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")
     val apply: (DataFrame, Long) => Unit =

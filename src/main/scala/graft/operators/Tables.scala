@@ -32,14 +32,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read nanos as long and truncate to micros (exactly what
-    * DuckDB's ns→us cast does). */
+  /** events.ts has shipped in two physical shapes across driver fixture
+    * generations: parquet TIMESTAMP(NANOS) (readable by Spark only as
+    * int64 under the legacy flag; truncated ns→us exactly like DuckDB's
+    * cast) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    * TIMESTAMP_NTZ). Normalize both to TIMESTAMP_LTZ micros carrying the
+    * fixture's wall-clock as a UTC instant — the one type every
+    * downstream gate and oracle was written against. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    tsAsUtcInstant(t(s, d, "events"))
+  }
+
+  /** Normalize a `ts` column to TIMESTAMP_LTZ micros whose instant is the
+    * fixture wall-clock read as UTC, whatever physical type the source
+    * carried. The NTZ→LTZ cast takes the session timezone, so that arm
+    * demands the UTC pin every engine entrypoint already sets — failing
+    * loudly beats silently shifting every event by the local offset. */
+  private[graft] def tsAsUtcInstant(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType =>              // int64 nanos under the legacy flag
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ; converting it to an instant needs " +
+          s"spark.sql.session.timeZone=UTC (got '$tz') or every event " +
+          "shifts by the zone offset")
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df                  // already TIMESTAMP_LTZ
+    }
   }
   /** Unique per-invocation suffix for session temp-view names: gates
     * that drop to SQL over temp views must not collide if two gates
