@@ -209,6 +209,42 @@ object AdvancedOps {
         min("l_quantity").as("qmin"),
         max("l_quantity").as("qmax"))),
 
+    // Robust outlier audit (median/MAD, the production monitoring op):
+    // per event type, robust_z = (value − med) / (1.4826·mad) with
+    // med/mad exact interpolated percentiles, flagged at |z| > 3. The
+    // full per-event audit table is emitted (not just the outliers) so
+    // a monitoring run can re-threshold without recomputation.
+    // Median/MAD instead of mean/stddev because the outliers being
+    // hunted poison the moments that would detect them — the classic
+    // masking failure; the MAD estimator has a 50% breakdown point.
+    // Determinism: both engines run the same (n−1)·p interpolation on
+    // the same doubles (the percentiles_exact contract), subtraction /
+    // abs / the two divisions are exactly rounded in fixed order, and
+    // 1.4826 converts to the identical double in both engines.
+    // Scale shape: two per-group exact percentile passes, group count
+    // = |event types| (bounded); the per-group value LISTS are what
+    // exact percentile holds, so at 100 TB swap med/mad for
+    // approx_percentile sketches (mergeable, bounded memory) — the
+    // flag threshold is the knob that absorbs the ε, the plan shape
+    // does not change. The broadcast joins carry |types| rows.
+    "events_anomaly_robust" -> ((s, d) => {
+      val e = events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("absdev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(absdev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .filter(col("mad") > 0)
+        .withColumn("robust_z",
+          (col("value") - col("med")) / (lit(1.4826) * col("mad")))
+        .withColumn("is_outlier", abs(col("robust_z")) > lit(3.0))
+        .select("event_id", "event_type", "value", "med", "mad",
+          "robust_z", "is_outlier")
+    }),
+
     // Ordered funnel: per user, did view → click → purchase happen in
     // temporal order? Computed with per-user min-timestamps of each stage
     // conditional on the previous stage preceding it — one shuffle on
@@ -241,6 +277,23 @@ object AdvancedOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // med/mad via the same (n−1)·p interpolation; 1.4826 is a DECIMAL
+    // literal in DuckDB, cast to double so both engines scale mad by
+    // the identical bits
+    "events_anomaly_robust" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                    FROM events GROUP BY event_type),
+         d AS (SELECT e.event_id, e.event_type, e.value, m.med,
+                 abs(e.value - m.med) AS absdev
+               FROM events e JOIN m USING (event_type)),
+         md AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+                FROM d GROUP BY event_type)
+         SELECT d.event_id, d.event_type, d.value, d.med, md.mad,
+           (d.value - d.med) / (cast(1.4826 as double) * md.mad)
+             AS robust_z,
+           abs((d.value - d.med) / (cast(1.4826 as double) * md.mad))
+             > cast(3.0 as double) AS is_outlier
+         FROM d JOIN md USING (event_type) WHERE md.mad > 0""",
     "asof_join_events" ->
       """SELECT event_id, user_id, us, prev_error_us,
          CASE WHEN prev_error_us IS NOT NULL THEN us - prev_error_us

@@ -993,8 +993,75 @@ object VectorOps {
           .as("deployed_ge_seed"))
   }
 
+  /** Hybrid retrieval via Reciprocal-Rank Fusion (Cormack/Clarke/
+    * Buettcher 2009, k = 60) — the production RAG pattern: a lexical
+    * arm and a vector arm each retrieve a bounded candidate list per
+    * query, and the fused score Σ 1/(60 + rank) rewards documents that
+    * rank well in EITHER modality without ever comparing the arms'
+    * incommensurable raw scores. Queries are the doc_id < 5 documents
+    * ("more like this"); the lexical arm ranks by distinct-2-gram
+    * Jaccard (the dedup_ngram_jaccard shape: explode → shingle
+    * equi-join → group-count, never pairwise set ops), the vector arm
+    * by exact integer cosine over the id-aligned embeddings.
+    *
+    * Determinism: each arm's rank is an integer from an exactly-ordered
+    * window (double compares + doc_id tie-break); the fused score is
+    * two exactly-rounded IEEE divisions and one addition in a fixed
+    * expression order — bit-identical in DuckDB.
+    *
+    * 100 TB shape: each arm is already candidate-bounded (armK per
+    * query) before fusion, so the fusion join carries ≤ 2·armK narrow
+    * (qid, doc_id, rank) rows per query whatever the corpus size. At
+    * scale the vector arm swaps for the deployed IVF-PQ probe and the
+    * lexical arm for a df-capped inverted index — both existing gates —
+    * with the same (qid, doc_id, rank) contract into this fusion. */
+  def hybridRrf(s: SparkSession, d: String, armK: Int = 50,
+      topK: Int = 10): DataFrame = {
+    val vec = bruteforceTopK(s, d, armK)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rn").as("r_vec"))
+    val sh = Tables.documents(s, d)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.NgramShingles
+          .ngram_shingles(col("toks"), 2))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val q = sh.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("sh"))
+    // the query side is <= 5 docs' distinct shingles — broadcast it so
+    // the corpus-side posting stream never shuffles for the probe
+    val inter = sh.join(broadcast(q), Seq("sh"))
+      .filter(col("qid") =!= col("doc_id"))
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("inter"))
+    val wl = Window.partitionBy("qid")
+      .orderBy(col("jaccard").desc, col("doc_id").asc)
+    val lex = inter
+      .join(sizes.select(col("doc_id").as("qid"), col("sz").as("sz_q")),
+            Seq("qid"))
+      .join(sizes.select(col("doc_id"), col("sz").as("sz_d")),
+            Seq("doc_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_q") + col("sz_d") - col("inter")))
+      .withColumn("r_lex", row_number().over(wl))
+      .filter(col("r_lex") <= armK)
+      .select(col("qid"), col("doc_id"), col("r_lex"))
+    val fused = vec.join(lex, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)))
+    val wf = Window.partitionBy("qid")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("doc_id"), col("r_vec"), col("r_lex"),
+        col("rrf"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> ((s, d) => bruteforceTopK(s, d)),
+    // RRF fusion of the lexical and vector arms — see hybridRrf
+    "search_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "ann_lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
     // validated-promotion quantizer on the oracled path (seed cells
     // remain the fallback default of ivfTopK for callers without a
@@ -1198,8 +1265,68 @@ object VectorOps {
            FROM rr) WHERE rn <= 5"""
   }
 
+  /** Mirrors [[hybridRrf]] stage for stage: the vector arm is the
+    * bfOracle ranking at armK = 50, the lexical arm the
+    * dedup_ngram_jaccard ranking at armK = 50 over qid < 5, and the
+    * fusion the same two exactly-rounded divisions + one addition. */
+  private def hybridRrfOracle: String =
+    s"""WITH $oracleQuantCte,
+         q AS (SELECT vec_id AS qid, qv AS qqv, nrm AS qnrm FROM n
+               WHERE vec_id < 5),
+         vscored AS (
+           SELECT q.qid, n.vec_id,
+             cast(list_aggregate(list_transform(range(1, $DIM + 1),
+               i -> q.qqv[i] * n.qv[i]), 'sum') as bigint) AS dot,
+             q.qnrm, n.nrm
+           FROM n, q WHERE n.vec_id != q.qid
+             AND n.nrm > 0 AND q.qnrm > 0),
+         varm AS (SELECT qid, doc_id, r_vec FROM (
+           SELECT qid, vec_id AS doc_id,
+             cast(row_number() OVER (PARTITION BY qid
+               ORDER BY cast(dot as double) /
+                 (sqrt(cast(qnrm as double)) * sqrt(cast(nrm as double)))
+                 DESC, vec_id ASC) as int) AS r_vec
+           FROM vscored) WHERE r_vec <= 50),
+         t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+               FROM documents),
+         shl AS (SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(toks) - 1, 1) + 1),
+             i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS shs
+           FROM t),
+         sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         lq AS (SELECT doc_id AS qid, sh FROM sh WHERE doc_id < 5),
+         inter AS (
+           SELECT lq.qid, sh.doc_id, count(*) AS inter
+           FROM lq JOIN sh USING (sh) WHERE lq.qid != sh.doc_id
+           GROUP BY lq.qid, sh.doc_id),
+         lscored AS (
+           SELECT i.qid, i.doc_id,
+             cast(i.inter as double) / (sq.sz + sd.sz - i.inter) AS jaccard
+           FROM inter i
+           JOIN sizes sq ON sq.doc_id = i.qid
+           JOIN sizes sd ON sd.doc_id = i.doc_id),
+         larm AS (SELECT qid, doc_id, r_lex FROM (
+           SELECT qid, doc_id,
+             cast(row_number() OVER (PARTITION BY qid
+               ORDER BY jaccard DESC, doc_id ASC) as int) AS r_lex
+           FROM lscored) WHERE r_lex <= 50),
+         fused AS (
+           SELECT coalesce(v.qid, l.qid) AS qid,
+             coalesce(v.doc_id, l.doc_id) AS doc_id, v.r_vec, l.r_lex,
+             coalesce(cast(1 as double) / (60 + v.r_vec), 0.0) +
+             coalesce(cast(1 as double) / (60 + l.r_lex), 0.0) AS rrf
+           FROM varm v FULL OUTER JOIN larm l
+             ON v.qid = l.qid AND v.doc_id = l.doc_id)
+         SELECT qid, doc_id, r_vec, r_lex, rrf, rn FROM (
+           SELECT qid, doc_id, r_vec, r_lex, rrf,
+             cast(row_number() OVER (PARTITION BY qid
+               ORDER BY rrf DESC, doc_id ASC) as int) AS rn
+           FROM fused) WHERE rn <= 10"""
+
   def oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" -> bfOracle,
+    "search_hybrid_rrf" -> hybridRrfOracle,
     "ann_filtered_topk" -> filteredIvfOracle,
     "ann_lsh_buckets" -> oracleBucketSql,
     // bf vs the DEPLOYED ivf (the gate path), the SEED incumbent, and

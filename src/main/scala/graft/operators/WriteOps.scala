@@ -133,6 +133,114 @@ object WriteOps {
       .partitionBy("pt_year").parquet(base)
   }
 
+  /** Minimal manifest-committed snapshot table — the transactional core
+    * of the lakehouse formats (Delta/Iceberg/Hudi CoW shape) over plain
+    * parquet, completing the write family's missing pillar: TIME TRAVEL.
+    *
+    *  - Data files are IMMUTABLE, written once under `root/data/`; a
+    *    file's partition is encoded in its name (`v{v}_y{year}_p{i}`)
+    *    so carry-over is a name filter, no footer reads.
+    *  - A commit is one atomically-renamed manifest: the list of data
+    *    files composing version v = freshly-written files for the
+    *    TOUCHED partitions + the parent manifest's files for everything
+    *    else. Commit cost = rewritten partitions + one tiny metadata
+    *    file, never table size; a torn commit is impossible (readers
+    *    resolve the old manifest or the new one, never half a file
+    *    list — the same guarantee a lakehouse gets from its log).
+    *  - Reading version v lists exactly v's files: any retained version
+    *    is a consistent snapshot, and later commits never disturb it —
+    *    snapshot isolation BY immutability (SnapshotTableSpec asserts
+    *    shared files keep their mtimes across commits).
+    *  - vacuum(retain k) deletes data files referenced by NO retained
+    *    manifest plus the expired manifests — a set difference over
+    *    file lists, metadata-only, no data scan. Reads within retention
+    *    are byte-identical before/after (the gate proves it); reads
+    *    past retention fail loudly.
+    *
+    * At 100 TB the manifests are the only non-distributed state, one
+    * line per live file — the exact scaling contract Iceberg's
+    * manifest lists formalize; swapping the flat file list for a
+    * partition-grouped manifest tree changes no commit or read
+    * semantics. */
+  private[graft] object SnapshotTable {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+
+    private def manifest(root: String, v: Int): Path =
+      Paths.get(root, "_manifests", s"v$v.txt")
+
+    def versions(root: String): Seq[Int] = {
+      val dir = Paths.get(root, "_manifests")
+      if (!Files.exists(dir)) Seq.empty
+      else Files.list(dir).iterator.asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches("v\\d+\\.txt"))
+        .map(_.drop(1).dropRight(4).toInt).toSeq.sorted
+    }
+
+    def files(root: String, v: Int): Seq[String] = {
+      require(Files.exists(manifest(root, v)),
+        s"snapshot version $v is unavailable (vacuumed or never " +
+        "committed)")
+      Files.readAllLines(manifest(root, v)).asScala.toSeq
+    }
+
+    def read(s: SparkSession, root: String, v: Int): DataFrame =
+      s.read.parquet(files(root, v): _*)
+
+    /** Commit `slice` — ALL rows of the touched partitions — as
+      * version v. One Spark write per touched partition (bounded by
+      * the merge's touched-partition count, the same assumption the
+      * CoW upsert makes), then the atomic manifest rename publishes. */
+    def commit(s: SparkSession, root: String, v: Int, slice: DataFrame,
+        touched: Seq[Int]): Unit = {
+      val dataDir = Paths.get(root, "data")
+      Files.createDirectories(dataDir)
+      Files.createDirectories(Paths.get(root, "_manifests"))
+      val fresh = touched.flatMap { y =>
+        val stage = Paths.get(root, s"stage_v${v}_y$y")
+        slice.filter(col("pt_year") === y)
+          .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+        val parts = Files.list(stage).iterator.asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.toString)
+        val moved = parts.zipWithIndex.map { case (p, i) =>
+          val dst = dataDir.resolve(f"v${v}_y${y}_p$i%05d.parquet")
+          Files.move(p, dst, StandardCopyOption.REPLACE_EXISTING)
+          dst.toString
+        }
+        deleteTree(stage.toString)
+        moved
+      }
+      val carried =
+        if (v == 0) Seq.empty
+        else files(root, v - 1).filterNot(f =>
+          touched.exists(y => f.contains(s"_y${y}_p")))
+      val tmp = Paths.get(root, "_manifests", s".v$v.tmp")
+      Files.write(tmp, (carried ++ fresh).sorted.asJava)
+      Files.move(tmp, manifest(root, v), StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    def vacuum(root: String, retain: Int): Unit = {
+      val vs = versions(root)
+      val (expired, kept) = vs.splitAt(math.max(vs.length - retain, 0))
+      val keep = kept.flatMap(files(root, _)).toSet
+      expired.foreach { v =>
+        files(root, v).filterNot(keep.contains).foreach(f =>
+          Files.deleteIfExists(Paths.get(f)))
+        Files.delete(manifest(root, v))
+      }
+    }
+
+    def deleteTree(root: String): Unit = {
+      val p = Paths.get(root)
+      if (Files.exists(p))
+        Files.walk(p).iterator.asScala.toSeq.reverse
+          .foreach(f => try Files.deleteIfExists(f)
+                        catch { case _: Exception => () })
+    }
+  }
+
   /** SCD Type-2 historization — the OTHER merge shape a warehouse needs:
     * instead of replacing a matched row (write_upsert), the current
     * version is CLOSED (valid_to stamped) and the new version opened,
@@ -418,6 +526,48 @@ object WriteOps {
           count(when(col("o_channel") === "bulk", 1)).as("n_bulk"))
     }),
 
+    // TIME TRAVEL over the manifest-committed snapshot table (see
+    // SnapshotTable's scaladoc): v0 = load, v1 = the 1997 upsert-merge,
+    // v2 = a MERGE DELETE (1996 keys ≡ 3 mod 10 removed) — then
+    // vacuum(retain 2) drops v0's unreferenced files. The gate reads
+    // EVERY version (v0/v1/v2 pre-vacuum, v2 again post-vacuum) through
+    // one labeled union, so a commit that disturbed an older snapshot,
+    // a delete that leaked, or a vacuum that touched a retained file is
+    // a hash mismatch. The pre-vacuum snapshot aggregates (≤ 4 rows per
+    // version) are materialized via localCheckpoint before vacuum
+    // removes v0's manifest.
+    "write_time_travel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val root = scratch("snap_tbl")
+      SnapshotTable.deleteTree(root) // fresh table lineage per invocation
+      val base = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      // bounded partition metadata (distinct years), not data
+      val years = base.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, root, 0, base, years)
+      val merged1 = upsertBatch(s, d).withColumn("src", lit(1))
+        .unionByName(SnapshotTable.read(s, root, 0)
+          .filter(col("pt_year") === 1997).withColumn("src", lit(0)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderkey").orderBy(col("src").desc)))
+        .filter(col("rn") === 1).drop("rn", "src")
+      SnapshotTable.commit(s, root, 1, merged1, Seq(1997))
+      val kept96 = SnapshotTable.read(s, root, 1)
+        .filter(col("pt_year") === 1996 && !(col("o_orderkey") % 10 === 3))
+      SnapshotTable.commit(s, root, 2, kept96, Seq(1996))
+      def snap(v: Int, label: String) = SnapshotTable.read(s, root, v)
+        .groupBy("pt_year").agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          decSum("o_totalprice").as("total"))
+        .withColumn("version", lit(label))
+      val history = snap(0, "v0").unionByName(snap(1, "v1"))
+        .unionByName(snap(2, "v2")).localCheckpoint(true)
+      SnapshotTable.vacuum(root, retain = 2)
+      history.unionByName(snap(2, "v2_post_vacuum"))
+        .select("version", "pt_year", "cnt", "n_keys", "total")
+    }),
+
     // SCD2 historization across TWO change batches (see scd2Merge's
     // scaladoc): history accumulates closed versions by append, the
     // current partition is rewritten, and the read-back groups by the
@@ -552,6 +702,34 @@ object WriteOps {
            cast(count(DISTINCT k) AS bigint) AS n_keys,
            cast(sum(cast(bal AS decimal(18,2))) AS double) AS total
          FROM rws GROUP BY 1, 2, 3""",
+    // each version's state recomputed from orders; v2_post_vacuum is
+    // BY CONTRACT identical to v2 (vacuum never touches retained files)
+    "write_time_travel" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         upd AS (
+           SELECT o_orderkey, o_custkey,
+             o_totalprice + 100.0 AS o_totalprice, pt_year
+           FROM t WHERE pt_year = 1997
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, 1.0, pt_year
+           FROM t WHERE pt_year = 1997),
+         v1 AS (
+           SELECT * FROM t WHERE pt_year <> 1997
+           UNION ALL SELECT * FROM upd),
+         v2 AS (
+           SELECT * FROM v1
+           WHERE NOT (pt_year = 1996 AND o_orderkey % 10 = 3)),
+         lab AS (
+           SELECT 'v0' AS version, * FROM t
+           UNION ALL SELECT 'v1', * FROM v1
+           UNION ALL SELECT 'v2', * FROM v2
+           UNION ALL SELECT 'v2_post_vacuum', * FROM v2)
+         SELECT version, pt_year, cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total
+         FROM lab GROUP BY version, pt_year""",
     "write_upsert" ->
       """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
              cast(year(o_orderdate) AS int) AS pt_year FROM orders),

@@ -297,4 +297,25 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // the block-offset frame comes back as a broadcast, not a shuffle
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("hybrid RRF: the lexical probe joins a broadcast query side") {
+    val p = plan("search_hybrid_rrf")
+    // the corpus posting stream must equi-join the 5-doc query shingle
+    // set as a broadcast — a shuffled probe would move the posting
+    // stream for a constant-size query set
+    assert(p.contains("BroadcastHashJoin"), p)
+    // fusion operates on rank lists: both arms top-k through window
+    // group limits, so no corpus-sized side reaches the fusion join
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("robust anomaly: group stats broadcast back to the event stream") {
+    val p = plan("events_anomaly_robust")
+    // med/mad are |event_type|-row frames; both joins must broadcast —
+    // a shuffle join would repartition the full event stream twice
+    val broadcasts = p.linesIterator
+      .count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 2, s"$broadcasts broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

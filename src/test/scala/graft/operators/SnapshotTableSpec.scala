@@ -1,0 +1,80 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the manifest-committed snapshot table the
+  * write_time_travel hash oracle can't state: data-file immutability
+  * across commits, snapshot isolation of older versions, vacuum
+  * removing EXACTLY the unreferenced files, and loud failure past
+  * retention. */
+class SnapshotTableSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.etl.TestSpark.spark
+
+  private def mtimes(fs: Seq[String]): Map[String, Long] =
+    fs.map(f => f -> Files.getLastModifiedTime(Paths.get(f)).toMillis)
+      .toMap
+
+  test("commit/read/vacuum lifecycle holds its contracts") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("g_snap_spec").toString
+    val T = WriteOps.SnapshotTable
+
+    def frame(rows: (Long, Int, Double)*) =
+      rows.toSeq.toDF("o_orderkey", "pt_year", "o_totalprice")
+
+    T.commit(spark, root, 0,
+      frame((1L, 1, 10.0), (2L, 1, 20.0), (3L, 2, 30.0)), Seq(1, 2))
+    val v0Files = T.files(root, 0)
+    val v0Times = mtimes(v0Files)
+    val v0Rows = T.read(spark, root, 0).collect().toSet
+
+    // v1 rewrites year 2 only
+    T.commit(spark, root, 1,
+      frame((3L, 2, 300.0), (4L, 2, 40.0)), Seq(2))
+    // v2 rewrites year 1 only
+    T.commit(spark, root, 2, frame((1L, 1, 11.0)), Seq(1))
+
+    // immutability: every v0 file still exists with its original mtime
+    assert(mtimes(v0Files) == v0Times,
+      "a commit rewrote an existing data file")
+    // snapshot isolation: v0 still reads its original contents
+    assert(T.read(spark, root, 0).collect().toSet == v0Rows)
+    // carry-over: v2 still references v0's untouched year-2? no —
+    // year 2 was rewritten in v1, year 1 in v2; v2 must carry v1's
+    // year-2 files and nothing of v0's
+    val v1Files = T.files(root, 1)
+    val v2Files = T.files(root, 2)
+    assert(v1Files.exists(_.contains("v0_y1")), "v1 lost the carry-over")
+    assert(v2Files.exists(_.contains("v1_y2")), "v2 lost the carry-over")
+    assert(!v2Files.exists(_.contains("v0_")), "v2 should reference no v0 file")
+
+    // vacuum(retain 2): keeps v1+v2; removes exactly the files only v0
+    // references (its year-2 files — year 1 files of v0 are referenced
+    // by v1's carry-over... v1 carried v0_y1, so only v0's y2 files die)
+    val keep = (v1Files ++ v2Files).toSet
+    val doomed = v0Files.filterNot(keep.contains)
+    assert(doomed.nonEmpty)
+    T.vacuum(root, retain = 2)
+    doomed.foreach(f => assert(!Files.exists(Paths.get(f)),
+      s"vacuum left unreferenced file $f"))
+    keep.foreach(f => assert(Files.exists(Paths.get(f)),
+      s"vacuum deleted retained file $f"))
+    // retained versions read back intact
+    assert(T.read(spark, root, 1).collect().toSet ==
+      Set(org.apache.spark.sql.Row(1L, 1, 10.0),
+          org.apache.spark.sql.Row(2L, 1, 20.0),
+          org.apache.spark.sql.Row(3L, 2, 300.0),
+          org.apache.spark.sql.Row(4L, 2, 40.0)))
+    assert(T.read(spark, root, 2).collect().toSet ==
+      Set(org.apache.spark.sql.Row(1L, 1, 11.0),
+          org.apache.spark.sql.Row(3L, 2, 300.0),
+          org.apache.spark.sql.Row(4L, 2, 40.0)))
+    // past retention fails loudly
+    intercept[IllegalArgumentException](T.read(spark, root, 0))
+    T.deleteTree(root)
+  }
+}
