@@ -29,22 +29,55 @@ object SaveMode extends Enumeration {
   val Overwrite, Append = Value
 }
 
+/** [[TableLike]] over a Catalyst plan: every lazy op composes the plan,
+  * so limits/derived columns stay inside whole-stage codegen and only the
+  * terminal collect/show/count runs a job. */
+final class SparkTable(val df: DataFrame) extends TableLike {
+  def fieldNames: Seq[String] = df.schema.fieldNames.toSeq
+  def isEmpty: Boolean = df.isEmpty
+  def firstRow: Seq[Any] = {
+    val r = df.first()
+    fieldNames.indices.map(i => if (r.isNullAt(i)) null else r.get(i))
+  }
+  def limit(n: Int): TableLike = new SparkTable(df.limit(n))
+  def withColumnExpr(name: String, sqlExpr: String): TableLike =
+    new SparkTable(df.withColumn(name, org.apache.spark.sql.functions.expr(sqlExpr)))
+  def collectRows(): Seq[Seq[Any]] =
+    df.collect().toSeq.map(r =>
+      r.schema.fieldNames.indices.map(i => if (r.isNullAt(i)) null else r.get(i)))
+  def show(n: Int): Unit = df.show(n)
+  def count(): Long = df.count()
+}
+
 /** The engine adapter — a thin, idiomatic wrapper over SparkSession
   * (reference easy_sql/sql_processor/backend/spark.py, ~350 LoC python).
   * All relational execution is `spark.sql`; laziness and optimization come
   * from Catalyst.
   */
-final class SparkBackend(val spark: SparkSession) {
+final class SparkBackend(val spark: SparkSession) extends Backend {
 
   val isSparkBackend = true
 
-  def execSql(sql: String): DataFrame = spark.sql(sql)
+  def execSql(sql: String): SparkTable = new SparkTable(spark.sql(sql))
   def execNativeSql(sql: String): DataFrame = spark.sql(sql)
 
-  def createEmptyTable(): DataFrame =
-    spark.createDataFrame(
+  def createEmptyTable(): SparkTable =
+    new SparkTable(spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Nil))
+      StructType(Nil)))
+
+  private def dfOf(t: TableLike): DataFrame = t match {
+    case s: SparkTable => s.df
+    case other => throw new SqlProcessorException(
+      s"SparkBackend can only register Spark tables, got ${other.getClass}")
+  }
+
+  def createTempTable(table: TableLike, name: String): Unit =
+    createTempTable(dfOf(table), name)
+  def createCacheTable(table: TableLike, name: String): Unit =
+    createCacheTable(dfOf(table), name)
+  def broadcastTable(table: TableLike, name: String): Unit =
+    broadcastTable(dfOf(table), name)
 
   def createTempTable(df: DataFrame, name: String): Unit =
     df.createOrReplaceTempView(name)

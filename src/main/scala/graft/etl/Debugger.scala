@@ -69,7 +69,7 @@ final class SqlProcessorDebugger(
   def refreshInitialTempViews(): Unit = initialTempViews = tempViews
 
   def nativeSql(sql: String): DataFrame = backend.execNativeSql(sql)
-  def sql(sql: String): DataFrame = backend.execSql(sql)
+  def sql(sql: String): DataFrame = backend.execSql(sql).df
   def showDf(tableName: String): Unit =
     sql(s"select * from $tableName").show()
 

@@ -1,9 +1,8 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.SparkSession
 
-import graft.backend.{SaveMode, SparkBackend, TableMeta, TablePartition}
+import graft.backend.{Backend, SaveMode, SparkBackend, TableLike, TableMeta, TablePartition}
 import graft.core._
 
 object StepStatus {
@@ -102,13 +101,15 @@ final class SqlCollector {
   def collectedSql: String = sqls.mkString("\n\n")
 }
 
-/** The engine: parses an Easy-SQL text into steps and executes them on a
-  * SparkSession (reference easy_sql/sql_processor/sql_processor.py +
-  * step.py write dispatch). Relational execution is delegated entirely to
-  * Catalyst via `spark.sql`.
+/** The engine: parses an Easy-SQL text into steps and executes them
+  * against a [[graft.backend.Backend]] (reference
+  * easy_sql/sql_processor/sql_processor.py + step.py write dispatch). On
+  * the primary Spark backend all relational execution is delegated to
+  * Catalyst via `spark.sql`; the same step list drives JDBC warehouses
+  * through [[graft.backend.rdb.RdbBackend]].
   */
 final class SqlProcessor(
-    val backend: SparkBackend,
+    val backend: Backend,
     val sql: String,
     variables: Map[String, Any] = Map.empty,
     templates: Map[String, String] = Map.empty,
@@ -132,16 +133,22 @@ final class SqlProcessor(
   val templatesContext = new TemplatesContext(templates)
   val funcRunner = new FuncRunner(FuncRunner.systemFuncs)
   varsContext.init(funcRunner)
-  funcRunner.registerFuncs(
-    graft.functions.SparkFuncs.all(backend, varsContext))
-  graft.functions.Udfs.registerAll(backend.spark)
-  // native Catalyst expressions available to every ETL's SQL (the
-  // cluster path registers them via GraftExtensions instead)
-  graft.functions.MinHashMd5.register(backend.spark)
-  graft.functions.MinHashBands.register(backend.spark)
-  graft.functions.ArrayDotLong.register(backend.spark)
-  graft.functions.QuantizeLong.register(backend.spark)
-  graft.functions.NgramShingles.register(backend.spark)
+  backend match {
+    case sb: SparkBackend =>
+      funcRunner.registerFuncs(
+        graft.functions.SparkFuncs.all(sb, varsContext))
+      graft.functions.Udfs.registerAll(sb.spark)
+      // native Catalyst expressions available to every ETL's SQL (the
+      // cluster path registers them via GraftExtensions instead)
+      graft.functions.MinHashMd5.register(sb.spark)
+      graft.functions.MinHashBands.register(sb.spark)
+      graft.functions.ArrayDotLong.register(sb.spark)
+      graft.functions.QuantizeLong.register(sb.spark)
+      graft.functions.NgramShingles.register(sb.spark)
+    case rb: graft.backend.rdb.RdbBackend =>
+      funcRunner.registerFuncs(graft.functions.RdbFuncs.all(rb, varsContext))
+    case _ => ()
+  }
 
   private val stepFactory = new StepFactory(includes, None, baseDir,
     skipDuplicateInclude)
@@ -167,9 +174,12 @@ final class SqlProcessor(
       // attempted (one broken monitor must not starve the others); sink
       // failures only surface as the run's failure when the ETL itself
       // succeeded, so they never mask the original step error.
-      val sinks = reportPath.map(p => new FileReportSink(p,
-        backend.spark.sparkContext.hadoopConfiguration)).toSeq ++
-        reportSinks
+      val hadoopConf = backend match {
+        case sb: SparkBackend => sb.spark.sparkContext.hadoopConfiguration
+        case _ => new org.apache.hadoop.conf.Configuration()
+      }
+      val sinks = reportPath.map(p => new FileReportSink(p, hadoopConf))
+        .toSeq ++ reportSinks
       if (sinks.nonEmpty) {
         val taskId = reportTaskId.getOrElse(
           s"graft_task_${System.currentTimeMillis()}")
@@ -229,7 +239,7 @@ final class SqlProcessor(
   private def skipCheck: Boolean =
     vars.get("__no_check__").exists(Coerce.isTrueFlag)
 
-  private def read(step: Step): Option[DataFrame] = {
+  private def read(step: Step): Option[TableLike] = {
     val config = step.targetConfig.get
     if (config.stepType == StepType.Template ||
         (config.stepType == StepType.Check && skipCheck))
@@ -253,28 +263,27 @@ final class SqlProcessor(
     step.selectSql = Some(varsContext.replaceVariables(t))
   }
 
-  private def write(step: Step, table: Option[DataFrame],
+  private def write(step: Step, table: Option[TableLike],
       dryRun: Boolean): Unit = {
     val config = step.targetConfig.get
     val df = table.getOrElse(return)
 
     config.stepType match {
       case StepType.Variables =>
-        if (df.schema.nonEmpty) {
-          val row = df.first()
-          val newVars = df.schema.fieldNames.zipWithIndex.map {
+        if (df.fieldNames.nonEmpty) {
+          val row = df.firstRow
+          val newVars = df.fieldNames.zipWithIndex.map {
             case (name, i) =>
-              name -> (if (row.isNullAt(i)) null
-                       else Coerce.toStr(row.get(i)))
+              name -> (if (row(i) == null) null else Coerce.toStr(row(i)))
           }.toMap
           varsContext.addVars(newVars)
         }
 
       case StepType.ListVariables =>
-        if (df.schema.nonEmpty) {
-          val rows = df.collect()
-          val lists = df.schema.fieldNames.zipWithIndex.map {
-            case (name, i) => name -> rows.map(_.get(i)).toSeq
+        if (df.fieldNames.nonEmpty) {
+          val rows = df.collectRows()
+          val lists = df.fieldNames.zipWithIndex.map {
+            case (name, i) => name -> rows.map(_(i))
           }.toMap
           varsContext.addListVars(lists)
         }
@@ -317,22 +326,28 @@ final class SqlProcessor(
     }
   }
 
-  private def writeForLogStep(step: Step, df: DataFrame): Unit = {
+  // Spark Row.toString formatting, so log messages are engine-independent
+  private def rowStr(row: Seq[Any]): String =
+    row.map(v => if (v == null) "null" else v.toString)
+      .mkString("[", ",", "]")
+
+  private def writeForLogStep(step: Step, df: TableLike): Unit = {
     val name = step.targetConfig.get.name.getOrElse("log")
-    val rows = df.limit(20).collect()
+    val rows = df.limit(20).collectRows()
     if (rows.isEmpty) {
       reporter.collect(step, message = Some("no data to show"))
     } else if (rows.length == 1) {
-      reporter.collect(step, message = Some(rows(0).toString))
-      println(s"log for [$name]: ${rows(0)}")
+      reporter.collect(step, message = Some(rowStr(rows(0))))
+      println(s"log for [$name]: ${rowStr(rows(0))}")
     } else {
       println(s"log for [$name]:")
       df.show(20)
-      reporter.collect(step, message = Some(rows.map(_.toString).mkString("\n")))
+      reporter.collect(step,
+        message = Some(rows.map(rowStr).mkString("\n")))
     }
   }
 
-  private def writeForCheckStep(step: Step, df: DataFrame): Unit = {
+  private def writeForCheckStep(step: Step, df: TableLike): Unit = {
     val config = step.targetConfig.get
     if (config.isTargetNameAFunc) {
       val funcDef = config.name.get
@@ -342,25 +357,25 @@ final class SqlProcessor(
           s"check failed! check function returned False. check=$funcDef, vars=$vars")
       return
     }
-    val checkData = df.limit(100).collect()
+    val checkData = df.limit(100).collectRows()
     if (checkData.isEmpty)
       throw new SqlProcessorException(
         s"Data for check must contains at least one row. check=${config.name}")
-    val fieldNames = df.schema.fieldNames
+    val fieldNames = df.fieldNames
     if (!fieldNames.contains("actual") || !fieldNames.contains("expected"))
       throw new SqlProcessorException(
         s"Data for check must contains expected and actual columns. check=${config.name}")
     val ai = fieldNames.indexOf("actual")
     val ei = fieldNames.indexOf("expected")
     checkData.foreach { row =>
-      if (row.get(ai) != row.get(ei))
+      if (row(ai) != row(ei))
         throw new SqlProcessorException(
-          s"check [${config.name.get}] failed! actual=${row.get(ai)}, expected=${row.get(ei)}")
+          s"check [${config.name.get}] failed! actual=${row(ai)}, expected=${row(ei)}")
     }
     reporter.collect(step, message = Some(s"check passed (${checkData.length} rows)"))
   }
 
-  private def writeForOutputStep(step: Step, table0: DataFrame,
+  private def writeForOutputStep(step: Step, table0: TableLike,
       dryRun: Boolean): Unit = {
     val config = step.targetConfig.get
     val name = config.name.getOrElse(throw new SqlProcessorException(
@@ -371,7 +386,7 @@ final class SqlProcessor(
 
     var table = table0
     extraCols.foreach { case (colName, expr) =>
-      table = table.withColumn(colName, org.apache.spark.sql.functions.expr(expr))
+      table = table.withColumnExpr(colName, expr)
     }
     val tempTableName =
       s"${name.split("\\.")(1)}_${java.util.UUID.randomUUID.toString.replace("-", "")}"
@@ -416,9 +431,13 @@ final class SqlProcessor(
 
     if (dryRun) {
       var out = table
-      if (!dynamicPartition && staticPartitionName.isDefined)
-        out = out.withColumn(staticPartitionName.get,
-          lit(staticPartitionValue.map(Coerce.toStr).orNull))
+      if (!dynamicPartition && staticPartitionName.isDefined) {
+        val litSql = staticPartitionValue.map(Coerce.toStr) match {
+          case Some(v) => "'" + v.replace("'", "''") + "'"
+          case None => "null"
+        }
+        out = out.withColumnExpr(staticPartitionName.get, litSql)
+      }
       backend.createTempTable(out, tempTableName + "_output")
       if (verifySchemaFlag)
         backend.verifySchema(TableMeta(tempTableName + "_output"),

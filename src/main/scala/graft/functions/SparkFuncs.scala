@@ -116,7 +116,7 @@ object SparkFuncs {
       val sql = step.selectSql.getOrElse(throw new SqlProcessorException(
         s"alert rule `$ruleName` needs select sql on its step"))
       // fetch 10 rows at most (funcs_common.py:291-293)
-      val rows = be.execSql(sql).limit(10).collect()
+      val rows = be.execSql(sql).df.limit(10).collect()
       val failed = rows.toSeq.flatMap { r =>
         val m = r.schema.fieldNames.zipWithIndex.map {
           case (n, i) => n -> r.get(i) }.toMap
