@@ -93,6 +93,18 @@ object DataProcess {
       k.trim -> java.net.URLDecoder.decode(v.trim, "UTF-8")
     }.toMap
 
+  /** RDB backends take their connection from the `graft.etl.jdbc.url`
+    * system property (spark-submit `--driver-java-options -D...`) or the
+    * `ETL_JDBC_URL` environment variable — the same env-provided-url
+    * convention the reference uses (PG_URL/CLICKHOUSE_URL in its tests
+    * and docs). */
+  private[graft] def rdbUrlFor(backend: String): String =
+    sys.props.get("graft.etl.jdbc.url")
+      .orElse(sys.env.get("ETL_JDBC_URL"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"backend `$backend` needs a JDBC url in the " +
+        "graft.etl.jdbc.url system property or ETL_JDBC_URL env var"))
+
   def run(sql: String, vars: Map[String, Any], dryRun: Boolean,
       baseDir: Option[String] = None,
       existingSession: Option[SparkSession] = None,
@@ -100,8 +112,21 @@ object DataProcess {
       reportTaskId: Option[String] = None,
       reportSinks: Seq[graft.etl.ReportSink] = Nil): SqlProcessor = {
     val config = EasySqlConfig.fromSql(sql)
-    require(config.backend == "spark",
-      s"only the spark backend is supported in this engine, got ${config.backend}")
+    require(Set("spark", "postgres", "clickhouse").contains(config.backend),
+      s"unsupported backend `${config.backend}` " +
+      "(supported: spark, postgres, clickhouse)")
+
+    if (config.backend != "spark") {
+      val backend = new graft.backend.rdb.RdbBackend(rdbUrlFor(config.backend))
+      try {
+        config.prepareSqlList.foreach(backend.execNativeSql)
+        val processor = new SqlProcessor(backend, sql, variables = vars,
+          baseDir = baseDir, reportPath = reportPath,
+          reportTaskId = reportTaskId, reportSinks = reportSinks)
+        processor.run(dryRun)
+        return processor
+      } finally backend.clean()
+    }
 
     val spark = existingSession.getOrElse {
       // engine defaults mirror the reference's get_spark

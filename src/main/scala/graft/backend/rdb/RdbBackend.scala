@@ -115,8 +115,14 @@ final class RdbBackend private (
 
   // registration order preserved for deterministic clean-up enumeration
   private val tempViews = mutable.LinkedHashSet[String]()
+  private val stagedSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def stagedViewName(target: TableMeta, kind: String): String =
+    s"${target.pureTableName}__staged_${kind}_${stagedSeq.incrementAndGet()}"
 
   ensureDb(tempSchema)
+  // session's default schema = the temp schema, so steps can reference
+  // temp tables unqualified (reference rdb.py:422-423 use_db_sql)
+  exec(dialect.useDbSql(tempSchema))
 
   // ------------------------------------------------------------------
   // JDBC plumbing
@@ -212,10 +218,15 @@ final class RdbBackend private (
           try while (rs.next()) {
             val typeName = rs.getString("TYPE_NAME")
             val size = rs.getInt("COLUMN_SIZE")
-            val withSize =
-              if (typeName.equalsIgnoreCase("varchar") && size > 0)
-                s"$typeName($size)"
-              else typeName
+            val scale = rs.getInt("DECIMAL_DIGITS")
+            // length/precision are part of the type for these families —
+            // "CHAR" alone means CHAR(1) in Derby
+            val withSize = typeName.toUpperCase match {
+              case "CHAR" | "VARCHAR" if size > 0 => s"$typeName($size)"
+              case "DECIMAL" | "NUMERIC" if size > 0 =>
+                s"$typeName($size,$scale)"
+              case _ => typeName
+            }
             out += RdbCol(rs.getString("COLUMN_NAME").toLowerCase, withSize)
           } finally rs.close()
         }
@@ -336,7 +347,7 @@ final class RdbBackend private (
   private def createTargetFromSource(source: TableMeta,
       target: TableMeta): Unit = {
     val staged = stagedSelect(source)
-    val stagedView = s"${target.pureTableName}__staged_create"
+    val stagedView = stagedViewName(target, "create")
     exec(dialect.createViewSql(s"$tempSchema.$stagedView", staged.sql))
     tempViews += stagedView
     val cols = columns(tempSchema, stagedView)
@@ -382,7 +393,7 @@ final class RdbBackend private (
 
     val source = sourceTableMeta.copy(partitions = target.partitions)
     val staged = stagedSelect(source)
-    val stagedView = s"${target.pureTableName}__staged_save"
+    val stagedView = stagedViewName(target, "save")
     exec(dialect.createViewSql(s"$tempSchema.$stagedView", staged.sql))
     tempViews += stagedView
     val sourceCols = columnNames(tempSchema, stagedView)
@@ -416,7 +427,8 @@ final class RdbBackend private (
         // whole-table swap through a __temp sibling so reading from the
         // table being overwritten stays consistent (reference rdb.py:702-750)
         val tempTable = s"${target.tableName}__temp"
-        execAll(dialect.dropTableSql(tempTable))
+        if (tableExists(TableMeta(tempTable)))
+          execAll(dialect.dropTableSql(tempTable))
         exec(dialect.createTableLikeSql(tempTable, target.tableName, Nil))
         execAll(dialect.insertDataSql(tempTable, colNamesExpr,
           s"select $colNamesExpr from $tempSchema.$stagedView", Nil))
