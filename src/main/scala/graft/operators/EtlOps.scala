@@ -89,6 +89,72 @@ select * from seg
       s.table("curated.documents").select("doc_id", "text", "n_tokens")
     }),
 
+    // The BACKEND-FAMILY gate: the same step language on a second engine.
+    // Spark does the distributed part (per-(lang, source) partial
+    // aggregates over the parquet corpus — the only stage that scales
+    // with data size), the bounded partials land in embedded Derby via
+    // the RDB backend's fixture-ingest path, and an Easy-SQL ETL runs
+    // THERE through the backend-generic SqlProcessor: variables, temp
+    // rollup, a conservation check, output-with-auto-create. The written
+    // warehouse table is read back and oracled against DuckDB computing
+    // the same report straight from the parquet — so the gate verifies
+    // the RDB save protocol, not just the SQL. The warehouse-side work
+    // is O(groups), never O(corpus): exactly how a 100 TB pipeline
+    // hands a bounded report to an operational store.
+    "etl_rdb_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, sum}
+      import org.apache.spark.sql.types._
+      val partials = Tables.documents(s, d)
+        .groupBy("lang", "source")
+        .agg(count("*").as("n_docs"), sum("n_chars").as("total_chars"))
+        .collect() // bounded: |langs| x |sources| rows
+      val dbName = s"etlgate_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      val backend = new graft.backend.rdb.RdbBackend(
+        s"jdbc:derby:memory:$dbName;create=true")
+      try {
+        backend.createTableWithData("stage.doc_stats",
+          partials.toSeq.map(r => Seq[Any](r.getString(0), r.getString(1),
+            r.getLong(2), r.getLong(3))),
+          Seq(graft.backend.rdb.RdbCol("lang", "varchar(16)"),
+            graft.backend.rdb.RdbCol("source", "varchar(32)"),
+            graft.backend.rdb.RdbCol("n_docs", "bigint"),
+            graft.backend.rdb.RdbCol("total_chars", "bigint")), Nil)
+        val etl = """-- backend: postgres
+-- target=variables
+select cast(sum(n_docs) as bigint) as total_docs from stage.doc_stats
+-- target=temp.lang_rollup
+select lang, sum(n_docs) as n_docs, sum(total_chars) as total_chars
+from stage.doc_stats group by lang
+-- target=check.docs_conserved
+select cast(sum(n_docs) as bigint) as actual,
+       cast(${total_docs} as bigint) as expected from lang_rollup
+-- target=variables
+select '1' as "__create_output_table__" from sysibm.sysdummy1
+-- target=output.dw.lang_report
+select lang, n_docs, total_chars,
+       cast(total_chars as double) / cast(n_docs as double) as avg_chars
+from lang_rollup
+"""
+        new SqlProcessor(backend, etl).run()
+        val rows = backend.queryRows(
+          "select lang, n_docs, total_chars, avg_chars from dw.lang_report",
+          1000)
+        val schema = StructType(Seq(
+          StructField("lang", StringType), StructField("n_docs", LongType),
+          StructField("total_chars", LongType),
+          StructField("avg_chars", DoubleType)))
+        val jRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        rows.foreach(r => jRows.add(
+          org.apache.spark.sql.Row(r(0), r(1), r(2), r(3))))
+        s.createDataFrame(jRows, schema)
+      } finally {
+        backend.close()
+        try java.sql.DriverManager.getConnection(
+          s"jdbc:derby:memory:$dbName;drop=true")
+        catch { case _: java.sql.SQLException => () } // expected on drop
+      }
+    }),
+
     // Steps exercised: list_variables + variables feeding an IN-list and
     // a scalar into later SQL, log step, cache step.
     "etl_list_vars" -> ((s, d) => {
@@ -122,6 +188,15 @@ select o_orderstatus, count(*) as cnt from filtered group by o_orderstatus
     "etl_list_vars" ->
       """SELECT o_orderstatus, count(*) AS cnt FROM orders
          GROUP BY o_orderstatus""",
+
+    // the per-lang report the Derby-side ETL produces, recomputed
+    // straight from the parquet corpus; the avg is ONE division of two
+    // exact integer sums, so it is correctly rounded in both engines
+    "etl_rdb_pipeline" ->
+      """SELECT lang, cast(count(*) as bigint) AS n_docs,
+         cast(sum(n_chars) as bigint) AS total_chars,
+         cast(sum(n_chars) as double) / cast(count(*) as double) AS avg_chars
+         FROM documents GROUP BY lang""",
 
     // mirrors every stage of examples/curate_documents.sql; the minhash
     // CTEs follow DedupOps' oracle conventions (salted-md5 signature
