@@ -256,6 +256,52 @@ object WriteOps {
     * merge #1's history files byte-identical). The change batch drives
     * the key probe and is broadcast (a corpus-scale batch would fall
     * back to a shuffle join on the key). */
+  /** Materialized-aggregate base: per-customer order stats over the
+    * years-before-1997 history, bucket-partitioned on the key so a later
+    * incremental merge can address only the buckets a batch touches.
+    * Partials are ALGEBRAIC (count + exact decimal sum — avg is derived
+    * at read time), which is what makes cross-batch combining exact. */
+  private[graft] def incrAggLoad(s: SparkSession, d: String,
+      base: String): Unit =
+    orders(s, d).filter(year(col("o_orderdate")) < 1997)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).as("total_dec"))
+      .withColumn("bucket", pmod(col("o_custkey"), lit(16)).cast("int"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(base)
+
+  /** Incremental maintenance of the materialized aggregate — the
+    * INCREMENTAL VIEW MAINTENANCE pattern: a new fact batch is reduced
+    * to its own partials (batch-sized work), the buckets it touches are
+    * read back (touched-partition reads, never the whole table), partials
+    * combine by summation, and only touched buckets are rewritten. At
+    * 100 TB the nightly cost is O(batch + touched buckets); the naive
+    * alternative — recompute the aggregate over all history — is a full
+    * corpus scan every run. Correctness rests on the partials being
+    * commutative monoids (counts and exact decimal sums), proven by the
+    * gate's oracle recomputing from scratch. */
+  private[graft] def incrAggMerge(s: SparkSession, base: String,
+      stage: String, batchFacts: DataFrame): Unit = {
+    val batch = batchFacts
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).as("total_dec"))
+      .withColumn("bucket", pmod(col("o_custkey"), lit(16)).cast("int"))
+    val touched = batch.select("bucket").distinct()
+    val cur = s.read.parquet(base)
+      .withColumn("bucket", col("bucket").cast("int"))
+      .join(broadcast(touched), Seq("bucket"), "left_semi")
+    val merged = cur.unionByName(batch)
+      .groupBy("o_custkey", "bucket")
+      .agg(sum("n_orders").as("n_orders"),
+        sum("total_dec").cast(dec).as("total_dec"))
+    merged.write.mode(SaveMode.Overwrite).parquet(stage)
+    s.read.parquet(stage)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(base)
+  }
+
   private[graft] def scd2Load(s: SparkSession, d: String,
       base: String): Unit =
     customer(s, d)
@@ -492,6 +538,24 @@ object WriteOps {
              decSum("o_totalprice").as("total"))
     }),
 
+    // INCREMENTAL VIEW MAINTENANCE (see incrAggMerge's scaladoc): the
+    // materialized per-customer aggregate is built from pre-1997
+    // history, then the 1997 batch merges in as combinable partials —
+    // batch-sized work + touched-bucket reads, never a recompute. The
+    // read-back must equal aggregating all of history from scratch
+    // (the oracle does exactly that), proving the partials' monoid.
+    "write_incremental_agg" -> ((s, d) => {
+      val base = scratch("incr_agg_tbl")
+      incrAggLoad(s, d, base)
+      incrAggMerge(s, base, scratch("incr_agg_stage"),
+        orders(s, d).filter(year(col("o_orderdate")) === 1997))
+      s.read.parquet(base)
+        .select(col("o_custkey"), col("n_orders"),
+          col("total_dec").cast("double").as("total"),
+          (col("total_dec").cast("double") /
+            col("n_orders").cast("double")).as("avg_price"))
+    }),
+
     // MERGE INTO over plain parquet: partition-scoped copy-on-write
     // upsert (see upsertMerge's scaladoc) — load, merge the 1997 change
     // batch via staged commit + dynamic overwrite, read back the table.
@@ -585,6 +649,39 @@ object WriteOps {
         .agg(count(lit(1)).as("cnt"),
           countDistinct(col("c_custkey")).as("n_keys"),
           decSum("c_acctbal").as("total"))
+    }),
+
+    // POINT-IN-TIME JOIN against the SCD2 dimension — the correctness
+    // trap every warehouse hits: joining facts to a dimension's CURRENT
+    // row silently rewrites history; the right join picks the version
+    // whose [valid_from, valid_to) interval contains the fact's event
+    // time. Build the dim with two scd2 merges, stamp each order with an
+    // event version, and join on the equi key + interval residual. Plan
+    // shape: the dim (≤ a few versions per key) broadcasts, so the fact
+    // side streams map-side with no shuffle — at 100 TB the facts never
+    // move; only the final bounded rollup exchanges. Each key's
+    // intervals tile [0, 9999), so every fact matches EXACTLY one
+    // version (PitScd2Spec proves it) — a dropped or doubled fact here
+    // is the bug this operator exists to prevent.
+    "join_pit_scd2" -> ((s, d) => {
+      val base = scratch("pit_scd2_tbl")
+      val stage = scratch("pit_scd2_stage")
+      scd2Load(s, d, base)
+      scd2Merge(s, d, base, stage, v = 1)
+      scd2Merge(s, d, base, stage, v = 2)
+      val dim = s.read.parquet(base)
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("valid_from"), col("valid_to"))
+      val facts = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderkey") % 3).cast("int").as("event_v"))
+      facts.join(broadcast(dim),
+          facts("o_custkey") === dim("c_custkey") &&
+          col("event_v") >= col("valid_from") &&
+          col("event_v") < col("valid_to"))
+        .groupBy("event_v", "valid_from", "valid_to")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_custkey")).as("n_keys"),
+          decSum("c_acctbal").as("total_bal"))
     }),
 
     // SaveMode append semantics (reference base.py:143-145): overwrite one
@@ -681,6 +778,41 @@ object WriteOps {
          count(DISTINCT o_orderkey) AS n_keys,
          cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
          FROM orders GROUP BY o_orderstatus""",
+    // the incremental merge must equal aggregating all history from
+    // scratch — exact decimal sums, avg as one IEEE division
+    "write_incremental_agg" ->
+      """SELECT o_custkey, cast(count(*) AS bigint) AS n_orders,
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total,
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+           / cast(count(*) AS double) AS avg_price
+         FROM orders WHERE year(o_orderdate) <= 1997
+         GROUP BY o_custkey""",
+
+    // the dim reconstructed as interval rows (same version algebra as
+    // the write_scd2 oracle), facts joined to the version containing
+    // their event time
+    "join_pit_scd2" ->
+      """WITH c AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+         ch AS (SELECT * FROM c WHERE k % 7 = 0),
+         rws AS (
+           SELECT k, bal, cast(0 AS int) AS valid_from,
+             cast(9999 AS int) AS valid_to FROM c WHERE k % 7 <> 0
+           UNION ALL SELECT k, bal, 0, 1 FROM ch
+           UNION ALL SELECT k, bal + 50.0, 1, 2 FROM ch
+           UNION ALL SELECT k, bal + 100.0, 2, 9999 FROM ch
+           UNION ALL SELECT k + 1000000, 10.0, 1, 9999 FROM ch),
+         f AS (SELECT o_orderkey, o_custkey,
+             cast(o_orderkey % 3 AS int) AS event_v FROM orders),
+         j AS (SELECT f.event_v, r.valid_from, r.valid_to,
+             f.o_custkey, r.bal
+           FROM f JOIN rws r ON f.o_custkey = r.k
+            AND f.event_v >= r.valid_from AND f.event_v < r.valid_to)
+         SELECT event_v, valid_from, valid_to,
+           cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_custkey) AS bigint) AS n_keys,
+           cast(sum(cast(bal AS decimal(18,2))) AS double) AS total_bal
+         FROM j GROUP BY 1, 2, 3""",
+
     "write_scd2" ->
       """WITH c AS (SELECT c_custkey AS k, c_nationkey AS nat,
              c_acctbal AS bal FROM customer),
