@@ -28,8 +28,10 @@ from documents
 -- target=log.corpus_size
 select count(*) as n_docs from doc_stats
 
--- Quality gate: drop too-short and non-textual docs.
--- target=temp.quality
+-- Quality gate: drop too-short and non-textual docs. Cached: both the
+-- repetition gate and the survivor join read it — a plain temp view
+-- would recompute the regex scan per consumer.
+-- target=cache.quality
 select doc_id, text, n_tokens from doc_stats
 where n_tokens >= ${min_tokens} and alpha_ratio > 0.5
 
@@ -50,7 +52,8 @@ from quality q join repetition r on q.doc_id = r.doc_id
 where r.top2_frac <= ${max_top2_frac:0.5}
 
 -- Exact dedup: keep the smallest doc_id per normalized-content hash.
--- target=temp.exact_kept
+-- Cached: consumed by the LSH banding AND the final anti-join.
+-- target=cache.exact_kept
 select doc_id, text, n_tokens from (
   select *, row_number() over (
     partition by md5(lower(trim(text)))
@@ -73,7 +76,9 @@ select distinct b.doc_id from bands a join bands b
   on a.band_id = b.band_id and a.band_hash = b.band_hash
  and a.doc_id < b.doc_id
 
--- target=temp.curated
+-- Cached: the size check, the log and the output all read it — without
+-- the cache each one replays the whole near-dup join.
+-- target=cache.curated
 select k.doc_id, k.text, k.n_tokens
 from exact_kept k
 left anti join near_dup_losers l on k.doc_id = l.doc_id
@@ -90,3 +95,9 @@ select count(*) as n_docs, avg(n_tokens) as mean_tokens from curated
 
 -- target=output.curated.documents
 select doc_id, text, n_tokens from curated
+
+-- Release the cached stages: this ETL runs inside long-lived sessions
+-- (tests, notebooks), so it cleans up after itself.
+-- target=func.unpersist(quality)
+-- target=func.unpersist(exact_kept)
+-- target=func.unpersist(curated)
