@@ -302,6 +302,58 @@ object WriteOps {
       .partitionBy("bucket").parquet(base)
   }
 
+  // per-(JVM, sfDir) materialized-agg table maintained by the streaming
+  // twin: built once, merged by the stream's foreachBatch, reused by
+  // re-invocations (the checkpoint replays nothing — the production
+  // restart path)
+  private val streamAggState =
+    scala.collection.concurrent.TrieMap[String, (String, String, String)]()
+
+  /** Streaming twin of write_incremental_agg — gate
+    * `streaming_ingest_agg`: the 1997 change batch ARRIVES as
+    * micro-batches, and each one merges into the materialized aggregate
+    * through the same [[incrAggMerge]] the batch gate uses
+    * (foreachBatch). Unlike the pointwise ingest twins (neardup, score),
+    * this result depends on EVERY batch — it is batch-split-invariant
+    * because the partials form a commutative monoid: base ⊕ b0 ⊕ b1 ⊕ b2
+    * = base ⊕ (b0 ∪ b1 ∪ b2), whatever the split. That algebra is what
+    * lets the batch gate's DuckDB oracle verify the stream UNCHANGED,
+    * and it is the load-bearing property of every streaming aggregation
+    * at 100 TB: per-arrival cost O(batch + touched buckets), no history
+    * rescan, restart = offset-log recovery + a no-new-data pass. */
+  private[graft] def streamingIncrAgg(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.DocIngest
+    val (base, _, ckpt) = streamAggState.getOrElseUpdate(d, {
+      val b = java.nio.file.Files
+        .createTempDirectory("g_stream_incragg_tbl").toString
+      val st = java.nio.file.Files
+        .createTempDirectory("g_stream_incragg_stage").toString
+      val ck = java.nio.file.Files
+        .createTempDirectory("g_stream_incragg_ckpt").toString
+      incrAggLoad(s, d, b)
+      (b, st, ck)
+    })
+    val stage = streamAggState(d)._2
+    val arrivals = DocIngest.stagedDirOf(s"incragg|$d", "o_orderkey",
+      orders(s, d).filter(year(col("o_orderdate")) === 1997)
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
+    val src = DocIngest.sourceOver(s, arrivals,
+      s.read.parquet(arrivals + "/b0").schema)
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        incrAggMerge(s, base, stage, batch)
+      }
+      .start()
+    DocIngest.await(q)
+    s.read.parquet(base)
+      .select(col("o_custkey"), col("n_orders"),
+        col("total_dec").cast("double").as("total"),
+        (col("total_dec").cast("double") /
+          col("n_orders").cast("double")).as("avg_price"))
+  }
+
   private[graft] def scd2Load(s: SparkSession, d: String,
       base: String): Unit =
     customer(s, d)
@@ -556,6 +608,12 @@ object WriteOps {
             col("n_orders").cast("double")).as("avg_price"))
     }),
 
+    // Streaming twin of the incremental aggregate (see
+    // streamingIncrAgg's scaladoc): same oracle as
+    // write_incremental_agg because the merge partials form a
+    // commutative monoid — the batch split cannot change the result.
+    "streaming_ingest_agg" -> ((s, d) => streamingIncrAgg(s, d)),
+
     // MERGE INTO over plain parquet: partition-scoped copy-on-write
     // upsert (see upsertMerge's scaladoc) — load, merge the 1997 change
     // batch via staged commit + dynamic overwrite, read back the table.
@@ -781,6 +839,16 @@ object WriteOps {
     // the incremental merge must equal aggregating all history from
     // scratch — exact decimal sums, avg as one IEEE division
     "write_incremental_agg" ->
+      """SELECT o_custkey, cast(count(*) AS bigint) AS n_orders,
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total,
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+           / cast(count(*) AS double) AS avg_price
+         FROM orders WHERE year(o_orderdate) <= 1997
+         GROUP BY o_custkey""",
+
+    // the streaming twin merges the same batch through the same monoid —
+    // identical final state, identical oracle
+    "streaming_ingest_agg" ->
       """SELECT o_custkey, cast(count(*) AS bigint) AS n_orders,
          cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total,
          cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)

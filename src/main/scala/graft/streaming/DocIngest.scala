@@ -91,6 +91,31 @@ object DocIngest {
       .parquet(dir(s, d))
   }
 
+  /** Generic arrival-log staging for non-document sources (e.g. the
+    * orders change batch of `streaming_ingest_agg`): `df` split into
+    * [[NUM_BATCHES]] single-file dirs on `idCol % NUM_BATCHES`,
+    * memoized per `key`. Same lifecycle as [[dir]]. */
+  def stagedDirOf(key: String, idCol: String, df: => DataFrame): String =
+    staged.getOrElseUpdate(key, {
+      val stage = java.nio.file.Files.createTempDirectory("g_ing_src")
+      deleteOnExit(stage)
+      val data = df
+      (0 until NUM_BATCHES).foreach { b =>
+        data.filter(col(idCol) % NUM_BATCHES === b)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(stage.resolve(s"b$b").toString)
+      }
+      stage
+    }).toString
+
+  /** One-file-per-micro-batch stream over a [[stagedDirOf]] log. */
+  def sourceOver(s: SparkSession, stagedDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(stagedDir)
+
   /** Bounded drain + stop — shared await discipline with the events
     * replay gates. */
   def await(q: StreamingQuery): Unit =
