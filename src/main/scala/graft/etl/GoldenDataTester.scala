@@ -232,6 +232,90 @@ object GoldenDataTester {
     case other => other
   }
 
+  // --- RDB run + verify --------------------------------------------------
+
+  /** Fixture type → warehouse DDL type (ANSI family; array fixtures are
+    * a Spark-side concept and rejected here). */
+  private def rdbType(t: String): String = t.trim.toLowerCase match {
+    case "int" => "int"
+    case "tinyint" => "smallint"
+    case "bigint" | "long" => "bigint"
+    case "double" => "double"
+    case "float" => "float"
+    case "string" | "text" => "varchar(4000)"
+    case "boolean" => "boolean"
+    case "date" => "date"
+    case "timestamp" => "timestamp"
+    case d if d.startsWith("decimal") => "double"
+    case a if a.startsWith("array<") => throw new SqlProcessorException(
+      "array fixture columns are not supported on RDB backends")
+    case other => other
+  }
+
+  private def rdbValue(v: Any, t: String): Any =
+    castValue(v, sparkType(t)) match {
+      case d: java.sql.Date => d
+      case ts: java.sql.Timestamp => ts
+      case other => other
+    }
+
+  /** The golden-data protocol against a JDBC warehouse — the reference's
+    * sql_tester runs its cases per backend (sql_tester.py dispatches on
+    * the case's backend header); this is the RDB leg: inputs become
+    * temp-schema tables (dotted names: real warehouse tables), the ETL
+    * dry-runs through the backend-generic processor, and each expected
+    * output compares against its `<table>_<hex>_output` view with
+    * values coerced through the fixture's declared types on BOTH sides
+    * (warehouses legitimately differ in numeric/char coercion; the
+    * fixture's type is the contract). */
+  def runCase(backend: graft.backend.rdb.RdbBackend,
+      tc: TestCase): CaseResult = {
+    tc.inputs.foreach { f =>
+      val types = f.columnTypes.padTo(f.columns.length, "string")
+      val schema = f.columns.zip(types).map { case (c, t) =>
+        graft.backend.rdb.RdbCol(c, rdbType(t)) }
+      val rows = f.values.map(vs =>
+        f.columns.indices.map(i =>
+          rdbValue(if (i < vs.length) vs(i) else null, types(i))))
+      if (f.name.contains("."))
+        backend.createTableWithData(f.name, rows, schema, Nil)
+      else backend.createTempTableWithData(f.name, rows, schema)
+    }
+
+    val viewsBefore = backend.tempTables().toSet
+    val processor = new SqlProcessor(backend, tc.sql,
+      variables = tc.vars, includes = tc.includes)
+    processor.run(dryRun = true)
+
+    val tempViews = backend.tempTables()
+    val failures = tc.outputs.flatMap { expected =>
+      val pureName = expected.name.split("\\.").last.toLowerCase
+      val matching = tempViews.filter(
+        _.matches(s"${pureName}_[0-9a-f]+_output"))
+      matching.find(!viewsBefore.contains(_)).orElse(matching.headOption) match {
+        case None =>
+          Seq(s"no output temp view found for ${expected.name} " +
+            s"(looked for ${pureName}_<hex>_output)")
+        case Some(view) =>
+          val cols = expected.columns
+          val types = expected.columnTypes.padTo(cols.length, "string")
+          val raw = backend.queryRows(
+            s"select ${cols.mkString(", ")} from " +
+            s"${backend.tempSchema}.$view", 10000)
+          def key(r: Seq[Any]) = r.map(String.valueOf).mkString("")
+          val actual = raw.map(r => r.zip(types).map { case (v, t) =>
+            normalize(rdbValue(v, t)) }).sortBy(key)
+          val exp = expected.values.map(r =>
+            cols.indices.map(i => normalize(rdbValue(
+              if (i < r.length) r(i) else null, types(i))))).sortBy(key)
+          if (actual != exp)
+            Seq(s"${expected.name}: expected $exp got $actual")
+          else Nil
+      }
+    }
+    CaseResult(tc.name, failures.isEmpty, failures)
+  }
+
   /** Extension dispatch mirrors the reference
     * (sql_tester.py:625-641): `.xlsx` via [[XlsxCases]], `.json`
     * inline. */
