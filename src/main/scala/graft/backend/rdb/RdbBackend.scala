@@ -529,7 +529,41 @@ final class RdbBackend private (
     } finally ps.close()
   }
 
+  private val registeredUdfs = mutable.ArrayBuffer[String]()
+
+  /** Execute warehouse-side UDF DDL (reference rdb.py:511-516: whatever
+    * the registry returns runs as statements). Duplicate-object errors
+    * are tolerated so re-initialization in a shared warehouse is safe. */
+  def registerUdfs(udfs: Seq[(String, Seq[String])]): Unit =
+    udfs.foreach { case (name, sqls) =>
+      try {
+        execAll(sqls)
+        registeredUdfs += name
+      } catch {
+        case e: java.sql.SQLException
+            if Option(e.getMessage).exists(_.contains("already exists")) =>
+          ()
+      }
+    }
+
+  /** Register the dialect's default UDF surface (reference
+    * rdb.py:508-509 init_udfs → udfs.get_udfs(backend_type)). */
+  def initUdfs(): Unit =
+    registerUdfs(graft.functions.RdbUdfs.forDialect(dialect))
+
   def clean(): Unit = {
+    if (dialect.dropDbRequiresEmpty) {
+      // functions registered into the session schema block the schema
+      // drop the same way views do
+      registeredUdfs.foreach { f =>
+        try exec(s"drop function $tempSchema.$f")
+        catch { case _: java.sql.SQLException =>
+          try exec(s"drop function $f")
+          catch { case _: java.sql.SQLException => () }
+        }
+      }
+      registeredUdfs.clear()
+    }
     if (dialect.dropDbRequiresEmpty) {
       // Derby: a schema only drops once empty — drop members first.
       // Views may depend on each other; registration order is creation

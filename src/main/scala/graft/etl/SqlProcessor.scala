@@ -147,6 +147,7 @@ final class SqlProcessor(
       graft.functions.NgramShingles.register(sb.spark)
     case rb: graft.backend.rdb.RdbBackend =>
       funcRunner.registerFuncs(graft.functions.RdbFuncs.all(rb, varsContext))
+      rb.initUdfs() // warehouse-side UDF surface (reference rdb.py:508)
     case _ => ()
   }
 
