@@ -38,6 +38,27 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("incremental-agg merge prunes untouched buckets at the scan") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("g_plan_incragg").toString
+    WriteOps.incrAggLoad(spark, sf, base)
+    val batch = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) === 1997)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .withColumn("bucket", pmod(col("o_custkey"), lit(16)).cast("int"))
+    val touched = batch.select("bucket").distinct()
+    val cur = spark.read.parquet(base)
+      .withColumn("bucket", col("bucket").cast("int"))
+      .join(broadcast(touched), Seq("bucket"), "left_semi")
+    cur.collect() // materialize so AQE finalizes the plan
+    val p = cur.queryExecution.executedPlan.toString
+    // dynamic partition pruning: the broadcast semi-join on the
+    // partition column must reach the scan as a runtime filter, so a
+    // narrow batch reads only its buckets' files at any table size
+    assert(p.contains("dynamicpruning"), p)
+  }
+
   test("exact dedup shuffles digests, not documents") {
     val p = plan("dedup_exact")
     // the exchange key is the md5 hash; raw text must not survive past
