@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.DataFrame
 
-import graft.backend.SparkBackend
+import graft.backend.{Backend, SparkBackend, TableLike}
 
 /** Interactive step-through of an ETL file — the reference's REPL/
   * notebook debugger (easy_sql/sql_processor_debugger.py:15-211,
@@ -19,7 +19,7 @@ import graft.backend.SparkBackend
   */
 final class SqlProcessorDebugger(
     sqlFilePath: String,
-    backend: SparkBackend,
+    backend: Backend,
     initialVars: Map[String, Any] = Map.empty,
     initialFuncs: Map[String, Seq[Any] => Any] = Map.empty,
     initialTemplates: Map[String, String] = Map.empty,
@@ -68,10 +68,18 @@ final class SqlProcessorDebugger(
   def tempViews: Seq[String] = backend.tempTables()
   def refreshInitialTempViews(): Unit = initialTempViews = tempViews
 
-  def nativeSql(sql: String): DataFrame = backend.execNativeSql(sql)
-  def sql(sql: String): DataFrame = backend.execSql(sql).df
+  def nativeSql(sql: String): Any = backend.execNativeSql(sql)
+  def sqlTable(sql: String): TableLike = backend.execSql(sql)
+  /** Spark-typed convenience for notebook workflows; RDB sessions use
+    * [[sqlTable]]/[[showDf]], which work on every backend. */
+  def sql(sql: String): DataFrame = backend match {
+    case sb: SparkBackend => sb.execSql(sql).df
+    case _ => throw new graft.core.SqlProcessorException(
+      "sql() returns a DataFrame and needs a Spark backend; " +
+      "use sqlTable() on RDB sessions")
+  }
   def showDf(tableName: String): Unit =
-    sql(s"select * from $tableName").show()
+    sqlTable(s"select * from $tableName").show(20)
 
   def step(stepNo: Int): Option[Step] =
     if (stepNo >= 1 && stepNo <= steps.length) Some(steps(stepNo - 1))

@@ -106,6 +106,32 @@ class RdbEtlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("always_fails"))
   }
 
+  test("the step-through debugger drives an RDB session") {
+    val etl =
+      """-- target=variables
+        |select 7 as seed from sysibm.sysdummy1
+        |-- target=temp.nums
+        |select seed_q.n * ${seed} as v from (values 1, 2, 3) seed_q(n)
+        |-- target=log.total
+        |select sum(v) as total from nums
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("dbg_rdb", ".sql")
+    java.nio.file.Files.write(f, etl.getBytes("UTF-8"))
+    val dbg = new SqlProcessorDebugger(f.toString, backend)
+    assert(dbg.steps.length === 3)
+    dbg.stepOn() // variables
+    assert(dbg.vars("seed") === "7")
+    dbg.stepOn() // temp view
+    assert(dbg.tempViews.contains("nums"))
+    assert(dbg.sqlTable(
+      s"select sum(v) from ${backend.tempSchema}.nums")
+      .collectRows().head.head.toString === "42")
+    dbg.run()
+    assert(dbg.isFinished)
+    // DataFrame-typed sql() is a Spark-only convenience
+    assertThrows[graft.core.SqlProcessorException](dbg.sql("select 1"))
+  }
+
   test("column funcs expand over JDBC metadata") {
     val p = new SqlProcessor(backend, "-- target=temp.unused\nselect 1 as x from sysibm.sysdummy1")
     val expr = p.funcRunner.runFunc(
