@@ -112,9 +112,10 @@ object DataProcess {
       reportTaskId: Option[String] = None,
       reportSinks: Seq[graft.etl.ReportSink] = Nil): SqlProcessor = {
     val config = EasySqlConfig.fromSql(sql)
-    require(Set("spark", "postgres", "clickhouse").contains(config.backend),
+    require(Set("spark", "postgres", "clickhouse", "bigquery", "maxcompute")
+        .contains(config.backend),
       s"unsupported backend `${config.backend}` " +
-      "(supported: spark, postgres, clickhouse)")
+      "(supported: spark, postgres, clickhouse, bigquery, maxcompute)")
 
     if (config.backend != "spark") {
       val backend = new graft.backend.rdb.RdbBackend(rdbUrlFor(config.backend))

@@ -78,6 +78,8 @@ object RdbBackend {
     if (url.startsWith("jdbc:derby:")) new DerbyDialect()
     else if (url.startsWith("jdbc:postgresql:")) new PostgresDialect()
     else if (url.startsWith("jdbc:clickhouse:")) new ClickHouseDialect()
+    else if (url.startsWith("jdbc:bigquery:")) new BigQueryDialect()
+    else if (url.startsWith("jdbc:odps:")) new MaxComputeDialect()
     else throw new SqlProcessorException(s"no dialect for JDBC url: $url")
 }
 

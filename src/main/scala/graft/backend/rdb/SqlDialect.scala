@@ -11,9 +11,22 @@ import graft.core.SqlProcessorException
   * warehouse-specific types. */
 class SqlExpr(
     valueToSqlExpr: Any => Option[String] = _ => None,
-    partitionColConverter: String => String = identity) {
+    partitionColConverter: String => String = identity,
+    partitionExprConverter: (String, String) => Option[String] = (_, _) => None,
+    columnTypeConverter: (String, String, String) => Option[String] =
+      (_, _, _) => None) {
 
   def convertPartitionCol(col: String): String = partitionColConverter(col)
+
+  /** Warehouse-side partition transform, e.g. BigQuery `partition by
+    * date(ts)` (reference sql_dialect/__init__.py:37-40). */
+  def partitionExpr(dialect: String, col: String): String =
+    partitionExprConverter(dialect, col).getOrElse(col)
+
+  /** Per-warehouse column type mapping for generated DDL (reference
+    * sql_dialect/__init__.py:75-92); defaults to the declared type. */
+  def columnType(dialect: String, col: String, colType: String): String =
+    columnTypeConverter(dialect, col, colType).getOrElse(colType)
 
   def forValue(value: Any): String = valueToSqlExpr(value).getOrElse {
     value match {
