@@ -239,6 +239,59 @@ object WriteOps {
           .foreach(f => try Files.deleteIfExists(f)
                         catch { case _: Exception => () })
     }
+
+    /** Partitions that changed between two versions, recovered from the
+      * MANIFEST DIFF alone: carry-over preserves file paths verbatim, so
+      * the symmetric difference of the two file lists is exactly the
+      * rewritten partitions' files — a metadata-only computation, no
+      * data scan, no footer reads. This is what makes a change feed
+      * affordable at 100 TB: the diff prunes the table to the touched
+      * partitions BEFORE any row is opened. */
+    def changedYears(root: String, vFrom: Int, vTo: Int): Seq[Int] = {
+      val a = files(root, vFrom).toSet
+      val b = files(root, vTo).toSet
+      val yr = "_y(\\d+)_p".r
+      ((a diff b) ++ (b diff a)).toSeq
+        .flatMap(f => yr.findFirstMatchIn(f).map(_.group(1).toInt))
+        .distinct.sorted
+    }
+  }
+
+  /** CHANGE DATA FEED between two snapshot versions — the Delta
+    * `table_changes(...)` analog over [[SnapshotTable]]: row-level
+    * insert / delete / update_preimage / update_postimage records
+    * derived by diffing the two versions, emitting ONLY rows whose
+    * content actually changed (a rewritten partition's untouched rows
+    * are not changes).
+    *
+    * Scale shape: [[SnapshotTable.changedYears]] prunes both reads to
+    * the touched partitions from manifest metadata alone, so the
+    * full-outer key join shuffles touched-partition rows only — cost is
+    * proportional to the commit being explained, never table size. */
+  private[graft] def tableChanges(s: SparkSession, root: String,
+      vFrom: Int, vTo: Int): DataFrame = {
+    val years = SnapshotTable.changedYears(root, vFrom, vTo)
+    def slice(v: Int, p: String) = SnapshotTable.read(s, root, v)
+      .filter(col("pt_year").isin(years: _*))
+      .select(col("o_orderkey").as(s"${p}_key"),
+        col("o_custkey").as(s"${p}_cust"),
+        col("o_totalprice").as(s"${p}_price"))
+    val j = slice(vFrom, "pre").join(slice(vTo, "post"),
+      col("pre_key") === col("post_key"), "full_outer")
+    val ins = j.filter(col("pre_key").isNull)
+      .select(col("post_key").as("o_orderkey"),
+        col("post_price").as("price"), lit("insert").as("change_type"))
+    val del = j.filter(col("post_key").isNull)
+      .select(col("pre_key").as("o_orderkey"),
+        col("pre_price").as("price"), lit("delete").as("change_type"))
+    val upd = j.filter(col("pre_key").isNotNull && col("post_key").isNotNull &&
+      (col("pre_price") =!= col("post_price") ||
+        col("pre_cust") =!= col("post_cust")))
+    val updPre = upd.select(col("pre_key").as("o_orderkey"),
+      col("pre_price").as("price"), lit("update_preimage").as("change_type"))
+    val updPost = upd.select(col("post_key").as("o_orderkey"),
+      col("post_price").as("price"), lit("update_postimage").as("change_type"))
+    ins.unionByName(del).unionByName(updPre).unionByName(updPost)
   }
 
   /** SCD Type-2 historization — the OTHER merge shape a warehouse needs:
@@ -690,6 +743,42 @@ object WriteOps {
         .select("version", "pt_year", "cnt", "n_keys", "total")
     }),
 
+    // CHANGE DATA FEED over the snapshot lineage (see tableChanges):
+    // v0→v1 is the 1997 upsert (every 1997 row updated, the +1e8 keys
+    // inserted), v1→v2 the 1996 merge-delete. The gate aggregates the
+    // emitted change rows per (transition, change_type); a leaked
+    // unchanged row, a missed insert, or wrong pre/post images all move
+    // the counts or the price totals and hash-fail. The 1996 rows NOT
+    // deleted sit in a rewritten partition with identical content —
+    // their absence from the feed is the changes-only contract.
+    "read_table_changes" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val root = scratch("cdf_tbl")
+      SnapshotTable.deleteTree(root) // fresh table lineage per invocation
+      val base = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = base.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, root, 0, base, years)
+      val merged1 = upsertBatch(s, d).withColumn("src", lit(1))
+        .unionByName(SnapshotTable.read(s, root, 0)
+          .filter(col("pt_year") === 1997).withColumn("src", lit(0)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderkey").orderBy(col("src").desc)))
+        .filter(col("rn") === 1).drop("rn", "src")
+      SnapshotTable.commit(s, root, 1, merged1, Seq(1997))
+      val kept96 = SnapshotTable.read(s, root, 1)
+        .filter(col("pt_year") === 1996 && !(col("o_orderkey") % 10 === 3))
+      SnapshotTable.commit(s, root, 2, kept96, Seq(1996))
+      tableChanges(s, root, 0, 1).withColumn("transition", lit("v0_v1"))
+        .unionByName(
+          tableChanges(s, root, 1, 2).withColumn("transition", lit("v1_v2")))
+        .groupBy("transition", "change_type")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          decSum("price").as("total"))
+    }),
+
     // SCD2 historization across TWO change batches (see scd2Merge's
     // scaladoc): history accumulates closed versions by append, the
     // current partition is rewritten, and the read-back groups by the
@@ -930,6 +1019,32 @@ object WriteOps {
            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
              AS total
          FROM lab GROUP BY version, pt_year""",
+    // change rows recomputed from orders: the v0→v1 upsert updates every
+    // 1997 row (+100) and inserts the +1e8 keys; the v1→v2 merge-delete
+    // removes the 1996 keys ≡ 3 mod 10. Unchanged 1996 rows emit nothing.
+    "read_table_changes" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         t97 AS (SELECT * FROM t WHERE pt_year = 1997),
+         ch AS (
+           SELECT 'v0_v1' AS transition, 'insert' AS change_type,
+             o_orderkey + 100000000 AS k, cast(1.0 AS double) AS price
+           FROM t97
+           UNION ALL
+           SELECT 'v0_v1', 'update_preimage', o_orderkey, o_totalprice
+           FROM t97
+           UNION ALL
+           SELECT 'v0_v1', 'update_postimage', o_orderkey,
+             o_totalprice + 100.0
+           FROM t97
+           UNION ALL
+           SELECT 'v1_v2', 'delete', o_orderkey, o_totalprice
+           FROM t WHERE pt_year = 1996 AND o_orderkey % 10 = 3)
+         SELECT transition, change_type,
+           cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT k) AS bigint) AS n_keys,
+           cast(sum(cast(price AS decimal(18,2))) AS double) AS total
+         FROM ch GROUP BY 1, 2""",
     "write_upsert" ->
       """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
              cast(year(o_orderdate) AS int) AS pt_year FROM orders),
