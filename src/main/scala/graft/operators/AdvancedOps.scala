@@ -26,6 +26,26 @@ object AdvancedOps {
     pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(s.toLong))
       .cast("int")
 
+  /** Deterministic fixed-size uniform sample per group (see the
+    * sample_reservoir_topk gate comment): digest pre-filter at
+    * `permille`‰, then keep the k digest-smallest rows per group. The
+    * (dg, doc_id) tiebreak makes the ranking a total order, so the
+    * sample is a pure function of document identity — ReservoirSpec
+    * proves the k-cap, partitioning-invariance, and the reservoir
+    * admission rule. */
+  private[graft] def reservoirTopK(docs: DataFrame, group: String,
+      k: Int, permille: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("bucket", Tables.md5Bucket(col("doc_id"), 1000))
+      .filter(col("bucket") < permille)
+      .withColumn("dg", md5(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(group).orderBy(col("dg"), col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col(group), col("rk").cast("long").as("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // AS-OF JOIN: for every event, the timestamp of the same user's most
     // recent PRIOR 'error' event. Composed as a running max over a
@@ -62,6 +82,22 @@ object AdvancedOps {
           when(col("bucket") % 10 < 8, "train").otherwise("test"))
         .select("doc_id", "lang", "bucket", "split")
     }),
+
+    // Fixed-SIZE uniform sample per group — the deterministic,
+    // distributed stand-in for per-group reservoir sampling (which is
+    // sequential by construction): rank each language's docs by a
+    // content-stable digest and keep the k smallest. Same sample on
+    // every run/engine/cluster width, and it composes with incremental
+    // ingest (a new doc displaces the current max iff its digest is
+    // smaller — exactly a reservoir's admission rule). Scale shape: a
+    // digest pre-FILTER (bucket < 200‰) drops 80% of rows in the scan
+    // before anything shuffles, so the per-group sort ranks only
+    // plausible winners; at 100 TB the permille is tuned down (k·slack /
+    // corpus-per-group) so survivors stay executor-sized, with the same
+    // admission semantics. ReservoirSpec proves k-cap, determinism, and
+    // the displacement rule.
+    "sample_reservoir_topk" -> ((s, d) =>
+      reservoirTopK(documents(s, d), "lang", k = 25, permille = 200)),
 
     // Domain mixture sampling — the dataset-rebalancing staple: a tiny
     // per-domain target-rate config TABLE (broadcast — at scale the
@@ -306,6 +342,20 @@ object AdvancedOps {
                AS prev_error_us
            FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
                  FROM events))""",
+    // digest pre-filter, then rank-by-digest within lang — the row_number
+    // tiebreak (dg, doc_id) makes the order total in both engines
+    "sample_reservoir_topk" ->
+      """WITH f AS (
+           SELECT doc_id, lang, md5(cast(doc_id AS varchar)) AS dg
+           FROM documents
+           WHERE cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))
+             as bigint) % 1000 < 200),
+         r AS (
+           SELECT doc_id, lang, row_number() OVER
+             (PARTITION BY lang ORDER BY dg, doc_id) AS rk
+           FROM f)
+         SELECT doc_id, lang, cast(rk AS bigint) AS rk
+         FROM r WHERE rk <= 25""",
     "sample_stratified_split" ->
       """WITH b AS (
            SELECT doc_id, lang,
