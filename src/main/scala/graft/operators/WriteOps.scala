@@ -133,6 +133,60 @@ object WriteOps {
       .partitionBy("pt_year").parquet(base)
   }
 
+  /** The full CDC feed for the apply gate: op-labeled rows — every 1997
+    * order re-priced (U), the same orders cloned to new keys (I), and
+    * the 1996 keys ≡ 3 mod 10 marked for removal (D). The shape a
+    * change-capture stream (or read_table_changes itself) delivers. */
+  private[graft] def changeFeed(s: SparkSession, d: String): DataFrame = {
+    val t = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("pt_year"))
+    val upd = t.filter(col("pt_year") === 1997)
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+      .withColumn("op", lit("U"))
+    val ins = t.filter(col("pt_year") === 1997).select(
+      (col("o_orderkey") + 100000000L).as("o_orderkey"),
+      col("o_custkey"), lit(1.0).as("o_totalprice"), col("pt_year"),
+      lit("I").as("op"))
+    val del = t.filter(col("pt_year") === 1996 && col("o_orderkey") % 10 === 3)
+      .withColumn("op", lit("D"))
+    upd.unionByName(ins).unionByName(del)
+  }
+
+  /** APPLY a CDC feed (op ∈ I/U/D) to a partitioned parquet table — the
+    * full MERGE semantics a lakehouse spells `WHEN MATCHED AND op='D'
+    * THEN DELETE ... WHEN MATCHED THEN UPDATE ... WHEN NOT MATCHED THEN
+    * INSERT`, and the consumer side of read_table_changes' feed. Same
+    * partition-scoped copy-on-write as upsertMerge — touched partitions
+    * come from the batch (a delete-only partition is still touched),
+    * the table is read back only there — plus a delete leg: the merged
+    * slice anti-joins the broadcast tombstone key set. Rewrite cost is
+    * proportional to touched partitions; a corpus-scale feed would swap
+    * the broadcast for a shuffle anti-join with identical semantics.
+    * Applying the same feed twice is a no-op (spec-proven idempotence —
+    * the property that makes at-least-once CDC delivery safe). */
+  private[graft] def applyChanges(s: SparkSession, base: String,
+      stage: String, batch: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val affected = batch.select("pt_year").distinct()
+    val cur = s.read.parquet(base)
+      .join(broadcast(affected), Seq("pt_year"), "left_semi")
+    val dels = batch.filter(col("op") === "D")
+      .select("o_orderkey").distinct()
+    val merged = batch.filter(col("op") =!= "D").drop("op")
+      .withColumn("src", lit(1))
+      .unionByName(cur.withColumn("src", lit(0)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_orderkey").orderBy(col("src").desc)))
+      .filter(col("rn") === 1).drop("rn", "src")
+      .join(broadcast(dels), Seq("o_orderkey"), "left_anti")
+    merged.write.mode(SaveMode.Overwrite).parquet(stage)
+    s.read.parquet(stage)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pt_year").parquet(base)
+  }
+
   /** Minimal manifest-committed snapshot table — the transactional core
     * of the lakehouse formats (Delta/Iceberg/Hudi CoW shape) over plain
     * parquet, completing the write family's missing pillar: TIME TRAVEL.
@@ -743,6 +797,22 @@ object WriteOps {
         .select("version", "pt_year", "cnt", "n_keys", "total")
     }),
 
+    // APPLY CHANGES (see applyChanges): the op-labeled CDC feed merged
+    // into the table in one pass — updates win over stay rows, inserts
+    // land, tombstoned keys vanish, and only the feed's partitions are
+    // rewritten. The read-back aggregate catches a leaked tombstone, a
+    // dropped stay row, or an update applied to the wrong partition.
+    "write_apply_changes" -> ((s, d) => {
+      val base = scratch("apply_chg_tbl")
+      upsertLoad(s, d, base)
+      applyChanges(s, base, scratch("apply_chg_stage"), changeFeed(s, d))
+      s.read.parquet(base)
+        .groupBy("pt_year")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          decSum("o_totalprice").as("total"))
+    }),
+
     // CHANGE DATA FEED over the snapshot lineage (see tableChanges):
     // v0→v1 is the 1997 upsert (every 1997 row updated, the +1e8 keys
     // inserted), v1→v2 the 1996 merge-delete. The gate aggregates the
@@ -1019,6 +1089,28 @@ object WriteOps {
            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
              AS total
          FROM lab GROUP BY version, pt_year""",
+    // final table state recomputed from orders: 1997 replaced by the
+    // update+insert images, the 1996 tombstoned keys gone, all other
+    // years untouched
+    "write_apply_changes" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         fin AS (
+           SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+             pt_year
+           FROM t WHERE pt_year = 1997
+           UNION ALL
+           SELECT o_orderkey + 100000000, 1.0, pt_year
+           FROM t WHERE pt_year = 1997
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, pt_year FROM t
+           WHERE pt_year <> 1997
+             AND NOT (pt_year = 1996 AND o_orderkey % 10 = 3))
+         SELECT pt_year, cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total
+         FROM fin GROUP BY pt_year""",
     // change rows recomputed from orders: the v0→v1 upsert updates every
     // 1997 row (+100) and inserts the +1e8 keys; the v1→v2 merge-delete
     // removes the 1996 keys ≡ 3 mod 10. Unchanged 1996 rows emit nothing.
