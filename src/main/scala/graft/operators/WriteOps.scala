@@ -461,6 +461,55 @@ object WriteOps {
           col("n_orders").cast("double")).as("avg_price"))
   }
 
+  // per-(JVM, sfDir) CDC-applied table for the streaming apply twin
+  private val streamApplyState =
+    scala.collection.concurrent.TrieMap[String, (String, String, String)]()
+
+  /** Streaming twin of write_apply_changes — gate
+    * `streaming_ingest_apply`: the op-labeled I/U/D feed ARRIVES as
+    * micro-batches, each applied through the same [[applyChanges]] the
+    * batch gate uses (foreachBatch + durable checkpoint). Batch-split
+    * invariance here comes from KEY DISJOINTNESS, not a monoid: every
+    * key appears in the feed at most once (updates hit 1997 keys,
+    * inserts mint fresh keys, deletes hit 1996 keys), so per-key
+    * operations commute across any arrival split and the batch gate's
+    * DuckDB oracle verifies the stream unchanged. Restart safety is the
+    * composition of the checkpoint's offset log (a drained file never
+    * re-delivers) with applyChanges' idempotence (an at-least-once
+    * redelivery would still be a no-op) — the two layers a production
+    * CDC consumer needs. */
+  private[graft] def streamingApplyChanges(s: SparkSession,
+      d: String): DataFrame = {
+    import graft.streaming.DocIngest
+    val (base, stage, ckpt) = streamApplyState.getOrElseUpdate(d, {
+      val b = java.nio.file.Files
+        .createTempDirectory("g_stream_apply_tbl").toString
+      val st = java.nio.file.Files
+        .createTempDirectory("g_stream_apply_stage").toString
+      val ck = java.nio.file.Files
+        .createTempDirectory("g_stream_apply_ckpt").toString
+      upsertLoad(s, d, b)
+      (b, st, ck)
+    })
+    val arrivals = DocIngest.stagedDirOf(s"applychg|$d", "o_orderkey",
+      changeFeed(s, d))
+    val src = DocIngest.sourceOver(s, arrivals,
+      s.read.parquet(arrivals + "/b0").schema)
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyChanges(s, base, stage, batch)
+      }
+      .start()
+    DocIngest.await(q)
+    s.read.parquet(base)
+      .groupBy("pt_year")
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        decSum("o_totalprice").as("total"))
+  }
+
   private[graft] def scd2Load(s: SparkSession, d: String,
       base: String): Unit =
     customer(s, d)
@@ -720,6 +769,9 @@ object WriteOps {
     // write_incremental_agg because the merge partials form a
     // commutative monoid — the batch split cannot change the result.
     "streaming_ingest_agg" -> ((s, d) => streamingIncrAgg(s, d)),
+
+    // streaming twin of write_apply_changes (see streamingApplyChanges)
+    "streaming_ingest_apply" -> ((s, d) => streamingApplyChanges(s, d)),
 
     // MERGE INTO over plain parquet: partition-scoped copy-on-write
     // upsert (see upsertMerge's scaladoc) — load, merge the 1997 change
@@ -1089,6 +1141,28 @@ object WriteOps {
            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
              AS total
          FROM lab GROUP BY version, pt_year""",
+    // the stream applies the SAME feed batch-split-invariantly (key
+    // disjointness — see streamingApplyChanges), so the batch gate's
+    // oracle verifies it unchanged
+    "streaming_ingest_apply" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         fin AS (
+           SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+             pt_year
+           FROM t WHERE pt_year = 1997
+           UNION ALL
+           SELECT o_orderkey + 100000000, 1.0, pt_year
+           FROM t WHERE pt_year = 1997
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, pt_year FROM t
+           WHERE pt_year <> 1997
+             AND NOT (pt_year = 1996 AND o_orderkey % 10 = 3))
+         SELECT pt_year, cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total
+         FROM fin GROUP BY pt_year""",
     // final table state recomputed from orders: 1997 replaced by the
     // update+insert images, the 1996 tombstoned keys gone, all other
     // years untouched
