@@ -243,29 +243,39 @@ object WriteOps {
       s.read.parquet(files(root, v): _*)
 
     /** Commit `slice` — ALL rows of the touched partitions — as
-      * version v. One Spark write per touched partition (bounded by
-      * the merge's touched-partition count, the same assumption the
-      * CoW upsert makes), then the atomic manifest rename publishes. */
+      * version v. ONE partitioned Spark write covers every touched
+      * partition (a per-partition write loop would pay one job-launch
+      * per partition — 7× the scheduler overhead on a full-history
+      * commit for identical bytes); `__pt` duplicates the partition
+      * column so the data files keep `pt_year` while the directory
+      * layout routes them. Then the atomic manifest rename publishes.
+      * A touched partition left with zero rows simply contributes no
+      * files (reading it through any later version yields no rows —
+      * the same observable state the empty file gave). */
     def commit(s: SparkSession, root: String, v: Int, slice: DataFrame,
         touched: Seq[Int]): Unit = {
       val dataDir = Paths.get(root, "data")
       Files.createDirectories(dataDir)
       Files.createDirectories(Paths.get(root, "_manifests"))
+      val stage = Paths.get(root, s"stage_v$v")
+      slice.filter(col("pt_year").isin(touched.map(Integer.valueOf): _*))
+        .withColumn("__pt", col("pt_year"))
+        .write.mode(SaveMode.Overwrite).partitionBy("__pt")
+        .parquet(stage.toString)
       val fresh = touched.flatMap { y =>
-        val stage = Paths.get(root, s"stage_v${v}_y$y")
-        slice.filter(col("pt_year") === y)
-          .write.mode(SaveMode.Overwrite).parquet(stage.toString)
-        val parts = Files.list(stage).iterator.asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .toSeq.sortBy(_.toString)
-        val moved = parts.zipWithIndex.map { case (p, i) =>
+        val pDir = stage.resolve(s"__pt=$y")
+        val parts =
+          if (!Files.exists(pDir)) Seq.empty
+          else Files.list(pDir).iterator.asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toSeq.sortBy(_.toString)
+        parts.zipWithIndex.map { case (p, i) =>
           val dst = dataDir.resolve(f"v${v}_y${y}_p$i%05d.parquet")
           Files.move(p, dst, StandardCopyOption.REPLACE_EXISTING)
           dst.toString
         }
-        deleteTree(stage.toString)
-        moved
       }
+      deleteTree(stage.toString)
       val carried =
         if (v == 0) Seq.empty
         else files(root, v - 1).filterNot(f =>
