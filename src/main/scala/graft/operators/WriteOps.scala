@@ -254,6 +254,16 @@ object WriteOps {
       * the same observable state the empty file gave). */
     def commit(s: SparkSession, root: String, v: Int, slice: DataFrame,
         touched: Seq[Int]): Unit = {
+      // optimistic concurrency: history is linear and a version commits
+      // once. Two writers racing to publish the same v both pass this
+      // check at worst, but the ATOMIC_MOVE below (no REPLACE_EXISTING)
+      // lets exactly one rename win — the loser throws and must rebase
+      // on the new head, the same protocol a lakehouse log runs.
+      require(v == 0 || Files.exists(manifest(root, v - 1)),
+        s"cannot commit version $v: parent v${v - 1} was never committed")
+      require(!Files.exists(manifest(root, v)),
+        s"conflict: version $v is already committed — rebase on the " +
+        "current head and retry")
       val dataDir = Paths.get(root, "data")
       Files.createDirectories(dataDir)
       Files.createDirectories(Paths.get(root, "_manifests"))
@@ -271,7 +281,10 @@ object WriteOps {
             .toSeq.sortBy(_.toString)
         parts.zipWithIndex.map { case (p, i) =>
           val dst = dataDir.resolve(f"v${v}_y${y}_p$i%05d.parquet")
-          Files.move(p, dst, StandardCopyOption.REPLACE_EXISTING)
+          // no REPLACE_EXISTING: if a racing writer already published
+          // this version's files, the move throws HERE — before the
+          // loser can overwrite a committed version's bytes
+          Files.move(p, dst)
           dst.toString
         }
       }

@@ -77,4 +77,32 @@ class SnapshotTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](T.read(spark, root, 0))
     T.deleteTree(root)
   }
+
+  test("optimistic concurrency: conflicting and orphan commits fail loudly") {
+    val root = Files.createTempDirectory("g_snap_occ").toString
+    val T = WriteOps.SnapshotTable
+    import spark.implicits._
+    def frame(rows: (Long, Int, Double)*) =
+      rows.toSeq.toDF("o_orderkey", "pt_year", "o_totalprice")
+
+    T.commit(spark, root, 0, frame((1L, 1, 10.0)), Seq(1))
+    val head = T.read(spark, root, 0).collect().toSet
+
+    // a second writer publishing the same version must fail — and must
+    // NOT disturb the committed version's content
+    intercept[IllegalArgumentException](
+      T.commit(spark, root, 0, frame((9L, 1, 99.0)), Seq(1)))
+    assert(T.read(spark, root, 0).collect().toSet === head,
+      "the losing writer disturbed the committed version")
+
+    // history is linear: skipping a parent is rejected
+    intercept[IllegalArgumentException](
+      T.commit(spark, root, 5, frame((2L, 1, 20.0)), Seq(1)))
+
+    // the rebased retry (next version off the current head) succeeds
+    T.commit(spark, root, 1, frame((9L, 1, 99.0)), Seq(1))
+    assert(T.read(spark, root, 1).collect().toSet ===
+      Set(org.apache.spark.sql.Row(9L, 1, 99.0)))
+    T.deleteTree(root)
+  }
 }
