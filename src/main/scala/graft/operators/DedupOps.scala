@@ -429,11 +429,23 @@ object DedupOps {
     // codegen'd 8-byte hash wins over a cryptographic digest: xxhash64
     // shuffles/sorts long keys instead of 32-char md5 hex strings — 4×
     // fewer shuffle bytes and integer compares in the window sort
+    // Plan lesson from the sf1 audit: the cost here was never the
+    // window sort or the shuffle — it was MATERIALIZING the window
+    // strings (each L-char doc spawned ~L 30-char UTF8Strings, a ~30×
+    // allocation amplification of the corpus, thrown away right after
+    // hashing). CharNgramHashes hashes byte ranges in place and
+    // dedups per-doc in the same pass, so the stream is born as bare
+    // longs: explode → one (wh-keyed) shuffle of 16-byte rows →
+    // window count → map-side-combined doc rollup. (Both no-sort
+    // reformulations — df-table join-back and the unique-owner
+    // aggregation — measured WORSE at sf1: the derived corpus's
+    // shared set isn't sparse, and 25M-key hash aggregation spills
+    // to sort anyway. The window form is the right plan; the strings
+    // were the bug.)
     val win = documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(
-        graft.functions.CharNgrams.char_ngrams(
-          lower(trim(col("text"))), w))).as("win"))
-      .select(col("doc_id"), xxhash64(col("win")).as("wh"))
+      .select(col("doc_id"), explode(
+        graft.functions.CharNgramHashes.char_ngram_hashes(
+          lower(trim(col("text"))), w)).as("wh"))
     win
       .withColumn("ndocs", count(lit(1)).over(Window.partitionBy("wh")))
       .groupBy("doc_id").agg(
