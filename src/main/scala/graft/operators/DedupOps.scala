@@ -442,7 +442,7 @@ object DedupOps {
     // shared set isn't sparse, and 25M-key hash aggregation spills
     // to sort anyway. The window form is the right plan; the strings
     // were the bug.)
-    val win = documents(s, d)
+    val win = Tables.documentsSpread(s, d)
       .select(col("doc_id"), explode(
         graft.functions.CharNgramHashes.char_ngram_hashes(
           lower(trim(col("text"))), w)).as("wh"))
@@ -646,7 +646,7 @@ object DedupOps {
 
     // SimHash: 16-bit fingerprint from per-token md5 bit votes.
     "dedup_simhash" -> ((s, d) => {
-      val toks = documents(s, d)
+      val toks = Tables.documentsSpread(s, d)
         .select(col("doc_id"),
           explode(array_distinct(split(lower(trim(col("text"))), " ")))
             .as("tok"))

@@ -25,6 +25,51 @@ object Tables {
       .cast("long") % mod
   }
 
+  /** Target rows per task for CPU-bound per-document kernels (BPE
+    * apply, regex scrubs, Gopher signals…). Small enough that a
+    * corpus-scale fixture fans to the full session width, large enough
+    * that a tiny fixture doesn't pay task-launch overhead per
+    * sub-millisecond slice. */
+  private[graft] val TEXT_ROWS_PER_TASK = 1000L
+
+  /** Driver-side parquet footer row count — no Spark job (the width
+    * decision must not cost a count() per invocation). Single-file
+    * fixtures only; anything else → None and the caller falls back to
+    * full session width (never under-parallel). */
+  private[graft] def footerRowCount(s: SparkSession, path: String)
+      : Option[Long] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, s.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try Some(r.getRecordCount) finally r.close()
+    } catch { case _: Exception => None }
+
+  /** The documents table spread for a CPU-bound per-row kernel: a
+    * mapPartitions/codegen kernel inherits the SCAN's parallelism, and
+    * this fixture is one parquet file — one split, one task, every
+    * other core idle (the same disease the r8 codec exchange fixed;
+    * text_bpe_tokens measured 11× on 10× data because of it). The
+    * exchange is ROW-SCALED and skipped outright when the scan already
+    * provides enough splits — which is exactly the 100 TB case, where
+    * the table arrives as thousands of splits and the claim "no
+    * exchange before the kernel" actually holds. Only row-local /
+    * partitioning-invariant consumers may use this (every gate oracle
+    * in this repo is partitioning-invariant by the determinism
+    * discipline; ordered pipelines like pack_chunks manage their own
+    * partitioning). */
+  def documentsSpread(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val target = footerRowCount(s, s"$d/documents.parquet")
+      .map(r => math.max(1L, math.min(width.toLong,
+        (r + TEXT_ROWS_PER_TASK - 1) / TEXT_ROWS_PER_TASK)).toInt)
+      .getOrElse(width)
+    if (docs.rdd.getNumPartitions >= target) docs
+    else docs.repartition(target)
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")

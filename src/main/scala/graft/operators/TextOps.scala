@@ -137,7 +137,7 @@ object TextOps {
   private[graft] def bpeTokens(s: SparkSession, d: String, rounds: Int,
       kPer: Int): DataFrame = {
     val batches = bpeTrain(s, d, rounds, kPer)
-    Tables.documents(s, d)
+    Tables.documentsSpread(s, d)
       .select(col("doc_id"), lower(trim(col("text"))).as("norm"))
       .withColumn("rc", graft.functions.BpeOps
         .bpe_round_counts(col("norm"), batches))
@@ -307,7 +307,7 @@ object TextOps {
     * `text_quality_classifier` (learned weights). Pure narrow codegen'd
     * transforms over the scan: zero shuffle at any corpus size. */
   private def gopherSignals(s: SparkSession, d: String): DataFrame =
-    gopherSignalsFrom(Tables.documents(s, d))
+    gopherSignalsFrom(Tables.documentsSpread(s, d))
 
   /** [[gopherSignals]] over an arbitrary documents frame — batch scan or
     * streaming micro-batch source alike (every transform is stateless,
@@ -519,7 +519,7 @@ object TextOps {
     // Token counting: whitespace tokens, distinct tokens, total/avg token
     // length, and a BPE-ish subword estimate (ceil(len/4) per token).
     "text_token_stats" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.documentsSpread(s, d)
         .withColumn("toks", split(trim(col("text")), " "))
         .select(
           col("doc_id"),
@@ -548,7 +548,7 @@ object TextOps {
 
     // Quality scoring: length band + stopword density + digit penalty.
     "text_quality" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.documentsSpread(s, d)
         .withColumn("toks", split(trim(col("text")), " "))
         .withColumn("n_tokens", size(col("toks")))
         .withColumn("stop_cnt",
@@ -618,7 +618,7 @@ object TextOps {
         val l = ws.map(w => s"'$w'").mkString(", ")
         expr(s"size(filter(toks, t -> t IN ($l)))")
       }
-      Tables.documents(s, d)
+      Tables.documentsSpread(s, d)
         .withColumn("toks", split(trim(col("text")), " "))
         .withColumn("c_en", hits(Seq("the", "and", "of", "is")))
         .withColumn("c_de", hits(Seq("der", "und", "die", "ist")))
@@ -676,7 +676,7 @@ object TextOps {
     // the digest column lets the oracle verify redaction byte-for-byte
     // without shipping text.
     "text_pii_redact" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.documentsSpread(s, d)
         .withColumn("redacted",
           regexp_replace(
             regexp_replace(col("text"),
@@ -696,7 +696,7 @@ object TextOps {
     // values (the specs prove each elementwise), one WholeStageCodegen
     // pass per document.
     "text_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.documentsSpread(s, d)
         .withColumn("toks", split(lower(trim(col("text"))), " "))
         .select(
           col("doc_id"),
@@ -769,7 +769,7 @@ object TextOps {
     // count for the 2-gram mode — the per-key state the shuffle carries
     // is one count per (doc, distinct 2-gram), never positions or text.
     "text_repetition" -> ((s, d) => {
-      val base = Tables.documents(s, d)
+      val base = Tables.documentsSpread(s, d)
         .withColumn("toks", split(lower(trim(col("text"))), " "))
       val stats = base.select(
         col("doc_id"),
