@@ -59,15 +59,25 @@ object Tables {
     * in this repo is partitioning-invariant by the determinism
     * discipline; ordered pipelines like pack_chunks manage their own
     * partitioning). */
-  def documentsSpread(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    spread(s, d, "documents", TEXT_ROWS_PER_TASK)
+
+  /** The embeddings table spread for the vector kernels (quantize, dot
+    * products, PQ/SQ8 encode) — same single-split disease, heavier
+    * per-row math, so a smaller rows-per-task target. */
+  def embeddingsSpread(s: SparkSession, d: String): DataFrame =
+    spread(s, d, "embeddings", 500L)
+
+  private def spread(s: SparkSession, d: String, name: String,
+      rowsPerTask: Long): DataFrame = {
+    val df = t(s, d, name)
     val width = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val target = footerRowCount(s, s"$d/documents.parquet")
+    val target = footerRowCount(s, s"$d/$name.parquet")
       .map(r => math.max(1L, math.min(width.toLong,
-        (r + TEXT_ROWS_PER_TASK - 1) / TEXT_ROWS_PER_TASK)).toInt)
+        (r + rowsPerTask - 1) / rowsPerTask)).toInt)
       .getOrElse(width)
-    if (docs.rdd.getNumPartitions >= target) docs
-    else docs.repartition(target)
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
   }
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")

@@ -105,7 +105,7 @@ object VectorOps {
     */
   def kmeansCentroids(s: SparkSession, d: String, k: Int, iters: Int)
       : Array[Array[Double]] = {
-    val e = quantized(embeddings(s, d)).filter(col("nrm") > 0)
+    val e = quantized(Tables.embeddingsSpread(s, d)).filter(col("nrm") > 0)
       .select(col("vec_id"),
         expr("transform(qv, x -> cast(x as double))").as("v"))
     var cents: Array[Array[Double]] = e.filter(col("vec_id") < k)
@@ -150,7 +150,7 @@ object VectorOps {
   def wcss(s: SparkSession, d: String, cents: Array[Array[Double]])
       : Double = {
     val centsLit = array(cents.map(c => array(c.map(lit): _*)): _*)
-    quantized(embeddings(s, d)).filter(col("nrm") > 0)
+    quantized(Tables.embeddingsSpread(s, d)).filter(col("nrm") > 0)
       .select(expr("transform(qv, x -> cast(x as double))").as("v"))
       .withColumn("cents", centsLit)
       .select(expr(
@@ -164,7 +164,7 @@ object VectorOps {
   /** Brute-force cosine top-k for query vectors vec_id < 5: broadcast
     * the queries, stream the corpus, per-query top-k via window. */
   def bruteforceTopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
-    val e = quantized(embeddings(s, d)).select("vec_id", "qv", "nrm")
+    val e = quantized(Tables.embeddingsSpread(s, d)).select("vec_id", "qv", "nrm")
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("qv").as("qqv"),
               col("nrm").as("qnrm"))
@@ -186,7 +186,7 @@ object VectorOps {
     * More planes ⇒ exponentially more buckets ⇒ smaller max bucket. */
   def lshBuckets(s: SparkSession, d: String,
       nplanes: Int = NPLANES): DataFrame =
-    quantized(embeddings(s, d))
+    quantized(Tables.embeddingsSpread(s, d))
       .select(col("vec_id"), bucketExpr(nplanes).as("bucket"))
 
   /** Quantized k-means centroids as an IVF-ready (cid, cqv, cnrm) frame:
@@ -256,7 +256,7 @@ object VectorOps {
           val q = c.map(math.round)
           (i.toLong, q, q.map(x => x * x).sum)
         }
-      val seed = quantized(embeddings(s, d)).filter(col("nrm") > 0)
+      val seed = quantized(Tables.embeddingsSpread(s, d)).filter(col("nrm") > 0)
         .filter(col("vec_id") < nlist).orderBy("vec_id")
         .select("vec_id", "qv", "nrm").collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
@@ -319,7 +319,7 @@ object VectorOps {
       nprobe: Int = NPROBE, k: Int = 10,
       centroids: Option[DataFrame] = None,
       eligible: Option[DataFrame] = None): DataFrame = {
-    val e = quantized(embeddings(s, d))
+    val e = quantized(Tables.embeddingsSpread(s, d))
       .select("vec_id", "qv", "nrm").filter(col("nrm") > 0)
     val cents = centroids.getOrElse(
       e.filter(col("vec_id") < nlist)
@@ -394,7 +394,7 @@ object VectorOps {
     * per candidate pair — hash-identical to the DuckDB oracle. */
   def semanticDedup(s: SparkSession, d: String, nlist: Int = NLIST,
       tau: Double = 0.4): DataFrame = {
-    val e = quantized(embeddings(s, d))
+    val e = quantized(Tables.embeddingsSpread(s, d))
       .select("vec_id", "qv", "nrm").filter(col("nrm") > 0)
     val cents = e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("qv").as("cqv"),
@@ -444,7 +444,7 @@ object VectorOps {
   def pqTrainedCodebook(s: SparkSession, d: String, m: Int = M,
       kpq: Int = KPQ, iters: Int = 2): Array[Array[Long]] = {
     val subDim = DIM / m
-    val e = quantized(embeddings(s, d))
+    val e = quantized(Tables.embeddingsSpread(s, d))
       .select("vec_id", "qv", "nrm").filter(col("nrm") > 0)
     var cents: Array[Array[Long]] = e.filter(col("vec_id") < kpq)
       .orderBy("vec_id").select("qv").collect()
@@ -490,7 +490,7 @@ object VectorOps {
       cents: Array[Array[Long]], m: Int = M): Long = {
     val subDim = DIM / m
     val kpq = cents.length
-    val e = quantized(embeddings(s, d))
+    val e = quantized(Tables.embeddingsSpread(s, d))
       .select("qv", "nrm").filter(col("nrm") > 0)
     // per-row error = Σ_j min_c dist² — the row minima read straight
     // off the native flat ADC table
@@ -527,7 +527,7 @@ object VectorOps {
       k: Int = 10,
       codebook: Option[Array[Array[Long]]] = None): DataFrame = {
     val subDim = DIM / m
-    val e = quantized(embeddings(s, d))
+    val e = quantized(Tables.embeddingsSpread(s, d))
       .select("vec_id", "qv", "nrm").filter(col("nrm") > 0)
     // codebook: first kpq vectors by default (bounded driver metadata,
     // like the k-means sweep sums; the oracle-stable seed convention) —
@@ -615,7 +615,7 @@ object VectorOps {
       k: Int = 10, rerank: Int = 100,
       centroids: Option[DataFrame] = None,
       codebook: Option[Array[Array[Long]]] = None): DataFrame = {
-    val e = quantized(embeddings(s, d))
+    val e = quantized(Tables.embeddingsSpread(s, d))
       .select("vec_id", "qv", "nrm").filter(col("nrm") > 0)
     val cents = centroids.getOrElse(
       e.filter(col("vec_id") < nlist)
@@ -740,7 +740,7 @@ object VectorOps {
         col("nrm") - lit(2L) * col("dot") + col("cnrm"))
 
   private def incIndexCtx(s: SparkSession, d: String): IncCtx = {
-    val e = quantized(embeddings(s, d))
+    val e = quantized(Tables.embeddingsSpread(s, d))
       .select("vec_id", "qv", "nrm").filter(col("nrm") > 0)
     val corpus = e.filter(!isNewVec)
     val batch = e.filter(isNewVec)
@@ -867,7 +867,7 @@ object VectorOps {
     * integer ((a·510 + span) div (2·span)), so codes, scaled grids, and
     * distances are all bit-identical to the DuckDB oracle. */
   def sq8TopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
-    val e = quantized(embeddings(s, d))
+    val e = quantized(Tables.embeddingsSpread(s, d))
       .select("vec_id", "qv", "nrm").filter(col("nrm") > 0)
     val mm = e.select(posexplode(col("qv")).as(Seq("pos", "x")))
       .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
@@ -917,7 +917,7 @@ object VectorOps {
     * n / 2^nplanes for centered data). */
   def neardupPairs(s: SparkSession, d: String, nplanes: Int = NPLANES,
       simThreshold: Double = 0.8): DataFrame = {
-    val e = quantized(embeddings(s, d))
+    val e = quantized(Tables.embeddingsSpread(s, d))
       .select(col("vec_id"), col("qv"), col("nrm"),
               bucketExpr(nplanes).as("bucket"))
       .filter(col("nrm") > 0)
