@@ -539,7 +539,50 @@ object DedupOps {
               "cont_ab", "cont_ba")
   }
 
+  /** Bloom-prefiltered incremental exact dedup — the probe-side cost
+    * lever the band/codes indexes don't cover: when the corpus-side key
+    * set is huge and the question is pure MEMBERSHIP ("has this exact
+    * content been seen?"), a Bloom filter over the corpus digests turns
+    * the daily probe into a broadcast bitmask test. The batch filters
+    * through `mightContain` first — no false negatives, so no dup is
+    * ever missed — and only the survivors (true dups + the fpp·batch
+    * false positives) reach the exact digest semi-join that removes the
+    * false positives. The answer is BY CONSTRUCTION identical to the
+    * plain semi-join (the oracle verifies that, not the bloom), which
+    * is the whole point: the bloom is a pruning artifact, not a
+    * semantics change.
+    *
+    * The dedup key is md5 of the first 80 normalized chars — truncation
+    * duplicates, the variant exact-hash dedup misses. At 100 TB the
+    * filter is the persisted artifact (~1.2 GB per 10⁹ keys at 1% fpp,
+    * shardable by digest range); it rebuilds incrementally by OR-ing
+    * per-ingest filters, and the probe never scans the corpus at all —
+    * only bloom survivors touch the key table, via digest-keyed join.
+    * BloomPrefilterSpec proves no-false-negatives, real pruning, and
+    * bloom-vs-exact answer equality. */
+  private[graft] def prefixKey: org.apache.spark.sql.Column =
+    md5(substring(lower(trim(col("text"))), 1, 80))
+
+  def bloomPrefilterDups(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documentsSpread(s, d)
+      .select(col("doc_id"), prefixKey.as("prefix_md5"))
+    val corpus = keyed.filter(col("doc_id") % 10 =!= 7)
+    val batch = keyed.filter(col("doc_id") % 10 === 7)
+    val expected = Tables.footerRowCount(s, s"$d/documents.parquet")
+      .getOrElse(1000000L)
+    val bloom = corpus.stat.bloomFilter("prefix_md5", expected, 0.03)
+    val mightContain = udf((k: String) => bloom.mightContain(k))
+    batch.filter(mightContain(col("prefix_md5")))
+      .join(corpus.select("prefix_md5").distinct(),
+        Seq("prefix_md5"), "left_semi")
+      .select("doc_id", "prefix_md5")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bloom-prefiltered incremental membership dedup (see
+    // bloomPrefilterDups).
+    "dedup_bloom_prefilter" -> ((s, d) => bloomPrefilterDups(s, d)),
+
     // Exact dedup: group by content hash, keep min doc_id.
     "dedup_exact" -> ((s, d) =>
       documents(s, d)
@@ -726,6 +769,19 @@ object DedupOps {
          SELECT doc_a, doc_b, jaccard FROM scored""",
 
     "dedup_incremental" -> incrementalOracle,
+    // the oracle is the PLAIN exact semi-join — bloom-vs-exact equality
+    // is exactly what the gate must prove
+    "dedup_bloom_prefilter" ->
+      """WITH keyed AS (
+           SELECT doc_id, md5(substr(lower(trim(text)), 1, 80))
+             AS prefix_md5
+           FROM documents),
+         corpus AS (
+           SELECT prefix_md5 FROM keyed WHERE doc_id % 10 <> 7),
+         batch AS (
+           SELECT doc_id, prefix_md5 FROM keyed WHERE doc_id % 10 = 7)
+         SELECT doc_id, prefix_md5 FROM batch
+         WHERE prefix_md5 IN (SELECT prefix_md5 FROM corpus)""",
     // batch-invariance makes the streaming twin's drained sink equal
     // the batch probe — verified against the SAME retraining-free SQL
     "streaming_ingest_neardup" -> incrementalOracle,
