@@ -117,7 +117,7 @@ object DedupOps {
   def minhashPairs(s: SparkSession, d: String, gram: Int = 2,
       k: Int = K, bands: Int = BANDS): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
-    val base = withShingles(documents(s, d), gram)
+    val base = withShingles(Tables.documentsSpread(s, d), gram)
     // persist the band index before self-joining: it is the tiny
     // derived table of the pipeline (`bands` narrow rows per doc), and
     // without it BOTH join sides recompute the full MinHash pass —
@@ -191,7 +191,7 @@ object DedupOps {
       gram: Int, k: Int, bands: Int): DataFrame =
     graft.core.SessionMemo.getOrElseUpdate(
       s, corpusIdxKey(d, gram, k, bands))(
-      bandsFrame(withShingles(documents(s, d).filter(!NEW_DOC), gram),
+      bandsFrame(withShingles(Tables.documentsSpread(s, d).filter(!NEW_DOC), gram),
         k, bands)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -212,7 +212,7 @@ object DedupOps {
       .distinct()
     val newSets = newSh.select(col("doc_id"),
       array_distinct(col("shingles")).as("sh_n"))
-    val oldSets = withShingles(documents(s, d).filter(!NEW_DOC), gram)
+    val oldSets = withShingles(Tables.documentsSpread(s, d).filter(!NEW_DOC), gram)
       .select(col("doc_id").as("dup_of"),
         array_distinct(col("shingles")).as("sh_o"))
     cands
@@ -511,7 +511,7 @@ object DedupOps {
     * tighter threshold is always a subset (spec). */
   def containmentPairs(s: SparkSession, d: String, gram: Int = 2,
       tau: Double = 0.6, maxDf: Long = 250L): DataFrame = {
-    val sh = withShingles(documents(s, d), gram)
+    val sh = withShingles(Tables.documentsSpread(s, d), gram)
       .select(col("doc_id"),
         explode(array_distinct(col("shingles"))).as("sh"))
     val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -592,7 +592,7 @@ object DedupOps {
     // Per-doc MinHash signatures (5-gram shingles) — the signature stage
     // of the LSH pipeline, verified bit-for-bit by the oracle.
     "dedup_minhash_sigs" -> ((s, d) =>
-      withSigs(documents(s, d), gram = 5)
+      withSigs(Tables.documentsSpread(s, d), gram = 5)
         .select(col("doc_id") +: (0 until K).map(j => col(s"sig_$j")): _*)),
 
     // Full LSH pipeline on 2-gram shingles: band -> bucket-join ->
@@ -620,7 +620,7 @@ object DedupOps {
     // (shuffle on shingle keys), NOT pairwise set intersection — the shape
     // that survives corpus-scale inputs.
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val sh = documents(s, d)
+      val sh = Tables.documentsSpread(s, d)
         .withColumn("toks", split(lower(trim(col("text"))), " "))
         .withColumn("shingles",
           graft.functions.NgramShingles.ngram_shingles(col("toks"), 2))

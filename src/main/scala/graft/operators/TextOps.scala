@@ -810,7 +810,7 @@ object TextOps {
       // is interpreted AND re-walks the string per gram (O(len²)/doc) —
       // CharNgrams builds the code-point offset table once (O(len),
       // codegen'd; CharNgramsSpec proves elementwise identity)
-      val tris = Tables.documents(s, d)
+      val tris = Tables.documentsSpread(s, d)
         .select(col("doc_id"),
           explode(graft.functions.CharNgrams.char_ngrams(col("text"), 3))
             .as("tri"))
