@@ -381,7 +381,7 @@ final class RdbBackend private (
     val target = targetTableMeta
     if (!dialect.supportStaticPartition) {
       target.dbName.foreach(ensureDb)
-      ensurePtMetaTable()
+      ensurePtMetaTable(target.dbName)
     }
     if (!tableExists(target)) {
       if (!createTargetTable)
@@ -455,19 +455,32 @@ final class RdbBackend private (
   }
 
   private var ptMetaReady = false
-  private def ensurePtMetaTable(): Unit = dialect match {
-    case pt: PtMetaTableSupport if !ptMetaReady =>
-      val (db, table) = {
-        val i = pt.partitionsTableName.indexOf('.')
-        (pt.partitionsTableName.substring(0, i),
-          pt.partitionsTableName.substring(i + 1))
-      }
-      ensureDb(db)
-      if (!tableNames(db).contains(table.toLowerCase))
-        execAll(dialect.createPtMetaTableSql(db))
-      ptMetaReady = true
-    case _ => ()
-  }
+  private val ptMetaReadyDbs = mutable.Set[String]()
+  /** Ensure the partition-metadata table exists. For globally-scoped
+    * dialects ([[PtMetaTableSupport]]) the table location is fixed and
+    * this runs once per backend; for dataset-scoped dialects
+    * ([[DatasetPtMetaSupport]], BigQuery) the table is PER TARGET DATASET
+    * (reference rdb.py:621 creates it on every save for every
+    * non-static-partition dialect), so it runs once per dataset seen. */
+  private def ensurePtMetaTable(targetDb: Option[String] = None): Unit =
+    dialect match {
+      case pt: PtMetaTableSupport if !ptMetaReady =>
+        val (db, table) = {
+          val i = pt.partitionsTableName.indexOf('.')
+          (pt.partitionsTableName.substring(0, i),
+            pt.partitionsTableName.substring(i + 1))
+        }
+        ensureDb(db)
+        if (!tableNames(db).contains(table.toLowerCase))
+          execAll(dialect.createPtMetaTableSql(db))
+        ptMetaReady = true
+      case _: DatasetPtMetaSupport =>
+        targetDb.filterNot(ptMetaReadyDbs.contains).foreach { db =>
+          execAll(dialect.createPtMetaTableSql(db))
+          ptMetaReadyDbs += db
+        }
+      case _ => ()
+    }
 
   /** Partition values recorded for a table — from the metadata table for
     * metadata-tracked dialects (reference funcs_rdb.py:210-242). */
@@ -478,6 +491,14 @@ final class RdbBackend private (
       queryRows(
         s"select partition_value from ${pt.partitionsTableName} " +
         s"where db_name = '$db' and table_name = '${table.pureTableName}' " +
+        "order by partition_value", 10000).map(_.head.toString)
+    case ds: DatasetPtMetaSupport =>
+      // per-dataset meta table, no db_name column (the dataset IS the key)
+      val db = table.dbName.getOrElse(tempSchema)
+      ensurePtMetaTable(Some(db))
+      queryRows(
+        s"select partition_value from ${ds.ptMetaTable(db)} " +
+        s"where table_name = '${table.pureTableName}' " +
         "order by partition_value", 10000).map(_.head.toString)
     case _ => throw new SqlProcessorException(
       s"partition listing not implemented for ${dialect.getClass.getSimpleName}")
@@ -495,7 +516,7 @@ final class RdbBackend private (
       schema.map(c => c.name -> c.colType), partitions))
     insertRows(fullTableName, rows, schema)
     if (partitions.nonEmpty && !dialect.supportStaticPartition) {
-      ensurePtMetaTable()
+      ensurePtMetaTable(Some(db))
       val colIdx = schema.map(_.name).zipWithIndex.toMap
       val ptValues = rows.map(r =>
         partitions.map(p => p.field -> r(colIdx(p.field)))).distinct

@@ -163,3 +163,15 @@ trait PtMetaTableSupport { self: SqlDialect =>
 
   protected def nowExpr: String = "current_timestamp"
 }
+
+/** Dialects whose partition-metadata table lives PER DATASET (one
+  * `<db>.__table_partitions__` per target dataset, no db_name column)
+  * instead of one global table — BigQuery's isolation unit is the
+  * dataset (reference rdb.py:621 creates the meta table per target
+  * dataset on every save for non-static-partition dialects). The backend
+  * keys its ensure-once memo and its partition-value lookups by dataset
+  * for these dialects. */
+trait DatasetPtMetaSupport { self: SqlDialect =>
+  /** The metadata table for one dataset. */
+  def ptMetaTable(db: String): String
+}

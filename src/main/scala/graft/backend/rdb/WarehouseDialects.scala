@@ -22,7 +22,10 @@ import graft.core.SqlProcessorException
   */
 final class BigQueryDialect(
     val defaultDataset: String = "dataplat",
-    val sqlExpr: SqlExpr = new SqlExpr()) extends SqlDialect {
+    val sqlExpr: SqlExpr = new SqlExpr())
+    extends SqlDialect with DatasetPtMetaSupport {
+
+  def ptMetaTable(db: String): String = s"$db.__table_partitions__"
 
   def createPartitionAutomatically: Boolean = true
   def supportStaticPartition: Boolean = false

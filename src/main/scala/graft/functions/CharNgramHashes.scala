@@ -84,7 +84,10 @@ object CharNgramHashes {
 
     // open-addressing set over the window hashes; 0 marks an empty slot
     // (a genuine 0 hash is remapped — bias is irrelevant for keying)
-    var cap = Integer.highestOneBit(math.max(count * 2 - 1, 4)) << 1
+    // capacity math in Long: count*2-1 overflows Int at >=2^30 chars,
+    // which would under-size the table and spin the insert loop forever
+    var cap = Integer.highestOneBit(
+      math.min(Int.MaxValue / 2L, math.max(count.toLong * 2 - 1, 4L)).toInt) << 1
     val table = new Array[Long](cap)
     val mask = cap - 1
     val out = new Array[Long](count)

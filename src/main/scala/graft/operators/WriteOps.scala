@@ -185,6 +185,21 @@ object WriteOps {
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pt_year").parquet(base)
+    // dynamic overwrite only rewrites partitions PRESENT in the written
+    // data — a feed that tombstones every row of a partition leaves no
+    // rows for it in `merged`, so its stale files would silently
+    // survive. Diff touched vs written partitions and drop the emptied
+    // ones explicitly (both sets are the batch's touched partitions,
+    // bounded by the feed, never table size).
+    val touchedYears =
+      affected.collect().map(_.get(0).toString.toInt).toSet
+    val writtenYears = s.read.parquet(stage)
+      .select("pt_year").distinct().collect()
+      .map(_.get(0).toString.toInt).toSet
+    (touchedYears -- writtenYears).foreach { y =>
+      SnapshotTable.deleteTree(
+        java.nio.file.Paths.get(base, s"pt_year=$y").toString)
+    }
   }
 
   /** Minimal manifest-committed snapshot table — the transactional core
@@ -267,7 +282,11 @@ object WriteOps {
       val dataDir = Paths.get(root, "data")
       Files.createDirectories(dataDir)
       Files.createDirectories(Paths.get(root, "_manifests"))
-      val stage = Paths.get(root, s"stage_v$v")
+      // writer-unique stage dir: two racers publishing the same v must
+      // not clobber each other's staged files before the manifest race
+      // settles — only the rename below decides the winner
+      val stage = Paths.get(root,
+        s"stage_v${v}_${java.util.UUID.randomUUID().toString.take(8)}")
       slice.filter(col("pt_year").isin(touched.map(Integer.valueOf): _*))
         .withColumn("__pt", col("pt_year"))
         .write.mode(SaveMode.Overwrite).partitionBy("__pt")
@@ -281,10 +300,14 @@ object WriteOps {
             .toSeq.sortBy(_.toString)
         parts.zipWithIndex.map { case (p, i) =>
           val dst = dataDir.resolve(f"v${v}_y${y}_p$i%05d.parquet")
-          // no REPLACE_EXISTING: if a racing writer already published
-          // this version's files, the move throws HERE — before the
-          // loser can overwrite a committed version's bytes
-          Files.move(p, dst)
+          // ATOMIC_MOVE, no REPLACE_EXISTING: if a racing writer already
+          // published this version's files, the move throws HERE —
+          // before the loser can overwrite a committed version's bytes
+          try Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.AtomicMoveNotSupportedException =>
+              Files.move(p, dst)
+          }
           dst.toString
         }
       }

@@ -67,4 +67,31 @@ class ApplyChangesSpec extends AnyFunSuite {
     WriteOps.applyChanges(spark, base, stage, f)
     assert(state(base) === expected, "re-applying the feed changed state")
   }
+
+  test("a feed that tombstones EVERY row of a partition empties it") {
+    val root = Files.createTempDirectory("g_apply_empty").toString
+    val base = s"$root/tbl"
+    val stage = s"$root/stage"
+    frame(
+      (1L, 10L, 10.0, 1), (2L, 10L, 20.0, 1),
+      (3L, 20L, 30.0, 2))
+      .write.mode(SaveMode.Overwrite).partitionBy("pt_year").parquet(base)
+
+    // partition 1 becomes delete-only AND fully emptied — dynamic
+    // partition overwrite alone would leave its stale files in place
+    // (no rows of pt_year=1 survive into the written data)
+    val f = feed(
+      (1L, 10L, 10.0, 1, "D"), (2L, 10L, 20.0, 1, "D"),
+      (4L, 20L, 40.0, 2, "I"))
+    WriteOps.applyChanges(spark, base, stage, f)
+
+    assert(state(base) === Set((3L, 30.0, 2), (4L, 40.0, 2)),
+      "emptied partition's rows survived the apply")
+    assert(!Files.exists(Paths.get(base, "pt_year=1")),
+      "emptied partition directory was not removed")
+
+    // idempotence holds through the empty-partition path too
+    WriteOps.applyChanges(spark, base, stage, f)
+    assert(state(base) === Set((3L, 30.0, 2), (4L, 40.0, 2)))
+  }
 }
