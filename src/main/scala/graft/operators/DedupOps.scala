@@ -553,26 +553,48 @@ object DedupOps {
     * semantics change.
     *
     * The dedup key is md5 of the first 80 normalized chars — truncation
-    * duplicates, the variant exact-hash dedup misses. At 100 TB the
-    * filter is the persisted artifact (~1.2 GB per 10⁹ keys at 1% fpp,
-    * shardable by digest range); it rebuilds incrementally by OR-ing
-    * per-ingest filters, and the probe never scans the corpus at all —
-    * only bloom survivors touch the key table, via digest-keyed join.
-    * BloomPrefilterSpec proves no-false-negatives, real pruning, and
-    * bloom-vs-exact answer equality. */
+    * duplicates, the variant exact-hash dedup misses. The filter is the
+    * [[ShardedBloom]] artifact: K digest-range shards built
+    * EXECUTOR-side (per-split partials, one reduceByKey OR-merge — the
+    * driver only ever sees the K-row blob table), persisted and
+    * memoized per (session, dir) via SessionMemo like the band and
+    * IVF-PQ indexes, probed by shard ROUTING (the batch shuffles once
+    * on its shard id and each task deserializes only its own shards'
+    * filters), and appendable: a later ingest OR-merges its own shards
+    * into the stored ones ([[ShardedBloom.orMerge]]) instead of
+    * rebuilding from the corpus. At 10⁹–10¹⁰ corpus keys (~1.2–12 GB
+    * of bitmap at 1% fpp) no single JVM holds the whole filter —
+    * per-shard bitmaps are bitmap/K. BloomPrefilterSpec proves
+    * no-false-negatives, real pruning, bloom-vs-exact answer equality,
+    * artifact reuse across invocations, and build(A∪B) ≡
+    * orMerge(build(A), build(B)) at blob-byte level. */
   private[graft] def prefixKey: org.apache.spark.sql.Column =
     md5(substring(lower(trim(col("text"))), 1, 80))
+
+  private[graft] val BloomFpp = 0.03
+
+  private[graft] def bloomShardsKey(d: String): Any =
+    ("dedup_bloom_shards", d, ShardedBloom.Shards, BloomFpp)
+
+  /** The corpus's persisted shard artifact (see [[ShardedBloom]]). */
+  private[graft] def corpusBloomShards(s: SparkSession, d: String,
+      corpus: DataFrame): DataFrame =
+    graft.core.SessionMemo.getOrElseUpdate(s, bloomShardsKey(d)) {
+      val expected = Tables.footerRowCount(s, s"$d/documents.parquet")
+        .getOrElse(1000000L)
+      val perShard = math.max(expected / ShardedBloom.Shards, 64L)
+      ShardedBloom.buildShards(s, corpus, "prefix_md5",
+        ShardedBloom.Shards, perShard, BloomFpp)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   def bloomPrefilterDups(s: SparkSession, d: String): DataFrame = {
     val keyed = Tables.documentsSpread(s, d)
       .select(col("doc_id"), prefixKey.as("prefix_md5"))
     val corpus = keyed.filter(col("doc_id") % 10 =!= 7)
     val batch = keyed.filter(col("doc_id") % 10 === 7)
-    val expected = Tables.footerRowCount(s, s"$d/documents.parquet")
-      .getOrElse(1000000L)
-    val bloom = corpus.stat.bloomFilter("prefix_md5", expected, 0.03)
-    val mightContain = udf((k: String) => bloom.mightContain(k))
-    batch.filter(mightContain(col("prefix_md5")))
+    val shards = corpusBloomShards(s, d, corpus)
+    ShardedBloom.probe(s, batch, "prefix_md5", shards, ShardedBloom.Shards)
       .join(corpus.select("prefix_md5").distinct(),
         Seq("prefix_md5"), "left_semi")
       .select("doc_id", "prefix_md5")

@@ -4,9 +4,12 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Contracts of the bloom-prefiltered membership dedup the hash oracle
-  * can't state: the bloom never drops a true duplicate (no false
-  * negatives), it actually prunes the probe side, and the final answer
-  * equals the plain exact semi-join with no bloom at all. */
+  * can't state: the sharded bloom never drops a true duplicate (no
+  * false negatives), it actually prunes the probe side, the final
+  * answer equals the plain exact semi-join with no bloom at all, the
+  * shard artifact is memoized (probes reuse it instead of rescanning
+  * the corpus), and incremental ingest composes exactly —
+  * build(A ∪ B) is bit-identical to orMerge(build(A), build(B)). */
 class BloomPrefilterSpec extends AnyFunSuite {
 
   private lazy val spark = graft.etl.TestSpark.spark
@@ -14,13 +17,14 @@ class BloomPrefilterSpec extends AnyFunSuite {
 
   private def keyed = Tables.documents(spark, sf)
     .select(col("doc_id"), DedupOps.prefixKey.as("prefix_md5"))
+  private def corpus = keyed.filter(col("doc_id") % 10 =!= 7)
+  private def batch = keyed.filter(col("doc_id") % 10 === 7)
 
   test("bloom answer equals the plain exact semi-join") {
     val viaBloom = DedupOps.bloomPrefilterDups(spark, sf)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("prefix_md5"))).toSet
 
-    val corpus = keyed.filter(col("doc_id") % 10 =!= 7)
-    val exact = keyed.filter(col("doc_id") % 10 === 7)
+    val exact = batch
       .join(corpus.select("prefix_md5").distinct(),
         Seq("prefix_md5"), "left_semi")
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("prefix_md5"))).toSet
@@ -28,24 +32,92 @@ class BloomPrefilterSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture has no cross-split dups — vacuous")
   }
 
-  test("the bloom prunes the probe but never a true duplicate") {
-    val corpus = keyed.filter(col("doc_id") % 10 =!= 7)
-    val batch = keyed.filter(col("doc_id") % 10 === 7)
-    val bloom = corpus.stat.bloomFilter("prefix_md5",
-      expectedNumItems = 1000L, fpp = 0.03)
+  test("the sharded probe prunes the batch but never a true duplicate") {
+    val shards = DedupOps.corpusBloomShards(spark, sf, corpus)
+    val survivors = ShardedBloom.probe(spark, batch, "prefix_md5",
+      shards, ShardedBloom.Shards)
+      .select("prefix_md5").collect().map(_.getString(0)).toSet
 
     val trueDups = batch
       .join(corpus.select("prefix_md5").distinct(),
         Seq("prefix_md5"), "left_semi")
-      .select("prefix_md5").collect().map(_.getString(0))
-    // no false negatives: every true dup key passes the filter
-    trueDups.foreach(k => assert(bloom.mightContain(k),
-      s"bloom dropped true duplicate $k"))
+      .select("prefix_md5").collect().map(_.getString(0)).toSet
+    // no false negatives: every true dup key survives the probe
+    assert((trueDups -- survivors).isEmpty,
+      s"sharded bloom dropped true duplicates: ${trueDups -- survivors}")
 
     // real pruning: survivors ≪ batch (fpp 3% + the tiny dup set)
-    val batchKeys = batch.select("prefix_md5").collect().map(_.getString(0))
-    val survivors = batchKeys.count(bloom.mightContain)
-    assert(survivors < batchKeys.length / 2,
-      s"bloom pruned nothing: $survivors of ${batchKeys.length} survive")
+    val batchSize = batch.count()
+    assert(survivors.size < batchSize / 2,
+      s"bloom pruned nothing: ${survivors.size} of $batchSize keys survive")
+  }
+
+  test("the shard artifact is built executor-side and memoized: a " +
+      "second gate run reuses it") {
+    graft.core.SessionMemo.remove(spark, DedupOps.bloomShardsKey(sf))
+    DedupOps.bloomPrefilterDups(spark, sf).collect()
+    val first = graft.core.SessionMemo.get(spark, DedupOps.bloomShardsKey(sf))
+    assert(first.isDefined, "gate did not persist the shard artifact")
+    DedupOps.bloomPrefilterDups(spark, sf).collect()
+    val second = graft.core.SessionMemo.get(spark, DedupOps.bloomShardsKey(sf))
+    assert(second.get eq first.get,
+      "second run rebuilt the shard artifact instead of reusing it")
+    // the artifact is the K-row blob table, nothing driver-merged
+    assert(first.get.count() <= ShardedBloom.Shards)
+  }
+
+  test("incremental ingest: orMerge(build(A), build(B)) is bit-identical " +
+      "to build(A union B)") {
+    val cap = 2048L
+    val a = corpus.filter(col("doc_id") % 3 === 0)
+    val b = corpus.filter(col("doc_id") % 3 =!= 0)
+    def build(df: org.apache.spark.sql.DataFrame) =
+      ShardedBloom.buildShards(spark, df, "prefix_md5",
+        ShardedBloom.Shards, cap, DedupOps.BloomFpp)
+    def blobs(df: org.apache.spark.sql.DataFrame): Map[Int, Seq[Byte]] =
+      df.collect().map(r =>
+        r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+
+    val merged = blobs(ShardedBloom.orMerge(spark, build(a), build(b)))
+    val full = blobs(build(corpus))
+    assert(merged.keySet === full.keySet)
+    merged.keySet.foreach { sh =>
+      assert(merged(sh) === full(sh),
+        s"shard $sh bitmap differs between incremental merge and full build")
+    }
+
+    // and the merged artifact probes with no false negatives
+    val survivors = ShardedBloom.probe(spark, batch, "prefix_md5",
+      ShardedBloom.orMerge(spark, build(a), build(b)), ShardedBloom.Shards)
+      .select("prefix_md5").collect().map(_.getString(0)).toSet
+    val trueDups = batch
+      .join(corpus.select("prefix_md5").distinct(),
+        Seq("prefix_md5"), "left_semi")
+      .select("prefix_md5").collect().map(_.getString(0)).toSet
+    assert((trueDups -- survivors).isEmpty)
+  }
+
+  test("a shard with no corpus keys drops its batch rows (membership " +
+      "is impossible there)") {
+    import spark.implicits._
+    // corpus keys all land in ONE shard; probe keys from other shards
+    def md5hex(v: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val allKeys = (1 to 400).map(i => md5hex(s"k$i"))
+    def shardOf(k: String) =
+      Integer.parseInt(k.substring(0, 2), 16) % ShardedBloom.Shards
+    val inShard = allKeys.filter(shardOf(_) === shardOf(allKeys.head))
+    val corpusDf = inShard.toDF("k")
+    val art = ShardedBloom.buildShards(spark, corpusDf, "k",
+      ShardedBloom.Shards, 1024L, 0.03)
+    assert(art.count() === 1, "single-shard corpus built >1 shard")
+    val probeDf = allKeys.toDF("k")
+    val out = ShardedBloom.probe(spark, probeDf, "k", art,
+      ShardedBloom.Shards).collect().map(_.getString(0)).toSet
+    // every in-shard key survives (it IS in the corpus), nothing from
+    // blobless shards can
+    assert(inShard.toSet.subsetOf(out))
+    assert(out.forall(shardOf(_) === shardOf(allKeys.head)))
   }
 }
