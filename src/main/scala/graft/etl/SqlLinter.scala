@@ -27,6 +27,12 @@ final case class LintViolation(stepId: String, lineNo: Int, rule: String,
   *  - `duplicate-target` same temp/cache/broadcast/template defined twice
   *  - `unused-target`    defined view/template never referenced later
   *  - `check-shape`      query-form check without actual/expected aliases
+  *  - `bq-schema`        (backend: bigquery only) table reference without
+  *                       a dataset qualifier — BigQuery has no `use db`,
+  *                       so every table must be `dataset.table` (the
+  *                       reference's one backend-specific rule,
+  *                       sql_linter/rules/bq_schema_rule.py:13-51; its
+  *                       fix prepends `\${temp_db}.`)
   *
   * All static — nothing executes, no SparkSession needed.
   */
@@ -36,7 +42,11 @@ final class SqlLinter(
     includeRules: Option[Seq[String]] = None,
     excludeRules: Seq[String] = Nil) {
 
-  private val supportedBackends = Seq("spark")
+  // the engine's Spark runtime + the RDB dialect family
+  // (backend/rdb/Dialects.scala, WarehouseDialects.scala); flink is the
+  // declared non-goal (streaming maps to Structured Streaming)
+  private val supportedBackends =
+    Seq("spark", "postgres", "clickhouse", "bigquery", "maxcompute")
   private val varRe: Regex = """\$\{([^}]*)\}""".r
   private val tmplRe: Regex = """(?i)@\{\s*(\w+)""".r
   private val aliasRe: Regex = """(?i)\bas\s+`?([a-zA-Z_]\w*)`?""".r
@@ -185,8 +195,33 @@ final class SqlLinter(
           val probe = varRe.replaceAllIn(text, "__lint_var__")
             .trim.stripSuffix(";")
           try {
-            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            val plan = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
               .parsePlan(probe)
+            // bq-schema (backend: bigquery): BigQuery has no `use db`, so
+            // every table reference must carry its dataset. Catalyst's
+            // parse tree IS the table_reference crawl — single-part
+            // UnresolvedRelations are the unqualified reads; CTE names
+            // are local and exempt. (`${temp_db}.t` masks to
+            // `__lint_var__.t`, two-part — the reference's own fix.)
+            if (backend.contains("bigquery")) {
+              val cteNames = plan.collect {
+                case w: org.apache.spark.sql.catalyst.plans.logical
+                    .UnresolvedWith =>
+                  w.cteRelations.map(_._1.toLowerCase)
+              }.flatten.toSet
+              plan.collect {
+                case r: org.apache.spark.sql.catalyst.analysis
+                    .UnresolvedRelation
+                    if r.multipartIdentifier.length == 1 &&
+                       !cteNames.contains(
+                         r.multipartIdentifier.head.toLowerCase) =>
+                  r.multipartIdentifier.head
+              }.distinct.foreach(t =>
+                report(Some(step), "bq-schema",
+                  s"no dataset found when selecting from table `$t` — " +
+                  "BigQuery tables must be dataset-qualified " +
+                  s"(e.g. $${temp_db}.$t)"))
+            }
           } catch {
             case e: org.apache.spark.sql.catalyst.parser.ParseException =>
               report(Some(step), "syntax",

@@ -159,6 +159,27 @@ select * from t
     assert(same == fixed)
   }
 
+  test("bq-schema: unqualified tables lint on bigquery, clean on spark") {
+    val body = """-- target=temp.t1
+select id from raw_events
+-- target=output.dw.out
+with recent as (select * from dw.t2)
+select r.id from recent r join ${temp_db}.t1 t on t.id = r.id
+"""
+    val onBq = lint("-- backend: bigquery\n" + body)
+    val bq = onBq.filter(_.rule == "bq-schema")
+    // exactly ONE unqualified reference: raw_events. The CTE `recent`
+    // is local, `dw.t2` is qualified, `${temp_db}.t1` masks two-part.
+    assert(bq.length === 1, onBq.mkString("; "))
+    assert(bq.head.message.contains("`raw_events`"))
+    assert(!onBq.exists(_.rule == "backend"),
+      "bigquery is a supported backend (RDB dialect family)")
+
+    val onSpark = lint("-- backend: spark\n" + body)
+    assert(!onSpark.exists(_.rule == "bq-schema"),
+      "bq-schema fired outside backend: bigquery")
+  }
+
   test("repo example pipelines lint clean") {
     val dir = java.nio.file.Paths.get("examples")
     val files = java.nio.file.Files.list(dir).toArray.map(_.toString)
