@@ -155,6 +155,16 @@ object DataProcess {
       }
     }
 
+    if (config.isStreaming) {
+      // the reference's third execution mode (config/sql_config.py:
+      // 207-216 routes etl_type=streaming to the Flink statement-set
+      // runner); here it routes to StreamingEtl over Structured
+      // Streaming. Returns null: a streaming ETL's result is its
+      // committed sinks, not a processor.
+      runStreaming(config, sql, vars, spark)
+      return null
+    }
+
     val backend = new SparkBackend(spark)
     try {
       config.prepareSqlList.foreach(backend.execNativeSql(_))
@@ -165,6 +175,49 @@ object DataProcess {
       processor
     } finally {
       if (existingSession.isEmpty) backend.clean()
+    }
+  }
+
+  /** Streaming-mode runner: sources and the sink root are declared in
+    * the ETL header — the Spark-native analog of the reference's
+    * `easy_sql.flink_tables_file_path` connector config:
+    *
+    *   `-- config: easy_sql.streaming_source=<view>:<parquet_dir>`
+    *     (repeatable; the dir is an arrival log streamed one file per
+    *      micro-batch, schema inferred from a batch read)
+    *   `-- config: easy_sql.streaming_sink_dir=<dir>`
+    *     (output targets commit under `<dir>/<db>__<table>/`)
+    *
+    * `${var}` references in both values resolve from `-v` vars. The
+    * call BLOCKS until the started queries drain (AvailableNow) — the
+    * CLI contract is "the ETL ran", same as batch mode. */
+  private[graft] def runStreaming(config: EasySqlConfig, sql: String,
+      vars: Map[String, Any], spark: SparkSession): Unit = {
+    def subst(v: String): String =
+      vars.foldLeft(v) { case (acc, (k, value)) =>
+        acc.replace("${" + k + "}", String.valueOf(value)) }
+    val sources = config.getAll("streaming_source").map { spec =>
+      val i = spec.indexOf(':')
+      require(i > 0, s"streaming_source must be <view>:<dir>, got `$spec`")
+      val (view, dir) = (spec.substring(0, i).trim,
+        subst(spec.substring(i + 1).trim))
+      val schema = spark.read.option("recursiveFileLookup", "true")
+        .parquet(dir).schema
+      view -> spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(dir)
+    }.toMap
+    require(sources.nonEmpty,
+      "streaming ETL needs at least one `-- config: " +
+      "easy_sql.streaming_source=<view>:<dir>` line")
+    val sinkDir = config.get("streaming_sink_dir").map(subst).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_stream_sink").toString)
+    val etl = new graft.streaming.StreamingEtl(spark, sql, sources,
+      sinkDir, variables = vars)
+    etl.run().foreach { q =>
+      try { if (!q.awaitTermination(300000)) q.processAllAvailable() }
+      finally q.stop()
     }
   }
 }

@@ -18,6 +18,13 @@ final case class EasySqlConfig(
       case c if EasySqlConfig.keyOf(c) == key => EasySqlConfig.valueOf(c)
     }
 
+  /** Every value of a repeatable easy_sql conf key, in file order
+    * (e.g. one `streaming_source` line per source view). */
+  def getAll(key: String): Seq[String] =
+    easySqlConf.collect {
+      case c if EasySqlConfig.keyOf(c) == key => EasySqlConfig.valueOf(c)
+    }
+
   def isBatch: Boolean = get("etl_type").forall(_ != "streaming")
   def isStreaming: Boolean = !isBatch
 

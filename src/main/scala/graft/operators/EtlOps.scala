@@ -18,6 +18,24 @@ object EtlOps {
     Tables.customer(s, d).createOrReplaceTempView("customer_v")
   }
 
+  /** Run examples/ingest_documents_stream.sql through the CLI streaming
+    * path against `d`'s staged document arrival log, with a per-(sfDir,
+    * gate) durable sink/checkpoint. Returns the sink root. */
+  private def runStreamingExample(s: SparkSession, d: String,
+      gate: String): String = {
+    import graft.streaming.DocIngest
+    val etl = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/ingest_documents_stream.sql")),
+      "UTF-8")
+    val (sink, _) = DocIngest.sinkCkpt(d, gate)
+    graft.DataProcess.run(etl,
+      Map("source_dir" -> DocIngest.dir(s, d),
+        "sink_dir" -> sink.toString),
+      dryRun = false, baseDir = Some("examples"),
+      existingSession = Some(s))
+    sink.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Steps exercised: variables (+expr vars), template with params,
     // temp view chaining, check, union of template expansions.
@@ -155,6 +173,43 @@ from lang_rollup
       }
     }),
 
+    // The STREAMING execution mode through the real CLI — the
+    // reference's third mode (config/sql_config.py:207-216 routes
+    // easy_sql.etl_type=streaming to the Flink statement-set runner;
+    // ETL test/sample_etl.flink.postgres-cdc.sql): the header-declared
+    // arrival log streams one file per micro-batch through
+    // DataProcess.run → StreamingEtl, steps route each batch, the
+    // curated sink is read back. Every step is per-document (stateless)
+    // so the drained sink equals the batch computation — the
+    // batch-invariance that lets the SAME DuckDB oracle verify the
+    // stream. Re-invocation restarts from the durable checkpoint and
+    // finds no new data (the production restart path).
+    "etl_streaming_e2e" -> ((s, d) => {
+      val sink = runStreamingExample(s, d, "etl_streaming_e2e")
+      s.read.option("recursiveFileLookup", "true")
+        .parquet(s"$sink/sink__curated_stream")
+    }),
+
+    // The MULTI-SINK statement set — parity with the reference's
+    // multi-sink CDC ETL (test/sample_etl.flink.postgres-cdc.multi-
+    // sink.sql; statement-set buffering backend/flink.py:122-131): the
+    // SAME ingest stream commits to TWO sinks (curated + quarantine)
+    // per micro-batch through ONE foreachBatch query with one
+    // checkpoint. Both sinks are read back, labeled, and oracled
+    // together; StatementSetSpec adds the restart-idempotence contract
+    // (a checkpoint-recovery replay leaves both sinks byte-stable).
+    "streaming_multi_sink" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val sink = runStreamingExample(s, d, "streaming_multi_sink")
+      def readBack(name: String, label: String) =
+        s.read.option("recursiveFileLookup", "true")
+          .parquet(s"$sink/sink__$name")
+          .select(lit(label).as("sink_name"), col("doc_id"),
+            col("n_tokens"))
+      readBack("curated_stream", "curated")
+        .unionByName(readBack("quarantine_stream", "quarantine"))
+    }),
+
     // Steps exercised: list_variables + variables feeding an IN-list and
     // a scalar into later SQL, log step, cache step.
     "etl_list_vars" -> ((s, d) => {
@@ -188,6 +243,24 @@ select o_orderstatus, count(*) as cnt from filtered group by o_orderstatus
     "etl_list_vars" ->
       """SELECT o_orderstatus, count(*) AS cnt FROM orders
          GROUP BY o_orderstatus""",
+
+    // the streaming curation route is per-document, so the drained sink
+    // equals this batch computation over the full documents table (the
+    // token convention matches examples/curate_documents.sql: split on
+    // single spaces, empties kept)
+    "etl_streaming_e2e" ->
+      """WITH t AS (SELECT doc_id, text,
+           len(string_split(lower(trim(text)), ' ')) AS n FROM documents)
+         SELECT doc_id, text, cast(n as int) AS n_tokens
+         FROM t WHERE n >= 40""",
+    "streaming_multi_sink" ->
+      """WITH t AS (SELECT doc_id,
+           len(string_split(lower(trim(text)), ' ')) AS n FROM documents)
+         SELECT 'curated' AS sink_name, doc_id, cast(n as int) AS n_tokens
+         FROM t WHERE n >= 40
+         UNION ALL
+         SELECT 'quarantine' AS sink_name, doc_id, cast(n as int)
+         FROM t WHERE n < 40""",
 
     // the per-lang report the Derby-side ETL produces, recomputed
     // straight from the parquet corpus; the avg is ONE division of two

@@ -26,17 +26,41 @@ import graft.etl.{Step, StepConfig, StepFactory, StepType}
   * Sinks use foreachBatch so each micro-batch reuses the batch save path
   * (partitioned parquet append) — at scale this is the standard
   * exactly-once-per-sink pattern with checkpointing.
+  *
+  * '''Multi-sink statement sets''': when the commit finds ≥2 queued
+  * inserts over ONE source stream and none is a stateful aggregation,
+  * it runs them as a true statement set — ONE StreamingQuery, ONE
+  * checkpoint, one pass over each micro-batch that re-evaluates the
+  * recorded step SQL against the batch and commits EVERY sink from it
+  * (the Spark twin of the reference's Flink statement-set buffer,
+  * backend/flink.py:122-131 — Flink plans the buffered inserts as one
+  * job; Spark's one-job unit is the micro-batch function). Each sink
+  * write lands as an overwrite of its own `b<batchId>` dir, so the
+  * at-least-once foreachBatch contract is exactly-once per sink — a
+  * replayed batch rebuilds identical dirs for ALL sinks, which is what
+  * keeps two sinks mutually consistent across restarts
+  * (StatementSetSpec proves both sinks survive a checkpoint-recovery
+  * replay byte-stable). Stateful (watermarked-agg) inserts keep their
+  * own per-insert queries — their state lives in the streaming plan
+  * and cannot be re-evaluated per batch.
   */
 final class StreamingEtl(
     val spark: SparkSession,
     etlSql: String,
     sources: Map[String, DataFrame], // view name -> streaming DF
     sinkDir: String,
-    trigger: Trigger = Trigger.AvailableNow()) {
+    trigger: Trigger = Trigger.AvailableNow(),
+    variables: Map[String, Any] = Map.empty) { // CLI -v vars
 
   private val backend = new SparkBackend(spark)
   private val queued =
     scala.collection.mutable.ArrayBuffer[(String, DataFrame)]()
+  // preprocessed step SQL in declaration order, for statement-set
+  // re-evaluation inside foreachBatch: view steps and queued inserts
+  private val viewSql =
+    scala.collection.mutable.ArrayBuffer[(String, String)]()
+  private val queuedSql =
+    scala.collection.mutable.ArrayBuffer[(String, String)]()
   private val started = scala.collection.mutable.ArrayBuffer[StreamingQuery]()
 
   val varsContext = new graft.core.VarsContext()
@@ -45,6 +69,7 @@ final class StreamingEtl(
     graft.core.FuncRunner.systemFuncs ++ Map[String, Seq[Any] => Any](
       "execute_streaming_inserts" -> (_ => executeStreamingInserts())))
   varsContext.init(funcRunner)
+  varsContext.addVars(variables)
 
   def run(): Seq[StreamingQuery] = {
     sources.foreach { case (name, df) => df.createOrReplaceTempView(name) }
@@ -77,11 +102,14 @@ final class StreamingEtl(
           }.toMap)
         }
       case StepType.Temp | StepType.Cache | StepType.Broadcast =>
-        spark.sql(preprocess(step))
-          .createOrReplaceTempView(config.name.get)
+        val text = preprocess(step)
+        spark.sql(text).createOrReplaceTempView(config.name.get)
+        viewSql += ((config.name.get, text))
       case StepType.Output | StepType.Hive =>
         // queue, don't start (statement-set semantics)
-        queued += ((config.name.get, spark.sql(preprocess(step))))
+        val text = preprocess(step)
+        queued += ((config.name.get, spark.sql(text)))
+        queuedSql += ((config.name.get, text))
       case StepType.Func =>
         funcRunner.runFunc(config.name.get, varsContext)
       case StepType.Action =>
@@ -92,8 +120,18 @@ final class StreamingEtl(
     }
   }
 
-  /** Commit: start one StreamingQuery per queued insert. */
+  /** Commit the queued inserts. Multi-sink stateless sets over one
+    * source run as ONE statement-set query (see class doc); everything
+    * else starts one StreamingQuery per insert. */
   def executeStreamingInserts(): Seq[StreamingQuery] = {
+    val statementSet = queued.length >= 2 && sources.size == 1 &&
+      queued.forall { case (_, df) => isStateless(df) }
+    if (statementSet) {
+      val q = startStatementSet()
+      queued.clear(); queuedSql.clear()
+      started += q
+      return Seq(q)
+    }
     val qs = queued.map { case (target, df) =>
       val safe = target.replace(".", "__")
       // append mode needs finalized rows: a streaming aggregation without
@@ -119,10 +157,60 @@ final class StreamingEtl(
     qs
   }
 
+  /** One query, one checkpoint, N sinks per micro-batch: the batch is
+    * registered under the source view's name in the micro-batch
+    * session (an isolated clone — the outer session's streaming views
+    * are untouched), the recorded view steps re-evaluate against it,
+    * and every queued insert writes its own `b<batchId>` overwrite dir
+    * — all sinks commit from the SAME pass over the batch. */
+  private def startStatementSet(): StreamingQuery = {
+    val srcName = sources.head._1
+    val views = viewSql.toVector
+    val sinks = queuedSql.toVector
+    val root = sinkDir
+    sources.head._2.writeStream
+      .option("checkpointLocation", s"$root/_checkpoints/__statement_set")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        batch.persist()
+        try {
+          batch.createOrReplaceTempView(srcName)
+          views.foreach { case (name, text) =>
+            sess.sql(text).createOrReplaceTempView(name)
+          }
+          sinks.foreach { case (target, text) =>
+            // coalesce(1): per-batch results are small; a zero-row batch
+            // still commits one schema-bearing file per sink
+            sess.sql(text).coalesce(1).write.mode("overwrite")
+              .parquet(s"$root/${target.replace(".", "__")}/b$batchId")
+          }
+        } finally { batch.unpersist(); () }
+      }
+      .queryName("g_statement_set")
+      .start()
+  }
+
   private def hasAggregation(df: DataFrame): Boolean =
     df.queryExecution.analyzed.collectFirst {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }.isDefined
+
+  /** Statement-set eligibility: per-batch re-evaluation preserves
+    * semantics ONLY for per-row (stateless) plans. Any operator that
+    * carries state across micro-batches — aggregation, dedup,
+    * stream-stream join, custom group state — must keep its own
+    * streaming query. */
+  private def isStateless(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.analyzed.collectFirst {
+      case a: Aggregate => a
+      case d: Deduplicate => d
+      case d: DeduplicateWithinWatermark => d
+      case f: FlatMapGroupsWithState => f
+      case j: Join if j.left.isStreaming && j.right.isStreaming => j
+    }.isEmpty
+  }
 
   private def hasWatermark(df: DataFrame): Boolean =
     df.queryExecution.analyzed.collectFirst {
