@@ -455,6 +455,60 @@ object DedupOps {
         col("n_shared").cast("double") / col("n_windows"))
   }
 
+  /** Memo key of the corpus window index (for the spec's reuse
+    * assertions). */
+  private[graft] def windexKey(d: String, w: Int): Any =
+    ("dedup_substring_windex", d, w)
+
+  /** The established corpus's persisted WINDOW index — the distinct
+    * W-char window digests of every corpus doc, the artifact
+    * [[substringReport]]'s scaladoc promises an incremental ingest
+    * probes. Repartitioned ON the window key before persisting, so the
+    * cached relation is hash-distributed by `wh` and every probe join
+    * reuses that layout — only the batch side shuffles (at 100 TB this
+    * is the wh-bucketed stored table; per-ingest cost stays O(batch),
+    * the index is never re-scanned through a shuffle). Memoized per
+    * (session, dir, w) via SessionMemo like the band and bloom
+    * artifacts. */
+  private[graft] def corpusWindowIndex(s: SparkSession, d: String,
+      w: Int): DataFrame =
+    graft.core.SessionMemo.getOrElseUpdate(s, windexKey(d, w))(
+      Tables.documentsSpread(s, d).filter(!NEW_DOC)
+        .select(explode(
+          graft.functions.CharNgramHashes.char_ngram_hashes(
+            lower(trim(col("text"))), w)).as("wh"))
+        .distinct()
+        .repartition(col("wh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Incremental substring-dedup probe — gate
+    * `dedup_substring_incremental`: arriving docs (the doc_id % 10 == 0
+    * slice, the shared arrival convention) report what fraction of
+    * their W-char windows is ALREADY verbatim-present in the
+    * established corpus. The batch derives its window digests narrowly
+    * (one O(len) CharNgramHashes pass, windows travel as 8-byte
+    * hashes), probes the persisted [[corpusWindowIndex]] with one
+    * semi-join, and rolls up counts per doc — O(batch + matches) per
+    * ingest, never O(corpus). Batch-internal sharing is deliberately
+    * NOT counted (that is [[substringReport]]'s job over the corpus
+    * after ingest): the incremental question is "how much of this NEW
+    * doc is old text". */
+  def substringIncremental(s: SparkSession, d: String, w: Int = 30)
+      : DataFrame = {
+    val probe = Tables.documentsSpread(s, d).filter(NEW_DOC)
+      .select(col("doc_id"), explode(
+        graft.functions.CharNgramHashes.char_ngram_hashes(
+          lower(trim(col("text"))), w)).as("wh"))
+    val shared = probe
+      .join(corpusWindowIndex(s, d, w), Seq("wh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    probe.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col("n_windows"))
+  }
+
   /** Cross-doc span dedup WITH corpus rewrite — the C4/RefinedWeb-style
     * "remove duplicated spans, keep the first occurrence" pass (C4 drops
     * repeated three-sentence spans; this corpus has no sentence
@@ -691,6 +745,11 @@ object DedupOps {
     // exact-substring dedup — see substringReport's scaladoc).
     "dedup_substring" -> ((s, d) => substringReport(s, d)),
 
+    // Incremental ingest probe of the persisted corpus window index:
+    // per arriving doc, the fraction of its windows already verbatim in
+    // the corpus — O(batch) per ingest (see substringIncremental).
+    "dedup_substring_incremental" -> ((s, d) => substringIncremental(s, d)),
+
     // Leakage-safe train/test split: assignment hashes the near-dup
     // CLUSTER id, not the doc id — doc-granular splits leak
     // near-duplicate text across the boundary (a test doc's twin in
@@ -890,6 +949,26 @@ object DedupOps {
            cast(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) as double)
              / count(*) AS shared_frac
          FROM w JOIN df USING (wh) GROUP BY doc_id""",
+    // incremental probe: batch windows vs the corpus's distinct window
+    // set (window equality keyed on md5 of the substring, same
+    // convention as dedup_substring's oracle)
+    "dedup_substring_incremental" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS norm
+                    FROM documents),
+         w AS (SELECT DISTINCT doc_id, md5(g) AS wh FROM (
+           SELECT doc_id, unnest(list_transform(
+             range(1, greatest(length(norm) - 29, 1) + 1),
+             i -> substr(norm, i, 30))) AS g
+           FROM t)),
+         corpus AS (SELECT DISTINCT wh FROM w WHERE doc_id % 10 <> 0),
+         batch AS (SELECT doc_id, wh FROM w WHERE doc_id % 10 = 0)
+         SELECT b.doc_id, count(*) AS n_windows,
+           cast(sum(CASE WHEN c.wh IS NOT NULL THEN 1 ELSE 0 END)
+                as bigint) AS n_shared,
+           cast(sum(CASE WHEN c.wh IS NOT NULL THEN 1 ELSE 0 END)
+                as double) / count(*) AS shared_frac
+         FROM batch b LEFT JOIN corpus c ON b.wh = c.wh
+         GROUP BY b.doc_id""",
     "dedup_containment" ->
       """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ')
                     AS toks FROM documents),
