@@ -22,6 +22,10 @@ for a in sys.argv:
 base = json.loads(Path("bench/BENCH_FULL.json").read_text())["queries"]
 run = json.loads(Path(sf1_path).read_text())
 sf1 = run["queries"]
+# fresh-JVM re-measures Bench forked automatically for >10x flags
+# (SPARK_GRAFT_BASELINE auto-isolation) — the authoritative number for
+# a flagged query; the full-run one is kept for the heap-adjacency diff
+isolated = run.get("isolated", {})
 
 rows = []
 for q, t1 in sorted(sf1.items()):
@@ -39,8 +43,18 @@ for q, t0, t1, ratio in rows:
         continue
     note = ""
     if ratio > 10 and t1 > floor:
-        note = "SUPER-LINEAR"
-        superlin.append(q)
+        iso = isolated.get(q)
+        if iso is not None and t0:
+            iso_ratio = iso / t0
+            if iso_ratio > 10:
+                note = f"SUPER-LINEAR (isolated {iso:.3f}s = {iso_ratio:.2f}x)"
+                superlin.append(q)
+            else:
+                note = (f"full-run artifact: isolated {iso:.3f}s = "
+                        f"{iso_ratio:.2f}x (sub-linear)")
+        else:
+            note = "SUPER-LINEAR"
+            superlin.append(q)
     elif ratio > 10:
         note = "sub-floor abs time"
     print(f"| {q} | {t0:.3f} | {t1:.3f} | {ratio:.2f}x | {note} |")
