@@ -26,6 +26,54 @@ object AdvancedOps {
     pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(s.toLong))
       .cast("int")
 
+  /** A fact-side key is HOT when its row count meets this floor — the
+    * load a single shuffle partition should not carry alone. Tuned to
+    * the per-reducer row budget (partition bytes / row width); on the
+    * uniform fixture nothing qualifies and the join degenerates to the
+    * plain SMJ, which is exactly the production behavior — salting
+    * costs replication and should activate only where skew exists. */
+  private[graft] val HOT_KEY_MIN = 100000L
+
+  /** HOT-KEY-BOUNDED salted skew join — the production form of the
+    * salting pattern. Salting everything (the naive form) replicates
+    * the ENTIRE dim side S×, which at 100 TB makes the mitigation cost
+    * S·|dim| — the sf10 probe measured exactly that (a 60M-fact join
+    * paying a 120M-row replicated dim). Instead: a counts-only
+    * pre-pass (map-side combined, key+count rows only) finds the keys
+    * whose fact-side count ≥ `hotMin`; that set is bounded by
+    * |fact|/hotMin — at most a few hundred keys in any real corpus —
+    * and broadcasts. Hot fact rows take a deterministic row-hash salt
+    * in [0, S); cold rows salt 0. The dim side replicates S× ONLY for
+    * hot keys (one row, salt 0, for everything else), so replication
+    * cost is S·|hot ∩ dim|, not S·|dim|. The merge hint keeps the
+    * (key, salt) SMJ so the salt actually partitions; the result is
+    * row-identical to the plain join for ANY data (SkewJoinSpec proves
+    * identity and hot-path routing on a crafted 50%-one-key skew). At
+    * 100 TB the exact counts pre-pass is the one knob to swap: a
+    * sampled or sketched frequency estimate finds the same hot set
+    * for a fraction of the pass — routing, not results, depends on it.
+    */
+  private[graft] def saltedSkewJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, factSalt: org.apache.spark.sql.Column,
+      s: Int = SKEW_SALTS, hotMin: Long = HOT_KEY_MIN): DataFrame = {
+    val hot = fact.groupBy(factKey).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= hotMin).select(col(factKey).as("__hk"))
+    val f = fact
+      .join(broadcast(hot), col(factKey) === col("__hk"), "left")
+      .withColumn("salt",
+        when(col("__hk").isNotNull, factSalt).otherwise(lit(0)))
+      .drop("__hk")
+    val dimHot = dim
+      .join(broadcast(hot), col(dimKey) === col("__hk"), "left_semi")
+      .withColumn("salt", explode(array((0 until s).map(lit): _*)))
+    val dimCold = dim
+      .join(broadcast(hot), col(dimKey) === col("__hk"), "left_anti")
+      .withColumn("salt", lit(0))
+    val d = dimHot.unionByName(dimCold).hint("merge")
+    f.join(d, f(factKey) === d(dimKey) && f("salt") === d("salt"))
+      .drop(d("salt"))
+  }
+
   /** Deterministic fixed-size uniform sample per group (see the
     * sample_reservoir_topk gate comment): digest pre-filter at
     * `permille`‰, then keep the k digest-smallest rows per group. The
@@ -208,26 +256,23 @@ object AdvancedOps {
     // when one join key is hot enough that a single sort-merge/shuffle
     // partition drowns (the 100 TB failure mode AQE's skew split can't
     // always save, e.g. one key > a whole partition even after split),
-    // salt the FACT side with a deterministic per-row value and
-    // replicate the DIM side across all S salt values, so the hot
-    // key's rows land on S reducers instead of one. Result is
-    // row-identical to the plain join (the oracle is the plain join);
-    // the merge hint keeps it a shuffle join so the salt actually
-    // participates in partitioning — a broadcast join would make
-    // salting moot (and broadcast IS the better fix when the dim side
-    // fits; this gate is the pattern for when it doesn't).
+    // salt the hot keys' fact rows over S reducers and replicate the
+    // dim side ONLY for those keys (see saltedSkewJoin — r10 replaced
+    // the salt-everything form, whose S×|dim| replication the sf10
+    // probe measured as the catalog's one super-linear entry). Result
+    // is row-identical to the plain join (the oracle IS the plain
+    // join); the merge hint keeps the (key, salt) SMJ so the salt
+    // actually participates in partitioning — broadcast IS the better
+    // fix when the dim side fits; this gate is the pattern for when
+    // it doesn't.
     "join_skew_salted" -> ((s, d) => {
-      val S = SKEW_SALTS
       val fact = lineitem(s, d).select(
         col("l_orderkey"), col("l_extendedprice"), col("l_quantity"),
-        skewSalt(S).as("salt"))
+        col("l_linenumber"))
       val dim = orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"))
-        .withColumn("salt", explode(array((0 until S).map(lit): _*)))
-        .hint("merge")
-      fact.join(dim,
-          fact("l_orderkey") === dim("o_orderkey") &&
-          fact("salt") === dim("salt"))
+      saltedSkewJoin(fact, dim, "l_orderkey", "o_orderkey",
+          skewSalt(SKEW_SALTS))
         .groupBy("o_orderpriority")
         .agg(sum("l_quantity").as("sum_qty"),
           sum(col("l_extendedprice").cast(dec)).cast("double")

@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   *    clusters (which would blow the per-bucket verify up
   *    quadratically and measure the fixture, not the plan). n_chars is
   *    recomputed to keep the `n_chars = length(text)` invariant.
-  *  - embeddings: replica r rotates the vector by r positions —
-  *    rotation preserves norms and within-replica geometry while
+  *  - embeddings: replica r rotates the vector by 1 + (r-1) % 63
+  *    positions, negating it on every second 63-cycle — both
+  *    transforms preserve norms and within-replica geometry while
   *    cross-replica vectors stay as unrelated as the base corpus's
-  *    near-orthogonal pairs. Queries (vec_id < 5) and quantizer seeds
+  *    near-orthogonal pairs (the cycle+sign form keeps replicas
+  *    distinct past the 64-dim rotation period, up to 126 reps).
+  *    Queries (vec_id < 5) and quantizer seeds
   *    (vec_id < 16) exist only in replica 0, so query count stays
   *    fixed while the corpus scales — the ANN gates' actual shape.
   *  - events: ts is kept verbatim (replicas overlay in time; user_ids
@@ -31,7 +34,16 @@ import org.apache.spark.sql.functions._
   *
   * Output layout matches the driver's: ONE parquet file per table
   * (coalesce(1) + move), so ReplayStage's file copy and DuckDB's
-  * read_parquet both work unchanged.
+  * read_parquet both work unchanged — but with 16 MB ROW GROUPS
+  * (parquet.block.size): Spark's scan splits at row-group boundaries,
+  * so a default-128MB-row-group 92 MB sf1 lineitem is ONE unsplittable
+  * group and every scan above it runs on one core. The r10 sf10 probe
+  * caught exactly that — group_agg read 5.9 s at sf1 (1 row group,
+  * serial scan) vs 9.3 s at sf10 (7 groups, parallel): the sf1 "heavy
+  * ratios" were fixture serialization, not thread saturation. Small
+  * row groups make the derived fixtures scan-parallel the way real
+  * multi-file corpora are; the driver's own sf0.1 files stay as
+  * shipped.
   */
 object ScaleGen {
   val SPAN = 1000000000L
@@ -40,6 +52,9 @@ object ScaleGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/root/repo/testdata_sf1")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional comma-list of tables to (re)generate, e.g. a probe slice
+    val only: Option[Set[String]] = args.lift(3)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -47,8 +62,11 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("ERROR")
 
     def writeSingle(df: DataFrame, name: String): Unit = {
+      if (only.exists(!_.contains(name))) return
       val tmp = java.nio.file.Files.createTempDirectory("g_scalegen")
-      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", (16L * 1024 * 1024).toString)
+        .parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).toArray
         .map(_.asInstanceOf[java.nio.file.Path])
         .find(_.getFileName.toString.endsWith(".parquet"))
@@ -91,13 +109,20 @@ object ScaleGen {
                w -> w || '~' || cast(__rep as string)), ' ')""")))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("__rep"), "documents")
+    // rotation amount cycles 1..63 (a 64-dim rotation by 64 is the
+    // identity — reps > 64 would collide or hit slice(start=0)); the
+    // second 63-cycle negates, keeping up to 126 replicas distinct
     writeSingle(replicate(read("embeddings"), "vec_id")
+      .withColumn("__rot", expr(
+        "cast(1 + (__rep - 1) % 63 as int)"))
+      .withColumn("__sign", expr(
+        "case when ((__rep - 1) div 63) % 2 = 1 then -1.0F else 1.0F end"))
       .withColumn("embedding", when(col("__rep") === 0, col("embedding"))
         .otherwise(expr(
-          """concat(slice(embedding, 65 - cast(__rep as int),
-                          cast(__rep as int)),
-                    slice(embedding, 1, 64 - cast(__rep as int)))""")))
-      .drop("__rep"), "embeddings")
+          """transform(concat(slice(embedding, 65 - __rot, __rot),
+                              slice(embedding, 1, 64 - __rot)),
+                       x -> x * __sign)""")))
+      .drop("__rep", "__rot", "__sign"), "embeddings")
     spark.stop()
   }
 }

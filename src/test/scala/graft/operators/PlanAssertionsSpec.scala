@@ -173,9 +173,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
 
   test("skew join salts the shuffle: merge join keyed on (key, salt)") {
     val p = plan("join_skew_salted")
-    // the merge hint must hold (broadcast would make the salt moot)
+    // the merge hint must hold for the fact-dim join (broadcasting the
+    // dim would make the salt moot); the only broadcasts allowed are
+    // the tiny hot-key-set ROUTING joins (semi/anti/outer), never an
+    // inner fold-in of the dim payload
     assert(p.contains("SortMergeJoin"), p)
-    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("Inner")), p)
     // both join-side exchanges partition on the salt, so a hot key
     // spreads over S reducers
     val exchanges = p.linesIterator
@@ -297,7 +301,8 @@ class PlanAssertionsSpec extends AnyFunSuite {
     try {
       val p = finalPlan("join_skew_salted")
       assert(p.contains("SortMergeJoin"), p)
-      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(!p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("Inner")), p)
       val exchanges = p.linesIterator
         .filter(_.contains("Exchange hashpartitioning")).toSeq
       assert(exchanges.count(_.contains("salt")) >= 2,
