@@ -374,9 +374,30 @@ object DedupOps {
     labels
   }
 
+  /** Memo key of the cluster-assignment artifact (for spec reuse
+    * assertions). */
+  private[graft] def clustersKey(d: String, gram: Int, k: Int,
+      bands: Int, minJaccard: Double, maxIters: Int): Any =
+    ("dedup_clusters", d, gram, k, bands, minJaccard, maxIters)
+
+  /** The (doc_id, cluster_id) assignment is memoized per (session,
+    * dir, params) via SessionMemo — in production it is a STORED
+    * corpus artifact (the thing the leakage-safe split consumes and a
+    * dedup run keeps for incremental reassignment), not a per-query
+    * recomputation; both consumers (the clusters gate and
+    * sample_leakage_safe_split) read the same persisted frame, the
+    * same discipline as the band/bloom/window indexes. 16 B/doc. */
   def minhashClusters(s: SparkSession, d: String, gram: Int = 2,
       k: Int = K, bands: Int = BANDS, minJaccard: Double = 0.5,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20): DataFrame =
+    graft.core.SessionMemo.getOrElseUpdate(
+      s, clustersKey(d, gram, k, bands, minJaccard, maxIters))(
+      computeClusters(s, d, gram, k, bands, minJaccard, maxIters)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def computeClusters(s: SparkSession, d: String, gram: Int,
+      k: Int, bands: Int, minJaccard: Double,
+      maxIters: Int): DataFrame = {
     val pairs = minhashPairs(s, d, gram, k, bands)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"))

@@ -116,4 +116,19 @@ class LeakageSafeSplitSpec extends AnyFunSuite {
     assert(bySide.getOrElse("train", 0L) > 0 &&
       bySide.getOrElse("test", 0L) > 0, bySide.toString)
   }
+
+  test("the cluster assignment is a memoized artifact shared by both " +
+      "consumers") {
+    val key = DedupOps.clustersKey(sf, 2, DedupOps.K, DedupOps.BANDS,
+      0.5, 20)
+    graft.core.SessionMemo.remove(spark, key)
+    DedupOps.minhashClusters(spark, sf).count()
+    val first = graft.core.SessionMemo.get(spark, key)
+    assert(first.isDefined, "clusters gate did not persist its artifact")
+    // the split gate consumes the SAME persisted frame, no recompute
+    graft.SparkEntry.queries("sample_leakage_safe_split")(spark, sf)
+      .count()
+    assert(graft.core.SessionMemo.get(spark, key).get eq first.get,
+      "leakage split rebuilt the cluster assignment")
+  }
 }
