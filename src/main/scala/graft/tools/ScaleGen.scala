@@ -61,11 +61,12 @@ object ScaleGen {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def writeSingle(df: DataFrame, name: String): Unit = {
+    def writeSingle(df: DataFrame, name: String,
+        blockSize: Long = 16L * 1024 * 1024): Unit = {
       if (only.exists(!_.contains(name))) return
       val tmp = java.nio.file.Files.createTempDirectory("g_scalegen")
       df.coalesce(1).write.mode(SaveMode.Overwrite)
-        .option("parquet.block.size", (16L * 1024 * 1024).toString)
+        .option("parquet.block.size", blockSize.toString)
         .parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).toArray
         .map(_.asInstanceOf[java.nio.file.Path])
@@ -108,7 +109,13 @@ object ScaleGen {
           """array_join(transform(split(text, ' '),
                w -> w || '~' || cast(__rep as string)), ' ')""")))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .drop("__rep"), "documents")
+      .drop("__rep"), "documents",
+      // 2 MB row groups: the text-never-shuffles plan-locked paths
+      // (span rewrite, exact dedup) parallelize ONLY through scan
+      // splits — a 6.6 MB single-group sf1 documents file serializes
+      // them with no plan-side fix available (spreading would shuffle
+      // the text those plans exist to keep in place)
+      blockSize = 2L * 1024 * 1024)
     // rotation amount cycles 1..63 (a 64-dim rotation by 64 is the
     // identity — reps > 64 would collide or hit slice(start=0)); the
     // second 63-cycle negates, keeping up to 126 replicas distinct
