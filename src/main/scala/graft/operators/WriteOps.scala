@@ -331,6 +331,47 @@ object WriteOps {
       Files.move(tmp, manifest(root, v), StandardCopyOption.ATOMIC_MOVE)
     }
 
+    /** OPTIMIZE — small-files compaction as a DATA-UNCHANGED snapshot
+      * commit (the Delta `OPTIMIZE` maintenance op): partitions of
+      * version `newV - 1` holding more than `maxFilesPerPartition`
+      * files have their rows rewritten through one partition-aligned
+      * exchange (`repartition(pt_year)` → one file per partition) and
+      * publish as version `newV`; right-sized partitions CARRY OVER
+      * untouched. Returns the compacted partitions (empty ⇒ nothing
+      * fragmented, no commit made).
+      *
+      * The properties that make this safe under time travel, all
+      * spec/oracle-pinned (OptimizeSnapshotSpec + the
+      * write_optimize_snapshot gate):
+      *  - reads of the old version still resolve its original files
+      *    (manifest immutability) until vacuum reclaims them;
+      *  - the change feed ACROSS the optimize commit is EMPTY — the
+      *    rewritten rows are content-identical, and tableChanges'
+      *    changes-only contract already ignores carried content (the
+      *    same reason a rewritten-but-unchanged row in any commit is
+      *    not a change);
+      *  - fragmentation detection is manifest metadata only (file
+      *    counts per partition from the file NAMES), no data scan —
+      *    at 100 TB the nightly optimize plans itself from the
+      *    manifest and rewrites only what fragmented. */
+    def optimize(s: SparkSession, root: String, newV: Int,
+        maxFilesPerPartition: Int = 1): Seq[Int] = {
+      val yr = "_y(\\d+)_p".r
+      val byYear = files(root, newV - 1)
+        .groupBy(f => yr.findFirstMatchIn(f).map(_.group(1).toInt)
+          .getOrElse(-1))
+      val fragmented = byYear.collect {
+        case (y, fs) if y >= 0 && fs.size > maxFilesPerPartition => y
+      }.toSeq.sorted
+      if (fragmented.nonEmpty) {
+        val slice = read(s, root, newV - 1)
+          .filter(col("pt_year").isin(fragmented.map(Integer.valueOf): _*))
+          .repartition(col("pt_year"))
+        commit(s, root, newV, slice, fragmented)
+      }
+      fragmented
+    }
+
     def vacuum(root: String, retain: Int): Unit = {
       val vs = versions(root)
       val (expired, kept) = vs.splitAt(math.max(vs.length - retain, 0))
@@ -921,6 +962,34 @@ object WriteOps {
           decSum("o_totalprice").as("total"))
     }),
 
+    // OPTIMIZE under time travel (see SnapshotTable.optimize): v0 is
+    // committed FRAGMENTED (a 32-task exchange leaves ~32 small files
+    // per partition), the optimize commit rewrites each fragmented
+    // partition to one right-sized file as v1, and BOTH versions read
+    // back identical per-partition aggregates — the data-unchanged
+    // contract is exactly what the oracle verifies (one aggregate from
+    // the source, labeled twice). OptimizeSnapshotSpec adds what the
+    // hash can't: the v0→v1 change feed is EMPTY, v0's files survive
+    // until vacuum and vacuum reclaims precisely them, file counts
+    // actually drop, and a second optimize is a no-op.
+    "write_optimize_snapshot" -> ((s, d) => {
+      val root = scratch("optimize_tbl")
+      SnapshotTable.deleteTree(root) // fresh lineage per invocation
+      val base = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = base.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, root, 0, base.repartition(32), years)
+      SnapshotTable.optimize(s, root, 1)
+      def snap(v: Int) = SnapshotTable.read(s, root, v)
+        .groupBy("pt_year").agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          decSum("o_totalprice").as("total"))
+        .withColumn("version", lit(s"v$v"))
+      snap(0).unionByName(snap(1))
+        .select("version", "pt_year", "cnt", "n_keys", "total")
+    }),
+
     // CHANGE DATA FEED over the snapshot lineage (see tableChanges):
     // v0→v1 is the 1997 upsert (every 1997 row updated, the +1e8 keys
     // inserted), v1→v2 the 1996 merge-delete. The gate aggregates the
@@ -1188,6 +1257,18 @@ object WriteOps {
          FROM rws GROUP BY 1, 2, 3""",
     // each version's state recomputed from orders; v2_post_vacuum is
     // BY CONTRACT identical to v2 (vacuum never touches retained files)
+    // OPTIMIZE is data-unchanged BY CONTRACT: both versions aggregate
+    // to the same values, straight from the source, labeled twice
+    "write_optimize_snapshot" ->
+      """WITH a AS (SELECT cast(year(o_orderdate) AS int) AS pt_year,
+             cast(count(*) AS bigint) AS cnt,
+             cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+             cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+               AS total
+           FROM orders GROUP BY 1)
+         SELECT 'v0' AS version, pt_year, cnt, n_keys, total FROM a
+         UNION ALL
+         SELECT 'v1', pt_year, cnt, n_keys, total FROM a""",
     "write_time_travel" ->
       """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
              cast(year(o_orderdate) AS int) AS pt_year FROM orders),

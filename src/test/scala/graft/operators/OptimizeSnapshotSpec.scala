@@ -1,0 +1,97 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of OPTIMIZE-under-time-travel the data-identity oracle
+  * can't state: the change feed across the optimize commit is EMPTY,
+  * the pre-optimize version's files survive (time travel intact) until
+  * vacuum reclaims exactly them, per-partition file counts actually
+  * drop to the target, right-sized partitions carry over untouched,
+  * and a second optimize is a no-op. */
+class OptimizeSnapshotSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.etl.TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("optimize compacts fragmented partitions as a data-unchanged " +
+      "commit; CDF empty; old version vacuumable; re-optimize no-op") {
+    import WriteOps.SnapshotTable
+    val root = Files.createTempDirectory("g_opt_spec").toString + "/t"
+    val base = Tables.orders(spark, sf).select(col("o_orderkey"),
+      col("o_custkey"), col("o_totalprice"),
+      year(col("o_orderdate")).as("pt_year"))
+    val years = base.select("pt_year").distinct()
+      .collect().map(_.getInt(0)).sorted
+
+    SnapshotTable.commit(spark, root, 0, base.repartition(16), years)
+    def filesPerYear(v: Int): Map[Int, Int] = {
+      val yr = "_y(\\d+)_p".r
+      SnapshotTable.files(root, v)
+        .groupBy(f => yr.findFirstMatchIn(f).map(_.group(1).toInt).get)
+        .view.mapValues(_.size).toMap
+    }
+    assert(filesPerYear(0).values.exists(_ > 1),
+      "v0 is not fragmented — the spec setup is vacuous")
+
+    val compacted = SnapshotTable.optimize(spark, root, 1)
+    assert(compacted.nonEmpty)
+    assert(filesPerYear(1).values.forall(_ == 1),
+      s"optimize left fragmentation: ${filesPerYear(1)}")
+
+    // data-unchanged: the change feed across the commit is EMPTY
+    assert(WriteOps.tableChanges(spark, root, 0, 1).count() === 0,
+      "optimize produced change-feed rows")
+
+    // time travel intact: v0 still reads its original files
+    val v0Files = SnapshotTable.files(root, 0)
+    assert(v0Files.forall(f => Files.exists(Paths.get(f))))
+    assert(SnapshotTable.read(spark, root, 0).count() ===
+      SnapshotTable.read(spark, root, 1).count())
+
+    // a second optimize finds nothing fragmented and commits nothing
+    assert(SnapshotTable.optimize(spark, root, 2) === Seq.empty)
+    assert(SnapshotTable.versions(root) === Seq(0, 1))
+
+    // vacuum to 1 retained version reclaims exactly v0's dead files
+    val v1Files = SnapshotTable.files(root, 1).toSet
+    SnapshotTable.vacuum(root, retain = 1)
+    v0Files.filterNot(v1Files.contains).foreach(f =>
+      assert(!Files.exists(Paths.get(f)), s"vacuum left dead file $f"))
+    v1Files.foreach(f =>
+      assert(Files.exists(Paths.get(f)), s"vacuum ate live file $f"))
+    assertThrows[IllegalArgumentException](
+      SnapshotTable.read(spark, root, 0))
+  }
+
+  test("right-sized partitions carry over by reference, untouched") {
+    import WriteOps.SnapshotTable
+    val root = Files.createTempDirectory("g_opt_carry").toString + "/t"
+    import spark.implicits._
+    // year 1 compact (1 file), year 2 fragmented (coalesce trick:
+    // commit from an 8-way exchange)
+    val y1 = (1L to 100L).map(i => (i, i, 1.0, 1))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "pt_year")
+    val y2 = (101L to 200L).map(i => (i, i, 2.0, 2))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "pt_year")
+    SnapshotTable.commit(spark, root, 0,
+      y1.coalesce(1).unionByName(y2.repartition(8)), Seq(1, 2))
+    val yr = "_y(\\d+)_p".r
+    def byYear(v: Int) = SnapshotTable.files(root, v)
+      .groupBy(f => yr.findFirstMatchIn(f).map(_.group(1).toInt).get)
+    val y1FilesBefore = byYear(0)(1).toSet
+    assert(byYear(0)(2).size > 1, "year 2 not fragmented — vacuous")
+    val mtimes = y1FilesBefore.map(f =>
+      f -> Files.getLastModifiedTime(Paths.get(f)).toMillis).toMap
+
+    assert(SnapshotTable.optimize(spark, root, 1) === Seq(2))
+    // year 1's files carried over VERBATIM (same paths, same bytes)
+    assert(byYear(1)(1).toSet === y1FilesBefore)
+    y1FilesBefore.foreach(f => assert(
+      Files.getLastModifiedTime(Paths.get(f)).toMillis === mtimes(f),
+      s"carried file $f was rewritten"))
+    assert(byYear(1)(2).size === 1)
+  }
+}
