@@ -39,7 +39,7 @@ print("|---|---|---|---|---|")
 superlin = []
 for q, t0, t1, ratio in rows:
     if ratio is None:
-        print(f"| {q} | — | {t1:.3f} | new in r8 | |")
+        print(f"| {q} | — | {t1:.3f} | no sf0.1 baseline | |")
         continue
     note = ""
     if ratio > 10 and t1 > floor:
