@@ -334,11 +334,24 @@ object WriteOps {
     /** OPTIMIZE — small-files compaction as a DATA-UNCHANGED snapshot
       * commit (the Delta `OPTIMIZE` maintenance op): partitions of
       * version `newV - 1` holding more than `maxFilesPerPartition`
-      * files have their rows rewritten through one partition-aligned
-      * exchange (`repartition(pt_year)` → one file per partition) and
+      * files have their rows rewritten into BYTE-TARGETED files and
       * publish as version `newV`; right-sized partitions CARRY OVER
       * untouched. Returns the compacted partitions (empty ⇒ nothing
       * fragmented, no commit made).
+      *
+      * The rewrite exchange is sized from manifest byte metadata, not
+      * hardcoded to one-file-per-partition: each fragmented partition's
+      * on-disk bytes (one FS stat per manifest entry, no data scan, no
+      * footer read) yield a target file count
+      * `ceil(bytes / targetFileBytes)` — the same formula as
+      * [[WriteOps.compact]] — and the slice is range-exchanged on
+      * `(pt_year, salt)` where `salt = pmod(hash(row), filesFor(pt))`.
+      * One task therefore rewrites ~`targetFileBytes` of one partition,
+      * and a fat fragmented partition (tens of GB–TB at 100 TB scale)
+      * is rewritten by MANY parallel tasks into many ~1 GB-class files
+      * — the shape Delta's OPTIMIZE targets — instead of funnelling
+      * through a single task into a single file. `commit`'s `p%05d`
+      * naming absorbs multi-file partitions unchanged.
       *
       * The properties that make this safe under time travel, all
       * spec/oracle-pinned (OptimizeSnapshotSpec + the
@@ -355,7 +368,9 @@ object WriteOps {
       *    at 100 TB the nightly optimize plans itself from the
       *    manifest and rewrites only what fragmented. */
     def optimize(s: SparkSession, root: String, newV: Int,
-        maxFilesPerPartition: Int = 1): Seq[Int] = {
+        maxFilesPerPartition: Int = 1,
+        targetFileBytes: Long = 128L << 20): Seq[Int] = {
+      require(targetFileBytes > 0, "targetFileBytes must be positive")
       val yr = "_y(\\d+)_p".r
       val byYear = files(root, newV - 1)
         .groupBy(f => yr.findFirstMatchIn(f).map(_.group(1).toInt)
@@ -364,9 +379,27 @@ object WriteOps {
         case (y, fs) if y >= 0 && fs.size > maxFilesPerPartition => y
       }.toSeq.sorted
       if (fragmented.nonEmpty) {
-        val slice = read(s, root, newV - 1)
+        // per-partition target file counts from manifest byte metadata:
+        // one FS stat per live file of the fragmented partitions only
+        val filesFor: Map[Int, Int] = fragmented.map { y =>
+          val bytes = byYear(y).map(f => Files.size(Paths.get(f))).sum
+          y -> math.max(1,
+            math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        }.toMap
+        val totalFiles = filesFor.values.sum
+        val slice0 = read(s, root, newV - 1)
           .filter(col("pt_year").isin(fragmented.map(Integer.valueOf): _*))
-          .repartition(col("pt_year"))
+        // salt ∈ [0, filesFor(pt)) from a row hash; the range exchange
+        // on (pt_year, salt) gives each (partition, salt) group its own
+        // task, so file sizes land near targetFileBytes and the rewrite
+        // parallelism scales with fragmented bytes, not partition count
+        val salted = slice0.withColumn("__salt",
+          pmod(hash(slice0.columns.map(col): _*),
+            element_at(typedLit(filesFor), col("pt_year").cast("int"))))
+        val slice = salted
+          .repartitionByRange(math.max(totalFiles, 1),
+            col("pt_year"), col("__salt"))
+          .drop("__salt")
         commit(s, root, newV, slice, fragmented)
       }
       fragmented

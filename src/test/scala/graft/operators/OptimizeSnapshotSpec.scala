@@ -66,6 +66,42 @@ class OptimizeSnapshotSpec extends AnyFunSuite {
       SnapshotTable.read(spark, root, 0))
   }
 
+  test("fat fragmented partition rewrites into MULTIPLE byte-bounded " +
+      "files, not one task's single file") {
+    import WriteOps.SnapshotTable
+    val root = Files.createTempDirectory("g_opt_fat").toString + "/t"
+    // one partition whose bytes are many multiples of the target: the
+    // 100 TB shape where a single-file rewrite would funnel tens of GB
+    // through one task
+    val fat = spark.range(20000).select(
+      col("id").as("o_orderkey"), col("id").as("o_custkey"),
+      md5(col("id").cast("string")).as("payload"),
+      lit(1).as("pt_year"))
+    SnapshotTable.commit(spark, root, 0, fat.repartition(8), Seq(1))
+    val v0Bytes = SnapshotTable.files(root, 0)
+      .map(f => Files.size(Paths.get(f))).sum
+    val target = 64L * 1024
+    assert(v0Bytes > 2 * target, "fixture too small — spec is vacuous")
+
+    assert(SnapshotTable.optimize(spark, root, 1,
+      maxFilesPerPartition = 1, targetFileBytes = target) === Seq(1))
+    val v1 = SnapshotTable.files(root, 1)
+    val expected = math.ceil(v0Bytes.toDouble / target).toInt
+    assert(v1.size > 1,
+      s"fat partition was rewritten into a single file (target " +
+      s"$target B over $v0Bytes B should yield ~$expected)")
+    assert(v1.size <= expected,
+      s"more files than the byte target allows: ${v1.size} > $expected")
+    val sizes = v1.map(f => Files.size(Paths.get(f)))
+    assert(sizes.max <= target * 3,
+      s"output file exceeds the byte bound: ${sizes.max} B vs " +
+      s"$target B target")
+    // still data-unchanged
+    val chk = (v: Int) => SnapshotTable.read(spark, root, v)
+      .agg(sum("o_orderkey"), count(lit(1))).first()
+    assert(chk(1) === chk(0))
+  }
+
   test("right-sized partitions carry over by reference, untouched") {
     import WriteOps.SnapshotTable
     val root = Files.createTempDirectory("g_opt_carry").toString + "/t"
