@@ -236,6 +236,13 @@ object Bench {
           Seq("-cp", sys.props("java.class.path"), "graft.Bench")).asJava
         val pb = new ProcessBuilder(cmd)
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        // child stdout goes to a temp FILE, not a pipe we read before
+        // waitFor: a blocking readAllBytes() on the pipe would make the
+        // 15-minute timeout unreachable while a hung child holds stdout
+        // open (destroyForcibly could never fire)
+        val outFile = java.nio.file.Files
+          .createTempFile("g_bench_iso", ".out")
+        pb.redirectOutput(outFile.toFile)
         val env = pb.environment()
         env.put("SPARK_GRAFT_BENCH_ONLY", query)
         env.put("SPARK_GRAFT_SF_DIR", sfDir)
@@ -244,10 +251,12 @@ object Bench {
         env.remove("SPARK_GRAFT_BENCH_DIR") // no artifacts from the child
         env.remove("SPARK_GRAFT_BASELINE") // and no recursive isolation
         val p = pb.start()
-        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-        if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
-          p.destroyForcibly(); None
-        } else parseQueries(out).get(query)
+        try {
+          if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
+            p.destroyForcibly(); None
+          } else parseQueries(
+            java.nio.file.Files.readString(outFile)).get(query)
+        } finally java.nio.file.Files.deleteIfExists(outFile)
       } catch { case e: Exception =>
         System.err.println(
           s"[bench] isolation fork for $query failed: ${e.getMessage}")
@@ -272,6 +281,25 @@ object Bench {
       else isolatedRuns.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString(",\"isolated\":{", ",", "}")
+    // machine-checkable scaling flags (tools/sf1_ratio.py's definition,
+    // wired into the artifact): a query is flagged when its full-run
+    // median exceeds isolateRatio× the scale baseline beyond the
+    // absolute floor AND the fresh-JVM isolated re-measure (when it
+    // ran) agrees — so "zero flags" on an audit run is a FIELD of the
+    // artifact, not narrative. Present (possibly empty) whenever a
+    // scale baseline was supplied.
+    val isolatedMap = isolatedRuns.toMap
+    val confirmedFlags = scaleFlags.filter { q =>
+      isolatedMap.get(q) match {
+        case Some(iso) => scaleBaseline.get(q)
+          .exists(b => b > 0 && iso / b > isolateRatio)
+        case None => true
+      }
+    }.sorted
+    val flagsJson =
+      if (scaleBaseline.isEmpty) ""
+      else confirmedFlags.map("\"" + _ + "\"")
+        .mkString(",\"flags\":[", ",", "]")
 
     val ratiosVsPrev = results.flatMap { case (n, v) =>
       prev.get(n).filter(_ > 0).map(v / _) }
@@ -283,7 +311,7 @@ object Bench {
         (if (uniformLoad) s""","discarded_uniform_load":true""" else ""))
       .getOrElse("")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_cold":$coldQs,"reps":$reps$noteJson$isolatedJson$uniformJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_cold":$coldQs,"reps":$reps$noteJson$isolatedJson$flagsJson$uniformJson,"sf":"$sfDir"}"""
     println(line)
 
     // a BENCH_ONLY isolation run must not clobber the committed full
@@ -324,6 +352,24 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }
+    // compact summary as the LAST stdout line: log captures that keep
+    // only a bounded tail (the round driver keeps the final 2000 chars)
+    // truncate the ~7 KB full blob's head mid-line, leaving nothing
+    // parseable — this <1 KB line carries the headline numbers and
+    // always survives the tail window. The full per-query payload is
+    // the line above and bench/BENCH_FULL.json.
+    val topQs = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","summary":true,"n_queries":${results.size},"queries":$topQs,"queries_truncated":true,"reps":$reps""" +
+      medianRatio.map(r =>
+        s""","median_ratio_vs_baseline":${fmt(r)}""").getOrElse("") +
+      (if (uniformLoad) s""","discarded_uniform_load":true""" else "") +
+      (if (scaleBaseline.nonEmpty)
+        s""","n_scale_flags":${confirmedFlags.size}""" else "") +
+      s""","full_artifact":"${benchDir.resolve("BENCH_FULL.json")}","sf":"$sfDir"}"""
+    println(summary)
     spark.stop()
   }
 }
