@@ -648,18 +648,29 @@ object DedupOps {
 
   private[graft] val BloomFpp = 0.03
 
-  private[graft] def bloomShardsKey(d: String): Any =
-    ("dedup_bloom_shards", d, ShardedBloom.Shards, BloomFpp)
+  /** Artifact geometry derived from the corpus key count (parquet
+    * footer metadata, no scan): shard count scales via
+    * [[ShardedBloom.shardsFor]] — 16 at test SF, hundreds at 10¹⁰
+    * keys — so per-shard bitmap size AND probe parallelism both grow
+    * with the corpus instead of being pinned at a constant. */
+  private[graft] def bloomGeometry(s: SparkSession,
+      d: String): (Int, Long) = {
+    val expected = Tables.footerRowCount(s, s"$d/documents.parquet")
+      .getOrElse(1000000L)
+    val shards = ShardedBloom.shardsFor(expected)
+    (shards, math.max(expected / shards, 64L))
+  }
+
+  private[graft] def bloomShardsKey(s: SparkSession, d: String): Any =
+    ("dedup_bloom_shards", d, bloomGeometry(s, d)._1, BloomFpp)
 
   /** The corpus's persisted shard artifact (see [[ShardedBloom]]). */
   private[graft] def corpusBloomShards(s: SparkSession, d: String,
       corpus: DataFrame): DataFrame =
-    graft.core.SessionMemo.getOrElseUpdate(s, bloomShardsKey(d)) {
-      val expected = Tables.footerRowCount(s, s"$d/documents.parquet")
-        .getOrElse(1000000L)
-      val perShard = math.max(expected / ShardedBloom.Shards, 64L)
+    graft.core.SessionMemo.getOrElseUpdate(s, bloomShardsKey(s, d)) {
+      val (shards, perShard) = bloomGeometry(s, d)
       ShardedBloom.buildShards(s, corpus, "prefix_md5",
-        ShardedBloom.Shards, perShard, BloomFpp)
+        shards, perShard, BloomFpp)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -669,7 +680,8 @@ object DedupOps {
     val corpus = keyed.filter(col("doc_id") % 10 =!= 7)
     val batch = keyed.filter(col("doc_id") % 10 === 7)
     val shards = corpusBloomShards(s, d, corpus)
-    ShardedBloom.probe(s, batch, "prefix_md5", shards, ShardedBloom.Shards)
+    ShardedBloom.probe(s, batch, "prefix_md5", shards,
+      bloomGeometry(s, d)._1)
       .join(corpus.select("prefix_md5").distinct(),
         Seq("prefix_md5"), "left_semi")
       .select("doc_id", "prefix_md5")

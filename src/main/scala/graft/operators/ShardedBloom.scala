@@ -48,17 +48,42 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object ShardedBloom {
 
-  /** Default shard count: 16 digest ranges (one leading hex nibble each
-    * when shards divides 256). At corpus scale you raise this with key
-    * count — shards only need to keep a single shard's bitmap
-    * comfortably inside one task's memory. */
+  /** Minimum (and small-corpus default) shard count. Geometry SCALES
+    * with the corpus via [[shardsFor]] — a fixed shard count would cap
+    * both probe parallelism (the probe runs exactly `shards` tasks)
+    * and per-shard bitmap size at cluster scale. */
   val Shards = 16
 
-  /** Shard of a hex-digest key: its leading byte mod `shards` — a
-    * digest-range rule (contiguous prefix ranges own contiguous
-    * shards when `shards` divides 256). */
+  /** Hard cap: the shard rule reads the first 4 hex chars (65536
+    * distinct prefixes), so more shards than that could not be
+    * distinguished. */
+  val MaxShards = 65536
+
+  /** Sizing target: ~32M keys per shard ≈ 38 MB of bitmap at 1% fpp —
+    * comfortably one task's working set, with the probe running one
+    * task per shard. */
+  val TargetKeysPerShard: Long = 32L * 1024 * 1024
+
+  /** Shard count for a corpus of `corpusKeys` keys: the smallest power
+    * of two ≥ keys / [[TargetKeysPerShard]], clamped to
+    * [[[Shards]], [[MaxShards]]]. Powers of two keep the prefix rule's
+    * bucket populations uniform for uniform digests. At 10¹⁰ keys this
+    * yields 512 shards ≈ 23 MB of bitmap each (1% fpp) and a 512-task
+    * probe — both scale with the corpus instead of being pinned at 16. */
+  def shardsFor(corpusKeys: Long): Int = {
+    val need = math.max(1L,
+      math.ceil(corpusKeys.toDouble / TargetKeysPerShard).toLong)
+    var p = Shards
+    while (p < need && p < MaxShards) p <<= 1
+    p
+  }
+
+  /** Shard of a hex-digest key: its first 4 hex chars (16 bits) mod
+    * `shards` — a deterministic digest-prefix rule any ingest can route
+    * by, uniform for uniform digests, distinguishing up to
+    * [[MaxShards]] shards. */
   def shardId(key: Column, shards: Int): Column =
-    pmod(conv(substring(key, 1, 2), 16, 10).cast("int"), lit(shards))
+    pmod(conv(substring(key, 1, 4), 16, 10).cast("int"), lit(shards))
 
   private def ser(f: BloomFilter): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -96,13 +121,16 @@ object ShardedBloom {
   }
 
   /** OR-merge two same-geometry shard artifacts (stored corpus + fresh
-    * ingest). Bitwise OR per shard: commutative, associative, exact. */
-  def orMerge(s: SparkSession, a: DataFrame, b: DataFrame): DataFrame = {
+    * ingest). Bitwise OR per shard: commutative, associative, exact.
+    * `shards` sets the merge parallelism (pass the artifact's shard
+    * count; correctness is shard-count-independent). */
+  def orMerge(s: SparkSession, a: DataFrame, b: DataFrame,
+      shards: Int = Shards): DataFrame = {
     val merged = a.unionByName(b).rdd
       .map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
       .reduceByKey(
         (x, y) => { val fx = de(x); fx.mergeInPlace(de(y)); ser(fx) },
-        Shards)
+        shards)
     s.createDataFrame(merged.map { case (sh, blob) => Row(sh, blob) },
       blobSchema)
   }
@@ -111,11 +139,17 @@ object ShardedBloom {
     * `keyCol` MIGHT be in the corpus the artifact was built from (no
     * false negatives; fpp-rate false positives for a downstream exact
     * join to remove). One batch shuffle on shard id; filters
-    * deserialized once per task. */
+    * deserialized once per task; the probe runs exactly `shards`
+    * tasks (spec-asserted), so probe parallelism scales with the
+    * artifact's geometry. Rows with a null key are dropped (a null
+    * cannot be a corpus member), mirroring buildShards' null filter —
+    * without this a null key would NPE inside the routed task. */
   def probe(s: SparkSession, batch: DataFrame, keyCol: String,
       shardsDf: DataFrame, shards: Int): DataFrame = {
     val withShard = batch
+      .filter(col(keyCol).isNotNull)
       .withColumn("__shard", shardId(col(keyCol), shards))
+      .filter(col("__shard").isNotNull)
     val shardIdx = withShard.schema.fieldIndex("__shard")
     val keyIdx = withShard.schema.fieldIndex(keyCol)
     val part = new HashPartitioner(shards)

@@ -54,12 +54,12 @@ class BloomPrefilterSpec extends AnyFunSuite {
 
   test("the shard artifact is built executor-side and memoized: a " +
       "second gate run reuses it") {
-    graft.core.SessionMemo.remove(spark, DedupOps.bloomShardsKey(sf))
+    graft.core.SessionMemo.remove(spark, DedupOps.bloomShardsKey(spark, sf))
     DedupOps.bloomPrefilterDups(spark, sf).collect()
-    val first = graft.core.SessionMemo.get(spark, DedupOps.bloomShardsKey(sf))
+    val first = graft.core.SessionMemo.get(spark, DedupOps.bloomShardsKey(spark, sf))
     assert(first.isDefined, "gate did not persist the shard artifact")
     DedupOps.bloomPrefilterDups(spark, sf).collect()
-    val second = graft.core.SessionMemo.get(spark, DedupOps.bloomShardsKey(sf))
+    val second = graft.core.SessionMemo.get(spark, DedupOps.bloomShardsKey(spark, sf))
     assert(second.get eq first.get,
       "second run rebuilt the shard artifact instead of reusing it")
     // the artifact is the K-row blob table, nothing driver-merged
@@ -97,6 +97,71 @@ class BloomPrefilterSpec extends AnyFunSuite {
     assert((trueDups -- survivors).isEmpty)
   }
 
+  test("geometry scales with the corpus: shardsFor grows as a power of " +
+      "two, small corpora keep the 16-shard floor") {
+    import ShardedBloom.{shardsFor, Shards, MaxShards, TargetKeysPerShard}
+    assert(shardsFor(1000L) === Shards)
+    assert(shardsFor(TargetKeysPerShard * Shards) === Shards)
+    assert(shardsFor(TargetKeysPerShard * Shards + 1) === Shards * 2)
+    val at1e10 = shardsFor(10L * 1000 * 1000 * 1000)
+    assert(at1e10 >= 256 && Integer.bitCount(at1e10) === 1,
+      s"1e10 keys should shard into a few hundred power-of-two shards, got $at1e10")
+    assert(shardsFor(Long.MaxValue) === MaxShards)
+  }
+
+  test("non-default geometry round-trips: build → persist → probe → " +
+      "orMerge at shards=64, probe runs exactly `shards` tasks") {
+    val shards = 64
+    val a = corpus.filter(col("doc_id") % 3 === 0)
+    val b = corpus.filter(col("doc_id") % 3 =!= 0)
+    def build(df: org.apache.spark.sql.DataFrame) =
+      ShardedBloom.buildShards(spark, df, "prefix_md5",
+        shards, 2048L, DedupOps.BloomFpp)
+
+    // persist the artifact the way a real ingest would (parquet) and
+    // probe the reloaded copy
+    val dir = java.nio.file.Files.createTempDirectory("g_bloom64")
+      .resolve("art").toString
+    ShardedBloom.orMerge(spark, build(a), build(b), shards)
+      .write.parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+
+    val out = ShardedBloom.probe(spark, batch, "prefix_md5",
+      reloaded, shards)
+    // probe parallelism == artifact geometry: exactly `shards` tasks
+    assert(out.rdd.getNumPartitions === shards,
+      s"probe ran ${out.rdd.getNumPartitions} tasks for $shards shards")
+
+    val survivors = out.select("prefix_md5")
+      .collect().map(_.getString(0)).toSet
+    val trueDups = batch
+      .join(corpus.select("prefix_md5").distinct(),
+        Seq("prefix_md5"), "left_semi")
+      .select("prefix_md5").collect().map(_.getString(0)).toSet
+    assert((trueDups -- survivors).isEmpty,
+      "64-shard reloaded artifact dropped true duplicates")
+
+    // and the incremental-merge identity holds at this geometry too
+    def blobs(df: org.apache.spark.sql.DataFrame): Map[Int, Seq[Byte]] =
+      df.collect().map(r =>
+        r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(blobs(ShardedBloom.orMerge(spark, build(a), build(b), shards))
+      === blobs(build(corpus)))
+  }
+
+  test("probe drops null keys instead of failing the task") {
+    import spark.implicits._
+    val corpusDf = Seq("aaaa11", "bbbb22").toDF("k")
+    val art = ShardedBloom.buildShards(spark, corpusDf, "k",
+      ShardedBloom.Shards, 64L, 0.03)
+    val probeDf = Seq(Some("aaaa11"), None, Some("cccc33"))
+      .toDF("k")
+    val out = ShardedBloom.probe(spark, probeDf, "k", art,
+      ShardedBloom.Shards).collect().map(_.getString(0))
+    assert(out.contains("aaaa11"))
+    assert(!out.contains(null))
+  }
+
   test("a shard with no corpus keys drops its batch rows (membership " +
       "is impossible there)") {
     import spark.implicits._
@@ -106,7 +171,7 @@ class BloomPrefilterSpec extends AnyFunSuite {
         .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val allKeys = (1 to 400).map(i => md5hex(s"k$i"))
     def shardOf(k: String) =
-      Integer.parseInt(k.substring(0, 2), 16) % ShardedBloom.Shards
+      Integer.parseInt(k.substring(0, 4), 16) % ShardedBloom.Shards
     val inShard = allKeys.filter(shardOf(_) === shardOf(allKeys.head))
     val corpusDf = inShard.toDF("k")
     val art = ShardedBloom.buildShards(spark, corpusDf, "k",
