@@ -105,12 +105,16 @@ object DataProcess {
         s"backend `$backend` needs a JDBC url in the " +
         "graft.etl.jdbc.url system property or ETL_JDBC_URL env var"))
 
+  /** Runs the ETL. Returns `Some(processor)` for batch/rdb ETLs;
+    * `None` for streaming ETLs, whose result is their committed sinks,
+    * not a processor — an Option so a caller chaining on the result
+    * gets a compile-time reminder instead of a latent NPE. */
   def run(sql: String, vars: Map[String, Any], dryRun: Boolean,
       baseDir: Option[String] = None,
       existingSession: Option[SparkSession] = None,
       reportPath: Option[String] = None,
       reportTaskId: Option[String] = None,
-      reportSinks: Seq[graft.etl.ReportSink] = Nil): SqlProcessor = {
+      reportSinks: Seq[graft.etl.ReportSink] = Nil): Option[SqlProcessor] = {
     val config = EasySqlConfig.fromSql(sql)
     require(Set("spark", "postgres", "clickhouse", "bigquery", "maxcompute")
         .contains(config.backend),
@@ -125,7 +129,7 @@ object DataProcess {
           baseDir = baseDir, reportPath = reportPath,
           reportTaskId = reportTaskId, reportSinks = reportSinks)
         processor.run(dryRun)
-        return processor
+        return Some(processor)
       } finally backend.clean()
     }
 
@@ -159,10 +163,12 @@ object DataProcess {
       // the reference's third execution mode (config/sql_config.py:
       // 207-216 routes etl_type=streaming to the Flink statement-set
       // runner); here it routes to StreamingEtl over Structured
-      // Streaming. Returns null: a streaming ETL's result is its
-      // committed sinks, not a processor.
-      runStreaming(config, sql, vars, spark)
-      return null
+      // Streaming. Returns None: a streaming ETL's result is its
+      // committed sinks, not a processor. Dry-run is honored the same
+      // way every other etl_type honors it — validate, don't execute.
+      if (dryRun) validateStreaming(config, sql, vars, spark)
+      else runStreaming(config, sql, vars, spark)
+      return None
     }
 
     val backend = new SparkBackend(spark)
@@ -172,9 +178,47 @@ object DataProcess {
         baseDir = baseDir, reportPath = reportPath,
         reportTaskId = reportTaskId, reportSinks = reportSinks)
       processor.run(dryRun)
-      processor
+      Some(processor)
     } finally {
       if (existingSession.isEmpty) backend.clean()
+    }
+  }
+
+  /** Streaming dry-run: validate the header and step list WITHOUT
+    * executing — sources must parse as `<view>:<dir>` with a readable
+    * schema (a footer read, no stream start), the sink dir must
+    * resolve, and every step must preprocess to a supported streaming
+    * step type. Mirrors what batch dry-run guarantees: "the ETL is
+    * well-formed", with zero side effects on sinks or checkpoints. */
+  private[graft] def validateStreaming(config: EasySqlConfig, sql: String,
+      vars: Map[String, Any], spark: SparkSession): Unit = {
+    def subst(v: String): String =
+      vars.foldLeft(v) { case (acc, (k, value)) =>
+        acc.replace("${" + k + "}", String.valueOf(value)) }
+    val sources = config.getAll("streaming_source").map { spec =>
+      val i = spec.indexOf(':')
+      require(i > 0, s"streaming_source must be <view>:<dir>, got `$spec`")
+      val dir = subst(spec.substring(i + 1).trim)
+      // schema resolution = the dir exists and is readable parquet
+      spark.read.option("recursiveFileLookup", "true").parquet(dir).schema
+      spec.substring(0, i).trim
+    }
+    require(sources.nonEmpty,
+      "streaming ETL needs at least one `-- config: " +
+      "easy_sql.streaming_source=<view>:<dir>` line")
+    config.get("streaming_sink_dir").map(subst).foreach { d =>
+      require(d.trim.nonEmpty, "streaming_sink_dir resolves empty")
+    }
+    val supported = Set(graft.etl.StepType.Template,
+      graft.etl.StepType.Variables, graft.etl.StepType.Temp,
+      graft.etl.StepType.Cache, graft.etl.StepType.Broadcast,
+      graft.etl.StepType.Output, graft.etl.StepType.Hive,
+      graft.etl.StepType.Func, graft.etl.StepType.Action)
+    new graft.etl.StepFactory().createFromSql(sql).foreach { step =>
+      step.targetConfig.foreach { tc =>
+        require(supported.contains(tc.stepType),
+          s"step type ${tc.stepType} not supported in streaming mode")
+      }
     }
   }
 

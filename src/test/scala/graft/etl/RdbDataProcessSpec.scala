@@ -33,7 +33,7 @@ class RdbDataProcessSpec extends AnyFunSuite {
 
     sys.props("graft.etl.jdbc.url") = "jdbc:derby:memory:rdbcli;create=true"
     try {
-      val p = DataProcess.run(etl, Map.empty, dryRun = false)
+      val p = DataProcess.run(etl, Map.empty, dryRun = false).get
       assert(p.reporter != null)
       // assert through a fresh connection: the output table outlives the
       // run's temp schema

@@ -37,6 +37,42 @@ select 1 as a
     assert(e.getMessage.contains("no_colon_here"), e.getMessage)
   }
 
+  test("--dry-run on a streaming ETL validates the header but starts " +
+      "nothing: no sink dirs, no checkpoints, None returned") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("g_cli_dry")
+    val srcDir = root.resolve("src").toString
+    (1L to 5L).toDF("id").coalesce(1).write.parquet(srcDir)
+    val sink = root.resolve("out").toString
+    val etl = s"""-- backend: spark
+-- config: easy_sql.etl_type=streaming
+-- config: easy_sql.streaming_source=src_a:$srcDir
+-- config: easy_sql.streaming_sink_dir=$sink
+-- target=output.sink.t
+select id from src_a
+-- target=func.execute_streaming_inserts()
+"""
+    val res = graft.DataProcess.run(etl, Map.empty, dryRun = true,
+      existingSession = Some(spark))
+    assert(res.isEmpty, "streaming run should return None")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(sink)),
+      "dry-run wrote the sink dir")
+    // and dry-run still fails fast on a bad header (validation is real)
+    val bad = etl.replace(s"src_a:$srcDir", "no_colon_here")
+    val e = intercept[IllegalArgumentException](
+      graft.DataProcess.run(bad, Map.empty, dryRun = true,
+        existingSession = Some(spark)))
+    assert(e.getMessage.contains("no_colon_here"), e.getMessage)
+    // unsupported step types are caught at validation too
+    val badStep = etl.replace("-- target=output.sink.t",
+      "-- target=check.some_check")
+    val e2 = intercept[IllegalArgumentException](
+      graft.DataProcess.run(badStep, Map.empty, dryRun = true,
+        existingSession = Some(spark)))
+    assert(e2.getMessage.contains("not supported in streaming mode"),
+      e2.getMessage)
+  }
+
   test("vars substitute into source and sink paths; two sources " +
       "register; the drained sinks carry both sources' rows") {
     import spark.implicits._
