@@ -201,22 +201,37 @@ final class SqlLinter(
             // every table reference must carry its dataset. Catalyst's
             // parse tree IS the table_reference crawl — single-part
             // UnresolvedRelations are the unqualified reads; CTE names
-            // are local and exempt. (`${temp_db}.t` masks to
-            // `__lint_var__.t`, two-part — the reference's own fix.)
+            // are exempt only within the scope of the With that defines
+            // them (a bare table sharing a name with a CTE in an
+            // UNRELATED scope of the same statement is still a
+            // violation). (`${temp_db}.t` masks to `__lint_var__.t`,
+            // two-part — the reference's own fix.)
             if (backend.contains("bigquery")) {
-              val cteNames = plan.collect {
-                case w: org.apache.spark.sql.catalyst.plans.logical
-                    .UnresolvedWith =>
-                  w.cteRelations.map(_._1.toLowerCase)
-              }.flatten.toSet
-              plan.collect {
-                case r: org.apache.spark.sql.catalyst.analysis
-                    .UnresolvedRelation
-                    if r.multipartIdentifier.length == 1 &&
-                       !cteNames.contains(
-                         r.multipartIdentifier.head.toLowerCase) =>
-                  r.multipartIdentifier.head
-              }.distinct.foreach(t =>
+              import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+              import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+              import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+              val bare = scala.collection.mutable.ArrayBuffer[String]()
+              def scan(p: LogicalPlan, scope: Set[String]): Unit = p match {
+                case r: UnresolvedRelation =>
+                  if (r.multipartIdentifier.length == 1 &&
+                      !scope.contains(
+                        r.multipartIdentifier.head.toLowerCase))
+                    bare += r.multipartIdentifier.head
+                case w: UnresolvedWith =>
+                  val inner = scope ++ w.cteRelations.map(_._1.toLowerCase)
+                  w.cteRelations.foreach(rel => scan(rel._2, inner))
+                  scan(w.child, inner)
+                case other =>
+                  other.children.foreach(scan(_, scope))
+                  // scalar/EXISTS/IN subqueries live inside expressions,
+                  // not children, and share the enclosing scope
+                  other.expressions.foreach(_.foreach {
+                    case sq: SubqueryExpression => scan(sq.plan, scope)
+                    case _ => ()
+                  })
+              }
+              scan(plan, Set.empty)
+              bare.distinct.foreach(t =>
                 report(Some(step), "bq-schema",
                   s"no dataset found when selecting from table `$t` — " +
                   "BigQuery tables must be dataset-qualified " +

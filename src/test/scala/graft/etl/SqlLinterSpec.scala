@@ -180,6 +180,30 @@ select r.id from recent r join ${temp_db}.t1 t on t.id = r.id
       "bq-schema fired outside backend: bigquery")
   }
 
+  test("bq-schema: CTE names are scoped to their With subtree — a bare " +
+      "table sharing the name in an unrelated scope still lints") {
+    // `x` is a CTE only INSIDE the derived table; the outer join reads
+    // a real (unqualified) table that happens to share the name
+    val body = """-- target=output.dw.out
+select d.id
+from (with x as (select 1 as id) select * from x) d
+join x on x.id = d.id
+"""
+    val out = lint("-- backend: bigquery\n" + body)
+      .filter(_.rule == "bq-schema")
+    assert(out.length === 1, out.mkString("; "))
+    assert(out.head.message.contains("`x`"))
+
+    // and a scalar subquery's reference shares the enclosing scope
+    val sub = """-- target=output.dw.out
+with seen as (select 1 as id)
+select (select max(id) from seen) as m from dw.base
+"""
+    assert(!lint("-- backend: bigquery\n" + sub)
+      .exists(_.rule == "bq-schema"),
+      "in-scope CTE referenced from a scalar subquery was flagged")
+  }
+
   test("repo example pipelines lint clean") {
     val dir = java.nio.file.Paths.get("examples")
     val files = java.nio.file.Files.list(dir).toArray.map(_.toString)
