@@ -80,7 +80,15 @@ object AdvancedOps {
     * (dg, doc_id) tiebreak makes the ranking a total order, so the
     * sample is a pure function of document identity — ReservoirSpec
     * proves the k-cap, partitioning-invariance, and the reservoir
-    * admission rule. */
+    * admission rule.
+    *
+    * Scale shape: the rank-filter compiles to a TWO-STAGE top-k —
+    * Catalyst's InferWindowGroupLimit turns `row_number ≤ k` into
+    * WindowGroupLimit(Partial) → Exchange → WindowGroupLimit(Final),
+    * so each input partition keeps only its k digest-smallest rows per
+    * group BEFORE the shuffle and the exchange carries ≤ k×partitions
+    * rows per group, never the full pre-filtered set
+    * (PlanAssertionsSpec locks the shape). */
   private[graft] def reservoirTopK(docs: DataFrame, group: String,
       k: Int, permille: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

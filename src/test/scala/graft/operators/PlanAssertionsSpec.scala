@@ -84,6 +84,21 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("reservoir top-k runs partial-before-exchange: WindowGroupLimit " +
+      "bounds the shuffle at k rows per group per partition") {
+    val p = plan("sample_reservoir_topk")
+    // the rank-filter shape must compile to
+    // WindowGroupLimit(Partial) → Exchange → WindowGroupLimit(Final):
+    // each input partition keeps only its k digest-smallest rows per
+    // group BEFORE the exchange, so the shuffle carries ≤ k×partitions
+    // rows per group instead of the full pre-filtered set
+    val firstLimit = p.indexOf("WindowGroupLimit")
+    val exchange = p.indexOf("Exchange", firstLimit)
+    val finalLimit = p.indexOf("WindowGroupLimit", exchange)
+    assert(firstLimit >= 0 && exchange > firstLimit && finalLimit > exchange,
+      s"expected WindowGroupLimit→Exchange→WindowGroupLimit, got:\n$p")
+  }
+
   test("tfidf document-frequency join shuffles, never broadcasts vocab") {
     // the df side is O(|vocab|) — a broadcast there dies on a web-scale
     // corpus. With auto-broadcast off, only explicit hints can
