@@ -178,6 +178,78 @@ object EventOps {
       graft.streaming.StreamingOps
         .intervalJoin(_, "ts", "1 hour", "click", "purchase", "6 hours"))
 
+  /** The STATEFUL multi-sink statement set under the real runtime —
+    * the case the r10 stateless statement set left out (the
+    * reference's Flink statement set buffers stateful and stateless
+    * inserts alike, backend/flink.py:122-131). One watermarked hourly
+    * aggregation is the shared intermediate; TWO sinks (counts,
+    * values) are per-row projections of its finalized rows, committed
+    * by ONE StreamingQuery under ONE checkpoint
+    * (StreamingEtl.startStatefulStatementSet): the state lives exactly
+    * once, and both sinks see the same finalized-window batches, so
+    * they can never disagree about which windows closed. Batch
+    * invariance (append mode + sentinel punctuation — the shared
+    * ReplayStage protocol) lets the DuckDB oracle verify both sinks
+    * against the plain batch hourly rollup. At 100 TB this is the
+    * fan-out shape that halves state cost versus per-insert queries:
+    * N sinks over one aggregation keep ONE state store, not N. */
+  private[graft] def statefulSetReplay(s: SparkSession, d: String,
+      variant: String = ""): DataFrame = withNanosAsLong(s) {
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val stage = ReplayStage.dir(s, d, schema)
+    val (sink, _) = replayCkpts.getOrElseUpdate(
+      (d, "statefulset" + variant), {
+        val sk = java.nio.file.Files.createTempDirectory("g_sset_sink")
+        val ck = java.nio.file.Files.createTempDirectory("g_sset_ckpt")
+        deleteOnExit(sk); deleteOnExit(ck)
+        (sk, ck)
+      })
+    val stream = Tables.tsAsUtcInstant(s.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(stage))
+      .withWatermark("ts", "1 hour")
+    val etl = """-- backend: spark
+-- config: easy_sql.etl_type=streaming
+-- target=temp.hourly
+select cast(window.start as long) as bucket_start, event_type,
+       count(1) as cnt,
+       cast(sum(cast(value as decimal(18,2))) as double) as sum_val
+from events_stream
+group by window(ts, '1 hour'), event_type
+-- target=output.sink.hourly_counts
+select bucket_start, event_type, cnt from hourly
+-- target=output.sink.hourly_values
+select bucket_start, event_type, sum_val from hourly
+-- target=func.execute_streaming_inserts()
+"""
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val qs = new graft.streaming.StreamingEtl(s, etl,
+        sources = Map("events_stream" -> stream),
+        sinkDir = sink.toString).run()
+      require(qs.length == 1,
+        "stateful fan-out must commit as ONE statement-set query, got " +
+        qs.length)
+      qs.foreach { q =>
+        try { if (!q.awaitTermination(300000)) q.processAllAvailable() }
+        finally q.stop()
+      }
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", saved)
+      require(s.conf.get("spark.sql.shuffle.partitions") == saved,
+        "shuffle.partitions restore raced with a concurrent mutation")
+    }
+    def rd(name: String, label: String, metric: String) =
+      s.read.option("recursiveFileLookup", "true")
+        .parquet(s"$sink/sink__$name")
+        .select(lit(label).as("sink_name"), col("bucket_start"),
+          col("event_type"), col(metric).cast("double").as("metric"))
+    rd("hourly_counts", "counts", "cnt")
+      .unionByName(rd("hourly_values", "values", "sum_val"))
+      .filter(col("bucket_start") < ReplayStage.sentinelBoundSec)
+  }
+
   /** Checkpoint dir of an already-run replay gate — spec access for
     * asserting on the state-store layout (e.g. RocksDB snapshots). */
   private[graft] def replayCkptPath(d: String,
@@ -412,6 +484,12 @@ object EventOps {
     // [[dedupReplay]].
     "streaming_replay_dedup" -> ((s, d) => dedupReplay(s, d)),
 
+    // STATEFUL multi-sink statement set: two sinks fan out from one
+    // watermarked hourly aggregation inside ONE StreamingQuery — see
+    // [[statefulSetReplay]].
+    "streaming_statementset_stateful" -> ((s, d) =>
+      statefulSetReplay(s, d)),
+
     // Per-user, per-event-type daily rollup — the shape of a streaming
     // foreachBatch upsert target.
     "event_type_daily" -> ((s, d) =>
@@ -473,6 +551,17 @@ object EventOps {
          event_type, count(*) AS cnt,
          cast(sum(cast(value as decimal(18,2))) as double) AS sum_val
          FROM events GROUP BY 1, 2""",
+    "streaming_statementset_stateful" ->
+      """WITH h AS (
+           SELECT cast(floor(epoch(ts)/3600)*3600 as bigint)
+             AS bucket_start, event_type, count(*) AS cnt,
+             cast(sum(cast(value as decimal(18,2))) as double) AS sum_val
+           FROM events GROUP BY 1, 2)
+         SELECT 'counts' AS sink_name, bucket_start, event_type,
+           cast(cnt as double) AS metric FROM h
+         UNION ALL
+         SELECT 'values' AS sink_name, bucket_start, event_type,
+           sum_val AS metric FROM h""",
     "streaming_replay_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
          marked AS (

@@ -121,8 +121,11 @@ final class StreamingEtl(
   }
 
   /** Commit the queued inserts. Multi-sink stateless sets over one
-    * source run as ONE statement-set query (see class doc); everything
-    * else starts one StreamingQuery per insert. */
+    * source run as ONE statement-set query (see class doc); multi-sink
+    * STATEFUL sets that all fan out from one shared aggregated
+    * intermediate run as one query too (the state lives once, in the
+    * shared agg — see [[startStatefulStatementSet]]); everything else
+    * starts one StreamingQuery per insert. */
   def executeStreamingInserts(): Seq[StreamingQuery] = {
     val statementSet = queued.length >= 2 && sources.size == 1 &&
       queued.forall { case (_, df) => isStateless(df) }
@@ -131,6 +134,14 @@ final class StreamingEtl(
       queued.clear(); queuedSql.clear()
       started += q
       return Seq(q)
+    }
+    statefulSetView() match {
+      case Some(viewName) =>
+        val q = startStatefulStatementSet(viewName)
+        queued.clear(); queuedSql.clear()
+        started += q
+        return Seq(q)
+      case None => ()
     }
     val qs = queued.map { case (target, df) =>
       val safe = target.replace(".", "__")
@@ -188,6 +199,87 @@ final class StreamingEtl(
         } finally { batch.unpersist(); () }
       }
       .queryName("g_statement_set")
+      .start()
+  }
+
+  /** Stateful statement-set eligibility: ≥2 queued inserts whose step
+    * SQL is a PER-ROW transform over ONE shared stateful recorded view
+    * (the aggregated intermediate). The reference's Flink statement set
+    * (backend/flink.py:122-131) buffers stateful and stateless inserts
+    * alike; this is the Spark shape that honors it for the stateful
+    * case — the state lives exactly once, in the shared aggregation's
+    * streaming plan, and the sinks are row-local projections of its
+    * finalized output, safe to re-evaluate per micro-batch.
+    *
+    * Conditions (all checked structurally):
+    *  - exactly ONE recorded view has a stateful plan, and it carries a
+    *    watermark (append-mode finalization);
+    *  - every queued insert's PARSED text is stateless (no aggregate /
+    *    distinct of its own — a per-batch re-evaluation of those would
+    *    silently compute per-batch, not global, answers) and references
+    *    ONLY that view. */
+  private def statefulSetView(): Option[String] = {
+    if (queued.length < 2) return None
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Distinct}
+    def parsed(text: String) =
+      try Some(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parsePlan(text))
+      catch { case _: Exception => None }
+    def textStateless(text: String): Boolean =
+      parsed(text).exists(_.collectFirst {
+        case a: Aggregate => a
+        case d: Deduplicate => d
+        case d: Distinct => d
+      }.isEmpty)
+    def refs(text: String): Set[String] =
+      parsed(text).map(_.collect {
+        case r: UnresolvedRelation =>
+          r.multipartIdentifier.mkString(".").toLowerCase
+      }.toSet).getOrElse(Set("__unparseable__"))
+    val statefulViews = viewSql.filter { case (n, _) =>
+      try !isStateless(spark.table(n))
+      catch { case _: Exception => false }
+    }
+    statefulViews.toList match {
+      case (vn, _) :: Nil if hasWatermark(spark.table(vn)) &&
+          queuedSql.forall { case (_, t) =>
+            textStateless(t) && refs(t) == Set(vn.toLowerCase) } =>
+        Some(vn)
+      case _ => None
+    }
+  }
+
+  /** One stateful aggregation, one StreamingQuery, one checkpoint, N
+    * sinks: the shared aggregated intermediate streams in append mode
+    * (each finalized window row arrives exactly once, watermark-
+    * gated), and every queued insert re-evaluates per micro-batch
+    * against THAT batch of finalized rows registered under the view's
+    * name — all sinks commit from the same pass, so they can never
+    * disagree about which windows finalized. Writes land as
+    * `b<batchId>` overwrite dirs (same exactly-once-per-sink
+    * discipline as the stateless set): a checkpoint-recovery replay of
+    * a batch rebuilds identical dirs for ALL sinks
+    * (StatementSetSpec's stateful case proves restart convergence). */
+  private def startStatefulStatementSet(viewName: String): StreamingQuery = {
+    val sinks = queuedSql.toVector
+    val root = sinkDir
+    spark.table(viewName).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/_checkpoints/__stateful_set")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        batch.persist()
+        try {
+          batch.createOrReplaceTempView(viewName)
+          sinks.foreach { case (target, text) =>
+            sess.sql(text).coalesce(1).write.mode("overwrite")
+              .parquet(s"$root/${target.replace(".", "__")}/b$batchId")
+          }
+        } finally { batch.unpersist(); () }
+      }
+      .queryName("g_stateful_statement_set")
       .start()
   }
 

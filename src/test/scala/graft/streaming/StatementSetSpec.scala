@@ -98,6 +98,106 @@ select id, v from scored where v < ${cutoff}
     assert(sinkRows("low") === expectedLow, "replay diverged: low")
   }
 
+  test("two STATEFUL-derived sinks fan out from one aggregated " +
+      "intermediate as ONE query; restart and replay keep both " +
+      "consistent") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("g_sset_stateful")
+    val srcDir = root.resolve("src")
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 $h%02d:$m%02d:00")
+    // 20 events across hours 0 and 1 in two arrival files, then a
+    // far-future punctuation row that pushes the watermark past both
+    // real windows (its own window never finalizes)
+    (1 to 10).map(i =>
+        (i.toLong, if (i <= 6) "a" else "b", i * 1.0, ts(0, i)))
+      .toDF("id", "etype", "v", "ts")
+      .coalesce(1).write.parquet(srcDir.resolve("b0").toString)
+    (11 to 20).map(i =>
+        (i.toLong, if (i <= 16) "a" else "b", i * 1.0, ts(1, i)))
+      .toDF("id", "etype", "v", "ts")
+      .coalesce(1).write.parquet(srcDir.resolve("b1").toString)
+    Seq((999L, "__sent__", 0.0,
+        java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+      .toDF("id", "etype", "v", "ts")
+      .coalesce(1).write.parquet(srcDir.resolve("b2").toString)
+    val sinkDir = root.resolve("sink").toString
+    val etl = """-- target=temp.agg
+select cast(window.start as long) as bucket_start, etype,
+       count(1) as cnt, cast(sum(v) as double) as sum_v
+from src_stream group by window(ts, '1 hour'), etype
+-- target=output.sink.counts
+select bucket_start, etype, cnt from agg
+-- target=output.sink.sums
+select bucket_start, etype, sum_v from agg
+-- target=func.execute_streaming_inserts()
+"""
+    def source = spark.readStream
+      .schema(spark.read.option("recursiveFileLookup", "true")
+        .parquet(srcDir.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir.toString)
+      .withWatermark("ts", "10 minutes")
+    def drain(): Unit = {
+      val qs = new StreamingEtl(spark, etl,
+        sources = Map("src_stream" -> source), sinkDir = sinkDir).run()
+      assert(qs.length === 1,
+        "stateful fan-out over one aggregation must run as ONE query")
+      qs.foreach { q =>
+        try { if (!q.awaitTermination(120000)) q.processAllAvailable() }
+        finally q.stop()
+      }
+    }
+    drain()
+
+    val bound = java.sql.Timestamp.valueOf("2029-01-01 00:00:00")
+      .getTime / 1000
+    def counts: Set[(Long, String, Long)] =
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$sinkDir/sink__counts")
+        .filter(col("bucket_start") < bound)
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    def sums: Set[(Long, String, Double)] =
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$sinkDir/sink__sums")
+        .filter(col("bucket_start") < bound)
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+    val h0 = ts(0, 0).getTime / 1000
+    val h1 = ts(1, 0).getTime / 1000
+    val expCounts = Set((h0, "a", 6L), (h0, "b", 4L),
+      (h1, "a", 6L), (h1, "b", 4L))
+    val expSums = Set((h0, "a", 21.0), (h0, "b", 34.0),
+      (h1, "a", 81.0), (h1, "b", 74.0))
+    assert(counts === expCounts)
+    assert(sums === expSums)
+    // both sinks agree on WHICH windows finalized — mutual consistency
+    assert(counts.map(c => (c._1, c._2)) === sums.map(s => (s._1, s._2)))
+
+    // ONE checkpoint for the whole stateful set
+    val ckpts = root.resolve("sink/_checkpoints").toFile.list().toSeq
+    assert(ckpts === Seq("__stateful_set"), ckpts.toString)
+
+    // restart from the durable checkpoint with no new data: byte-stable
+    val before = (listFiles(root.resolve("sink/sink__counts")),
+      listFiles(root.resolve("sink/sink__sums")))
+    drain()
+    assert((listFiles(root.resolve("sink/sink__counts")),
+      listFiles(root.resolve("sink/sink__sums"))) === before,
+      "no-new-data restart rewrote a stateful sink")
+
+    // full replay (checkpoint wiped): the aggregation state rebuilds
+    // and the b<id> overwrite discipline converges BOTH sinks
+    graft.operators.WriteOps.SnapshotTable.deleteTree(
+      root.resolve("sink/_checkpoints").toString)
+    drain()
+    assert(counts === expCounts, "replay diverged: counts")
+    assert(sums === expSums, "replay diverged: sums")
+  }
+
   test("a single queued insert keeps the per-insert query path") {
     import spark.implicits._
     val root = Files.createTempDirectory("g_stmtset_single")
