@@ -40,9 +40,16 @@ import graft.etl.{Step, StepConfig, StepFactory, StepType}
   * replayed batch rebuilds identical dirs for ALL sinks, which is what
   * keeps two sinks mutually consistent across restarts
   * (StatementSetSpec proves both sinks survive a checkpoint-recovery
-  * replay byte-stable). Stateful (watermarked-agg) inserts keep their
-  * own per-insert queries — their state lives in the streaming plan
-  * and cannot be re-evaluated per batch.
+  * replay byte-stable).
+  *
+  * '''Stateful statement sets''' (r11): when ≥2 queued inserts are all
+  * per-row projections over ONE shared stateful recorded view (a
+  * watermarked aggregation), they also commit as one query — the agg
+  * streams in append mode and each finalized-row micro-batch fans out
+  * to every sink ([[startStatefulStatementSet]]). Stateful inserts
+  * that do NOT share a single aggregated intermediate keep per-insert
+  * queries: their state lives in each streaming plan and cannot be
+  * re-evaluated per batch.
   */
 final class StreamingEtl(
     val spark: SparkSession,
