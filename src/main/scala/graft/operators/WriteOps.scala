@@ -367,10 +367,23 @@ object WriteOps {
       *    counts per partition from the file NAMES), no data scan —
       *    at 100 TB the nightly optimize plans itself from the
       *    manifest and rewrites only what fragmented. */
+    /** `zorderBy` (the `OPTIMIZE ... ZORDER BY` composition): when
+      * set, the rewrite clusters rows by the Morton interleave of two
+      * integer columns (or plain range order for one column) instead
+      * of a random salt — the exchange is still byte-targeted (same
+      * `filesFor` counts), but output files carry near-disjoint
+      * cluster-key ranges, so future two-column-filtered scans of the
+      * optimized partitions skip files (OptimizeSnapshotSpec asserts
+      * disjoint per-file ranges). Data-unchanged contract is
+      * identical — the cluster key is a projection helper, dropped
+      * before commit. */
     def optimize(s: SparkSession, root: String, newV: Int,
         maxFilesPerPartition: Int = 1,
-        targetFileBytes: Long = 128L << 20): Seq[Int] = {
+        targetFileBytes: Long = 128L << 20,
+        zorderBy: Seq[String] = Nil): Seq[Int] = {
       require(targetFileBytes > 0, "targetFileBytes must be positive")
+      require(zorderBy.length <= 2,
+        "zorderBy supports one (range) or two (Morton) columns")
       val yr = "_y(\\d+)_p".r
       val byYear = files(root, newV - 1)
         .groupBy(f => yr.findFirstMatchIn(f).map(_.group(1).toInt)
@@ -386,20 +399,34 @@ object WriteOps {
           y -> math.max(1,
             math.ceil(bytes.toDouble / targetFileBytes).toInt)
         }.toMap
-        val totalFiles = filesFor.values.sum
+        val totalFiles = math.max(filesFor.values.sum, 1)
         val slice0 = read(s, root, newV - 1)
           .filter(col("pt_year").isin(fragmented.map(Integer.valueOf): _*))
-        // salt ∈ [0, filesFor(pt)) from a row hash; the range exchange
-        // on (pt_year, salt) gives each (partition, salt) group its own
-        // task, so file sizes land near targetFileBytes and the rewrite
-        // parallelism scales with fragmented bytes, not partition count
-        val salted = slice0.withColumn("__salt",
-          pmod(hash(slice0.columns.map(col): _*),
-            element_at(typedLit(filesFor), col("pt_year").cast("int"))))
-        val slice = salted
-          .repartitionByRange(math.max(totalFiles, 1),
-            col("pt_year"), col("__salt"))
-          .drop("__salt")
+        val slice =
+          if (zorderBy.isEmpty) {
+            // salt ∈ [0, filesFor(pt)) from a row hash; the range
+            // exchange on (pt_year, salt) gives each (partition, salt)
+            // group its own task, so file sizes land near
+            // targetFileBytes and the rewrite parallelism scales with
+            // fragmented bytes, not partition count
+            slice0.withColumn("__salt",
+                pmod(hash(slice0.columns.map(col): _*),
+                  element_at(typedLit(filesFor),
+                    col("pt_year").cast("int"))))
+              .repartitionByRange(totalFiles,
+                col("pt_year"), col("__salt"))
+              .drop("__salt")
+          } else {
+            val zv =
+              if (zorderBy.length == 2)
+                expr(zvalExpr(zorderBy(0), zorderBy(1))).cast("bigint")
+              else col(zorderBy.head)
+            slice0.withColumn("__zv", zv)
+              .repartitionByRange(totalFiles,
+                col("pt_year"), col("__zv"))
+              .sortWithinPartitions(col("pt_year"), col("__zv"))
+              .drop("__zv")
+          }
         commit(s, root, newV, slice, fragmented)
       }
       fragmented

@@ -102,6 +102,48 @@ class OptimizeSnapshotSpec extends AnyFunSuite {
     assert(chk(1) === chk(0))
   }
 
+  test("optimize zorderBy: byte-bounded output files carry disjoint " +
+      "cluster-key ranges (file-skipping layout), data unchanged") {
+    import WriteOps.SnapshotTable
+    val root = Files.createTempDirectory("g_opt_z").toString + "/t"
+    val fat = spark.range(20000).select(
+      col("id").as("o_orderkey"),
+      (col("id") * 7919 % 1024).as("k1"),
+      (col("id") * 104729 % 1024).as("k2"),
+      md5(col("id").cast("string")).as("payload"),
+      lit(1).as("pt_year"))
+    SnapshotTable.commit(spark, root, 0, fat.repartition(8), Seq(1))
+    val target = 64L * 1024
+    assert(SnapshotTable.optimize(spark, root, 1,
+      maxFilesPerPartition = 1, targetFileBytes = target,
+      zorderBy = Seq("k1", "k2")) === Seq(1))
+    val v1 = SnapshotTable.files(root, 1)
+    assert(v1.size > 1, "z-ordered rewrite collapsed to one file")
+
+    // data-unchanged (same rows, any order)
+    val chk = (v: Int) => SnapshotTable.read(spark, root, v)
+      .agg(sum("o_orderkey"), sum("k1"), sum("k2"), count(lit(1)))
+      .first()
+    assert(chk(1) === chk(0))
+
+    // disjoint per-file interleave ranges: the range exchange on the
+    // recomputed Morton key means each output file owns its own z
+    // interval — the min/max stats a scan uses to skip files
+    val ranges = v1.map { f =>
+      val r = spark.read.parquet(f)
+        .select(expr(WriteOps.zvalExpr("k1", "k2")).cast("bigint")
+          .as("zv"))
+        .agg(min("zv"), max("zv")).first()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2,
+          s"overlapping z ranges across files: $ranges")
+      case _ => ()
+    }
+  }
+
   test("right-sized partitions carry over by reference, untouched") {
     import WriteOps.SnapshotTable
     val root = Files.createTempDirectory("g_opt_carry").toString + "/t"
