@@ -256,6 +256,13 @@ select bucket_start, event_type, sum_val from hourly
       name: String): Option[java.nio.file.Path] =
     replayCkpts.get((d, name)).map(_._2)
 
+  /** Sink dir of an already-run replay gate — spec access for gates
+    * whose checkpoint lives INSIDE the sink root (the statement-set
+    * gates, whose StreamingEtl owns `<sink>/_checkpoints/...`). */
+  private[graft] def replaySinkPath(d: String,
+      name: String): Option[java.nio.file.Path] =
+    replayCkpts.get((d, name)).map(_._1)
+
   private def replayGate(s: SparkSession, d: String, name: String,
       agg: DataFrame => DataFrame): DataFrame = withNanosAsLong(s) {
     val schema = s.read.parquet(s"$d/events.parquet").schema // footer only

@@ -142,6 +142,28 @@ class StreamingRocksDbSpec extends AnyFunSuite {
       "restart from RocksDB checkpoint must be a no-op")
   }
 
+  test("streaming_statementset_stateful: the shared-aggregation " +
+      "fan-out identical under RocksDB, restart reproduces both sinks") {
+    val base = rows(EventOps.statefulSetReplay(spark, sf))
+    assert(base.nonEmpty)
+    val rocks = withRocksDb {
+      rows(EventOps.statefulSetReplay(spark, sf, "_rocksdb"))
+    }
+    assert(rocks == base,
+      "stateful statement set must be state-backend-invariant")
+    // the statement set's checkpoint lives INSIDE its sink root
+    val sink = EventOps.replaySinkPath(sf, "statefulset_rocksdb")
+      .getOrElse(fail("rocksdb variant sink not registered"))
+    val files = stateFiles(sink.resolve("_checkpoints/__stateful_set"))
+    assert(files.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+      s"expected RocksDB state artifacts under $sink, got: $files")
+    val again = withRocksDb {
+      rows(EventOps.statefulSetReplay(spark, sf, "_rocksdb"))
+    }
+    assert(again == base,
+      "restart from RocksDB checkpoint must be a no-op")
+  }
+
   test("streaming_replay_upsert: CDC apply identical under RocksDB, " +
       "restart keeps the versioned table converged") {
     val base = rows(EventOps.upsertReplayGate(spark, sf))
