@@ -16,6 +16,13 @@ object AdvancedOps {
   /** Salt fan-out for the skew-join gate. */
   val SKEW_SALTS = 8
 
+  /** Histogram resolution for the sketched-percentile gate: the
+    * shuffled state is ≤ groups×bins pure counts, and the estimate
+    * error is bounded by one bin width. 64 keeps the demo grid small;
+    * production tunes bins to the error budget (the state stays
+    * trivially bounded — 4096 bins is 32 KB per group). */
+  val PCTL_SKETCH_BINS = 64
+
   /** Deterministic per-row fact-side salt for the skew join: a hash of
     * the full row identity modulo S, so every salt value in [0, S)
     * actually occurs and a hot key spreads over ALL S reducers.
@@ -100,6 +107,43 @@ object AdvancedOps {
         Window.partitionBy(group).orderBy(col("dg"), col("doc_id"))))
       .filter(col("rk") <= k)
       .select(col("doc_id"), col(group), col("rk").cast("long").as("rk"))
+  }
+
+  /** Fixed-global-grid histogram quantile (the percentiles_sketch
+    * engine): one [min,max] pass defines a shared `bins`-bin grid;
+    * one counts-only (group, bin) aggregation builds the histogram;
+    * p50/p90 are rank-interpolated inside the winning bin on the
+    * ≤ |groups|×bins-row result. Values must be integral-valued
+    * doubles for the bin arithmetic to be exact (the determinism
+    * contract with the DuckDB oracle). Estimate error ≤ one bin
+    * width; PercentileSketchSpec proves the bound and partitioning
+    * invariance. */
+  private[graft] def sketchPercentiles(df: DataFrame, group: String,
+      valueCol: String, bins: Int): DataFrame = {
+    val mm = df.agg(min(valueCol), max(valueCol)).head
+    val mn = mm.getDouble(0); val mx = mm.getDouble(1)
+    val span = mx - mn + 1.0
+    val hist = df.groupBy(col(group),
+        floor((col(valueCol) - lit(mn)) * lit(bins.toDouble) / lit(span))
+          .cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wf = Window.partitionBy(group).orderBy("bin")
+    hist
+      .withColumn("cb", coalesce(sum("cnt").over(
+        wf.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy(group)))
+      .withColumn("p", explode(array(lit(0.5), lit(0.9))))
+      .withColumn("target", (col("n") - lit(1L)).cast("double") * col("p"))
+      .filter(col("cb").cast("double") <= col("target") &&
+        col("target") < (col("cb") + col("cnt")).cast("double"))
+      .withColumn("est", lit(mn) +
+        (col("bin").cast("double") +
+          (col("target") - col("cb").cast("double") + lit(0.5)) /
+            col("cnt").cast("double")) * lit(span / bins))
+      .groupBy(group)
+      .agg(max(when(col("p") === 0.5, col("est"))).as("p50_est"),
+        max(when(col("p") === 0.9, col("est"))).as("p90_est"),
+        max("n").as("n_rows"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -297,6 +341,29 @@ object AdvancedOps {
         expr("percentile(l_quantity, 0.9)").as("p90"),
         min("l_quantity").as("qmin"),
         max("l_quantity").as("qmax"))),
+
+    // SKETCHED percentiles — the 100 TB quantile path next to
+    // percentiles_exact. Exact per-group percentile holds every
+    // group's full value LIST in the aggregation state; a fixed-grid
+    // histogram holds B counters. Two passes: (1) a global [min,max]
+    // aggregate (2 doubles to the driver — the bounded index-metadata
+    // protocol), defining a SHARED B-bin grid; (2) one counts-only
+    // groupBy (group, bin) — the exchange carries ≤ |groups|×B rows of
+    // pure counts regardless of data volume, map-side combined. The
+    // quantile is then rank-interpolated INSIDE the winning bin on the
+    // ≤ |groups|×B-row histogram (window cumsum over a tiny table).
+    // Because the grid is global and the state is addition, partial
+    // histograms merge associatively across partitions, corpus slices,
+    // or days — the property that makes this the incremental/streaming
+    // quantile shape too. Error is bounded by one bin width
+    // (PercentileSketchSpec asserts |est − exact| ≤ w per group).
+    // Deterministic (unlike sketch aggregates whose merge order leaks
+    // into results): integral-valued doubles make the bin arithmetic
+    // exact, so Spark and the DuckDB oracle agree bit-for-bit.
+    "percentiles_sketch" -> ((s, d) =>
+      sketchPercentiles(
+        lineitem(s, d).select(col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", "l_quantity", PCTL_SKETCH_BINS)),
 
     // Robust outlier audit (median/MAD, the production monitoring op):
     // per event type, robust_z = (value − med) / (1.4826·mad) with
@@ -496,6 +563,41 @@ object AdvancedOps {
          quantile_cont(l_quantity, 0.5) AS p50,
          quantile_cont(l_quantity, 0.9) AS p90,
          min(l_quantity) AS qmin, max(l_quantity) AS qmax
-         FROM lineitem GROUP BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag""",
+    // Mirrors percentiles_sketch's exact arithmetic: same global
+    // [mn,mx] grid, same integer-exact binning, same rank
+    // interpolation inside the winning bin — every double op in the
+    // same order, so the hash compare is exact.
+    "percentiles_sketch" ->
+      """WITH mm AS (
+           SELECT min(l_quantity) AS mn, max(l_quantity) AS mx
+           FROM lineitem),
+         hist AS (
+           SELECT l_returnflag,
+                  CAST(floor((l_quantity - mn) * 64.0 / (mx - mn + 1))
+                    AS BIGINT) AS bin,
+                  count(*) AS cnt
+           FROM lineitem, mm GROUP BY 1, 2),
+         cum AS (
+           SELECT l_returnflag, bin, cnt,
+                  coalesce(sum(cnt) OVER (PARTITION BY l_returnflag
+                    ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS cb,
+                  sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+           FROM hist),
+         est AS (
+           SELECT c.l_returnflag, p.p, c.n,
+                  mn + (CAST(bin AS DOUBLE) +
+                    (CAST(n - 1 AS DOUBLE) * p - CAST(cb AS DOUBLE)
+                      + 0.5) / CAST(cnt AS DOUBLE))
+                    * ((mx - mn + 1) / 64.0) AS est
+           FROM cum c, mm, (VALUES (0.5), (0.9)) AS p(p)
+           WHERE CAST(cb AS DOUBLE) <= CAST(n - 1 AS DOUBLE) * p
+             AND CAST(n - 1 AS DOUBLE) * p < CAST(cb + cnt AS DOUBLE))
+         SELECT l_returnflag,
+           max(CASE WHEN p = 0.5 THEN est END) AS p50_est,
+           max(CASE WHEN p = 0.9 THEN est END) AS p90_est,
+           CAST(max(n) AS BIGINT) AS n_rows
+         FROM est GROUP BY l_returnflag"""
   )
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Contracts of the fixed-grid histogram quantile the
+  * percentiles_sketch hash oracle can't state: the estimate is within
+  * the analytic error bound of the exact interpolated percentile, the
+  * result is invariant to physical partitioning (the counts-only
+  * histogram is a pure function of the data), and the degenerate
+  * single-value group is handled without division blowups. */
+class PercentileSketchSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.etl.TestSpark.spark
+
+  private def df(rows: Seq[(String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("g", "v")
+  }
+
+  // skewed integral values: group a is zipf-ish over 1..100, group b
+  // uniform over 200..263
+  private val fixture: Seq[(String, Double)] =
+    (1 to 1000).map(i => ("a", (100.0 / math.sqrt(i)).floor)) ++
+      (0 until 640).map(i => ("b", 200.0 + (i % 64)))
+
+  test("estimates are within the bin-width error bound of exact") {
+    val bins = AdvancedOps.PCTL_SKETCH_BINS
+    val d = df(fixture)
+    val mm = d.agg(min("v"), max("v")).head
+    val w = (mm.getDouble(1) - mm.getDouble(0) + 1.0) / bins
+    val est = AdvancedOps.sketchPercentiles(d, "g", "v", bins)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val exact = d.groupBy("g").agg(
+        expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    for (g <- Seq("a", "b")) {
+      // est lies in the winning bin; the exact interpolated value can
+      // reach into the neighbouring bin when the target rank straddles
+      // a bin boundary — 2·w is the analytic bound
+      assert(math.abs(est(g)._1 - exact(g)._1) <= 2 * w,
+        s"p50 off in $g: est ${est(g)._1} exact ${exact(g)._1} w $w")
+      assert(math.abs(est(g)._2 - exact(g)._2) <= 2 * w,
+        s"p90 off in $g: est ${est(g)._2} exact ${exact(g)._2} w $w")
+    }
+  }
+
+  test("result is invariant to physical partitioning") {
+    val bins = AdvancedOps.PCTL_SKETCH_BINS
+    def run(d: org.apache.spark.sql.DataFrame) =
+      AdvancedOps.sketchPercentiles(d, "g", "v", bins)
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+          r.getLong(3))).toSet
+    val base = df(fixture)
+    assert(run(base) === run(base.repartition(17)))
+    assert(run(base) === run(base.repartition(1)))
+  }
+
+  test("single-distinct-value group lands both quantiles on that value") {
+    val d = df(Seq.fill(50)(("c", 7.0)))
+    val row = AdvancedOps.sketchPercentiles(d, "g", "v",
+      AdvancedOps.PCTL_SKETCH_BINS).collect()
+    assert(row.length === 1)
+    // one bin, cnt = n: est = 7 + ((n-1)p - 0 + 0.5)/n · w with
+    // w = 1/64 — within half a (tiny) bin of the true 7.0
+    assert(math.abs(row(0).getDouble(1) - 7.0) <= 1.0 / 64)
+    assert(math.abs(row(0).getDouble(2) - 7.0) <= 1.0 / 64)
+    assert(row(0).getLong(3) === 50L)
+  }
+}
