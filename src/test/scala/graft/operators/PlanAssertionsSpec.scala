@@ -359,4 +359,26 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(broadcasts >= 2, s"$broadcasts broadcast joins:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("sketched percentiles: the histogram exchange is counts-only") {
+    val p = plan("percentiles_sketch")
+    // the (group, bin) count must partial-aggregate BEFORE its
+    // exchange, so the shuffle carries ≤ |groups|×bins count rows and
+    // never the data — the property that makes this the 100 TB
+    // quantile path
+    val iPartial = p.linesIterator.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("partial_count"))
+    val iExchange = p.linesIterator.indexWhere(_.contains("Exchange"))
+    assert(iPartial >= 0, s"no partial count aggregate:\n$p")
+    assert(iExchange >= 0, s"no exchange:\n$p")
+    // executed plans print top-down: the exchange must sit ABOVE the
+    // partial aggregate (map-side combine), not below it
+    assert(iExchange < iPartial,
+      s"exchange (line $iExchange) not fed by the partial aggregate " +
+        s"(line $iPartial):\n$p")
+    // raw value columns must not survive past the histogram: the
+    // window/interpolation stages operate on (group, bin, cnt) only
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("l_quantity")), p)
+  }
 }
