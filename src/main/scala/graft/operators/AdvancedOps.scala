@@ -241,6 +241,80 @@ object AdvancedOps {
     histQuantiles(s.read.parquet(base), "l_returnflag", mn, mx, bins)
   }
 
+  /** Distribution-drift audit (gate `stats_drift_chi2`) — the
+    * data-quality monitor a training pipeline runs on every ingest:
+    * per group, a chi-square statistic between the FROZEN reference
+    * histogram (pre-1997 corpus, the same fixed grid as
+    * percentiles_sketch / streaming_ingest_quantiles) and the arrival
+    * slice's histogram on that grid. Expected counts use Laplace
+    * smoothing over the dense `bins`-bin frame (every bin
+    * contributes, including empty ones), so no division can blow up
+    * and a mass shift INTO a previously-empty bin is loud. The flag
+    * threshold 103.0 ≈ χ²₀.₉₉₉ at df = 63.
+    *
+    * Scale shape: both histograms are the counts-only exchange
+    * (≤ |groups|×bins rows); everything after operates on the dense
+    * |groups|×bins frame. The chi-square float sum is an ORDERED fold
+    * over the bin-sorted term list in BOTH engines (the
+    * sample_temperature_mix reproducibility discipline) — an
+    * unordered float sum could differ in the last ulp and fail the
+    * hash. In production the two histograms are the already-
+    * materialized artifacts (reference = the streaming twin's table),
+    * so the audit reads no data at all. */
+  private[graft] def statsDriftChi2(s: SparkSession, d: String): DataFrame = {
+    val bins = PCTL_SKETCH_BINS
+    val cut = lit("1997-01-01").cast("timestamp")
+    val li = lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_shipdate"))
+    val refSlice = li.filter(col("l_shipdate") < cut)
+    val mm = refSlice.agg(min("l_quantity"), max("l_quantity")).head
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val ref = histogramOf(refSlice, "l_returnflag", "l_quantity",
+      mn, mx, bins, clamp = true).withColumnRenamed("cnt", "r")
+    val obs = histogramOf(li.filter(col("l_shipdate") >= cut),
+      "l_returnflag", "l_quantity", mn, mx, bins, clamp = true)
+      .withColumnRenamed("cnt", "o")
+    val frame = li.select("l_returnflag").distinct()
+      .withColumn("bin", explode(sequence(lit(0L), lit(bins - 1L))))
+    val joined = frame
+      .join(ref, Seq("l_returnflag", "bin"), "left")
+      .join(obs, Seq("l_returnflag", "bin"), "left")
+      .na.fill(0L, Seq("r", "o"))
+    chi2Of(s, joined, "l_returnflag", bins)
+  }
+
+  /** The chi-square fold over a dense (group, bin, r, o) count frame —
+    * see [[statsDriftChi2]] for the statistic and the ordered-fold
+    * determinism contract. Split out so StatsDriftSpec can drive it
+    * with crafted histograms. */
+  private[graft] def chi2Of(s: SparkSession, joined: DataFrame,
+      group: String, bins: Int): DataFrame = {
+    val v = "g_drift" + Tables.invocationSuffix()
+    joined.createOrReplaceTempView(v)
+    try s.sql(s"""
+      WITH tot AS (
+        SELECT $group, sum(r) AS n_ref, sum(o) AS n_obs
+        FROM $v GROUP BY $group),
+      terms AS (
+        SELECT h.$group, h.bin, t.n_ref, t.n_obs,
+          cast(t.n_obs AS double) *
+            (cast(h.r + 1 AS double) / cast(t.n_ref + $bins AS double))
+            AS e,
+          cast(h.o AS double) AS od
+        FROM $v h JOIN tot t ON h.$group = t.$group),
+      folded AS (
+        SELECT $group, max(n_ref) AS n_ref, max(n_obs) AS n_obs,
+          aggregate(
+            array_sort(collect_list(named_struct(
+              'bin', bin, 'term', (od - e) * (od - e) / e))),
+            cast(0 AS double), (a, x) -> a + x.term) AS chi2
+        FROM terms GROUP BY $group)
+      SELECT $group, n_ref, n_obs, chi2,
+        chi2 > cast(103.0 AS double) AS drifted
+      FROM folded""")
+    finally s.catalog.dropTempView(v)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // AS-OF JOIN: for every event, the timestamp of the same user's most
     // recent PRIOR 'error' event. Composed as a running max over a
@@ -463,6 +537,10 @@ object AdvancedOps {
     // Streaming twin of percentiles_sketch: the frozen-grid histogram
     // maintained over arriving micro-batches — see [[streamingQuantiles]].
     "streaming_ingest_quantiles" -> ((s, d) => streamingQuantiles(s, d)),
+
+    // Distribution-drift audit on the shared frozen grid — see
+    // [[statsDriftChi2]].
+    "stats_drift_chi2" -> ((s, d) => statsDriftChi2(s, d)),
 
     // Robust outlier audit (median/MAD, the production monitoring op):
     // per event type, robust_z = (value − med) / (1.4826·mad) with
@@ -734,6 +812,61 @@ object AdvancedOps {
            max(CASE WHEN p = 0.5 THEN est END) AS p50_est,
            max(CASE WHEN p = 0.9 THEN est END) AS p90_est,
            CAST(max(n) AS BIGINT) AS n_rows
-         FROM est GROUP BY l_returnflag"""
+         FROM est GROUP BY l_returnflag""",
+    // Same frozen grid + Laplace-smoothed expected counts; the
+    // chi-square float sum is an ordered fold over the bin-sorted
+    // term list in both engines (list(... ORDER BY) + list_aggregate
+    // here, aggregate(array_sort(collect_list(...))) in Spark).
+    "stats_drift_chi2" ->
+      """WITH mm AS (
+           SELECT min(l_quantity) AS mn, max(l_quantity) AS mx
+           FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'),
+         ref AS (
+           SELECT l_returnflag,
+                  least(63, greatest(0,
+                    CAST(floor((l_quantity - mn) * 64.0 / (mx - mn + 1))
+                      AS BIGINT))) AS bin,
+                  count(*) AS r
+           FROM lineitem, mm
+           WHERE l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1, 2),
+         obs AS (
+           SELECT l_returnflag,
+                  least(63, greatest(0,
+                    CAST(floor((l_quantity - mn) * 64.0 / (mx - mn + 1))
+                      AS BIGINT))) AS bin,
+                  count(*) AS o
+           FROM lineitem, mm
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01' GROUP BY 1, 2),
+         frame AS (
+           SELECT l_returnflag, i AS bin
+           FROM (SELECT DISTINCT l_returnflag FROM lineitem),
+                range(0, 64) t(i)),
+         h AS (
+           SELECT f.l_returnflag, f.bin,
+                  coalesce(r, 0) AS r, coalesce(o, 0) AS o
+           FROM frame f
+           LEFT JOIN ref USING (l_returnflag, bin)
+           LEFT JOIN obs USING (l_returnflag, bin)),
+         tot AS (
+           SELECT l_returnflag, sum(r) AS n_ref, sum(o) AS n_obs
+           FROM h GROUP BY l_returnflag),
+         terms AS (
+           SELECT h.l_returnflag, h.bin, t.n_ref, t.n_obs,
+                  CAST(t.n_obs AS DOUBLE) *
+                    (CAST(h.r + 1 AS DOUBLE) /
+                      CAST(t.n_ref + 64 AS DOUBLE)) AS e,
+                  CAST(h.o AS DOUBLE) AS od
+           FROM h JOIN tot t USING (l_returnflag)),
+         folded AS (
+           SELECT l_returnflag,
+             CAST(max(n_ref) AS BIGINT) AS n_ref,
+             CAST(max(n_obs) AS BIGINT) AS n_obs,
+             list_aggregate(
+               list((od - e) * (od - e) / e ORDER BY bin), 'sum')
+               AS chi2
+           FROM terms GROUP BY l_returnflag)
+         SELECT l_returnflag, n_ref, n_obs, chi2,
+           chi2 > CAST(103.0 AS DOUBLE) AS drifted
+         FROM folded"""
   )
 }
