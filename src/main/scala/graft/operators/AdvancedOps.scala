@@ -274,7 +274,11 @@ object AdvancedOps {
     val obs = histogramOf(li.filter(col("l_shipdate") >= cut),
       "l_returnflag", "l_quantity", mn, mx, bins, clamp = true)
       .withColumnRenamed("cnt", "o")
-    val frame = li.select("l_returnflag").distinct()
+    // the dense bin frame's group set comes from the two (tiny)
+    // histograms, not a third corpus scan — distinct over
+    // ≤ 2×|groups|×bins count rows
+    val frame = ref.select("l_returnflag")
+      .unionByName(obs.select("l_returnflag")).distinct()
       .withColumn("bin", explode(sequence(lit(0L), lit(bins - 1L))))
     val joined = frame
       .join(ref, Seq("l_returnflag", "bin"), "left")
