@@ -121,6 +121,11 @@ object AdvancedOps {
   private[graft] def sketchPercentiles(df: DataFrame, group: String,
       valueCol: String, bins: Int): DataFrame = {
     val mm = df.agg(min(valueCol), max(valueCol)).head
+    if (mm.isNullAt(0))
+      // empty input: no grid to define — empty result, output schema
+      return histQuantiles(
+        histogramOf(df, group, valueCol, 0.0, 0.0, bins, clamp = false),
+        group, 0.0, 0.0, bins)
     val mn = mm.getDouble(0); val mx = mm.getDouble(1)
     histQuantiles(
       histogramOf(df, group, valueCol, mn, mx, bins, clamp = false),
@@ -210,7 +215,11 @@ object AdvancedOps {
           .filter(col("l_shipdate") < cut)
           .select(col("l_returnflag"), col("l_quantity"))
         val mm = baseSlice.agg(min("l_quantity"), max("l_quantity")).head
-        val (mn0, mx0) = (mm.getDouble(0), mm.getDouble(1))
+        // empty base corpus: degenerate [0,0] grid — arrivals all clamp
+        // to bin 0; defined rather than an NPE on the null aggregate
+        val (mn0, mx0) =
+          if (mm.isNullAt(0)) (0.0, 0.0)
+          else (mm.getDouble(0), mm.getDouble(1))
         histogramOf(baseSlice, "l_returnflag", "l_quantity",
             mn0, mx0, bins, clamp = true)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(b)
@@ -268,7 +277,12 @@ object AdvancedOps {
       .select(col("l_returnflag"), col("l_quantity"), col("l_shipdate"))
     val refSlice = li.filter(col("l_shipdate") < cut)
     val mm = refSlice.agg(min("l_quantity"), max("l_quantity")).head
-    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    // empty reference corpus: degenerate [0,0] grid — all observed
+    // mass clamps to bin 0 against all-zero expected counts, so the
+    // audit loudly flags "everything is new" instead of NPE'ing
+    val (mn, mx) =
+      if (mm.isNullAt(0)) (0.0, 0.0)
+      else (mm.getDouble(0), mm.getDouble(1))
     val ref = histogramOf(refSlice, "l_returnflag", "l_quantity",
       mn, mx, bins, clamp = true).withColumnRenamed("cnt", "r")
     val obs = histogramOf(li.filter(col("l_shipdate") >= cut),
@@ -310,7 +324,10 @@ object AdvancedOps {
         SELECT $group, max(n_ref) AS n_ref, max(n_obs) AS n_obs,
           aggregate(
             array_sort(collect_list(named_struct(
-              'bin', bin, 'term', (od - e) * (od - e) / e))),
+              'bin', bin,
+              'term', CASE WHEN e = cast(0 AS double)
+                THEN cast(0 AS double)
+                ELSE (od - e) * (od - e) / e END))),
             cast(0 AS double), (a, x) -> a + x.term) AS chi2
         FROM terms GROUP BY $group)
       SELECT $group, n_ref, n_obs, chi2,
@@ -866,7 +883,9 @@ object AdvancedOps {
              CAST(max(n_ref) AS BIGINT) AS n_ref,
              CAST(max(n_obs) AS BIGINT) AS n_obs,
              list_aggregate(
-               list((od - e) * (od - e) / e ORDER BY bin), 'sum')
+               list(CASE WHEN e = CAST(0 AS DOUBLE)
+                 THEN CAST(0 AS DOUBLE)
+                 ELSE (od - e) * (od - e) / e END ORDER BY bin), 'sum')
                AS chi2
            FROM terms GROUP BY l_returnflag)
          SELECT l_returnflag, n_ref, n_obs, chi2,

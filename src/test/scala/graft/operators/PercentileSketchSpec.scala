@@ -60,6 +60,16 @@ class PercentileSketchSpec extends AnyFunSuite {
     assert(run(base) === run(base.repartition(1)))
   }
 
+  test("empty input yields an empty result, not an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Double)].toDF("g", "v")
+    val out = AdvancedOps.sketchPercentiles(empty, "g", "v",
+      AdvancedOps.PCTL_SKETCH_BINS)
+    assert(out.columns.toSeq ===
+      Seq("g", "p50_est", "p90_est", "n_rows"))
+    assert(out.count() === 0)
+  }
+
   test("single-distinct-value group lands both quantiles on that value") {
     val d = df(Seq.fill(50)(("c", 7.0)))
     val row = AdvancedOps.sketchPercentiles(d, "g", "v",

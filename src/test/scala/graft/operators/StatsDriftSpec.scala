@@ -64,6 +64,14 @@ class StatsDriftSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("empty arrival slice yields chi2 = 0, not NaN") {
+    val ref = (0 until bins).map(_ -> 100L).toMap
+    val row = audit(ref, Map.empty)
+    assert(row.getLong(2) === 0L)
+    assert(row.getDouble(3) === 0.0, s"chi2 ${row.getDouble(3)}")
+    assert(!row.getBoolean(4))
+  }
+
   test("gate runs on the fixture: one audit row per return flag") {
     val rows = AdvancedOps.statsDriftChi2(spark, "/root/testdata/sf0.001")
       .collect()
