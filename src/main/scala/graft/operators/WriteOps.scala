@@ -466,6 +466,112 @@ object WriteOps {
         .flatMap(f => yr.findFirstMatchIn(f).map(_.group(1).toInt))
         .distinct.sorted
     }
+
+    // ------------------------------------------------------------------
+    // WRITE-AUDIT-PUBLISH branches (the Iceberg WAP shape): a staged
+    // commit is real data files + ONE branch manifest that never enters
+    // the version history until published. Readers of main cannot see
+    // staged data (no version manifest references it); the audit reads
+    // the branch; publish is ONE atomic manifest rename — metadata-only,
+    // zero data movement — and abandon deletes exactly the branch's own
+    // files (vacuum never touches them either way: it reclaims only
+    // files listed by expired VERSION manifests). Branch data files are
+    // namespaced `b<name>_y<year>_p<i>` — same `_y<N>_p` partition
+    // encoding, so carry-over filters, optimize's fragmentation scan,
+    // and changedYears keep working verbatim on published branch files.
+    // Concurrency: the branch manifest records its parent head; publish
+    // requires head == parent (stale carried files otherwise — restage
+    // to rebase) and takes the same ATOMIC_MOVE version race as commit.
+    // ------------------------------------------------------------------
+
+    private def branchManifest(root: String, name: String): Path =
+      Paths.get(root, "_manifests", s"branch_$name.txt")
+
+    /** Stage `slice` (ALL rows of the touched partitions) on branch
+      * `name`, built on the current head. Data lands now; visibility
+      * waits for [[publishBranch]]. */
+    def stageCommit(s: SparkSession, root: String, name: String,
+        slice: DataFrame, touched: Seq[Int]): Unit = {
+      require(name.matches("[a-z0-9-]+"),
+        s"branch name '$name' must be [a-z0-9-]+ (the _y<N>_p file-name " +
+        "partition encoding must stay unambiguous)")
+      val bm = branchManifest(root, name)
+      require(!Files.exists(bm),
+        s"branch $name is already staged — publish or abandon it first")
+      val vs = versions(root)
+      require(vs.nonEmpty, "stageCommit needs a committed base version")
+      val parent = vs.max
+      val dataDir = Paths.get(root, "data")
+      val stage = Paths.get(root,
+        s"stage_b${name}_${java.util.UUID.randomUUID().toString.take(8)}")
+      slice.filter(col("pt_year").isin(touched.map(Integer.valueOf): _*))
+        .withColumn("__pt", col("pt_year"))
+        .write.mode(SaveMode.Overwrite).partitionBy("__pt")
+        .parquet(stage.toString)
+      val fresh = touched.flatMap { y =>
+        val pDir = stage.resolve(s"__pt=$y")
+        val parts =
+          if (!Files.exists(pDir)) Seq.empty
+          else Files.list(pDir).iterator.asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toSeq.sortBy(_.toString)
+        parts.zipWithIndex.map { case (p, i) =>
+          val dst = dataDir.resolve(f"b${name}_y${y}_p$i%05d.parquet")
+          try Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.AtomicMoveNotSupportedException =>
+              Files.move(p, dst)
+          }
+          dst.toString
+        }
+      }
+      deleteTree(stage.toString)
+      val carried = files(root, parent).filterNot(f =>
+        touched.exists(y => f.contains(s"_y${y}_p")))
+      val tmp = Paths.get(root, "_manifests", s".branch_$name.tmp")
+      Files.write(tmp,
+        (Seq(s"#parent=$parent") ++ (carried ++ fresh).sorted).asJava)
+      Files.move(tmp, bm, StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    private def branchState(root: String, name: String): (Int, Seq[String]) = {
+      require(Files.exists(branchManifest(root, name)),
+        s"branch $name is not staged")
+      val lines = Files.readAllLines(branchManifest(root, name)).asScala
+      (lines.head.stripPrefix("#parent=").toInt, lines.tail.toSeq)
+    }
+
+    /** The branch's table state — what the audit step reads. */
+    def readBranch(s: SparkSession, root: String, name: String): DataFrame = {
+      val fs = branchState(root, name)._2
+      s.read.parquet(fs: _*)
+    }
+
+    /** Publish the audited branch as the next version: ONE atomic
+      * manifest rename, zero data movement. Returns the new version. */
+    def publishBranch(root: String, name: String): Int = {
+      val (parent, fs) = branchState(root, name)
+      val head = versions(root).max
+      require(head == parent,
+        s"main advanced to v$head since branch $name staged on " +
+        s"v$parent — its carried file list is stale; restage to rebase")
+      val v = parent + 1
+      val tmp = Paths.get(root, "_manifests", s".v$v.tmp")
+      Files.write(tmp, fs.asJava)
+      Files.move(tmp, manifest(root, v), StandardCopyOption.ATOMIC_MOVE)
+      Files.delete(branchManifest(root, name))
+      v
+    }
+
+    /** Drop a failed-audit branch: delete exactly ITS data files (the
+      * `b<name>_y` namespace — carried files belong to main) and the
+      * ref. Main never saw anything. */
+    def abandonBranch(root: String, name: String): Unit = {
+      val fs = branchState(root, name)._2
+      fs.filter(_.contains(s"${java.io.File.separator}b${name}_y"))
+        .foreach(f => Files.deleteIfExists(Paths.get(f)))
+      Files.delete(branchManifest(root, name))
+    }
   }
 
   /** CHANGE DATA FEED between two snapshot versions — the Delta
@@ -1006,6 +1112,70 @@ object WriteOps {
         .select("version", "pt_year", "cnt", "n_keys", "total")
     }),
 
+    // WRITE-AUDIT-PUBLISH (see SnapshotTable.stageCommit/publishBranch/
+    // abandonBranch): the production ingest-gating pattern — a batch is
+    // staged on a branch main cannot see, AUDITED there (here:
+    // key-uniqueness on the staged partition; in production, e.g. the
+    // stats_drift_chi2 monitor), and then published as the next version
+    // by ONE atomic metadata rename — zero data movement. A second
+    // branch stages a corrupt batch (duplicated rows), FAILS its audit,
+    // and is abandoned — the gate reads head after the abandon and the
+    // oracle proves it identical to the published v1: a failed audit
+    // leaves main untouched, which is the entire point of WAP. At
+    // 100 TB: staging cost = the batch's partitions (same as commit),
+    // audit cost = the audit query, publish cost = one manifest rename.
+    // WapSpec adds the contracts the hash can't state: main-invisible
+    // staging, metadata-only publish (file mtimes), abandon reclaiming
+    // exactly the branch's files, and the stale-parent publish refusal.
+    "write_wap_publish" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val root = scratch("wap_tbl")
+      SnapshotTable.deleteTree(root) // fresh lineage per invocation
+      val base = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = base.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, root, 0, base, years)
+      // WRITE: stage the 1997 upsert on a branch main cannot see
+      val merged = upsertBatch(s, d).withColumn("src", lit(1))
+        .unionByName(SnapshotTable.read(s, root, 0)
+          .filter(col("pt_year") === 1997).withColumn("src", lit(0)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderkey").orderBy(col("src").desc)))
+        .filter(col("rn") === 1).drop("rn", "src")
+      SnapshotTable.stageCommit(s, root, "ingest", merged, Seq(1997))
+      // AUDIT on the branch: staged partition must be key-unique
+      val a = SnapshotTable.readBranch(s, root, "ingest")
+        .filter(col("pt_year") === 1997)
+        .agg(count(lit(1)).as("c"), countDistinct(col("o_orderkey")).as("k"))
+        .head
+      require(a.getLong(0) == a.getLong(1),
+        "audit failed: duplicate keys in the staged 1997 partition")
+      // PUBLISH: one atomic manifest rename
+      val v1 = SnapshotTable.publishBranch(root, "ingest")
+      // a corrupt batch fails its audit and is abandoned
+      val bad = SnapshotTable.read(s, root, v1)
+        .filter(col("pt_year") === 1996)
+      SnapshotTable.stageCommit(s, root, "bad-batch",
+        bad.unionByName(bad), Seq(1996))
+      val b = SnapshotTable.readBranch(s, root, "bad-batch")
+        .filter(col("pt_year") === 1996)
+        .agg(count(lit(1)).as("c"), countDistinct(col("o_orderkey")).as("k"))
+        .head
+      require(b.getLong(0) != b.getLong(1),
+        "the corrupt batch should have failed its audit")
+      SnapshotTable.abandonBranch(root, "bad-batch")
+      def snap(v: Int, label: String) = SnapshotTable.read(s, root, v)
+        .groupBy("pt_year").agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          decSum("o_totalprice").as("total"))
+        .withColumn("version", lit(label))
+      val head = SnapshotTable.versions(root).max
+      snap(0, "v0").unionByName(snap(v1, "v1_published"))
+        .unionByName(snap(head, "head_post_abandon"))
+        .select("version", "pt_year", "cnt", "n_keys", "total")
+    }),
+
     // APPLY CHANGES (see applyChanges): the op-labeled CDC feed merged
     // into the table in one pass — updates win over stay rows, inserts
     // land, tombstoned keys vanish, and only the feed's partitions are
@@ -1329,6 +1499,30 @@ object WriteOps {
          SELECT 'v0' AS version, pt_year, cnt, n_keys, total FROM a
          UNION ALL
          SELECT 'v1', pt_year, cnt, n_keys, total FROM a""",
+    // head_post_abandon deliberately re-labels v1's rows: the abandoned
+    // branch must leave main EXACTLY at the published version
+    "write_wap_publish" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         upd AS (
+           SELECT o_orderkey, o_custkey,
+             o_totalprice + 100.0 AS o_totalprice, pt_year
+           FROM t WHERE pt_year = 1997
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, 1.0, pt_year
+           FROM t WHERE pt_year = 1997),
+         v1 AS (
+           SELECT * FROM t WHERE pt_year <> 1997
+           UNION ALL SELECT * FROM upd),
+         lab AS (
+           SELECT 'v0' AS version, * FROM t
+           UNION ALL SELECT 'v1_published', * FROM v1
+           UNION ALL SELECT 'head_post_abandon', * FROM v1)
+         SELECT version, pt_year, cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total
+         FROM lab GROUP BY version, pt_year""",
     "write_time_travel" ->
       """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
              cast(year(o_orderdate) AS int) AS pt_year FROM orders),
@@ -1481,3 +1675,4 @@ object WriteOps {
     // repartition_coalesce / cache_unpersist: plan-level, rows-only check.
   )
 }
+

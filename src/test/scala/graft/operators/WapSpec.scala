@@ -1,0 +1,119 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of write-audit-publish the write_wap_publish data oracle
+  * can't state: staged data is INVISIBLE to main until publish, publish
+  * moves metadata only (the staged data files' mtimes are untouched and
+  * no data file is added or removed), abandon reclaims exactly the
+  * branch's own files, and a publish whose parent head has moved on is
+  * refused before it can corrupt the version history. */
+class WapSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.etl.TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  import WriteOps.SnapshotTable
+
+  private def freshTable(): String = {
+    val root = Files.createTempDirectory("g_wap_spec").toString + "/t"
+    val base = Tables.orders(spark, sf).select(col("o_orderkey"),
+      col("o_custkey"), col("o_totalprice"),
+      year(col("o_orderdate")).as("pt_year"))
+    val years = base.select("pt_year").distinct()
+      .collect().map(_.getInt(0)).sorted
+    SnapshotTable.commit(spark, root, 0, base, years)
+    root
+  }
+
+  private def batch97(root: String) =
+    SnapshotTable.read(spark, root, 0)
+      .filter(col("pt_year") === 1997)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+
+  test("staged data is invisible to main; publish is metadata-only") {
+    val root = freshTable()
+    val mainBefore = SnapshotTable.read(spark, root, 0).count()
+    SnapshotTable.stageCommit(spark, root, "ingest",
+      batch97(root), Seq(1997))
+
+    // main: same single version, same rows, while the branch reads the
+    // staged state
+    assert(SnapshotTable.versions(root) === Seq(0))
+    assert(SnapshotTable.read(spark, root, 0).count() === mainBefore)
+    val br = SnapshotTable.readBranch(spark, root, "ingest")
+    assert(br.count() === mainBefore)
+    assert(br.filter(col("pt_year") === 1997).count() > 0)
+
+    // publish: zero data movement — every branch data file keeps its
+    // mtime and path; only the version manifest appears
+    val staged = Files.list(Paths.get(root, "data")).iterator()
+    val mtimes = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(staged).asScala
+      .map(p => p.toString -> Files.getLastModifiedTime(p)).toMap
+    val v1 = SnapshotTable.publishBranch(root, "ingest")
+    assert(v1 === 1)
+    assert(SnapshotTable.versions(root) === Seq(0, 1))
+    mtimes.foreach { case (p, t) =>
+      assert(Files.getLastModifiedTime(Paths.get(p)) === t,
+        s"publish rewrote $p")
+    }
+    // v1 serves the staged rows
+    val v1Total = SnapshotTable.read(spark, root, 1)
+      .filter(col("pt_year") === 1997).count()
+    assert(v1Total ===
+      SnapshotTable.read(spark, root, 0)
+        .filter(col("pt_year") === 1997).count())
+  }
+
+  test("abandon deletes exactly the branch's files; main untouched") {
+    val root = freshTable()
+    SnapshotTable.stageCommit(spark, root, "bad",
+      batch97(root), Seq(1997))
+    val branchFiles = SnapshotTable.readBranch(spark, root, "bad")
+      .inputFiles.filter(_.contains("/bbad_y")).toSeq
+    assert(branchFiles.nonEmpty, "no branch-namespaced files staged")
+    val v0Files = SnapshotTable.files(root, 0)
+
+    SnapshotTable.abandonBranch(root, "bad")
+    branchFiles.foreach(f => assert(
+      !Files.exists(Paths.get(f.stripPrefix("file:"))),
+      s"abandon left $f"))
+    v0Files.foreach(f => assert(Files.exists(Paths.get(f)),
+      s"abandon deleted main's $f"))
+    assert(SnapshotTable.versions(root) === Seq(0))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readBranch(spark, root, "bad")
+    }
+  }
+
+  test("a publish whose parent head moved on is refused") {
+    val root = freshTable()
+    SnapshotTable.stageCommit(spark, root, "late",
+      batch97(root), Seq(1997))
+    // a regular commit advances main underneath the branch
+    val kept96 = SnapshotTable.read(spark, root, 0)
+      .filter(col("pt_year") === 1996 && col("o_orderkey") % 2 === 0)
+    SnapshotTable.commit(spark, root, 1, kept96, Seq(1996))
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.publishBranch(root, "late")
+    }
+    assert(ex.getMessage.contains("restage"))
+    // history is intact and the branch is still staged for a restage
+    assert(SnapshotTable.versions(root) === Seq(0, 1))
+    assert(SnapshotTable.readBranch(spark, root, "late").count() > 0)
+  }
+
+  test("double-stage on one branch name is refused") {
+    val root = freshTable()
+    SnapshotTable.stageCommit(spark, root, "once",
+      batch97(root), Seq(1997))
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.stageCommit(spark, root, "once",
+        batch97(root), Seq(1997))
+    }
+    assert(ex.getMessage.contains("already staged"))
+  }
+}
