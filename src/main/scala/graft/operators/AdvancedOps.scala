@@ -115,9 +115,15 @@ object AdvancedOps {
     * p50/p90 are rank-interpolated inside the winning bin on the
     * ≤ |groups|×bins-row result. Values must be integral-valued
     * doubles for the bin arithmetic to be exact (the determinism
-    * contract with the DuckDB oracle). Estimate error ≤ one bin
-    * width; PercentileSketchSpec proves the bound and partitioning
-    * invariance. */
+    * contract with the DuckDB oracle). Error contract: the estimate is
+    * strictly within ONE bin width of the rank-floor order statistic
+    * (both always lie in the winning bin —
+    * PercentileSketchPropertySpec proves it over adversarial
+    * distributions incl. far-apart clusters); versus the exact
+    * INTERPOLATED percentile an additional term bounded by the gap to
+    * the next occupied bin appears only when the target rank straddles
+    * the winning bin's upper edge. Shrinking `bins`' width shrinks
+    * both terms. */
   private[graft] def sketchPercentiles(df: DataFrame, group: String,
       valueCol: String, bins: Int): DataFrame = {
     val mm = df.agg(min(valueCol), max(valueCol)).head
