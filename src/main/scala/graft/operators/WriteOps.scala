@@ -18,10 +18,16 @@ import org.apache.spark.sql.functions._
 object WriteOps {
   import Tables._
 
+  /** Scratch table roots. Local tmpdir by default (the test posture);
+    * `SPARK_GRAFT_SCRATCH` may point at ANY Hadoop URI (`hdfs://...`,
+    * `s3a://...`) — every table-root consumer below resolves paths
+    * through the Hadoop FileSystem API, so redirecting this one env var
+    * moves the whole write/snapshot family onto a cluster filesystem. */
   private[graft] def scratch(name: String): String = {
-    val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_scratch", name)
-    p.toString
+    val base = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_scratch")
+        .toString)
+    new org.apache.hadoop.fs.Path(base, name).toString
   }
 
   private def decSum(c: String) = sum(col(c).cast(dec)).cast("double")
@@ -208,7 +214,7 @@ object WriteOps {
       .map(_.get(0).toString.toInt).toSet
     (touchedYears -- writtenYears).foreach { y =>
       SnapshotTable.deleteTree(
-        java.nio.file.Paths.get(base, s"pt_year=$y").toString)
+        new org.apache.hadoop.fs.Path(base, s"pt_year=$y").toString)
     }
   }
 
@@ -241,28 +247,101 @@ object WriteOps {
     * manifest lists formalize; swapping the flat file list for a
     * partition-grouped manifest tree changes no commit or read
     * semantics. */
+  /** IO substrate note (the 100 TB deployment story): every table-root
+    * path below resolves through `org.apache.hadoop.fs.FileSystem`, so a
+    * root may be a local dir (tests), `hdfs://`, or an object store.
+    * Commit atomicity = manifest rename-no-replace, which is atomic on
+    * HDFS (the server refuses an existing destination inside the rename);
+    * on the LOCAL filesystem Hadoop's rename is a POSIX rename that
+    * would silently replace, so a per-root JVM lock makes the
+    * check-then-rename race-free within one driver — exactly the split
+    * Delta's LogStore formalizes (HDFSLogStore vs LocalLogStore). Object
+    * stores (S3) lack atomic rename entirely; deploying there needs the
+    * put-if-absent LogStore upgrade, same caveat Delta documents. */
   private[graft] object SnapshotTable {
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import java.nio.charset.StandardCharsets.UTF_8
 
-    private def manifest(root: String, v: Int): Path =
-      Paths.get(root, "_manifests", s"v$v.txt")
+    private def hconf(): Configuration =
+      SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new Configuration())
+
+    private def fsFor(p: HPath): FileSystem = p.getFileSystem(hconf())
+
+    // per-root publish lock: serializes manifest check-then-rename within
+    // this JVM (local-FS rename cannot refuse an existing destination;
+    // HDFS refuses inside the rename and needs no lock — see object doc)
+    private val rootLocks =
+      scala.collection.concurrent.TrieMap[String, Object]()
+    private def lockFor(root: String): Object =
+      rootLocks.getOrElseUpdate(root, new Object)
+
+    /** Rename refusing to replace an existing destination — the commit
+      * race arbiter. Atomic on HDFS; guarded by [[lockFor]] on local. */
+    private def renameNoReplace(fs: FileSystem, src: HPath,
+        dst: HPath): Unit = {
+      if (fs.exists(dst))
+        throw new java.nio.file.FileAlreadyExistsException(dst.toString)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"rename $src -> $dst failed")
+    }
+
+    private def readAllLines(fs: FileSystem, p: HPath): Seq[String] = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+
+    /** Write `lines` to `dst` atomically: stage a tmp file, publish by
+      * rename-no-replace (the loser of a version race throws here). */
+    private def writeAtomic(fs: FileSystem, tmp: HPath, dst: HPath,
+        lines: Seq[String]): Unit = {
+      val out = fs.create(tmp, true)
+      try out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
+      finally out.close()
+      try renameNoReplace(fs, tmp, dst)
+      catch { case e: Throwable => fs.delete(tmp, false); throw e }
+    }
+
+    private def manifest(root: String, v: Int): HPath =
+      new HPath(new HPath(root, "_manifests"), s"v$v.txt")
 
     def versions(root: String): Seq[Int] = {
-      val dir = Paths.get(root, "_manifests")
-      if (!Files.exists(dir)) Seq.empty
-      else Files.list(dir).iterator.asScala
-        .map(_.getFileName.toString)
+      val dir = new HPath(root, "_manifests")
+      val fs = fsFor(dir)
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq
+        .map(_.getPath.getName)
         .filter(_.matches("v\\d+\\.txt"))
-        .map(_.drop(1).dropRight(4).toInt).toSeq.sorted
+        .map(_.drop(1).dropRight(4).toInt).sorted
     }
 
-    def files(root: String, v: Int): Seq[String] = {
-      require(Files.exists(manifest(root, v)),
+    /** A version's manifest entries: (data file path, byte size). Sizes
+      * are recorded AT COMMIT (free from the stage listing) and carried
+      * verbatim thereafter, so maintenance planning (optimize) reads no
+      * filesystem metadata at all — the manifest is the only source. */
+    def entries(root: String, v: Int): Seq[(String, Long)] = {
+      val m = manifest(root, v)
+      val fs = fsFor(m)
+      require(fs.exists(m),
         s"snapshot version $v is unavailable (vacuumed or never " +
         "committed)")
-      Files.readAllLines(manifest(root, v)).asScala.toSeq
+      readAllLines(fs, m).filter(_.nonEmpty).map(parseEntry)
     }
+
+    private def parseEntry(line: String): (String, Long) = {
+      val i = line.lastIndexOf('\t')
+      if (i < 0) (line, -1L)
+      else (line.take(i), line.drop(i + 1).toLong)
+    }
+
+    private def fmtEntry(e: (String, Long)): String = s"${e._1}\t${e._2}"
+
+    def files(root: String, v: Int): Seq[String] =
+      entries(root, v).map(_._1)
 
     def read(s: SparkSession, root: String, v: Int): DataFrame =
       s.read.parquet(files(root, v): _*)
@@ -277,58 +356,69 @@ object WriteOps {
       * A touched partition left with zero rows simply contributes no
       * files (reading it through any later version yields no rows —
       * the same observable state the empty file gave). */
-    def commit(s: SparkSession, root: String, v: Int, slice: DataFrame,
-        touched: Seq[Int]): Unit = {
-      // optimistic concurrency: history is linear and a version commits
-      // once. Two writers racing to publish the same v both pass this
-      // check at worst, but the ATOMIC_MOVE below (no REPLACE_EXISTING)
-      // lets exactly one rename win — the loser throws and must rebase
-      // on the new head, the same protocol a lakehouse log runs.
-      require(v == 0 || Files.exists(manifest(root, v - 1)),
-        s"cannot commit version $v: parent v${v - 1} was never committed")
-      require(!Files.exists(manifest(root, v)),
-        s"conflict: version $v is already committed — rebase on the " +
-        "current head and retry")
-      val dataDir = Paths.get(root, "data")
-      Files.createDirectories(dataDir)
-      Files.createDirectories(Paths.get(root, "_manifests"))
-      // writer-unique stage dir: two racers publishing the same v must
-      // not clobber each other's staged files before the manifest race
-      // settles — only the rename below decides the winner
-      val stage = Paths.get(root,
-        s"stage_v${v}_${java.util.UUID.randomUUID().toString.take(8)}")
+    /** Stage `slice`'s touched partitions and move the part files into
+      * `data/` under `namer(year, index)` names; returns (path, bytes)
+      * per moved file. Sizes come from the SAME directory listing that
+      * finds the files — zero extra FS metadata calls. Destination paths
+      * are built from the caller's `root` string (not the listing), so
+      * manifests store root-relative forms verbatim. */
+    private def stageDataFiles(s: SparkSession, root: String,
+        stageName: String, slice: DataFrame, touched: Seq[Int],
+        namer: (Int, Int) => String): Seq[(String, Long)] = {
+      val dataDir = new HPath(root, "data")
+      val fs = fsFor(dataDir)
+      fs.mkdirs(dataDir)
+      fs.mkdirs(new HPath(root, "_manifests"))
+      val stage = new HPath(root, stageName)
       slice.filter(col("pt_year").isin(touched.map(Integer.valueOf): _*))
         .withColumn("__pt", col("pt_year"))
         .write.mode(SaveMode.Overwrite).partitionBy("__pt")
         .parquet(stage.toString)
-      val fresh = touched.flatMap { y =>
-        val pDir = stage.resolve(s"__pt=$y")
+      val moved = touched.flatMap { y =>
+        val pDir = new HPath(stage, s"__pt=$y")
         val parts =
-          if (!Files.exists(pDir)) Seq.empty
-          else Files.list(pDir).iterator.asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .toSeq.sortBy(_.toString)
-        parts.zipWithIndex.map { case (p, i) =>
-          val dst = dataDir.resolve(f"v${v}_y${y}_p$i%05d.parquet")
-          // ATOMIC_MOVE, no REPLACE_EXISTING: if a racing writer already
-          // published this version's files, the move throws HERE —
-          // before the loser can overwrite a committed version's bytes
-          try Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.AtomicMoveNotSupportedException =>
-              Files.move(p, dst)
-          }
-          dst.toString
+          if (!fs.exists(pDir)) Seq.empty
+          else fs.listStatus(pDir).toSeq
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName)
+        parts.zipWithIndex.map { case (st, i) =>
+          val dst = new HPath(dataDir, namer(y, i))
+          // rename-no-replace: if a racing writer already published this
+          // name, the move throws HERE — before the loser can overwrite
+          // a committed version's bytes
+          renameNoReplace(fs, st.getPath, dst)
+          dst.toString -> st.getLen
         }
       }
       deleteTree(stage.toString)
+      moved
+    }
+
+    def commit(s: SparkSession, root: String, v: Int, slice: DataFrame,
+        touched: Seq[Int]): Unit = {
+      val fs = fsFor(manifest(root, v))
+      // optimistic concurrency: history is linear and a version commits
+      // once. Two writers racing to publish the same v both pass this
+      // check at worst, but the rename-no-replace below lets exactly one
+      // publish win — the loser throws and must rebase on the new head,
+      // the same protocol a lakehouse log runs.
+      require(v == 0 || fs.exists(manifest(root, v - 1)),
+        s"cannot commit version $v: parent v${v - 1} was never committed")
+      require(!fs.exists(manifest(root, v)),
+        s"conflict: version $v is already committed — rebase on the " +
+        "current head and retry")
+      val fresh = stageDataFiles(s, root,
+        s"stage_v${v}_${java.util.UUID.randomUUID().toString.take(8)}",
+        slice, touched, (y, i) => f"v${v}_y${y}_p$i%05d.parquet")
       val carried =
         if (v == 0) Seq.empty
-        else files(root, v - 1).filterNot(f =>
-          touched.exists(y => f.contains(s"_y${y}_p")))
-      val tmp = Paths.get(root, "_manifests", s".v$v.tmp")
-      Files.write(tmp, (carried ++ fresh).sorted.asJava)
-      Files.move(tmp, manifest(root, v), StandardCopyOption.ATOMIC_MOVE)
+        else entries(root, v - 1).filterNot { case (f, _) =>
+          touched.exists(y => f.contains(s"_y${y}_p")) }
+      val tmp = new HPath(new HPath(root, "_manifests"), s".v$v.tmp")
+      lockFor(root).synchronized {
+        writeAtomic(fs, tmp, manifest(root, v),
+          (carried ++ fresh).sortBy(_._1).map(fmtEntry))
+      }
     }
 
     /** OPTIMIZE — small-files compaction as a DATA-UNCHANGED snapshot
@@ -385,17 +475,19 @@ object WriteOps {
       require(zorderBy.length <= 2,
         "zorderBy supports one (range) or two (Morton) columns")
       val yr = "_y(\\d+)_p".r
-      val byYear = files(root, newV - 1)
-        .groupBy(f => yr.findFirstMatchIn(f).map(_.group(1).toInt)
-          .getOrElse(-1))
+      val byYear = entries(root, newV - 1)
+        .groupBy { case (f, _) =>
+          yr.findFirstMatchIn(f).map(_.group(1).toInt).getOrElse(-1) }
       val fragmented = byYear.collect {
         case (y, fs) if y >= 0 && fs.size > maxFilesPerPartition => y
       }.toSeq.sorted
       if (fragmented.nonEmpty) {
-        // per-partition target file counts from manifest byte metadata:
-        // one FS stat per live file of the fragmented partitions only
+        // per-partition target file counts from MANIFEST byte metadata
+        // alone (sizes were recorded at commit): planning the rewrite
+        // makes zero filesystem calls — at millions of live files the
+        // nightly optimize never stats a file
         val filesFor: Map[Int, Int] = fragmented.map { y =>
-          val bytes = byYear(y).map(f => Files.size(Paths.get(f))).sum
+          val bytes = byYear(y).map(_._2).sum
           y -> math.max(1,
             math.ceil(bytes.toDouble / targetFileBytes).toInt)
         }.toMap
@@ -437,18 +529,19 @@ object WriteOps {
       val (expired, kept) = vs.splitAt(math.max(vs.length - retain, 0))
       val keep = kept.flatMap(files(root, _)).toSet
       expired.foreach { v =>
-        files(root, v).filterNot(keep.contains).foreach(f =>
-          Files.deleteIfExists(Paths.get(f)))
-        Files.delete(manifest(root, v))
+        files(root, v).filterNot(keep.contains).foreach { f =>
+          val p = new HPath(f)
+          fsFor(p).delete(p, false)
+        }
+        val m = manifest(root, v)
+        fsFor(m).delete(m, false)
       }
     }
 
     def deleteTree(root: String): Unit = {
-      val p = Paths.get(root)
-      if (Files.exists(p))
-        Files.walk(p).iterator.asScala.toSeq.reverse
-          .foreach(f => try Files.deleteIfExists(f)
-                        catch { case _: Exception => () })
+      val p = new HPath(root)
+      val fs = fsFor(p)
+      if (fs.exists(p)) fs.delete(p, true)
     }
 
     /** Partitions that changed between two versions, recovered from the
@@ -484,93 +577,100 @@ object WriteOps {
     // to rebase) and takes the same ATOMIC_MOVE version race as commit.
     // ------------------------------------------------------------------
 
-    private def branchManifest(root: String, name: String): Path =
-      Paths.get(root, "_manifests", s"branch_$name.txt")
+    private def branchManifest(root: String, name: String): HPath =
+      new HPath(new HPath(root, "_manifests"), s"branch_$name.txt")
 
     /** Stage `slice` (ALL rows of the touched partitions) on branch
       * `name`, built on the current head. Data lands now; visibility
-      * waits for [[publishBranch]]. */
+      * waits for [[publishBranch]].
+      *
+      * Branch data files embed a PER-STAGING token
+      * (`b<name>-<token>_y<year>_p<i>` — still the `_y<N>_p` partition
+      * encoding carry-over/optimize/changedYears parse): after a
+      * publish, the published files stay referenced by version manifests
+      * under that token's names, so re-staging the SAME branch name
+      * writes fresh token names and can never rename over committed
+      * bytes. The branch manifest records fresh vs carried entries
+      * explicitly, and [[abandonBranch]] deletes exactly the recorded
+      * fresh list — never a name-pattern guess that could catch a
+      * previous staging's published files. */
     def stageCommit(s: SparkSession, root: String, name: String,
         slice: DataFrame, touched: Seq[Int]): Unit = {
       require(name.matches("[a-z0-9-]+"),
         s"branch name '$name' must be [a-z0-9-]+ (the _y<N>_p file-name " +
         "partition encoding must stay unambiguous)")
       val bm = branchManifest(root, name)
-      require(!Files.exists(bm),
+      val bfs = fsFor(bm)
+      require(!bfs.exists(bm),
         s"branch $name is already staged — publish or abandon it first")
       val vs = versions(root)
       require(vs.nonEmpty, "stageCommit needs a committed base version")
       val parent = vs.max
-      val dataDir = Paths.get(root, "data")
-      val stage = Paths.get(root,
-        s"stage_b${name}_${java.util.UUID.randomUUID().toString.take(8)}")
-      slice.filter(col("pt_year").isin(touched.map(Integer.valueOf): _*))
-        .withColumn("__pt", col("pt_year"))
-        .write.mode(SaveMode.Overwrite).partitionBy("__pt")
-        .parquet(stage.toString)
-      val fresh = touched.flatMap { y =>
-        val pDir = stage.resolve(s"__pt=$y")
-        val parts =
-          if (!Files.exists(pDir)) Seq.empty
-          else Files.list(pDir).iterator.asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .toSeq.sortBy(_.toString)
-        parts.zipWithIndex.map { case (p, i) =>
-          val dst = dataDir.resolve(f"b${name}_y${y}_p$i%05d.parquet")
-          try Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.AtomicMoveNotSupportedException =>
-              Files.move(p, dst)
-          }
-          dst.toString
-        }
-      }
-      deleteTree(stage.toString)
-      val carried = files(root, parent).filterNot(f =>
-        touched.exists(y => f.contains(s"_y${y}_p")))
-      val tmp = Paths.get(root, "_manifests", s".branch_$name.tmp")
-      Files.write(tmp,
-        (Seq(s"#parent=$parent") ++ (carried ++ fresh).sorted).asJava)
-      Files.move(tmp, bm, StandardCopyOption.ATOMIC_MOVE)
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val fresh = stageDataFiles(s, root, s"stage_b${name}_$token",
+        slice, touched, (y, i) => f"b$name-${token}_y${y}_p$i%05d.parquet")
+      val carried = entries(root, parent).filterNot { case (f, _) =>
+        touched.exists(y => f.contains(s"_y${y}_p")) }
+      val tmp = new HPath(new HPath(root, "_manifests"),
+        s".branch_$name.tmp")
+      writeAtomic(bfs, tmp, bm,
+        Seq(s"#parent=$parent") ++
+          (carried.map { case (f, b) => s"$f\t$b\tC" } ++
+           fresh.map { case (f, b) => s"$f\t$b\tF" }).sorted)
     }
 
-    private def branchState(root: String, name: String): (Int, Seq[String]) = {
-      require(Files.exists(branchManifest(root, name)),
-        s"branch $name is not staged")
-      val lines = Files.readAllLines(branchManifest(root, name)).asScala
-      (lines.head.stripPrefix("#parent=").toInt, lines.tail.toSeq)
+    /** (parent version, manifest entries, entry-is-fresh flags) —
+      * entries and flags are index-aligned. */
+    private def branchState(root: String,
+        name: String): (Int, Seq[(String, Long)], Seq[Boolean]) = {
+      val bm = branchManifest(root, name)
+      val fs = fsFor(bm)
+      require(fs.exists(bm), s"branch $name is not staged")
+      val lines = readAllLines(fs, bm).filter(_.nonEmpty)
+      val parsed = lines.tail.map { l =>
+        val parts = l.split('\t')
+        ((parts(0), parts(1).toLong), parts(2) == "F")
+      }
+      (lines.head.stripPrefix("#parent=").toInt,
+        parsed.map(_._1), parsed.map(_._2))
     }
 
     /** The branch's table state — what the audit step reads. */
-    def readBranch(s: SparkSession, root: String, name: String): DataFrame = {
-      val fs = branchState(root, name)._2
-      s.read.parquet(fs: _*)
-    }
+    def readBranch(s: SparkSession, root: String, name: String): DataFrame =
+      s.read.parquet(branchState(root, name)._2.map(_._1): _*)
 
     /** Publish the audited branch as the next version: ONE atomic
       * manifest rename, zero data movement. Returns the new version. */
     def publishBranch(root: String, name: String): Int = {
-      val (parent, fs) = branchState(root, name)
+      val (parent, es, _) = branchState(root, name)
       val head = versions(root).max
       require(head == parent,
         s"main advanced to v$head since branch $name staged on " +
         s"v$parent — its carried file list is stale; restage to rebase")
       val v = parent + 1
-      val tmp = Paths.get(root, "_manifests", s".v$v.tmp")
-      Files.write(tmp, fs.asJava)
-      Files.move(tmp, manifest(root, v), StandardCopyOption.ATOMIC_MOVE)
-      Files.delete(branchManifest(root, name))
+      val m = manifest(root, v)
+      val fs = fsFor(m)
+      val tmp = new HPath(new HPath(root, "_manifests"), s".v$v.tmp")
+      lockFor(root).synchronized {
+        writeAtomic(fs, tmp, m, es.map(fmtEntry))
+      }
+      fs.delete(branchManifest(root, name), false)
       v
     }
 
-    /** Drop a failed-audit branch: delete exactly ITS data files (the
-      * `b<name>_y` namespace — carried files belong to main) and the
-      * ref. Main never saw anything. */
+    /** Drop a failed-audit branch: delete exactly the files the branch
+      * manifest RECORDED as fresh (carried entries belong to main — and
+      * so does any file a previous staging of this name already
+      * published) and the ref. Main never saw anything. */
     def abandonBranch(root: String, name: String): Unit = {
-      val fs = branchState(root, name)._2
-      fs.filter(_.contains(s"${java.io.File.separator}b${name}_y"))
-        .foreach(f => Files.deleteIfExists(Paths.get(f)))
-      Files.delete(branchManifest(root, name))
+      val (_, es, freshFlags) = branchState(root, name)
+      es.zip(freshFlags).collect { case ((f, _), true) => f }
+        .foreach { f =>
+          val p = new HPath(f)
+          fsFor(p).delete(p, false)
+        }
+      val bm = branchManifest(root, name)
+      fsFor(bm).delete(bm, false)
     }
   }
 
@@ -694,12 +794,13 @@ object WriteOps {
   private[graft] def streamingIncrAgg(s: SparkSession, d: String): DataFrame = {
     import graft.streaming.DocIngest
     val (base, _, ckpt) = streamAggState.getOrElseUpdate(d, {
-      val b = java.nio.file.Files
-        .createTempDirectory("g_stream_incragg_tbl").toString
-      val st = java.nio.file.Files
-        .createTempDirectory("g_stream_incragg_stage").toString
-      val ck = java.nio.file.Files
-        .createTempDirectory("g_stream_incragg_ckpt").toString
+      // fresh-per-JVM roots (a stale checkpoint over a rebuilt base
+      // would silently skip the replay), resolved through scratch() so
+      // SPARK_GRAFT_SCRATCH relocates them onto any Hadoop filesystem
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val b = scratch(s"stream_incragg_tbl_$run")
+      val st = scratch(s"stream_incragg_stage_$run")
+      val ck = scratch(s"stream_incragg_ckpt_$run")
       incrAggLoad(s, d, b)
       (b, st, ck)
     })
@@ -745,12 +846,10 @@ object WriteOps {
       d: String): DataFrame = {
     import graft.streaming.DocIngest
     val (base, stage, ckpt) = streamApplyState.getOrElseUpdate(d, {
-      val b = java.nio.file.Files
-        .createTempDirectory("g_stream_apply_tbl").toString
-      val st = java.nio.file.Files
-        .createTempDirectory("g_stream_apply_stage").toString
-      val ck = java.nio.file.Files
-        .createTempDirectory("g_stream_apply_ckpt").toString
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val b = scratch(s"stream_apply_tbl_$run")
+      val st = scratch(s"stream_apply_stage_$run")
+      val ck = scratch(s"stream_apply_ckpt_$run")
       upsertLoad(s, d, b)
       (b, st, ck)
     })

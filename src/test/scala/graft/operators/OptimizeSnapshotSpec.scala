@@ -172,4 +172,47 @@ class OptimizeSnapshotSpec extends AnyFunSuite {
       s"carried file $f was rewritten"))
     assert(byYear(1)(2).size === 1)
   }
+
+  test("optimize plans from manifest-recorded sizes alone — zero " +
+      "per-file filesystem stats") {
+    import WriteOps.SnapshotTable
+    val root = Files.createTempDirectory("g_opt_manifest").toString + "/t"
+    val fat = spark.range(20000).select(
+      col("id").as("o_orderkey"), col("id").as("o_custkey"),
+      md5(col("id").cast("string")).as("payload"),
+      lit(1).as("pt_year"))
+    SnapshotTable.commit(spark, root, 0, fat.repartition(8), Seq(1))
+    val actualBytes = SnapshotTable.files(root, 0)
+      .map(f => Files.size(Paths.get(f))).sum
+    // target such that TRUE sizes would compact to ONE file...
+    val target = actualBytes + 1
+    // ...then tamper the manifest: inflate every recorded size 8× (the
+    // manifest is the only place sizes live — if optimize consulted the
+    // filesystem it would see the true bytes and write one file)
+    val m = Paths.get(root, "_manifests", "v0.txt")
+    val inflated = Files.readAllLines(m).asScalaLines.map { l =>
+      val i = l.lastIndexOf('\t')
+      l.take(i) + "\t" + (l.drop(i + 1).toLong * 8)
+    }
+    Files.write(m, java.util.Arrays.asList(inflated: _*))
+    // the tamper bypassed the local Hadoop FS, so its CRC sidecar is now
+    // stale — drop it (checksum-less files read unchecked)
+    Files.deleteIfExists(Paths.get(root, "_manifests", ".v0.txt.crc"))
+
+    assert(SnapshotTable.optimize(spark, root, 1,
+      maxFilesPerPartition = 1, targetFileBytes = target) === Seq(1))
+    val n = SnapshotTable.files(root, 1).size
+    assert(n >= 4,
+      s"optimize wrote $n file(s) — it must have statted the true " +
+      "on-disk sizes instead of reading the manifest's (inflated ⇒ ~8)")
+    // data unchanged regardless of the planning input
+    val chk = (v: Int) => SnapshotTable.read(spark, root, v)
+      .agg(sum("o_orderkey"), count(lit(1))).first()
+    assert(chk(1) === chk(0))
+  }
+
+  private implicit class JListLines(l: java.util.List[String]) {
+    def asScalaLines: Seq[String] =
+      scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq
+  }
 }

@@ -73,7 +73,7 @@ class WapSpec extends AnyFunSuite {
     SnapshotTable.stageCommit(spark, root, "bad",
       batch97(root), Seq(1997))
     val branchFiles = SnapshotTable.readBranch(spark, root, "bad")
-      .inputFiles.filter(_.contains("/bbad_y")).toSeq
+      .inputFiles.filter(_.contains("/bbad-")).toSeq
     assert(branchFiles.nonEmpty, "no branch-namespaced files staged")
     val v0Files = SnapshotTable.files(root, 0)
 
@@ -104,6 +104,69 @@ class WapSpec extends AnyFunSuite {
     // history is intact and the branch is still staged for a restage
     assert(SnapshotTable.versions(root) === Seq(0, 1))
     assert(SnapshotTable.readBranch(spark, root, "late").count() > 0)
+  }
+
+  test("re-staging a published branch name never disturbs the " +
+      "published files; its abandon deletes only the new staging") {
+    val root = freshTable()
+    SnapshotTable.stageCommit(spark, root, "ingest",
+      batch97(root), Seq(1997))
+    val v1 = SnapshotTable.publishBranch(root, "ingest")
+    val v1Files = SnapshotTable.files(root, v1)
+    val v1Bytes = v1Files.map(f => Files.size(Paths.get(f))).toSeq
+
+    // same branch name stages AGAIN on the new head — per-staging
+    // token ⇒ brand-new file names, no rename over committed bytes
+    val batch2 = SnapshotTable.read(spark, root, v1)
+      .filter(col("pt_year") === 1997)
+      .withColumn("o_totalprice", col("o_totalprice") + 2.0)
+    SnapshotTable.stageCommit(spark, root, "ingest", batch2, Seq(1997))
+    v1Files.zip(v1Bytes).foreach { case (f, b) =>
+      assert(Files.exists(Paths.get(f)) && Files.size(Paths.get(f)) == b,
+        s"re-stage disturbed published file $f")
+    }
+
+    // abandon deletes only the SECOND staging's recorded-fresh files:
+    // v1 (which includes the first staging's published files) still
+    // reads back byte-identical
+    val v1Count = SnapshotTable.read(spark, root, v1).count()
+    SnapshotTable.abandonBranch(root, "ingest")
+    v1Files.foreach(f => assert(Files.exists(Paths.get(f)),
+      s"abandon of the re-staged branch deleted published file $f"))
+    assert(SnapshotTable.read(spark, root, v1).count() === v1Count)
+    assert(SnapshotTable.versions(root) === Seq(0, 1))
+  }
+
+  test("snapshot table works through a scheme-full file:/// root " +
+      "(the Hadoop FileSystem substrate)") {
+    val dir = Files.createTempDirectory("g_wap_uri").toString
+    val root = "file://" + dir + "/t"
+    val base = Tables.orders(spark, sf).select(col("o_orderkey"),
+      col("o_custkey"), col("o_totalprice"),
+      year(col("o_orderdate")).as("pt_year"))
+    val years = base.select("pt_year").distinct()
+      .collect().map(_.getInt(0)).sorted
+    SnapshotTable.commit(spark, root, 0, base.repartition(4), years)
+    assert(SnapshotTable.versions(root) === Seq(0))
+    val n0 = SnapshotTable.read(spark, root, 0).count()
+    assert(n0 === base.count())
+
+    // full lifecycle through the URI root: optimize, branch
+    // stage/audit/publish, vacuum
+    assert(SnapshotTable.optimize(spark, root, 1).nonEmpty)
+    SnapshotTable.stageCommit(spark, root, "uri-branch",
+      SnapshotTable.read(spark, root, 1).filter(col("pt_year") === 1997)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0),
+      Seq(1997))
+    assert(SnapshotTable.readBranch(spark, root, "uri-branch")
+      .count() === n0)
+    val v2 = SnapshotTable.publishBranch(root, "uri-branch")
+    assert(v2 === 2)
+    assert(SnapshotTable.read(spark, root, v2).count() === n0)
+    SnapshotTable.vacuum(root, retain = 1)
+    assertThrows[IllegalArgumentException](
+      SnapshotTable.read(spark, root, 0))
+    assert(SnapshotTable.read(spark, root, v2).count() === n0)
   }
 
   test("double-stage on one branch name is refused") {
