@@ -297,8 +297,13 @@ object Bench {
     val isolatedMap = isolatedRuns.toMap
     val confirmedFlags = scaleFlags.filter { q =>
       isolatedMap.get(q) match {
+        // the isolated re-measure must satisfy the SAME predicate that
+        // raised the flag — ratio beyond the baseline AND above the
+        // absolute floor (a sub-floor isolated time is noise, not a
+        // scaling problem, whatever its ratio)
         case Some(iso) => scaleBaseline.get(q)
-          .exists(b => b > 0 && iso / b > isolateRatio)
+          .exists(b => b > 0 && iso / b > isolateRatio &&
+            iso > isolateFloor)
         case None => true
       }
     }.sorted

@@ -218,8 +218,16 @@ final class SqlLinter(
                         r.multipartIdentifier.head.toLowerCase))
                     bare += r.multipartIdentifier.head
                 case w: UnresolvedWith =>
-                  val inner = scope ++ w.cteRelations.map(_._1.toLowerCase)
-                  w.cteRelations.foreach(rel => scan(rel._2, inner))
+                  // scope accumulates INCREMENTALLY: a non-recursive
+                  // WITH's CTE body may reference only previously
+                  // defined siblings, so a bare name matching a LATER
+                  // sibling is an illegal forward reference in BigQuery
+                  // and must still be reported
+                  val inner = w.cteRelations.foldLeft(scope) {
+                    case (sc, rel) =>
+                      scan(rel._2, sc)
+                      sc + rel._1.toLowerCase
+                  }
                   scan(w.child, inner)
                 case other =>
                   other.children.foreach(scan(_, scope))

@@ -184,7 +184,63 @@ object AdvancedOps {
   // per micro-batch, reused by re-invocations (the checkpoint replays
   // nothing — the production restart path)
   private val streamQuantState = scala.collection.concurrent
-    .TrieMap[String, (String, String, String, Double, Double)]()
+    .TrieMap[String, (String, String, Double, Double)]()
+
+  /** Applied-batch state ids under `base`: `init` is the frozen
+    * reference histogram; each applied micro-batch writes an IMMUTABLE
+    * `s<batchId>` dir holding the state AFTER that batch. */
+  private def quantStateIds(s: SparkSession, base: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.matches("s\\d+")).map(_.drop(1).toLong).sorted
+  }
+
+  private def quantStatePath(base: String, id: Option[Long]): String =
+    id.map(i => s"$base/s$i").getOrElse(s"$base/init")
+
+  /** Merge one micro-batch's histogram into the state table,
+    * AT-LEAST-ONCE SAFE: the predecessor state (newest id < `batchId`)
+    * is read, the merged result overwrites `s<batchId>`'s OWN dir, and
+    * no earlier state is touched until the new one is fully written.
+    * A replay of `batchId` (crash between sink write and the
+    * checkpoint's offset commit) re-reads the UNCHANGED predecessor and
+    * rewrites `s<batchId>` with identical content — never double-counts
+    * — and a crash mid-write tears only `s<batchId>` itself, which the
+    * replay's overwrite repairs (the predecessor survives verbatim, so
+    * nothing is lost). Retention keeps the new state and its
+    * predecessor; strictly older states are reclaimed, bounding storage
+    * at 2 × |groups|×bins rows however long the stream runs. */
+  private[graft] def applyQuantBatch(base: String, batch: DataFrame,
+      batchId: Long, group: String, value: String,
+      mn: Double, mx: Double, bins: Int): Unit = {
+    val sess = batch.sparkSession
+    val ids = quantStateIds(sess, base)
+    val prevId = ids.filter(_ < batchId).lastOption
+    val prev = quantStatePath(base, prevId)
+    val bh = histogramOf(batch, group, value, mn, mx, bins, clamp = true)
+    sess.read.parquet(prev).unionByName(bh)
+      .groupBy(group, "bin").agg(sum("cnt").as("cnt"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(quantStatePath(base, Some(batchId)))
+    // reclaim states strictly older than the predecessor (the replay
+    // anchor): a redelivery of batchId still finds `prev` intact
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(sess.sparkContext.hadoopConfiguration)
+    prevId.foreach { pid =>
+      ids.filter(_ < pid).foreach { old =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          quantStatePath(base, Some(old))), true)
+      }
+    }
+  }
+
+  /** The current state table: the newest applied batch's dir. */
+  private[graft] def quantStateRead(s: SparkSession,
+      base: String): DataFrame =
+    s.read.parquet(
+      quantStatePath(base, quantStateIds(s, base).lastOption))
 
   /** Streaming twin of percentiles_sketch — gate
     * `streaming_ingest_quantiles`: post-1996 lineitem rows ARRIVE as
@@ -198,9 +254,13 @@ object AdvancedOps {
     * base ⊕ b0 ⊕ b1 ⊕ b2 = base ⊕ (b0 ∪ b1 ∪ b2) whatever the arrival
     * split — which is why the DuckDB oracle (the same fixed-grid math
     * over the full table) verifies the stream UNCHANGED. Per-arrival
-    * cost is O(batch) + a ≤ |groups|×bins-row table rewrite; restart =
-    * offset-log recovery + a no-new-data pass (StreamQuantilesSpec
-    * proves stream == one-shot and the no-double-apply re-invocation).
+    * cost is O(batch) + a ≤ |groups|×bins-row table rewrite. The sink
+    * is AT-LEAST-ONCE SAFE by the `s<batchId>` state-dir discipline
+    * (see [[applyQuantBatch]]): a batch replayed after a crash between
+    * the sink write and the offset commit merges from its unchanged
+    * predecessor state and overwrites only its own dir — never a
+    * double-count, never a torn base (StreamQuantilesSpec replays a
+    * batchId explicitly and proves the state is unchanged).
     * At 100 TB this is the always-on corpus-statistics shape: the
     * quantile readout costs nothing because the histogram is already
     * materialized. */
@@ -209,14 +269,11 @@ object AdvancedOps {
     import graft.streaming.DocIngest
     val bins = PCTL_SKETCH_BINS
     val cut = lit("1997-01-01").cast("timestamp")
-    val (base, stage, ckpt, mn, mx) =
+    val (base, ckpt, mn, mx) =
       streamQuantState.getOrElseUpdate(d, {
-        val b = java.nio.file.Files
-          .createTempDirectory("g_stream_quant_tbl").toString
-        val st = java.nio.file.Files
-          .createTempDirectory("g_stream_quant_stage").toString
-        val ck = java.nio.file.Files
-          .createTempDirectory("g_stream_quant_ckpt").toString
+        val run = java.util.UUID.randomUUID().toString.take(8)
+        val b = WriteOps.scratch(s"stream_quant_tbl_$run")
+        val ck = WriteOps.scratch(s"stream_quant_ckpt_$run")
         val baseSlice = lineitem(s, d)
           .filter(col("l_shipdate") < cut)
           .select(col("l_returnflag"), col("l_quantity"))
@@ -228,8 +285,9 @@ object AdvancedOps {
           else (mm.getDouble(0), mm.getDouble(1))
         histogramOf(baseSlice, "l_returnflag", "l_quantity",
             mn0, mx0, bins, clamp = true)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(b)
-        (b, st, ck, mn0, mx0)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$b/init")
+        (b, ck, mn0, mx0)
       })
     val arrivals = DocIngest.stagedDirOf(s"quantiles|$d", "l_orderkey",
       lineitem(s, d).filter(col("l_shipdate") >= cut)
@@ -239,21 +297,13 @@ object AdvancedOps {
     val q = src.writeStream
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sess = batch.sparkSession
-        val bh = histogramOf(batch, "l_returnflag", "l_quantity",
-          mn, mx, bins, clamp = true)
-        sess.read.parquet(base).unionByName(bh)
-          .groupBy("l_returnflag", "bin").agg(sum("cnt").as("cnt"))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(stage)
-        sess.read.parquet(stage)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(base)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyQuantBatch(base, batch, batchId,
+          "l_returnflag", "l_quantity", mn, mx, bins)
       }
       .start()
     DocIngest.await(q)
-    histQuantiles(s.read.parquet(base), "l_returnflag", mn, mx, bins)
+    histQuantiles(quantStateRead(s, base), "l_returnflag", mn, mx, bins)
   }
 
   /** Distribution-drift audit (gate `stats_drift_chi2`) — the

@@ -85,6 +85,34 @@ object ShardedBloom {
   def shardId(key: Column, shards: Int): Column =
     pmod(conv(substring(key, 1, 4), 16, 10).cast("int"), lit(shards))
 
+  /** Geometry tag stamped into every artifact row: the key→shard
+    * routing-rule version + shard count. A persisted artifact built
+    * under one rule MUST NOT be probed or merged under another — same
+    * key, different shard ⇒ silent false negatives, the one failure a
+    * Bloom prefilter may never have. [[probe]] and [[orMerge]] refuse a
+    * mismatch loudly instead. (`hex4-v2` = first-4-hex-chars routing;
+    * the unversioned first-2-chars rule predates tagging and any such
+    * artifact fails the check by having no tag to read.) */
+  def geomTag(shards: Int): String = s"hex4-v2:$shards"
+
+  /** The artifact's single geometry tag (bounded driver read: the
+    * artifact is K rows of index metadata). None for an empty artifact. */
+  private def geomOf(art: DataFrame): Option[String] = {
+    val gs = art.select("geom").distinct().collect().map(_.getString(0))
+    require(gs.length <= 1,
+      s"artifact carries mixed geometries ${gs.mkString(", ")} — it was " +
+      "assembled from incompatible builds and cannot be probed safely")
+    gs.headOption
+  }
+
+  private def requireGeom(art: DataFrame, expected: String,
+      what: String): Unit =
+    geomOf(art).foreach(g => require(g == expected,
+      s"$what geometry mismatch: artifact was built under $g but is " +
+      s"being used as $expected — rebuild or route with the artifact's " +
+      "own rule (silent cross-geometry use would probe with false " +
+      "negatives)"))
+
   private def ser(f: BloomFilter): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     f.writeTo(bos)
@@ -95,7 +123,9 @@ object ShardedBloom {
 
   val blobSchema: StructType = StructType(Seq(
     StructField("shard", IntegerType, nullable = false),
-    StructField("bloom", BinaryType, nullable = false)))
+    StructField("bloom", BinaryType, nullable = false),
+    StructField("geom", org.apache.spark.sql.types.StringType,
+      nullable = false)))
 
   /** Build the K-shard artifact from `keys(keyCol)` (string digests).
     * `perShardCapacity`/`fpp` fix the bitmap geometry — every build
@@ -117,7 +147,9 @@ object ShardedBloom {
     }
     val merged = partials.reduceByKey(
       (a, b) => { val fa = de(a); fa.mergeInPlace(de(b)); ser(fa) }, shards)
-    s.createDataFrame(merged.map { case (sh, b) => Row(sh, b) }, blobSchema)
+    val tag = geomTag(shards)
+    s.createDataFrame(merged.map { case (sh, b) => Row(sh, b, tag) },
+      blobSchema)
   }
 
   /** OR-merge two same-geometry shard artifacts (stored corpus + fresh
@@ -126,12 +158,23 @@ object ShardedBloom {
     * count; correctness is shard-count-independent). */
   def orMerge(s: SparkSession, a: DataFrame, b: DataFrame,
       shards: Int = Shards): DataFrame = {
+    // both sides must share ONE routing geometry — OR-merging bitmaps
+    // whose keys were routed differently yields an artifact with false
+    // negatives on both corpora
+    val (ga, gb) = (geomOf(a), geomOf(b))
+    (ga, gb) match {
+      case (Some(x), Some(y)) => require(x == y,
+        s"orMerge geometry mismatch: $x vs $y — rebuild the fresh side " +
+        "under the stored artifact's geometry before merging")
+      case _ => ()
+    }
+    val tag = ga.orElse(gb).getOrElse(geomTag(shards))
     val merged = a.unionByName(b).rdd
       .map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
       .reduceByKey(
         (x, y) => { val fx = de(x); fx.mergeInPlace(de(y)); ser(fx) },
         shards)
-    s.createDataFrame(merged.map { case (sh, blob) => Row(sh, blob) },
+    s.createDataFrame(merged.map { case (sh, blob) => Row(sh, blob, tag) },
       blobSchema)
   }
 
@@ -146,6 +189,7 @@ object ShardedBloom {
     * without this a null key would NPE inside the routed task. */
   def probe(s: SparkSession, batch: DataFrame, keyCol: String,
       shardsDf: DataFrame, shards: Int): DataFrame = {
+    requireGeom(shardsDf, geomTag(shards), "probe")
     val withShard = batch
       .filter(col(keyCol).isNotNull)
       .withColumn("__shard", shardId(col(keyCol), shards))

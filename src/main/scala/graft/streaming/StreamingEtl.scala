@@ -253,6 +253,25 @@ final class StreamingEtl(
           queuedSql.forall { case (_, t) =>
             textStateless(t) && refs(t) == Set(vn.toLowerCase) } =>
         Some(vn)
+      // ≥2 stateful recorded views feeding the queued sinks is a shape
+      // ONE query/ONE checkpoint cannot hold (state must live exactly
+      // once) — and a silent per-insert fallback would quietly break
+      // the statement set's all-sinks-commit-together claim. Refuse
+      // loudly with the fix in the message instead.
+      case multi if multi.size >= 2 && {
+        val names = multi.map(_._1.toLowerCase).toSet
+        queuedSql.forall { case (_, t) =>
+          val r = refs(t)
+          textStateless(t) && r.nonEmpty && r.subsetOf(names) }
+      } =>
+        throw new SqlProcessorException(
+          s"streaming statement set cannot hold state in ${multi.size} " +
+          s"recorded views (${multi.map(_._1).mkString(", ")}) under one " +
+          "checkpoint — state must live exactly once. Either fan every " +
+          "sink out from a single shared stateful view, or split the " +
+          "pipeline into one streaming ETL per stateful intermediate " +
+          "(each gets its own checkpoint and its sinks stay consistent " +
+          "within it)")
       case _ => None
     }
   }

@@ -202,6 +202,29 @@ select (select max(id) from seen) as m from dw.base
     assert(!lint("-- backend: bigquery\n" + sub)
       .exists(_.rule == "bq-schema"),
       "in-scope CTE referenced from a scalar subquery was flagged")
+
+    // forward reference: a CTE body may see only PREVIOUSLY defined
+    // siblings (non-recursive BigQuery WITH), so `late` inside `early`
+    // is a bare table read, not a CTE hit
+    val fwd = """-- target=output.dw.out
+with early as (select id from late),
+     late as (select 1 as id)
+select * from early
+"""
+    val fwdOut = lint("-- backend: bigquery\n" + fwd)
+      .filter(_.rule == "bq-schema")
+    assert(fwdOut.length === 1, fwdOut.mkString("; "))
+    assert(fwdOut.head.message.contains("`late`"))
+
+    // ...while a backward reference between siblings stays clean
+    val bwd = """-- target=output.dw.out
+with early as (select 1 as id),
+     late as (select id from early)
+select * from late
+"""
+    assert(!lint("-- backend: bigquery\n" + bwd)
+      .exists(_.rule == "bq-schema"),
+      "backward sibling CTE reference was flagged")
   }
 
   test("repo example pipelines lint clean") {

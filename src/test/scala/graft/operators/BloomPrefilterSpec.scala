@@ -149,6 +149,38 @@ class BloomPrefilterSpec extends AnyFunSuite {
       === blobs(build(corpus)))
   }
 
+  test("cross-geometry use is refused loudly: a persisted artifact " +
+      "probes/merges only under its recorded routing rule") {
+    import spark.implicits._
+    val corpusDf = (1 to 50).map(i => f"$i%032x").toDF("k")
+    val art16 = ShardedBloom.buildShards(spark, corpusDf, "k",
+      16, 64L, 0.03)
+    val art32 = ShardedBloom.buildShards(spark, corpusDf, "k",
+      32, 64L, 0.03)
+
+    // probing a 16-shard artifact as if it had 32 shards would route
+    // keys to shards that never saw them — silent false negatives; the
+    // geometry tag turns that into a loud refusal
+    val ex = intercept[IllegalArgumentException] {
+      ShardedBloom.probe(spark, corpusDf, "k", art16, 32).collect()
+    }
+    assert(ex.getMessage.contains("geometry"))
+    // same for merging artifacts of different geometry
+    val ex2 = intercept[IllegalArgumentException] {
+      ShardedBloom.orMerge(spark, art16, art32).collect()
+    }
+    assert(ex2.getMessage.contains("geometry"))
+    // the recorded tag round-trips through parquet persistence
+    val dir = java.nio.file.Files.createTempDirectory("g_bloom_geom")
+      .resolve("art").toString
+    art16.write.parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    assert(reloaded.select("geom").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq(ShardedBloom.geomTag(16)))
+    assert(ShardedBloom.probe(spark, corpusDf, "k", reloaded, 16)
+      .count() === 50)
+  }
+
   test("probe drops null keys instead of failing the task") {
     import spark.implicits._
     val corpusDf = Seq("aaaa11", "bbbb22").toDF("k")

@@ -53,6 +53,48 @@ class StreamQuantilesSpec extends AnyFunSuite {
     assert(total === Tables.lineitem(spark, sf).count())
   }
 
+  test("at-least-once replay of a batchId never double-counts, and a " +
+      "torn state write is repaired by the replay") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("g_quant_replay").toString
+    def hist(vs: Seq[Double]) = AdvancedOps.histogramOf(
+      vs.map(("a", _)).toDF("g", "v"), "g", "v", 0.0, 63.0, bins,
+      clamp = true)
+    hist(Seq(1.0, 2.0)).write.parquet(s"$base/init")
+    def state() = AdvancedOps.quantStateRead(spark, base)
+      .orderBy("bin").collect().map(r => r.getLong(1) -> r.getLong(2))
+      .toSeq
+    def apply(id: Long, vs: Seq[Double]): Unit =
+      AdvancedOps.applyQuantBatch(base,
+        vs.map(("a", _)).toDF("g", "v"), id, "g", "v", 0.0, 63.0, bins)
+
+    apply(0, Seq(3.0))
+    apply(1, Seq(4.0, 4.0))
+    val after1 = state()
+    assert(after1.toMap === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+
+    // crash-between-sink-and-offset-commit: batch 1 is REDELIVERED —
+    // the merge must re-anchor on batch 0's state, not add again
+    apply(1, Seq(4.0, 4.0))
+    assert(state() === after1, "replayed batch was double-applied")
+
+    // torn write: s2 is left half-written (simulated by a garbage dir);
+    // the replay of batch 2 overwrites and repairs it
+    val s2 = new java.io.File(s"$base/s2"); s2.mkdirs()
+    java.nio.file.Files.write(s2.toPath.resolve("part-garbage.parquet"),
+      Array[Byte](1, 2, 3))
+    apply(2, Seq(5.0))
+    assert(state().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
+
+    // retention: states strictly older than the predecessor are gone
+    assert(!new java.io.File(s"$base/s0").exists(),
+      "obsolete state dir was not reclaimed")
+    assert(new java.io.File(s"$base/s1").exists(),
+      "the replay-anchor predecessor must survive")
+  }
+
   test("out-of-grid values saturate into the edge bins") {
     import spark.implicits._
     val df = Seq(("a", -100.0), ("a", 5.0), ("a", 900.0))

@@ -198,6 +198,48 @@ select bucket_start, etype, sum_v from agg
     assert(sums === expSums, "replay diverged: sums")
   }
 
+  test("two stateful recorded views feeding the sinks is refused " +
+      "loudly — never a silent per-insert split of the statement set") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("g_sset_twostate")
+    val srcDir = root.resolve("src")
+    Seq((1L, "a", 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:01:00")))
+      .toDF("id", "etype", "v", "ts")
+      .coalesce(1).write.parquet(srcDir.resolve("b0").toString)
+    val etl = """-- target=temp.agg_a
+select cast(window.start as long) as bucket_start, etype,
+       count(1) as cnt
+from src_stream group by window(ts, '1 hour'), etype
+-- target=temp.agg_b
+select cast(window.start as long) as bucket_start,
+       cast(sum(v) as double) as sum_v
+from src_stream group by window(ts, '30 minutes')
+-- target=output.sink.a
+select bucket_start, etype, cnt from agg_a
+-- target=output.sink.b
+select bucket_start, sum_v from agg_b
+-- target=func.execute_streaming_inserts()
+"""
+    val source = spark.readStream
+      .schema(spark.read.option("recursiveFileLookup", "true")
+        .parquet(srcDir.toString).schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir.toString)
+      .withWatermark("ts", "10 minutes")
+    val ex = intercept[graft.core.SqlProcessorException] {
+      new StreamingEtl(spark, etl,
+        sources = Map("src_stream" -> source),
+        sinkDir = root.resolve("sink").toString).run()
+    }
+    assert(ex.getMessage.contains("state must live exactly once"),
+      ex.getMessage)
+    assert(ex.getMessage.contains("agg_a") &&
+      ex.getMessage.contains("agg_b"), ex.getMessage)
+    // and nothing was silently started
+    assert(spark.streams.active.isEmpty,
+      "a refused statement set left streaming queries running")
+  }
+
   test("a single queued insert keeps the per-insert query path") {
     import spark.implicits._
     val root = Files.createTempDirectory("g_stmtset_single")
