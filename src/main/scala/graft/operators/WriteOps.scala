@@ -1275,6 +1275,102 @@ object WriteOps {
         .select("version", "pt_year", "cnt", "n_keys", "total")
     }),
 
+    // WAP × DRIFT AUDIT — the full ingest-quality loop in one oracled
+    // pipeline (write_wap_publish supplies the staging mechanics;
+    // stats_drift_chi2 supplies the monitor): a batch stages on a
+    // branch main cannot see, the chi-square drift audit compares the
+    // STAGED partition's value distribution against the frozen
+    // reference histogram (v0's 1997 partition, integral-valued price
+    // grid — the cross-engine exactness contract), and the branch
+    // publishes or is abandoned ON THE FLAG. Both arms run: a clean
+    // attribute-fix batch (same keys, same prices, re-attributed
+    // custkeys — price distribution untouched) passes and publishes;
+    // a mass-shifted reprice batch (+1e6, all mass clamps into the top
+    // bin) flags and is abandoned. The oracle recomputes BOTH chi2
+    // values (ordered fold, hash-exact) and proves head ends exactly
+    // at the published clean version — sum_cust is the column that
+    // distinguishes v1 from v0, total/cnt/n_keys prove the reprice
+    // never landed. At 100 TB: audit cost = two ≤ bins-row histogram
+    // exchanges over ONE staged partition; publish = a rename; a
+    // flagged batch costs its staging only.
+    "write_wap_drift_gate" -> ((s, d) => {
+      val bins = AdvancedOps.PCTL_SKETCH_BINS
+      val root = scratch("wap_drift_tbl")
+      SnapshotTable.deleteTree(root) // fresh lineage per invocation
+      val base = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = base.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, root, 0, base, years)
+      // frozen reference: v0's 1997 partition on the integral price grid
+      val priceI = floor(col("o_totalprice")).cast("double")
+      val ref97 = SnapshotTable.read(s, root, 0)
+        .filter(col("pt_year") === 1997)
+        .select(col("pt_year"), priceI.as("p"))
+      val mmr = ref97.agg(min("p"), max("p")).head
+      val (mn, mx) = (mmr.getDouble(0), mmr.getDouble(1))
+      val refH = AdvancedOps.histogramOf(ref97, "pt_year", "p",
+        mn, mx, bins, clamp = true).withColumnRenamed("cnt", "r")
+      def audit(branch: String): (Double, Boolean) = {
+        val obsH = AdvancedOps.histogramOf(
+          SnapshotTable.readBranch(s, root, branch)
+            .filter(col("pt_year") === 1997)
+            .select(col("pt_year"), priceI.as("p")),
+          "pt_year", "p", mn, mx, bins, clamp = true)
+          .withColumnRenamed("cnt", "o")
+        val frame = s.range(1).select(lit(1997).as("pt_year"))
+          .withColumn("bin", explode(sequence(lit(0L), lit(bins - 1L))))
+        val joined = frame
+          .join(refH, Seq("pt_year", "bin"), "left")
+          .join(obsH, Seq("pt_year", "bin"), "left")
+          .na.fill(0L, Seq("r", "o"))
+        val row = AdvancedOps.chi2Of(s, joined, "pt_year", bins).head
+        (row.getDouble(row.fieldIndex("chi2")),
+          row.getBoolean(row.fieldIndex("drifted")))
+      }
+      // arm 1: clean attribute fix — stages, passes the audit, publishes
+      val clean = SnapshotTable.read(s, root, 0)
+        .filter(col("pt_year") === 1997)
+        .withColumn("o_custkey", col("o_custkey") + 1)
+      SnapshotTable.stageCommit(s, root, "attr-fix", clean, Seq(1997))
+      val (chi2c, dc) = audit("attr-fix")
+      require(!dc, "the clean attribute-fix batch flagged the drift audit")
+      val v1 = SnapshotTable.publishBranch(root, "attr-fix")
+      // arm 2: mass-shifted reprice — stages, FLAGS, is abandoned
+      val bad = SnapshotTable.read(s, root, v1)
+        .filter(col("pt_year") === 1997)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000000.0)
+      SnapshotTable.stageCommit(s, root, "reprice", bad, Seq(1997))
+      val (chi2d, dd) = audit("reprice")
+      require(dd, "the +1e6 reprice batch passed the drift audit")
+      SnapshotTable.abandonBranch(root, "reprice")
+      val head = SnapshotTable.versions(root).max
+      def snap(v: Int, label: String) = SnapshotTable.read(s, root, v)
+        .groupBy("pt_year").agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          decSum("o_totalprice").as("total"),
+          sum(col("o_custkey")).as("sum_cust"))
+        .withColumn("version", lit(label))
+        .withColumn("chi2", lit(null).cast("double"))
+        .withColumn("drifted", lit(null).cast("boolean"))
+      val auditDf = Seq(("audit_clean", chi2c, dc),
+          ("audit_drifted", chi2d, dd))
+        .map { case (l, c, f) =>
+          s.range(1).select(lit(l).as("version"),
+            lit(1997).as("pt_year"),
+            lit(null).cast("bigint").as("cnt"),
+            lit(null).cast("bigint").as("n_keys"),
+            lit(null).cast("double").as("total"),
+            lit(null).cast("bigint").as("sum_cust"),
+            lit(c).as("chi2"), lit(f).as("drifted"))
+        }.reduce(_ unionByName _)
+      snap(0, "v0").unionByName(snap(v1, "v1_published"))
+        .unionByName(snap(head, "head_post_abandon"))
+        .unionByName(auditDf)
+        .select("version", "pt_year", "cnt", "n_keys", "total",
+          "sum_cust", "chi2", "drifted")
+    }),
+
     // APPLY CHANGES (see applyChanges): the op-labeled CDC feed merged
     // into the table in one pass — updates win over stay rows, inserts
     // land, tombstoned keys vanish, and only the feed's partitions are
@@ -1648,6 +1744,77 @@ object WriteOps {
            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
              AS total
          FROM lab GROUP BY version, pt_year""",
+    // both chi2 values recomputed on the same frozen integral-price
+    // grid (ordered fold — hash-exact, the stats_drift_chi2
+    // discipline); head must end exactly at the published clean
+    // version: sum_cust distinguishes v1 from v0 (the attribute fix),
+    // total/cnt/n_keys prove the abandoned reprice never landed
+    "write_wap_drift_gate" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         t97 AS (SELECT * FROM t WHERE pt_year = 1997),
+         mm AS (SELECT min(floor(o_totalprice)) AS mn,
+                       max(floor(o_totalprice)) AS mx FROM t97),
+         ref AS (SELECT least(63, greatest(0,
+               cast(floor((floor(o_totalprice) - mn) * 64.0
+                 / (mx - mn + 1)) AS bigint))) AS bin,
+             count(*) AS r
+           FROM t97, mm GROUP BY 1),
+         obsd AS (SELECT least(63, greatest(0,
+               cast(floor((floor(o_totalprice + 1000000.0) - mn) * 64.0
+                 / (mx - mn + 1)) AS bigint))) AS bin,
+             count(*) AS o
+           FROM t97, mm GROUP BY 1),
+         frame AS (SELECT i AS bin FROM range(0, 64) t(i)),
+         h AS (
+           SELECT 'audit_clean' AS version, f.bin,
+             coalesce(r.r, 0) AS r, coalesce(r.r, 0) AS o
+           FROM frame f LEFT JOIN ref r ON f.bin = r.bin
+           UNION ALL
+           SELECT 'audit_drifted', f.bin,
+             coalesce(r.r, 0), coalesce(o.o, 0)
+           FROM frame f LEFT JOIN ref r ON f.bin = r.bin
+                        LEFT JOIN obsd o ON f.bin = o.bin),
+         tot AS (SELECT version, sum(r) AS n_ref, sum(o) AS n_obs
+           FROM h GROUP BY version),
+         terms AS (SELECT h.version, h.bin,
+             cast(t.n_obs AS double) *
+               (cast(h.r + 1 AS double) / cast(t.n_ref + 64 AS double))
+               AS e,
+             cast(h.o AS double) AS od
+           FROM h JOIN tot t ON h.version = t.version),
+         folded AS (SELECT version,
+             list_aggregate(
+               list(CASE WHEN e = cast(0 AS double)
+                 THEN cast(0 AS double)
+                 ELSE (od - e) * (od - e) / e END ORDER BY bin),
+               'sum') AS chi2
+           FROM terms GROUP BY version),
+         auditrows AS (SELECT version, 1997 AS pt_year,
+             cast(NULL AS bigint) AS cnt, cast(NULL AS bigint) AS n_keys,
+             cast(NULL AS double) AS total,
+             cast(NULL AS bigint) AS sum_cust,
+             chi2, chi2 > cast(103.0 AS double) AS drifted
+           FROM folded),
+         v1 AS (
+           SELECT o_orderkey, o_custkey + 1 AS o_custkey, o_totalprice,
+             pt_year FROM t97
+           UNION ALL
+           SELECT * FROM t WHERE pt_year <> 1997),
+         lab AS (
+           SELECT 'v0' AS version, * FROM t
+           UNION ALL SELECT 'v1_published', * FROM v1
+           UNION ALL SELECT 'head_post_abandon', * FROM v1),
+         staterows AS (
+           SELECT version, pt_year, cast(count(*) AS bigint) AS cnt,
+             cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+             cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+               AS total,
+             cast(sum(o_custkey) AS bigint) AS sum_cust,
+             cast(NULL AS double) AS chi2,
+             cast(NULL AS boolean) AS drifted
+           FROM lab GROUP BY version, pt_year)
+         SELECT * FROM staterows UNION ALL SELECT * FROM auditrows""",
     // the stream applies the SAME feed batch-split-invariantly (key
     // disjointness — see streamingApplyChanges), so the batch gate's
     // oracle verifies it unchanged

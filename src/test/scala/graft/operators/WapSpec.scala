@@ -169,6 +169,42 @@ class WapSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, root, v2).count() === n0)
   }
 
+  test("WAP × drift audit: the clean arm publishes, the drifted arm " +
+      "is abandoned, and head lands exactly on the published version") {
+    val out = WriteOps.queries("write_wap_drift_gate")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    // the audit rows carry the decision the pipeline acted on
+    val clean = out("audit_clean")
+    val drifted = out("audit_drifted")
+    assert(!clean.getBoolean(clean.fieldIndex("drifted")))
+    assert(drifted.getBoolean(drifted.fieldIndex("drifted")))
+    assert(clean.getDouble(clean.fieldIndex("chi2")) < 103.0)
+    assert(drifted.getDouble(drifted.fieldIndex("chi2")) > 103.0)
+
+    // head == the published clean version, row for row (the abandoned
+    // reprice left no trace)
+    val byVer = WriteOps.queries("write_wap_drift_gate")(spark, sf)
+      .collect()
+      .filter(r => r.getString(0).startsWith("v1") ||
+        r.getString(0).startsWith("head"))
+      .groupBy(_.getString(0))
+      .map { case (v, rows) =>
+        v -> rows.map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getLong(5))).toSet }
+    assert(byVer("head_post_abandon") === byVer("v1_published"))
+    // and the clean publish actually changed the table vs v0: sum_cust
+    // moved by exactly one per 1997 row
+    val all = WriteOps.queries("write_wap_drift_gate")(spark, sf)
+      .collect().filter(r => !r.isNullAt(5))
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(5))).toMap
+    val (cnt97, cust0) = all(("v0", 1997))
+    val (_, cust1) = all(("v1_published", 1997))
+    assert(cust1 === cust0 + cnt97,
+      "published attribute fix did not land in head")
+  }
+
   test("double-stage on one branch name is refused") {
     val root = freshTable()
     SnapshotTable.stageCommit(spark, root, "once",
