@@ -223,30 +223,38 @@ object WriteOps {
     * parquet, completing the write family's missing pillar: TIME TRAVEL.
     *
     *  - Data files are IMMUTABLE, written once under `root/data/`; a
-    *    file's partition is encoded in its name (`v{v}_y{year}_p{i}`)
-    *    so carry-over is a name filter, no footer reads.
-    *  - A commit is one atomically-renamed manifest: the list of data
-    *    files composing version v = freshly-written files for the
-    *    TOUCHED partitions + the parent manifest's files for everything
-    *    else. Commit cost = rewritten partitions + one tiny metadata
-    *    file, never table size; a torn commit is impossible (readers
-    *    resolve the old manifest or the new one, never half a file
-    *    list — the same guarantee a lakehouse gets from its log).
-    *  - Reading version v lists exactly v's files: any retained version
-    *    is a consistent snapshot, and later commits never disturb it —
-    *    snapshot isolation BY immutability (SnapshotTableSpec asserts
-    *    shared files keep their mtimes across commits).
-    *  - vacuum(retain k) deletes data files referenced by NO retained
-    *    manifest plus the expired manifests — a set difference over
-    *    file lists, metadata-only, no data scan. Reads within retention
-    *    are byte-identical before/after (the gate proves it); reads
-    *    past retention fail loudly.
-    *
-    * At 100 TB the manifests are the only non-distributed state, one
-    * line per live file — the exact scaling contract Iceberg's
-    * manifest lists formalize; swapping the flat file list for a
-    * partition-grouped manifest tree changes no commit or read
-    * semantics. */
+    *    file's partition is encoded in its name (`v{v}_y{year}_p{i}`).
+    *  - Metadata is a TWO-LEVEL MANIFEST TREE (r12 — the structure
+    *    Iceberg's manifest lists formalize): one immutable PARTITION
+    *    manifest (`m_v{v}_y{year}.txt`, one `path\tbytes` line per data
+    *    file) per touched partition per commit, and one atomically-
+    *    renamed TOP manifest per version (`v{N}.txt`, one
+    *    `y{year}\tm-file` POINTER line per live partition). Carry-over
+    *    copies the parent's pointers verbatim — an untouched
+    *    partition's metadata is never re-read, let alone rewritten.
+    *  - A commit therefore writes O(touched partitions) metadata —
+    *    its fresh m-files (sized by its own files) + a pointer list
+    *    sized by |partitions| — never O(live files of the table). At
+    *    100 TB / millions of live files, commit metadata IO stays flat
+    *    in table size; the same contract Iceberg's manifest tree buys.
+    *    A torn commit is impossible (readers resolve the old top
+    *    manifest or the new one, never half a pointer list).
+    *  - Reading version v resolves its pointers to exactly v's files;
+    *    any retained version is a consistent snapshot, and later
+    *    commits never disturb it — snapshot isolation BY immutability
+    *    (SnapshotTableSpec asserts shared files keep their mtimes
+    *    across commits). Partition-scoped reads ([[readPartitions]])
+    *    resolve ONLY the selected partitions' m-files: the file prune
+    *    happens in metadata, before any footer opens.
+    *  - [[changedYears]] is a POINTER diff of two top manifests —
+    *    O(|partitions|) with zero m-file reads — because carry-over
+    *    shares pointers and fresh m-files are version-namespaced: a
+    *    partition changed iff its pointer changed.
+    *  - vacuum(retain k) deletes the data files and m-files referenced
+    *    by NO retained version plus the expired top manifests — a set
+    *    difference over pointers, metadata-only, no data scan. Reads
+    *    within retention are byte-identical before/after (the gate
+    *    proves it); reads past retention fail loudly. */
   /** IO substrate note (the 100 TB deployment story): every table-root
     * path below resolves through `org.apache.hadoop.fs.FileSystem`, so a
     * root may be a local dir (tests), `hdfs://`, or an object store.
@@ -306,11 +314,13 @@ object WriteOps {
       catch { case e: Throwable => fs.delete(tmp, false); throw e }
     }
 
+    private def mdir(root: String): HPath = new HPath(root, "_manifests")
+
     private def manifest(root: String, v: Int): HPath =
-      new HPath(new HPath(root, "_manifests"), s"v$v.txt")
+      new HPath(mdir(root), s"v$v.txt")
 
     def versions(root: String): Seq[Int] = {
-      val dir = new HPath(root, "_manifests")
+      val dir = mdir(root)
       val fs = fsFor(dir)
       if (!fs.exists(dir)) Seq.empty
       else fs.listStatus(dir).toSeq
@@ -319,17 +329,49 @@ object WriteOps {
         .map(_.drop(1).dropRight(4).toInt).sorted
     }
 
-    /** A version's manifest entries: (data file path, byte size). Sizes
-      * are recorded AT COMMIT (free from the stage listing) and carried
-      * verbatim thereafter, so maintenance planning (optimize) reads no
-      * filesystem metadata at all — the manifest is the only source. */
-    def entries(root: String, v: Int): Seq[(String, Long)] = {
+    /** The version's partition-manifest POINTER map (year → m-file):
+      * the entire top-level metadata of a version, |partitions| lines
+      * however many files the table holds. */
+    def pointers(root: String, v: Int): Map[Int, String] = {
       val m = manifest(root, v)
       val fs = fsFor(m)
       require(fs.exists(m),
         s"snapshot version $v is unavailable (vacuumed or never " +
         "committed)")
-      readAllLines(fs, m).filter(_.nonEmpty).map(parseEntry)
+      readAllLines(fs, m).filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t')
+        l.take(i).drop(1).toInt -> l.drop(i + 1)
+      }.toMap
+    }
+
+    private def readPartManifest(m: String): Seq[(String, Long)] = {
+      val hp = new HPath(m)
+      readAllLines(fsFor(hp), hp).filter(_.nonEmpty).map(parseEntry)
+    }
+
+    /** Write one immutable partition manifest; returns its path. */
+    private def writePartManifest(root: String, name: String,
+        entries: Seq[(String, Long)]): String = {
+      val mf = new HPath(mdir(root), name)
+      writeAtomic(fsFor(mf), new HPath(mdir(root), s".$name.tmp"), mf,
+        entries.sortBy(_._1).map(fmtEntry))
+      mf.toString
+    }
+
+    /** A version's manifest entries: (data file path, byte size). Sizes
+      * are recorded AT COMMIT (free from the stage listing) and carried
+      * verbatim thereafter, so maintenance planning (optimize) reads no
+      * filesystem metadata at all — the manifests are the only source. */
+    def entries(root: String, v: Int): Seq[(String, Long)] =
+      pointers(root, v).toSeq.sortBy(_._1)
+        .flatMap { case (_, m) => readPartManifest(m) }
+
+    /** SELECTED partitions' entries — the metadata prune: only those
+      * partitions' m-files are read; everything else stays closed. */
+    def partitionEntries(root: String, v: Int,
+        years: Seq[Int]): Seq[(String, Long)] = {
+      val ps = pointers(root, v)
+      years.sorted.flatMap(y => ps.get(y).toSeq.flatMap(readPartManifest))
     }
 
     private def parseEntry(line: String): (String, Long) = {
@@ -346,6 +388,17 @@ object WriteOps {
     def read(s: SparkSession, root: String, v: Int): DataFrame =
       s.read.parquet(files(root, v): _*)
 
+    /** Partition-scoped read: the file list is pruned in METADATA
+      * (selected pointers only), so unselected partitions' files are
+      * never opened — not even their footers. An empty selection
+      * resolves the version's schema with zero row reads. */
+    def readPartitions(s: SparkSession, root: String, v: Int,
+        years: Seq[Int]): DataFrame = {
+      val fs0 = partitionEntries(root, v, years).map(_._1)
+      if (fs0.nonEmpty) s.read.parquet(fs0: _*)
+      else read(s, root, v).filter(lit(false))
+    }
+
     /** Commit `slice` — ALL rows of the touched partitions — as
       * version v. ONE partitioned Spark write covers every touched
       * partition (a per-partition write loop would pay one job-launch
@@ -357,31 +410,31 @@ object WriteOps {
       * files (reading it through any later version yields no rows —
       * the same observable state the empty file gave). */
     /** Stage `slice`'s touched partitions and move the part files into
-      * `data/` under `namer(year, index)` names; returns (path, bytes)
-      * per moved file. Sizes come from the SAME directory listing that
-      * finds the files — zero extra FS metadata calls. Destination paths
-      * are built from the caller's `root` string (not the listing), so
-      * manifests store root-relative forms verbatim. */
+      * `data/` under `namer(year, index)` names; returns, PER TOUCHED
+      * YEAR, its (path, bytes) list. Sizes come from the SAME directory
+      * listing that finds the files — zero extra FS metadata calls.
+      * Destination paths are built from the caller's `root` string (not
+      * the listing), so manifests store root-relative forms verbatim. */
     private def stageDataFiles(s: SparkSession, root: String,
         stageName: String, slice: DataFrame, touched: Seq[Int],
-        namer: (Int, Int) => String): Seq[(String, Long)] = {
+        namer: (Int, Int) => String): Seq[(Int, Seq[(String, Long)])] = {
       val dataDir = new HPath(root, "data")
       val fs = fsFor(dataDir)
       fs.mkdirs(dataDir)
-      fs.mkdirs(new HPath(root, "_manifests"))
+      fs.mkdirs(mdir(root))
       val stage = new HPath(root, stageName)
       slice.filter(col("pt_year").isin(touched.map(Integer.valueOf): _*))
         .withColumn("__pt", col("pt_year"))
         .write.mode(SaveMode.Overwrite).partitionBy("__pt")
         .parquet(stage.toString)
-      val moved = touched.flatMap { y =>
+      val moved = touched.map { y =>
         val pDir = new HPath(stage, s"__pt=$y")
         val parts =
           if (!fs.exists(pDir)) Seq.empty
           else fs.listStatus(pDir).toSeq
             .filter(_.getPath.getName.endsWith(".parquet"))
             .sortBy(_.getPath.getName)
-        parts.zipWithIndex.map { case (st, i) =>
+        y -> parts.zipWithIndex.map { case (st, i) =>
           val dst = new HPath(dataDir, namer(y, i))
           // rename-no-replace: if a racing writer already published this
           // name, the move throws HERE — before the loser can overwrite
@@ -407,17 +460,25 @@ object WriteOps {
       require(!fs.exists(manifest(root, v)),
         s"conflict: version $v is already committed — rebase on the " +
         "current head and retry")
-      val fresh = stageDataFiles(s, root,
+      val staged = stageDataFiles(s, root,
         s"stage_v${v}_${java.util.UUID.randomUUID().toString.take(8)}",
         slice, touched, (y, i) => f"v${v}_y${y}_p$i%05d.parquet")
-      val carried =
-        if (v == 0) Seq.empty
-        else entries(root, v - 1).filterNot { case (f, _) =>
-          touched.exists(y => f.contains(s"_y${y}_p")) }
-      val tmp = new HPath(new HPath(root, "_manifests"), s".v$v.tmp")
+      // one immutable m-file per touched partition WITH files; a
+      // touched partition left empty simply has no pointer in v
+      val freshPtrs: Map[Int, String] = staged.collect {
+        case (y, es) if es.nonEmpty =>
+          y -> writePartManifest(root, s"m_v${v}_y$y.txt", es)
+      }.toMap
+      // carry-over = the parent's POINTERS for untouched partitions —
+      // their m-files are not re-read, let alone rewritten
+      val carriedPtrs =
+        if (v == 0) Map.empty[Int, String]
+        else pointers(root, v - 1) -- touched
+      val tmp = new HPath(mdir(root), s".v$v.tmp")
       lockFor(root).synchronized {
         writeAtomic(fs, tmp, manifest(root, v),
-          (carried ++ fresh).sortBy(_._1).map(fmtEntry))
+          (carriedPtrs ++ freshPtrs).toSeq.sortBy(_._1)
+            .map { case (y, m) => s"y$y\t$m" })
       }
     }
 
@@ -474,12 +535,11 @@ object WriteOps {
       require(targetFileBytes > 0, "targetFileBytes must be positive")
       require(zorderBy.length <= 2,
         "zorderBy supports one (range) or two (Morton) columns")
-      val yr = "_y(\\d+)_p".r
-      val byYear = entries(root, newV - 1)
-        .groupBy { case (f, _) =>
-          yr.findFirstMatchIn(f).map(_.group(1).toInt).getOrElse(-1) }
+      val byYear: Map[Int, Seq[(String, Long)]] =
+        pointers(root, newV - 1).map { case (y, m) =>
+          y -> readPartManifest(m) }
       val fragmented = byYear.collect {
-        case (y, fs) if y >= 0 && fs.size > maxFilesPerPartition => y
+        case (y, fs) if fs.size > maxFilesPerPartition => y
       }.toSeq.sorted
       if (fragmented.nonEmpty) {
         // per-partition target file counts from MANIFEST byte metadata
@@ -492,8 +552,9 @@ object WriteOps {
             math.ceil(bytes.toDouble / targetFileBytes).toInt)
         }.toMap
         val totalFiles = math.max(filesFor.values.sum, 1)
-        val slice0 = read(s, root, newV - 1)
-          .filter(col("pt_year").isin(fragmented.map(Integer.valueOf): _*))
+        // metadata-pruned read: only the fragmented partitions' files
+        // enter the rewrite scan
+        val slice0 = readPartitions(s, root, newV - 1, fragmented)
         val slice =
           if (zorderBy.isEmpty) {
             // salt ∈ [0, filesFor(pt)) from a row hash; the range
@@ -527,14 +588,24 @@ object WriteOps {
     def vacuum(root: String, retain: Int): Unit = {
       val vs = versions(root)
       val (expired, kept) = vs.splitAt(math.max(vs.length - retain, 0))
-      val keep = kept.flatMap(files(root, _)).toSet
+      // carry-over shares m-file pointers, so "referenced by a retained
+      // version" is a POINTER-set membership test; the file-level keep
+      // set is belt-and-suspenders for the same reason
+      val keptPtrs = kept.flatMap(pointers(root, _).values).toSet
+      val keepFiles = kept.flatMap(files(root, _)).toSet
       expired.foreach { v =>
-        files(root, v).filterNot(keep.contains).foreach { f =>
-          val p = new HPath(f)
-          fsFor(p).delete(p, false)
-        }
-        val m = manifest(root, v)
-        fsFor(m).delete(m, false)
+        pointers(root, v).values.filterNot(keptPtrs.contains)
+          .foreach { m =>
+            readPartManifest(m).map(_._1).filterNot(keepFiles.contains)
+              .foreach { f =>
+                val p = new HPath(f)
+                fsFor(p).delete(p, false)
+              }
+            val mp = new HPath(m)
+            fsFor(mp).delete(mp, false)
+          }
+        val top = manifest(root, v)
+        fsFor(top).delete(top, false)
       }
     }
 
@@ -545,36 +616,37 @@ object WriteOps {
     }
 
     /** Partitions that changed between two versions, recovered from the
-      * MANIFEST DIFF alone: carry-over preserves file paths verbatim, so
-      * the symmetric difference of the two file lists is exactly the
-      * rewritten partitions' files — a metadata-only computation, no
-      * data scan, no footer reads. This is what makes a change feed
-      * affordable at 100 TB: the diff prunes the table to the touched
-      * partitions BEFORE any row is opened. */
+      * TOP-MANIFEST POINTER DIFF alone — O(|partitions|) work with zero
+      * m-file reads, zero data scans, zero footer reads. This is what
+      * makes a change feed affordable at 100 TB: the diff prunes the
+      * table to the touched partitions BEFORE any row (or even any
+      * per-partition manifest) is opened. */
     def changedYears(root: String, vFrom: Int, vTo: Int): Seq[Int] = {
-      val a = files(root, vFrom).toSet
-      val b = files(root, vTo).toSet
-      val yr = "_y(\\d+)_p".r
-      ((a diff b) ++ (b diff a)).toSeq
-        .flatMap(f => yr.findFirstMatchIn(f).map(_.group(1).toInt))
-        .distinct.sorted
+      val a = pointers(root, vFrom)
+      val b = pointers(root, vTo)
+      // carry-over copies pointers verbatim and fresh m-files are
+      // version-namespaced, so a partition changed iff its pointer did
+      (a.keySet ++ b.keySet).filter(y => a.get(y) != b.get(y))
+        .toSeq.sorted
     }
 
     // ------------------------------------------------------------------
     // WRITE-AUDIT-PUBLISH branches (the Iceberg WAP shape): a staged
-    // commit is real data files + ONE branch manifest that never enters
-    // the version history until published. Readers of main cannot see
-    // staged data (no version manifest references it); the audit reads
-    // the branch; publish is ONE atomic manifest rename — metadata-only,
-    // zero data movement — and abandon deletes exactly the branch's own
-    // files (vacuum never touches them either way: it reclaims only
-    // files listed by expired VERSION manifests). Branch data files are
-    // namespaced `b<name>_y<year>_p<i>` — same `_y<N>_p` partition
-    // encoding, so carry-over filters, optimize's fragmentation scan,
-    // and changedYears keep working verbatim on published branch files.
-    // Concurrency: the branch manifest records its parent head; publish
-    // requires head == parent (stale carried files otherwise — restage
-    // to rebase) and takes the same ATOMIC_MOVE version race as commit.
+    // commit is real data files + token-namespaced partition m-files +
+    // ONE branch ref that never enters the version history until
+    // published. Readers of main cannot see staged data (no version's
+    // top manifest points at it); the audit reads the branch; publish is
+    // ONE atomic top-manifest rename — metadata-only, zero data
+    // movement — and abandon deletes exactly the branch's own fresh
+    // m-files and their data files (vacuum never touches them either
+    // way: it reclaims only metadata referenced by expired VERSIONS).
+    // Branch m-files slot into version history verbatim on publish —
+    // carry-over, optimize's fragmentation scan, and the pointer-diff
+    // changedYears treat them like any commit's m-files.
+    // Concurrency: the branch ref records its parent head; publish
+    // requires head == parent (stale carried pointers otherwise —
+    // restage to rebase) and takes the same rename-no-replace version
+    // race as commit.
     // ------------------------------------------------------------------
 
     private def branchManifest(root: String, name: String): HPath =
@@ -607,42 +679,49 @@ object WriteOps {
       require(vs.nonEmpty, "stageCommit needs a committed base version")
       val parent = vs.max
       val token = java.util.UUID.randomUUID().toString.take(8)
-      val fresh = stageDataFiles(s, root, s"stage_b${name}_$token",
+      val staged = stageDataFiles(s, root, s"stage_b${name}_$token",
         slice, touched, (y, i) => f"b$name-${token}_y${y}_p$i%05d.parquet")
-      val carried = entries(root, parent).filterNot { case (f, _) =>
-        touched.exists(y => f.contains(s"_y${y}_p")) }
-      val tmp = new HPath(new HPath(root, "_manifests"),
-        s".branch_$name.tmp")
+      // fresh m-files are TOKEN-namespaced like the data files, so a
+      // later staging of the same branch name can never collide with
+      // m-files a previous staging already published into history
+      val freshPtrs: Map[Int, String] = staged.collect {
+        case (y, es) if es.nonEmpty =>
+          y -> writePartManifest(root, s"m_b$name-${token}_y$y.txt", es)
+      }.toMap
+      val carriedPtrs = pointers(root, parent) -- touched
+      val tmp = new HPath(mdir(root), s".branch_$name.tmp")
       writeAtomic(bfs, tmp, bm,
         Seq(s"#parent=$parent") ++
-          (carried.map { case (f, b) => s"$f\t$b\tC" } ++
-           fresh.map { case (f, b) => s"$f\t$b\tF" }).sorted)
+          (carriedPtrs.toSeq.map { case (y, m) => s"y$y\t$m\tC" } ++
+           freshPtrs.toSeq.map { case (y, m) => s"y$y\t$m\tF" }).sorted)
     }
 
-    /** (parent version, manifest entries, entry-is-fresh flags) —
-      * entries and flags are index-aligned. */
+    /** (parent version, pointer map year → (m-file, isFresh)). */
     private def branchState(root: String,
-        name: String): (Int, Seq[(String, Long)], Seq[Boolean]) = {
+        name: String): (Int, Map[Int, (String, Boolean)]) = {
       val bm = branchManifest(root, name)
       val fs = fsFor(bm)
       require(fs.exists(bm), s"branch $name is not staged")
       val lines = readAllLines(fs, bm).filter(_.nonEmpty)
       val parsed = lines.tail.map { l =>
         val parts = l.split('\t')
-        ((parts(0), parts(1).toLong), parts(2) == "F")
-      }
-      (lines.head.stripPrefix("#parent=").toInt,
-        parsed.map(_._1), parsed.map(_._2))
+        parts(0).drop(1).toInt -> (parts(1), parts(2) == "F")
+      }.toMap
+      (lines.head.stripPrefix("#parent=").toInt, parsed)
     }
 
     /** The branch's table state — what the audit step reads. */
     def readBranch(s: SparkSession, root: String, name: String): DataFrame =
-      s.read.parquet(branchState(root, name)._2.map(_._1): _*)
+      s.read.parquet(branchState(root, name)._2.values
+        .flatMap { case (m, _) => readPartManifest(m).map(_._1) }
+        .toSeq.sorted: _*)
 
     /** Publish the audited branch as the next version: ONE atomic
-      * manifest rename, zero data movement. Returns the new version. */
+      * top-manifest rename, zero data movement (the branch's m-files
+      * are already in place and simply become referenced). Returns the
+      * new version. */
     def publishBranch(root: String, name: String): Int = {
-      val (parent, es, _) = branchState(root, name)
+      val (parent, ptrs) = branchState(root, name)
       val head = versions(root).max
       require(head == parent,
         s"main advanced to v$head since branch $name staged on " +
@@ -650,25 +729,30 @@ object WriteOps {
       val v = parent + 1
       val m = manifest(root, v)
       val fs = fsFor(m)
-      val tmp = new HPath(new HPath(root, "_manifests"), s".v$v.tmp")
+      val tmp = new HPath(mdir(root), s".v$v.tmp")
       lockFor(root).synchronized {
-        writeAtomic(fs, tmp, m, es.map(fmtEntry))
+        writeAtomic(fs, tmp, m, ptrs.toSeq.sortBy(_._1)
+          .map { case (y, (mf, _)) => s"y$y\t$mf" })
       }
       fs.delete(branchManifest(root, name), false)
       v
     }
 
-    /** Drop a failed-audit branch: delete exactly the files the branch
-      * manifest RECORDED as fresh (carried entries belong to main — and
-      * so does any file a previous staging of this name already
-      * published) and the ref. Main never saw anything. */
+    /** Drop a failed-audit branch: delete exactly what the branch
+      * manifest RECORDED as fresh — its token-namespaced m-files and
+      * the data files they list (carried pointers belong to main, and
+      * so does anything a previous staging of this name already
+      * published) — then the ref. Main never saw anything. */
     def abandonBranch(root: String, name: String): Unit = {
-      val (_, es, freshFlags) = branchState(root, name)
-      es.zip(freshFlags).collect { case ((f, _), true) => f }
-        .foreach { f =>
+      val (_, ptrs) = branchState(root, name)
+      ptrs.values.collect { case (m, true) => m }.foreach { m =>
+        readPartManifest(m).foreach { case (f, _) =>
           val p = new HPath(f)
           fsFor(p).delete(p, false)
         }
+        val mp = new HPath(m)
+        fsFor(mp).delete(mp, false)
+      }
       val bm = branchManifest(root, name)
       fsFor(bm).delete(bm, false)
     }
@@ -688,8 +772,10 @@ object WriteOps {
   private[graft] def tableChanges(s: SparkSession, root: String,
       vFrom: Int, vTo: Int): DataFrame = {
     val years = SnapshotTable.changedYears(root, vFrom, vTo)
-    def slice(v: Int, p: String) = SnapshotTable.read(s, root, v)
-      .filter(col("pt_year").isin(years: _*))
+    // metadata-pruned reads: only the touched partitions' m-files
+    // resolve, so untouched partitions' data files never open
+    def slice(v: Int, p: String) = SnapshotTable
+      .readPartitions(s, root, v, years)
       .select(col("o_orderkey").as(s"${p}_key"),
         col("o_custkey").as(s"${p}_cust"),
         col("o_totalprice").as(s"${p}_price"))

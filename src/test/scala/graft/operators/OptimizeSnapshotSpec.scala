@@ -186,10 +186,14 @@ class OptimizeSnapshotSpec extends AnyFunSuite {
       .map(f => Files.size(Paths.get(f))).sum
     // target such that TRUE sizes would compact to ONE file...
     val target = actualBytes + 1
-    // ...then tamper the manifest: inflate every recorded size 8× (the
-    // manifest is the only place sizes live — if optimize consulted the
-    // filesystem it would see the true bytes and write one file)
-    val m = Paths.get(root, "_manifests", "v0.txt")
+    // ...then tamper the PARTITION manifest (located via v0's pointer):
+    // inflate every recorded size 8× — the manifests are the only place
+    // sizes live; if optimize consulted the filesystem it would see the
+    // true bytes and write one file
+    val mPath = Files.readAllLines(
+        Paths.get(root, "_manifests", "v0.txt")).asScalaLines
+      .find(_.startsWith("y1\t")).get.split('\t')(1)
+    val m = Paths.get(mPath)
     val inflated = Files.readAllLines(m).asScalaLines.map { l =>
       val i = l.lastIndexOf('\t')
       l.take(i) + "\t" + (l.drop(i + 1).toLong * 8)
@@ -197,7 +201,8 @@ class OptimizeSnapshotSpec extends AnyFunSuite {
     Files.write(m, java.util.Arrays.asList(inflated: _*))
     // the tamper bypassed the local Hadoop FS, so its CRC sidecar is now
     // stale — drop it (checksum-less files read unchecked)
-    Files.deleteIfExists(Paths.get(root, "_manifests", ".v0.txt.crc"))
+    Files.deleteIfExists(
+      m.resolveSibling("." + m.getFileName.toString + ".crc"))
 
     assert(SnapshotTable.optimize(spark, root, 1,
       maxFilesPerPartition = 1, targetFileBytes = target) === Seq(1))

@@ -78,6 +78,55 @@ class SnapshotTableSpec extends AnyFunSuite {
     T.deleteTree(root)
   }
 
+  test("manifest tree: a commit writes O(touched-partitions) metadata — " +
+      "untouched partitions carry by POINTER, their m-files untouched") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("g_snap_tree").toString
+    val T = WriteOps.SnapshotTable
+    def frame(rows: (Long, Int, Double)*) =
+      rows.toSeq.toDF("o_orderkey", "pt_year", "o_totalprice")
+
+    T.commit(spark, root, 0,
+      frame((1L, 1, 10.0), (2L, 2, 20.0), (3L, 3, 30.0)), Seq(1, 2, 3))
+    val p0 = T.pointers(root, 0)
+    assert(p0.keySet === Set(1, 2, 3))
+    val mfileTimes = mtimes(p0.values.toSeq)
+    def manifestCount() =
+      Paths.get(root, "_manifests").toFile.list()
+        .count(n => !n.endsWith(".crc"))
+    val before = manifestCount()
+
+    // v1 touches year 2 only
+    T.commit(spark, root, 1, frame((2L, 2, 22.0)), Seq(2))
+    val p1 = T.pointers(root, 1)
+    // untouched partitions: SAME pointer (the m-file is shared, not
+    // copied), and the m-file bytes were never rewritten
+    assert(p1(1) === p0(1) && p1(3) === p0(3))
+    assert(mtimes(Seq(p0(1), p0(3))) ===
+      mtimes(p0.values.toSeq).view.filterKeys(Set(p0(1), p0(3))).toMap)
+    assert(p1(2) !== p0(2), "touched partition kept its old pointer")
+    // metadata written = exactly ONE fresh m-file + ONE top manifest,
+    // however many partitions the table holds
+    assert(manifestCount() === before + 2,
+      "commit wrote more than O(touched) manifest files")
+    // the pointer diff IS the change set
+    assert(T.changedYears(root, 0, 1) === Seq(2))
+    // untouched m-file mtimes survive verbatim
+    mfileTimes.filterNot(_._1 == p0(2)).foreach { case (f, t) =>
+      assert(Files.getLastModifiedTime(Paths.get(f)).toMillis === t,
+        s"commit rewrote carried m-file $f")
+    }
+    // metadata-pruned read: only year 2's files enter the scan
+    val pruned = T.readPartitions(spark, root, 1, Seq(2))
+    assert(pruned.inputFiles.forall(_.contains("_y2_")),
+      s"pruned read opened foreign files: ${pruned.inputFiles.toSeq}")
+    assert(pruned.collect().toSet ===
+      Set(org.apache.spark.sql.Row(2L, 2, 22.0)))
+    // empty selection resolves schema with zero rows
+    assert(T.readPartitions(spark, root, 1, Seq.empty).count() === 0)
+    T.deleteTree(root)
+  }
+
   test("optimistic concurrency: conflicting and orphan commits fail loudly") {
     val root = Files.createTempDirectory("g_snap_occ").toString
     val T = WriteOps.SnapshotTable
