@@ -329,19 +329,56 @@ object WriteOps {
         .map(_.drop(1).dropRight(4).toInt).sorted
     }
 
-    /** The version's partition-manifest POINTER map (year → m-file):
-      * the entire top-level metadata of a version, |partitions| lines
-      * however many files the table holds. */
-    def pointers(root: String, v: Int): Map[Int, String] = {
+    private def topLines(root: String, v: Int): Seq[String] = {
       val m = manifest(root, v)
       val fs = fsFor(m)
       require(fs.exists(m),
         s"snapshot version $v is unavailable (vacuumed or never " +
         "committed)")
-      readAllLines(fs, m).filter(_.nonEmpty).map { l =>
+      readAllLines(fs, m).filter(_.nonEmpty)
+    }
+
+    /** The version's partition-manifest POINTER map (year → m-file):
+      * the entire top-level metadata of a version, |partitions| lines
+      * however many files the table holds. */
+    def pointers(root: String, v: Int): Map[Int, String] =
+      topLines(root, v).filterNot(_.startsWith("#")).map { l =>
         val i = l.indexOf('\t')
         l.take(i).drop(1).toInt -> l.drop(i + 1)
       }.toMap
+
+    /** The version's TABLE SCHEMA, recorded in its top manifest at
+      * commit — schema-as-metadata, the Delta/Iceberg design: SCHEMA
+      * EVOLUTION is a new (merged) schema in the new version's
+      * manifest, old versions keep their old schema verbatim, and
+      * readers never sample data-file footers to discover columns. */
+    def tableSchema(root: String,
+        v: Int): Option[org.apache.spark.sql.types.StructType] =
+      topLines(root, v).find(_.startsWith("#schema="))
+        .map(l => org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix("#schema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+    /** Parent schema ∪ slice schema: new columns append (nullable —
+      * carried files lack them and must null-fill); a column present
+      * in both must keep its type — a silent type change would
+      * corrupt carried data, so it fails loudly instead. */
+    private def mergeSchemas(
+        parent: org.apache.spark.sql.types.StructType,
+        slice: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.types.StructType = {
+      val byName = slice.fields.map(f => f.name -> f).toMap
+      parent.fields.foreach { pf =>
+        byName.get(pf.name).foreach(sf => require(
+          sf.dataType == pf.dataType,
+          s"schema evolution cannot change column '${pf.name}' from " +
+          s"${pf.dataType.simpleString} to ${sf.dataType.simpleString}" +
+          " — add a new column instead"))
+      }
+      val existing = parent.fieldNames.toSet
+      org.apache.spark.sql.types.StructType(
+        (parent.fields ++ slice.fields.filterNot(f =>
+          existing.contains(f.name))).map(_.copy(nullable = true)))
     }
 
     private def readPartManifest(m: String): Seq[(String, Long)] = {
@@ -385,8 +422,15 @@ object WriteOps {
     def files(root: String, v: Int): Seq[String] =
       entries(root, v).map(_._1)
 
-    def read(s: SparkSession, root: String, v: Int): DataFrame =
-      s.read.parquet(files(root, v): _*)
+    /** Reads resolve the version's RECORDED schema (no footer
+      * sampling): a data file missing a later-added column null-fills
+      * it — exactly how a lakehouse serves pre-evolution files through
+      * the current schema. */
+    def read(s: SparkSession, root: String, v: Int): DataFrame = {
+      val r = tableSchema(root, v)
+        .map(s.read.schema).getOrElse(s.read)
+      r.parquet(files(root, v): _*)
+    }
 
     /** Partition-scoped read: the file list is pruned in METADATA
       * (selected pointers only), so unselected partitions' files are
@@ -395,7 +439,9 @@ object WriteOps {
     def readPartitions(s: SparkSession, root: String, v: Int,
         years: Seq[Int]): DataFrame = {
       val fs0 = partitionEntries(root, v, years).map(_._1)
-      if (fs0.nonEmpty) s.read.parquet(fs0: _*)
+      val r = tableSchema(root, v)
+        .map(s.read.schema).getOrElse(s.read)
+      if (fs0.nonEmpty) r.parquet(fs0: _*)
       else read(s, root, v).filter(lit(false))
     }
 
@@ -474,11 +520,21 @@ object WriteOps {
       val carriedPtrs =
         if (v == 0) Map.empty[Int, String]
         else pointers(root, v - 1) -- touched
+      // schema evolution: the version's schema = parent schema ∪ the
+      // committed slice's (new columns append nullable; type changes
+      // refuse) — recorded as metadata so readers never sample footers
+      val schema =
+        if (v == 0) org.apache.spark.sql.types.StructType(
+          slice.schema.fields.map(_.copy(nullable = true)))
+        else tableSchema(root, v - 1)
+          .map(mergeSchemas(_, slice.schema))
+          .getOrElse(slice.schema)
       val tmp = new HPath(mdir(root), s".v$v.tmp")
       lockFor(root).synchronized {
         writeAtomic(fs, tmp, manifest(root, v),
-          (carriedPtrs ++ freshPtrs).toSeq.sortBy(_._1)
-            .map { case (y, m) => s"y$y\t$m" })
+          s"#schema=${schema.json}" +:
+            (carriedPtrs ++ freshPtrs).toSeq.sortBy(_._1)
+              .map { case (y, m) => s"y$y\t$m" })
       }
     }
 
@@ -689,39 +745,54 @@ object WriteOps {
           y -> writePartManifest(root, s"m_b$name-${token}_y$y.txt", es)
       }.toMap
       val carriedPtrs = pointers(root, parent) -- touched
+      val schema = tableSchema(root, parent)
+        .map(mergeSchemas(_, slice.schema))
+        .getOrElse(slice.schema)
       val tmp = new HPath(mdir(root), s".branch_$name.tmp")
       writeAtomic(bfs, tmp, bm,
-        Seq(s"#parent=$parent") ++
+        Seq(s"#parent=$parent", s"#schema=${schema.json}") ++
           (carriedPtrs.toSeq.map { case (y, m) => s"y$y\t$m\tC" } ++
            freshPtrs.toSeq.map { case (y, m) => s"y$y\t$m\tF" }).sorted)
     }
 
-    /** (parent version, pointer map year → (m-file, isFresh)). */
-    private def branchState(root: String,
-        name: String): (Int, Map[Int, (String, Boolean)]) = {
+    /** (parent version, pointer map year → (m-file, isFresh),
+      * schema json header line). */
+    private def branchState(root: String, name: String)
+        : (Int, Map[Int, (String, Boolean)], Option[String]) = {
       val bm = branchManifest(root, name)
       val fs = fsFor(bm)
       require(fs.exists(bm), s"branch $name is not staged")
       val lines = readAllLines(fs, bm).filter(_.nonEmpty)
-      val parsed = lines.tail.map { l =>
+      val parsed = lines.filterNot(_.startsWith("#")).map { l =>
         val parts = l.split('\t')
         parts(0).drop(1).toInt -> (parts(1), parts(2) == "F")
       }.toMap
-      (lines.head.stripPrefix("#parent=").toInt, parsed)
+      (lines.find(_.startsWith("#parent="))
+         .get.stripPrefix("#parent=").toInt,
+       parsed,
+       lines.find(_.startsWith("#schema=")))
     }
 
     /** The branch's table state — what the audit step reads. */
-    def readBranch(s: SparkSession, root: String, name: String): DataFrame =
-      s.read.parquet(branchState(root, name)._2.values
+    def readBranch(s: SparkSession, root: String,
+        name: String): DataFrame = {
+      val (_, ptrs, schemaLine) = branchState(root, name)
+      val r = schemaLine
+        .map(l => s.read.schema(org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix("#schema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
+        .getOrElse(s.read)
+      r.parquet(ptrs.values
         .flatMap { case (m, _) => readPartManifest(m).map(_._1) }
         .toSeq.sorted: _*)
+    }
 
     /** Publish the audited branch as the next version: ONE atomic
       * top-manifest rename, zero data movement (the branch's m-files
       * are already in place and simply become referenced). Returns the
       * new version. */
     def publishBranch(root: String, name: String): Int = {
-      val (parent, ptrs) = branchState(root, name)
+      val (parent, ptrs, schemaLine) = branchState(root, name)
       val head = versions(root).max
       require(head == parent,
         s"main advanced to v$head since branch $name staged on " +
@@ -731,8 +802,9 @@ object WriteOps {
       val fs = fsFor(m)
       val tmp = new HPath(mdir(root), s".v$v.tmp")
       lockFor(root).synchronized {
-        writeAtomic(fs, tmp, m, ptrs.toSeq.sortBy(_._1)
-          .map { case (y, (mf, _)) => s"y$y\t$mf" })
+        writeAtomic(fs, tmp, m,
+          schemaLine.toSeq ++ ptrs.toSeq.sortBy(_._1)
+            .map { case (y, (mf, _)) => s"y$y\t$mf" })
       }
       fs.delete(branchManifest(root, name), false)
       v
@@ -744,7 +816,7 @@ object WriteOps {
       * so does anything a previous staging of this name already
       * published) — then the ref. Main never saw anything. */
     def abandonBranch(root: String, name: String): Unit = {
-      val (_, ptrs) = branchState(root, name)
+      val (_, ptrs, _) = branchState(root, name)
       ptrs.values.collect { case (m, true) => m }.foreach { m =>
         readPartManifest(m).foreach { case (f, _) =>
           val p = new HPath(f)
@@ -1361,6 +1433,58 @@ object WriteOps {
         .select("version", "pt_year", "cnt", "n_keys", "total")
     }),
 
+    // SCHEMA EVOLUTION on the snapshot table — the lakehouse ADD
+    // COLUMN commit (write_upsert_evolve's plain-parquet cousin, now
+    // with schema-as-metadata): v1's commit carries a column the table
+    // has never seen, the merged schema is RECORDED in v1's top
+    // manifest (parent schema ∪ slice schema, new columns nullable,
+    // type changes refused loudly), and reads resolve the recorded
+    // schema — carried files missing the column null-fill it with ZERO
+    // footer sampling, and v0 keeps its old schema verbatim (reading
+    // it shows no ghost column). Untouched partition files stay
+    // byte-identical (spec) — evolution costs one metadata line.
+    // At 100 TB: the schema lives in |versions| manifest headers, not
+    // in a million footers; readers of any width pay nothing for it.
+    "write_snapshot_evolve" -> ((s, d) => {
+      val root = scratch("snap_evolve_tbl")
+      SnapshotTable.deleteTree(root) // fresh lineage per invocation
+      val base = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = base.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, root, 0, base, years)
+      // the evolving batch: 1997 re-priced AND carrying a new column
+      val evolved = SnapshotTable.read(s, root, 0)
+        .filter(col("pt_year") === 1997)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        .withColumn("o_channel", lit("web"))
+      SnapshotTable.commit(s, root, 1, evolved, Seq(1997))
+      // schema-as-metadata sanity (spec pins the full contract)
+      require(SnapshotTable.tableSchema(root, 1)
+        .exists(_.fieldNames.contains("o_channel")),
+        "v1's manifest does not record the evolved schema")
+      require(SnapshotTable.tableSchema(root, 0)
+        .exists(!_.fieldNames.contains("o_channel")),
+        "v0's schema grew a ghost column")
+      val v0 = SnapshotTable.read(s, root, 0)
+        .groupBy("pt_year").agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          decSum("o_totalprice").as("total"))
+        .withColumn("n_chan", lit(null).cast("bigint"))
+        .withColumn("n_web", lit(null).cast("bigint"))
+        .withColumn("version", lit("v0"))
+      val v1 = SnapshotTable.read(s, root, 1)
+        .groupBy("pt_year").agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          decSum("o_totalprice").as("total"),
+          count(col("o_channel")).as("n_chan"),
+          count(when(col("o_channel") === "web", 1)).as("n_web"))
+        .withColumn("version", lit("v1"))
+      v0.unionByName(v1)
+        .select("version", "pt_year", "cnt", "n_keys", "total",
+          "n_chan", "n_web")
+    }),
+
     // WAP × DRIFT AUDIT — the full ingest-quality loop in one oracled
     // pipeline (write_wap_publish supplies the staging mechanics;
     // stats_drift_chi2 supplies the monitor): a batch stages on a
@@ -1830,6 +1954,34 @@ object WriteOps {
            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
              AS total
          FROM lab GROUP BY version, pt_year""",
+    // v0 reads through its own recorded schema (no channel column —
+    // NULL counts); v1's carried partitions null-fill the new column
+    // (n_chan 0), the evolved 1997 partition carries it on every row
+    "write_snapshot_evolve" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         v1 AS (
+           SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+             pt_year, 'web' AS o_channel
+           FROM t WHERE pt_year = 1997
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, pt_year,
+             cast(NULL AS varchar)
+           FROM t WHERE pt_year <> 1997)
+         SELECT 'v0' AS version, pt_year,
+           cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total,
+           cast(NULL AS bigint) AS n_chan, cast(NULL AS bigint) AS n_web
+         FROM t GROUP BY pt_year
+         UNION ALL
+         SELECT 'v1', pt_year, cast(count(*) AS bigint),
+           cast(count(DISTINCT o_orderkey) AS bigint),
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double),
+           cast(count(o_channel) AS bigint),
+           cast(count(CASE WHEN o_channel = 'web' THEN 1 END) AS bigint)
+         FROM v1 GROUP BY pt_year""",
     // both chi2 values recomputed on the same frozen integral-price
     // grid (ordered fold — hash-exact, the stats_drift_chi2
     // discipline); head must end exactly at the published clean

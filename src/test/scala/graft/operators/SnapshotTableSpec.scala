@@ -127,6 +127,64 @@ class SnapshotTableSpec extends AnyFunSuite {
     T.deleteTree(root)
   }
 
+  test("schema evolution: new columns record in the manifest, carried " +
+      "files null-fill, old versions keep their schema, type changes " +
+      "refuse") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("g_snap_evolve").toString
+    val T = WriteOps.SnapshotTable
+    T.commit(spark, root, 0,
+      Seq((1L, 1, 10.0), (2L, 2, 20.0))
+        .toDF("o_orderkey", "pt_year", "o_totalprice"), Seq(1, 2))
+    val y2Files = T.pointers(root, 0)(2)
+    val y2Mtime = mtimes(Seq(y2Files))
+
+    // v1 evolves: partition 1 rewritten WITH a new column
+    T.commit(spark, root, 1,
+      Seq((1L, 1, 11.0, "web"))
+        .toDF("o_orderkey", "pt_year", "o_totalprice", "o_channel"),
+      Seq(1))
+    // schema-as-metadata: v1 records the union, v0 stays narrow
+    assert(T.tableSchema(root, 1).get.fieldNames.toSeq ===
+      Seq("o_orderkey", "pt_year", "o_totalprice", "o_channel"))
+    assert(!T.tableSchema(root, 0).get.fieldNames.contains("o_channel"))
+    // carried partition 2: file untouched, new column null-fills
+    assert(mtimes(Seq(y2Files)) === y2Mtime)
+    val rows = T.read(spark, root, 1)
+      .select("o_orderkey", "o_channel").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows === Map(1L -> "web", 2L -> null))
+    // v0 read has no ghost column and its original values
+    assert(!T.read(spark, root, 0).columns.contains("o_channel"))
+    assert(T.read(spark, root, 0).filter(col("o_orderkey") === 1)
+      .select("o_totalprice").head.getDouble(0) === 10.0)
+
+    // a type change on an existing column is refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      T.commit(spark, root, 2,
+        Seq((1L, 1, "oops"))
+          .toDF("o_orderkey", "pt_year", "o_totalprice"), Seq(1))
+    }
+    assert(ex.getMessage.contains("cannot change column"))
+    // ...and the refused commit left no version behind
+    assert(T.versions(root) === Seq(0, 1))
+
+    // evolution composes with branches: the staged schema rides the
+    // branch ref and lands in the version manifest on publish
+    T.stageCommit(spark, root, "wider",
+      Seq((9L, 2, 90.0, "bulk", 7L))
+        .toDF("o_orderkey", "pt_year", "o_totalprice", "o_channel",
+          "o_batch"), Seq(2))
+    assert(T.readBranch(spark, root, "wider")
+      .columns.contains("o_batch"))
+    val v2 = T.publishBranch(root, "wider")
+    assert(T.tableSchema(root, v2).get.fieldNames.contains("o_batch"))
+    assert(T.read(spark, root, v2).filter(col("o_orderkey") === 1)
+      .select("o_batch").head.isNullAt(0))
+    T.deleteTree(root)
+  }
+
   test("optimistic concurrency: conflicting and orphan commits fail loudly") {
     val root = Files.createTempDirectory("g_snap_occ").toString
     val T = WriteOps.SnapshotTable
