@@ -216,6 +216,38 @@ class OptimizeSnapshotSpec extends AnyFunSuite {
     assert(chk(1) === chk(0))
   }
 
+  test("optimize composes with schema evolution: a post-evolve rewrite " +
+      "keeps values, stays data-unchanged, and carries the schema") {
+    import WriteOps.SnapshotTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("g_opt_evolve").toString + "/t"
+    // v0 fragmented and narrow
+    val base = spark.range(2000).select(
+      col("id").as("o_orderkey"), col("id").as("o_custkey"),
+      (col("id") % 97).cast("double").as("o_totalprice"),
+      lit(1).as("pt_year"))
+    SnapshotTable.commit(spark, root, 0, base.repartition(8), Seq(1))
+    // v1 evolves: same rows plus a new column on half of them
+    val evolved = SnapshotTable.read(spark, root, 0)
+      .withColumn("o_channel",
+        when(col("o_orderkey") % 2 === 0, lit("web")))
+    SnapshotTable.commit(spark, root, 1, evolved.repartition(8), Seq(1))
+
+    // optimize the evolved, fragmented table
+    assert(SnapshotTable.optimize(spark, root, 2).nonEmpty)
+    // data-unchanged across the rewrite, INCLUDING the evolved column
+    val chk = (v: Int) => SnapshotTable.read(spark, root, v)
+      .agg(sum("o_orderkey"), sum("o_totalprice"),
+        count(col("o_channel")), count(lit(1))).first()
+    assert(chk(2) === chk(1))
+    assert(WriteOps.tableChanges(spark, root, 1, 2).count() === 0,
+      "optimize after evolve produced change-feed rows")
+    // the rewritten version still records the evolved schema
+    assert(SnapshotTable.tableSchema(root, 2).get
+      .fieldNames.contains("o_channel"))
+    SnapshotTable.deleteTree(root)
+  }
+
   private implicit class JListLines(l: java.util.List[String]) {
     def asScalaLines: Seq[String] =
       scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq

@@ -212,4 +212,49 @@ class SnapshotTableSpec extends AnyFunSuite {
       Set(org.apache.spark.sql.Row(9L, 1, 99.0)))
     T.deleteTree(root)
   }
+
+  test("CONCURRENT commit race: of N simultaneous writers publishing " +
+      "the same version, exactly one wins and history stays sane") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("g_snap_race").toString
+    val T = WriteOps.SnapshotTable
+    T.commit(spark, root, 0,
+      Seq((0L, 1, 0.0)).toDF("o_orderkey", "pt_year", "o_totalprice"),
+      Seq(1))
+
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val n = 8
+    val pool = Executors.newFixedThreadPool(n)
+    val gate = new CountDownLatch(1)
+    val outcomes = (0 until n).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Either[String, Int]] {
+        def call(): Either[String, Int] = {
+          gate.await()
+          try {
+            WriteOps.SnapshotTable.commit(spark, root, 1,
+              Seq((100L + i, 1, i.toDouble))
+                .toDF("o_orderkey", "pt_year", "o_totalprice"), Seq(1))
+            Right(i)
+          } catch { case e: Exception => Left(e.getClass.getSimpleName) }
+        }
+      })
+    }
+    gate.countDown()
+    val results = outcomes.map(_.get())
+    pool.shutdown()
+
+    val winners = results.collect { case Right(i) => i }
+    assert(winners.length === 1,
+      s"expected exactly one winning writer, got $results")
+    // the table is intact: v1 is the winner's content, losers' staged
+    // bytes never replaced anything committed
+    val v1 = T.read(spark, root, 1).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(v1 === Set((100L + winners.head, winners.head.toDouble)))
+    assert(T.versions(root) === Seq(0, 1))
+    // v0 untouched by the melee
+    assert(T.read(spark, root, 0).collect()
+      .map(_.getLong(0)).toSet === Set(0L))
+    T.deleteTree(root)
+  }
 }
