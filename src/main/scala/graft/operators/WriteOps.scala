@@ -46,6 +46,17 @@ object WriteOps {
   private val cdfSetup =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  // per-JVM memo of the skipping gate's clustered table (see
+  // write_skipping_scan): sfDir -> table root
+  private val skipSetup =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  // per-(JVM, sfDir) snapshot-sink state for the streaming snapshot
+  // twin (see streamingSnapshotSink): sfDir -> (table root, ckpt dir).
+  // graft-visible so SnapshotSinkSpec can count versions across restarts.
+  private[graft] val snapSinkState =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+
   /** Small-files compaction — the maintenance operator every large
     * parquet lake needs: N fragmented files rewritten to
     * ceil(totalBytes / targetFileBytes) right-sized files. File count
@@ -381,17 +392,25 @@ object WriteOps {
           existing.contains(f.name))).map(_.copy(nullable = true)))
     }
 
-    private def readPartManifest(m: String): Seq[(String, Long)] = {
+    /** One data file's manifest record: path, byte size, and an encoded
+      * per-column min/max stats blob (`""` when the file predates stats
+      * collection or no column qualified) — the Iceberg/Delta data-
+      * skipping metadata, carried with the file through every
+      * carry-over, optimize, branch publish, and vacuum. */
+    private[graft] case class FileEntry(path: String, bytes: Long,
+        stats: String = "")
+
+    private def readPartManifest(m: String): Seq[FileEntry] = {
       val hp = new HPath(m)
       readAllLines(fsFor(hp), hp).filter(_.nonEmpty).map(parseEntry)
     }
 
     /** Write one immutable partition manifest; returns its path. */
     private def writePartManifest(root: String, name: String,
-        entries: Seq[(String, Long)]): String = {
+        entries: Seq[FileEntry]): String = {
       val mf = new HPath(mdir(root), name)
       writeAtomic(fsFor(mf), new HPath(mdir(root), s".$name.tmp"), mf,
-        entries.sortBy(_._1).map(fmtEntry))
+        entries.sortBy(_.path).map(fmtEntry))
       mf.toString
     }
 
@@ -400,6 +419,11 @@ object WriteOps {
       * verbatim thereafter, so maintenance planning (optimize) reads no
       * filesystem metadata at all — the manifests are the only source. */
     def entries(root: String, v: Int): Seq[(String, Long)] =
+      statEntries(root, v).map(e => (e.path, e.bytes))
+
+    /** A version's full manifest records including the per-file column
+      * stats blob — the data-skipping read path's input. */
+    private[graft] def statEntries(root: String, v: Int): Seq[FileEntry] =
       pointers(root, v).toSeq.sortBy(_._1)
         .flatMap { case (_, m) => readPartManifest(m) }
 
@@ -409,18 +433,245 @@ object WriteOps {
         years: Seq[Int]): Seq[(String, Long)] = {
       val ps = pointers(root, v)
       years.sorted.flatMap(y => ps.get(y).toSeq.flatMap(readPartManifest))
+        .map(e => (e.path, e.bytes))
     }
 
-    private def parseEntry(line: String): (String, Long) = {
-      val i = line.lastIndexOf('\t')
-      if (i < 0) (line, -1L)
-      else (line.take(i), line.drop(i + 1).toLong)
+    // entry line = path \t bytes [\t stats]; paths are generated names
+    // (never contain tabs), so a plain split is unambiguous
+    private def parseEntry(line: String): FileEntry = {
+      val t = line.split('\t')
+      if (t.length >= 3) FileEntry(t(0), t(1).toLong, t(2))
+      else if (t.length == 2) FileEntry(t(0), t(1).toLong)
+      else FileEntry(line, -1L)
     }
 
-    private def fmtEntry(e: (String, Long)): String = s"${e._1}\t${e._2}"
+    private def fmtEntry(e: FileEntry): String =
+      if (e.stats.isEmpty) s"${e.path}\t${e.bytes}"
+      else s"${e.path}\t${e.bytes}\t${e.stats}"
 
     def files(root: String, v: Int): Seq[String] =
-      entries(root, v).map(_._1)
+      statEntries(root, v).map(_.path)
+
+    // ------------------------------------------------------------------
+    // FILE-LEVEL COLUMN STATISTICS + DATA SKIPPING (the Delta/Iceberg
+    // skipping path): at commit, each fresh data file's per-column
+    // min/max is read from its PARQUET FOOTER (KB of metadata, no row
+    // reads) and recorded on its manifest line. A filtered read then
+    // prunes the version's file list in MANIFEST metadata — before any
+    // footer, let alone any row, is opened — keeping only files whose
+    // [min,max] can intersect the predicate. Files without stats for
+    // the column (pre-stats commits, schema-evolution gaps, unsupported
+    // types) are conservatively KEPT, so skipping is always a pure
+    // optimization. Composes with write_zordered/optimize(zorderBy):
+    // clustered layouts make per-file ranges near-disjoint, which is
+    // exactly what turns min/max pruning into large skip fractions.
+    // ------------------------------------------------------------------
+
+    /** One column's recorded bounds. `typ`: 'L' integral/date (ordered
+      * as Long), 'D' double/float (ordered as Double), 'S' string
+      * (ordered as unsigned UTF-8 bytes — parquet's UTF8 order). Values
+      * are Base64 so the blob stays tab/semicolon-free. */
+    private[graft] case class ColStat(typ: Char, min: String, max: String)
+
+    private def b64e(s: String): String =
+      java.util.Base64.getUrlEncoder.withoutPadding
+        .encodeToString(s.getBytes(UTF_8))
+    private def b64d(s: String): String =
+      new String(java.util.Base64.getUrlDecoder.decode(s), UTF_8)
+
+    private def encodeStats(m: Map[String, ColStat]): String =
+      m.toSeq.sortBy(_._1).map { case (c, st) =>
+        s"${b64e(c)}:${st.typ}:${b64e(st.min)}:${b64e(st.max)}"
+      }.mkString(";")
+
+    private[graft] def decodeStats(s: String): Map[String, ColStat] =
+      if (s.isEmpty) Map.empty
+      else s.split(';').iterator.map { part =>
+        val t = part.split(':')
+        b64d(t(0)) -> ColStat(t(1).charAt(0), b64d(t(2)), b64d(t(3)))
+      }.toMap
+
+    /** Columns worth indexing, capped at 32 (Delta's
+      * dataSkippingNumIndexedCols discipline). Unsupported types
+      * (decimals, nested, binary) simply collect no stats — their
+      * predicates scan everything, correctly. */
+    private def statColsOf(
+        schema: org.apache.spark.sql.types.StructType): Map[String, Char] = {
+      import org.apache.spark.sql.types._
+      schema.fields.iterator.flatMap { f =>
+        f.dataType match {
+          case IntegerType | LongType | ShortType | ByteType | DateType =>
+            Some(f.name -> 'L')
+          case DoubleType | FloatType => Some(f.name -> 'D')
+          case StringType => Some(f.name -> 'S')
+          case _ => None
+        }
+      }.take(32).toMap
+    }
+
+    /** Read ONE file's per-column min/max from its parquet footer —
+      * metadata only (the footer is KBs regardless of file size).
+      * Row-group stats merge per column; a column whose stats are
+      * missing/empty in ANY row group is dropped for the file
+      * (conservative — the file is then never skipped on it). NaN
+      * bounds on float/double are dropped too (parquet NaN-ordering
+      * hazard). */
+    private def footerStats(path: String,
+        conf: org.apache.hadoop.conf.Configuration,
+        cols: Map[String, Char]): Map[String, ColStat] = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val rd = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new HPath(path), conf))
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala
+        // col -> (typ, running min repr, running max repr, stillValid)
+        val acc = scala.collection.mutable.Map[String, ColStat]()
+        val dead = scala.collection.mutable.Set[String]()
+        def utf8lt(a: String, b: String): Boolean = {
+          val x = a.getBytes(UTF_8); val y = b.getBytes(UTF_8)
+          val n = math.min(x.length, y.length)
+          var i = 0
+          while (i < n) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c < 0
+            i += 1
+          }
+          x.length < y.length
+        }
+        blocks.foreach { blk =>
+          blk.getColumns.asScala.foreach { cc =>
+            val name = cc.getPath.toDotString
+            cols.get(name).foreach { typ =>
+              val st = cc.getStatistics
+              val ok = st != null && !st.isEmpty && st.hasNonNullValue
+              if (!ok) dead += name
+              else {
+                val (mn, mx) = typ match {
+                  case 'S' =>
+                    val b = st.asInstanceOf[
+                      org.apache.parquet.column.statistics.BinaryStatistics]
+                    (new String(b.genericGetMin.getBytes, UTF_8),
+                      new String(b.genericGetMax.getBytes, UTF_8))
+                  case _ =>
+                    (st.genericGetMin.toString, st.genericGetMax.toString)
+                }
+                if (typ == 'D' &&
+                    (mn.toDouble.isNaN || mx.toDouble.isNaN)) dead += name
+                else acc.get(name) match {
+                  case None => acc(name) = ColStat(typ, mn, mx)
+                  case Some(p) =>
+                    val lt: (String, String) => Boolean = typ match {
+                      case 'L' => (a, b) => a.toLong < b.toLong
+                      case 'D' => (a, b) => a.toDouble < b.toDouble
+                      case _ => utf8lt
+                    }
+                    acc(name) = ColStat(typ,
+                      if (lt(mn, p.min)) mn else p.min,
+                      if (lt(p.max, mx)) mx else p.max)
+                }
+              }
+            }
+          }
+        }
+        (acc -- dead).toMap
+      } finally rd.close()
+    }
+
+    /** Stats for a batch of freshly committed files. Driver-serial
+      * under 64 files (a footer read is ~ms and a Spark job launch
+      * costs more); beyond that the footer reads FAN OUT as one Spark
+      * job over the file list — at a 100 TB commit touching thousands
+      * of files, stats collection distributes like everything else
+      * and only (path → tiny stats blob) pairs return to the driver. */
+    private def collectStats(s: SparkSession, paths: Seq[String],
+        cols: Map[String, Char]): Map[String, String] = {
+      if (paths.isEmpty || cols.isEmpty)
+        paths.map(_ -> "").toMap
+      else if (paths.size <= 64) {
+        val conf = hconf()
+        paths.map(p => p -> encodeStats(footerStats(p, conf, cols))).toMap
+      } else {
+        val sconf = new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration)
+        val bc = s.sparkContext.broadcast(sconf)
+        s.sparkContext.parallelize(paths, math.min(paths.size, 256))
+          .map { p =>
+            p -> encodeStats(footerStats(p, bc.value.value, cols))
+          }.collect().toMap
+      }
+    }
+
+    /** DATA SKIPPING: the files of version v that can contain rows with
+      * `column` in [lo, hi] (both inclusive), decided from manifest
+      * stats alone. Bounds: Long (integral / date as epoch-day), Double,
+      * or String. Files lacking stats for the column are kept. */
+    def filesInRange(root: String, v: Int, column: String,
+        lo: Any, hi: Any): Seq[String] =
+      statEntries(root, v).filter { e =>
+        decodeStats(e.stats).get(column) match {
+          case None => true // no stats — cannot prune, stay correct
+          case Some(st) => st.typ match {
+            case 'L' =>
+              val (l, h) = (toL(lo), toL(hi))
+              !(h < st.min.toLong || l > st.max.toLong)
+            case 'D' =>
+              val (l, h) = (toD(lo), toD(hi))
+              !(h < st.min.toDouble || l > st.max.toDouble)
+            case _ =>
+              val (l, h) = (lo.toString, hi.toString)
+              !(utf8cmp(h, st.min) < 0 || utf8cmp(l, st.max) > 0)
+          }
+        }
+      }.map(_.path)
+
+    private def toL(a: Any): Long = a match {
+      case n: Number => n.longValue()
+      case d: java.sql.Date => d.toLocalDate.toEpochDay
+      case d: java.time.LocalDate => d.toEpochDay
+      case o => o.toString.toLong
+    }
+    private def toD(a: Any): Double = a match {
+      case n: Number => n.doubleValue()
+      case o => o.toString.toDouble
+    }
+    // parquet UTF8 stats order = unsigned byte order, NOT Java's
+    // UTF-16 compareTo (they diverge past the BMP) — compare bytes
+    private def utf8cmp(a: String, b: String): Int = {
+      val x = a.getBytes(UTF_8); val y = b.getBytes(UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+
+    /** Skipping read: resolve version v pruned to [[filesInRange]] and
+      * re-apply the predicate exactly (stats pruning is file-granular;
+      * the residual filter restores row granularity). The scan that
+      * results opens only surviving files — at 100 TB with a clustered
+      * layout (write_zordered / optimize zorderBy) that is the
+      * difference between a full-table scan and a few files. */
+    def readRange(s: SparkSession, root: String, v: Int, column: String,
+        lo: Any, hi: Any): DataFrame = {
+      val pruned = filesInRange(root, v, column, lo, hi)
+      val base =
+        if (pruned.nonEmpty) {
+          val r = tableSchema(root, v).map(s.read.schema).getOrElse(s.read)
+          r.parquet(pruned: _*)
+        } else read(s, root, v).filter(lit(false))
+      base.filter(col(column).between(
+        lit(boundLit(lo)), lit(boundLit(hi))))
+    }
+
+    private def boundLit(a: Any): Any = a match {
+      case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+      case o => o
+    }
 
     /** Reads resolve the version's RECORDED schema (no footer
       * sampling): a data file missing a later-added column null-fills
@@ -463,7 +714,7 @@ object WriteOps {
       * the listing), so manifests store root-relative forms verbatim. */
     private def stageDataFiles(s: SparkSession, root: String,
         stageName: String, slice: DataFrame, touched: Seq[Int],
-        namer: (Int, Int) => String): Seq[(Int, Seq[(String, Long)])] = {
+        namer: (Int, Int) => String): Seq[(Int, Seq[FileEntry])] = {
       val dataDir = new HPath(root, "data")
       val fs = fsFor(dataDir)
       fs.mkdirs(dataDir)
@@ -490,11 +741,21 @@ object WriteOps {
         }
       }
       deleteTree(stage.toString)
-      moved
+      // data-skipping stats: per fresh file, column min/max from the
+      // parquet FOOTER (metadata only — see collectStats for the
+      // driver/distributed cutover), recorded on the manifest line so
+      // every future filtered read prunes without touching storage
+      val stats = collectStats(s, moved.flatMap(_._2.map(_._1)),
+        statColsOf(slice.schema))
+      moved.map { case (y, es) =>
+        y -> es.map { case (p, b) =>
+          FileEntry(p, b, stats.getOrElse(p, ""))
+        }
+      }
     }
 
     def commit(s: SparkSession, root: String, v: Int, slice: DataFrame,
-        touched: Seq[Int]): Unit = {
+        touched: Seq[Int], txn: Option[(String, Long)] = None): Unit = {
       val fs = fsFor(manifest(root, v))
       // optimistic concurrency: history is linear and a version commits
       // once. Two writers racing to publish the same v both pass this
@@ -530,11 +791,51 @@ object WriteOps {
           .map(mergeSchemas(_, slice.schema))
           .getOrElse(slice.schema)
       val tmp = new HPath(mdir(root), s".v$v.tmp")
+      val txnLine = txn.toSeq.map { case (app, id) =>
+        s"#txn=${b64e(app)}\t$id"
+      }
       lockFor(root).synchronized {
         writeAtomic(fs, tmp, manifest(root, v),
-          s"#schema=${schema.json}" +:
+          (s"#schema=${schema.json}" +: txnLine) ++
             (carriedPtrs ++ freshPtrs).toSeq.sortBy(_._1)
               .map { case (y, m) => s"y$y\t$m" })
+      }
+    }
+
+    /** The (application, batchId) recorded with version v's commit, if
+      * any — the Delta `txn` action's analog, written by idempotent
+      * streaming writers. */
+    def txnOf(root: String, v: Int): Option[(String, Long)] =
+      topLines(root, v).find(_.startsWith("#txn=")).map { l =>
+        val rest = l.stripPrefix("#txn=")
+        val i = rest.indexOf('\t')
+        (b64d(rest.take(i)), rest.drop(i + 1).toLong)
+      }
+
+    /** Latest batchId `app` has committed — head-first scan of the
+      * retained versions' top manifests (each a KB of metadata; the
+      * scan is bounded by retention, and a steady writer hits it on
+      * the first or second probe). */
+    def lastTxn(root: String, app: String): Option[Long] =
+      versions(root).sorted.reverseIterator
+        .flatMap(v => txnOf(root, v).filter(_._1 == app).map(_._2))
+        .nextOption()
+
+    /** IDEMPOTENT commit for at-least-once writers (foreachBatch): the
+      * batch lands as the next version with its (app, batchId) recorded
+      * in the top manifest; a REPLAYED batchId is recognized and skipped
+      * — the exactly-once discipline a streaming sink needs over an
+      * at-least-once delivery, exactly Delta's txn-action protocol.
+      * Returns true iff a version was committed. */
+    def commitIfNew(s: SparkSession, root: String, app: String,
+        batchId: Long, slice: DataFrame, touched: Seq[Int]): Boolean = {
+      if (lastTxn(root, app).exists(_ >= batchId)) false
+      else {
+        val head = versions(root).maxOption
+          .getOrElse(throw new IllegalStateException(
+            s"commitIfNew needs an initialized table at $root (v0)"))
+        commit(s, root, head + 1, slice, touched, Some((app, batchId)))
+        true
       }
     }
 
@@ -591,7 +892,7 @@ object WriteOps {
       require(targetFileBytes > 0, "targetFileBytes must be positive")
       require(zorderBy.length <= 2,
         "zorderBy supports one (range) or two (Morton) columns")
-      val byYear: Map[Int, Seq[(String, Long)]] =
+      val byYear: Map[Int, Seq[FileEntry]] =
         pointers(root, newV - 1).map { case (y, m) =>
           y -> readPartManifest(m) }
       val fragmented = byYear.collect {
@@ -603,7 +904,7 @@ object WriteOps {
         // makes zero filesystem calls — at millions of live files the
         // nightly optimize never stats a file
         val filesFor: Map[Int, Int] = fragmented.map { y =>
-          val bytes = byYear(y).map(_._2).sum
+          val bytes = byYear(y).map(_.bytes).sum
           y -> math.max(1,
             math.ceil(bytes.toDouble / targetFileBytes).toInt)
         }.toMap
@@ -652,7 +953,7 @@ object WriteOps {
       expired.foreach { v =>
         pointers(root, v).values.filterNot(keptPtrs.contains)
           .foreach { m =>
-            readPartManifest(m).map(_._1).filterNot(keepFiles.contains)
+            readPartManifest(m).map(_.path).filterNot(keepFiles.contains)
               .foreach { f =>
                 val p = new HPath(f)
                 fsFor(p).delete(p, false)
@@ -783,7 +1084,7 @@ object WriteOps {
           .asInstanceOf[org.apache.spark.sql.types.StructType]))
         .getOrElse(s.read)
       r.parquet(ptrs.values
-        .flatMap { case (m, _) => readPartManifest(m).map(_._1) }
+        .flatMap { case (m, _) => readPartManifest(m).map(_.path) }
         .toSeq.sorted: _*)
     }
 
@@ -818,8 +1119,8 @@ object WriteOps {
     def abandonBranch(root: String, name: String): Unit = {
       val (_, ptrs, _) = branchState(root, name)
       ptrs.values.collect { case (m, true) => m }.foreach { m =>
-        readPartManifest(m).foreach { case (f, _) =>
-          val p = new HPath(f)
+        readPartManifest(m).foreach { e =>
+          val p = new HPath(e.path)
           fsFor(p).delete(p, false)
         }
         val mp = new HPath(m)
@@ -981,6 +1282,101 @@ object WriteOps {
         col("total_dec").cast("double").as("total"),
         (col("total_dec").cast("double") /
           col("n_orders").cast("double")).as("avg_price"))
+  }
+
+  /** Build-once snapshot table for the data-skipping gate: orders,
+    * range-clustered by `o_custkey` ACROSS the commit (8 range tasks ×
+    * partitionBy(year) → per year, ~8 files each holding a narrow,
+    * near-disjoint custkey band), so the footer-derived min/max recorded
+    * in the manifest actually separates files. This is the layout
+    * discipline (range/z-order clustering) that makes min/max skipping
+    * effective at 100 TB — without it every file's range spans the
+    * domain and nothing prunes. */
+  private def skippingTable(s: SparkSession, d: String): String =
+    skipSetup.getOrElseUpdate(d, {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val root = scratch(s"skip_tbl_$run")
+      SnapshotTable.deleteTree(root)
+      val base = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = base.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, root, 0,
+        base.repartitionByRange(8, col("o_custkey")), years)
+      root
+    })
+
+  /** One micro-batch → one snapshot version: keep-latest merge of the
+    * batch into the head's touched partitions, committed through
+    * [[SnapshotTable.commitIfNew]] with the batch's id as the txn — the
+    * exactly-once snapshot-table streaming sink (Delta's idempotent
+    * `txn` writer). A replayed batch (at-least-once foreachBatch) is
+    * recognized from the recorded txn and skipped BEFORE any file
+    * lands; per-arrival cost is O(batch + touched partitions). */
+  private[graft] def snapshotSinkMerge(s: SparkSession, root: String,
+      batchId: Long, batch: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val touched = batch.select("pt_year").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.nonEmpty) {
+      val head = SnapshotTable.versions(root).max
+      val merged = batch.withColumn("src", lit(1))
+        .unionByName(SnapshotTable.read(s, root, head)
+          .filter(col("pt_year").isin(touched.map(Integer.valueOf): _*))
+          .withColumn("src", lit(0)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderkey").orderBy(col("src").desc)))
+        .filter(col("rn") === 1).drop("rn", "src")
+      SnapshotTable.commitIfNew(s, root, "ingest", batchId, merged,
+        touched)
+    }
+  }
+
+  /** Streaming sink INTO the snapshot table — gate
+    * `streaming_ingest_snapshot`: the 1997 upsert batch ARRIVES as
+    * micro-batches and each lands as its own snapshot VERSION through
+    * [[snapshotSinkMerge]] (foreachBatch + durable checkpoint + the
+    * manifest-recorded txn id). Batch-split invariance comes from key
+    * disjointness (every change-batch key appears once), so the batch
+    * oracle (write_time_travel's v1 shape) verifies the stream
+    * unchanged. Restart safety is TWO independent layers: the
+    * checkpoint's offset log (a drained file never re-delivers) and the
+    * txn guard (an at-least-once redelivery is recognized in metadata
+    * and skipped) — so the table's history stays linear and each batch
+    * lands EXACTLY once, the contract a lakehouse streaming writer
+    * must give at 100 TB. */
+  private[graft] def streamingSnapshotSink(s: SparkSession,
+      d: String): DataFrame = {
+    import graft.streaming.DocIngest
+    val (root, ckpt) = snapSinkState.getOrElseUpdate(d, {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val r = scratch(s"stream_snap_tbl_$run")
+      val ck = scratch(s"stream_snap_ckpt_$run")
+      SnapshotTable.deleteTree(r)
+      val base = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = base.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, r, 0, base, years)
+      (r, ck)
+    })
+    val arrivals = DocIngest.stagedDirOf(s"snapsink|$d", "o_orderkey",
+      upsertBatch(s, d))
+    val src = DocIngest.sourceOver(s, arrivals,
+      s.read.parquet(arrivals + "/b0").schema)
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        snapshotSinkMerge(s, root, id, batch)
+      }
+      .start()
+    DocIngest.await(q)
+    SnapshotTable.read(s, root, SnapshotTable.versions(root).max)
+      .groupBy("pt_year")
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        decSum("o_totalprice").as("total"))
   }
 
   // per-(JVM, sfDir) CDC-applied table for the streaming apply twin
@@ -1289,6 +1685,26 @@ object WriteOps {
     // write_incremental_agg because the merge partials form a
     // commutative monoid — the batch split cannot change the result.
     "streaming_ingest_agg" -> ((s, d) => streamingIncrAgg(s, d)),
+
+    // DATA SKIPPING on the snapshot table (see SnapshotTable's stats
+    // block): per-file column min/max recorded from parquet FOOTERS at
+    // commit, a narrow o_custkey range query pruned to the surviving
+    // files in MANIFEST metadata (readRange), residual filter restores
+    // row granularity. The table is range-clustered by o_custkey so the
+    // recorded ranges are near-disjoint and most files skip
+    // (DataSkippingSpec asserts the pruned-file count; the oracle
+    // proves the pruned scan loses nothing).
+    "write_skipping_scan" -> ((s, d) => {
+      val root = skippingTable(s, d)
+      SnapshotTable.readRange(s, root, 0, "o_custkey", 100L, 400L)
+        .groupBy("pt_year")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          decSum("o_totalprice").as("total"))
+    }),
+
+    // streaming sink into the snapshot table (see streamingSnapshotSink)
+    "streaming_ingest_snapshot" -> ((s, d) => streamingSnapshotSink(s, d)),
 
     // streaming twin of write_apply_changes (see streamingApplyChanges)
     "streaming_ingest_apply" -> ((s, d) => streamingApplyChanges(s, d)),
@@ -1843,6 +2259,40 @@ object WriteOps {
            / cast(count(*) AS double) AS avg_price
          FROM orders WHERE year(o_orderdate) <= 1997
          GROUP BY o_custkey""",
+
+    // the pruned scan must lose nothing: the oracle is the plain
+    // predicate over the source table — file-level skipping is
+    // invisible to results, visible only to IO (DataSkippingSpec)
+    "write_skipping_scan" ->
+      """SELECT cast(year(o_orderdate) AS int) AS pt_year,
+         cast(count(*) AS bigint) AS cnt,
+         cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+           AS total
+         FROM orders WHERE o_custkey BETWEEN 100 AND 400
+         GROUP BY 1""",
+
+    // the stream lands the same v1 state the one-shot upsert commit
+    // produces (write_time_travel's v1 shape) — batch-split-invariant
+    // by key disjointness, exactly-once by the manifest txn guard
+    "streaming_ingest_snapshot" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         upd AS (
+           SELECT o_orderkey, o_custkey,
+             o_totalprice + 100.0 AS o_totalprice, pt_year
+           FROM t WHERE pt_year = 1997
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, 1.0, pt_year
+           FROM t WHERE pt_year = 1997),
+         v1 AS (
+           SELECT * FROM t WHERE pt_year <> 1997
+           UNION ALL SELECT * FROM upd)
+         SELECT pt_year, cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total
+         FROM v1 GROUP BY pt_year""",
 
     // the dim reconstructed as interval rows (same version algebra as
     // the write_scd2 oracle), facts joined to the version containing

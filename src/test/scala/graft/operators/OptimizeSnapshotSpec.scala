@@ -194,9 +194,11 @@ class OptimizeSnapshotSpec extends AnyFunSuite {
         Paths.get(root, "_manifests", "v0.txt")).asScalaLines
       .find(_.startsWith("y1\t")).get.split('\t')(1)
     val m = Paths.get(mPath)
+    // entry line = path \t bytes [\t stats] — inflate field 2 only
     val inflated = Files.readAllLines(m).asScalaLines.map { l =>
-      val i = l.lastIndexOf('\t')
-      l.take(i) + "\t" + (l.drop(i + 1).toLong * 8)
+      val t = l.split('\t')
+      (t.updated(1, (t(1).toLong * 8).toString): Array[String])
+        .mkString("\t")
     }
     Files.write(m, java.util.Arrays.asList(inflated: _*))
     // the tamper bypassed the local Hadoop FS, so its CRC sidecar is now
