@@ -51,6 +51,11 @@ object WriteOps {
   private val skipSetup =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  // per-JVM memo of the z-order scan gate's optimized table (see
+  // write_zorder_scan): sfDir -> table root
+  private val zscanSetup =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   // per-(JVM, sfDir) snapshot-sink state for the streaming snapshot
   // twin (see streamingSnapshotSink): sfDir -> (table root, ckpt dir).
   // graft-visible so SnapshotSinkSpec can count versions across restarts.
@@ -609,19 +614,31 @@ object WriteOps {
       * or String. Files lacking stats for the column are kept. */
     def filesInRange(root: String, v: Int, column: String,
         lo: Any, hi: Any): Seq[String] =
+      filesWhere(root, v, Seq((column, lo, hi)))
+
+    /** CONJUNCTIVE skipping: files surviving EVERY (column, lo, hi)
+      * range. This is what a z-ordered layout is FOR — the Morton
+      * interleave makes per-file ranges near-disjoint in BOTH clustered
+      * dimensions, so a two-column predicate multiplies the two skip
+      * fractions instead of taking their minimum. */
+    def filesWhere(root: String, v: Int,
+        preds: Seq[(String, Any, Any)]): Seq[String] =
       statEntries(root, v).filter { e =>
-        decodeStats(e.stats).get(column) match {
-          case None => true // no stats — cannot prune, stay correct
-          case Some(st) => st.typ match {
-            case 'L' =>
-              val (l, h) = (toL(lo), toL(hi))
-              !(h < st.min.toLong || l > st.max.toLong)
-            case 'D' =>
-              val (l, h) = (toD(lo), toD(hi))
-              !(h < st.min.toDouble || l > st.max.toDouble)
-            case _ =>
-              val (l, h) = (lo.toString, hi.toString)
-              !(utf8cmp(h, st.min) < 0 || utf8cmp(l, st.max) > 0)
+        val st = decodeStats(e.stats)
+        preds.forall { case (column, lo, hi) =>
+          st.get(column) match {
+            case None => true // no stats — cannot prune, stay correct
+            case Some(cs) => cs.typ match {
+              case 'L' =>
+                val (l, h) = (toL(lo), toL(hi))
+                !(h < cs.min.toLong || l > cs.max.toLong)
+              case 'D' =>
+                val (l, h) = (toD(lo), toD(hi))
+                !(h < cs.min.toDouble || l > cs.max.toDouble)
+              case _ =>
+                val (l, h) = (lo.toString, hi.toString)
+                !(utf8cmp(h, cs.min) < 0 || utf8cmp(l, cs.max) > 0)
+            }
           }
         }
       }.map(_.path)
@@ -657,15 +674,23 @@ object WriteOps {
       * layout (write_zordered / optimize zorderBy) that is the
       * difference between a full-table scan and a few files. */
     def readRange(s: SparkSession, root: String, v: Int, column: String,
-        lo: Any, hi: Any): DataFrame = {
-      val pruned = filesInRange(root, v, column, lo, hi)
+        lo: Any, hi: Any): DataFrame =
+      readWhere(s, root, v, Seq((column, lo, hi)))
+
+    /** Conjunctive skipping read — see [[filesWhere]]; every predicate
+      * is re-applied exactly on the surviving files. */
+    def readWhere(s: SparkSession, root: String, v: Int,
+        preds: Seq[(String, Any, Any)]): DataFrame = {
+      val pruned = filesWhere(root, v, preds)
       val base =
         if (pruned.nonEmpty) {
           val r = tableSchema(root, v).map(s.read.schema).getOrElse(s.read)
           r.parquet(pruned: _*)
         } else read(s, root, v).filter(lit(false))
-      base.filter(col(column).between(
-        lit(boundLit(lo)), lit(boundLit(hi))))
+      preds.foldLeft(base) { case (df, (column, lo, hi)) =>
+        df.filter(col(column).between(
+          lit(boundLit(lo)), lit(boundLit(hi))))
+      }
     }
 
     private def boundLit(a: Any): Any = a match {
@@ -1306,6 +1331,29 @@ object WriteOps {
       root
     })
 
+  /** Build-once snapshot table for the z-order composition gate: a
+    * fragmented lineitem commit (v0), then OPTIMIZE ... ZORDER BY
+    * (l_partkey, l_suppkey) publishes v1 — the maintenance pass that
+    * turns a write-ordered mess into a two-dimensionally clustered
+    * layout whose footer stats (recorded by the same commit) make
+    * conjunctive skipping multiplicative. */
+  private def zorderSnapTable(s: SparkSession, d: String): String =
+    zscanSetup.getOrElseUpdate(d, {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val root = scratch(s"zscan_tbl_$run")
+      SnapshotTable.deleteTree(root)
+      val base = lineitem(s, d).select(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), year(col("l_shipdate")).as("pt_year"))
+      val years = base.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, root, 0, base.repartition(12), years)
+      SnapshotTable.optimize(s, root, 1, maxFilesPerPartition = 1,
+        targetFileBytes = 32L << 10,
+        zorderBy = Seq("l_partkey", "l_suppkey"))
+      root
+    })
+
   /** One micro-batch → one snapshot version: keep-latest merge of the
     * batch into the head's touched partitions, committed through
     * [[SnapshotTable.commitIfNew]] with the batch's id as the txn — the
@@ -1705,6 +1753,24 @@ object WriteOps {
 
     // streaming sink into the snapshot table (see streamingSnapshotSink)
     "streaming_ingest_snapshot" -> ((s, d) => streamingSnapshotSink(s, d)),
+
+    // OPTIMIZE ZORDER × DATA SKIPPING — the full lakehouse maintenance
+    // loop in one gate: a fragmented commit is z-order-compacted
+    // (Morton interleave of l_partkey × l_suppkey), the rewrite's own
+    // footer stats land in v1's manifest, and a CONJUNCTIVE two-column
+    // range read (readWhere) prunes files that can't hold EITHER
+    // predicate — the multiplicative skip a 2-D clustered layout buys
+    // that 1-D sorting can't (DataSkippingSpec asserts the prune; the
+    // oracle proves the pruned scan is exact).
+    "write_zorder_scan" -> ((s, d) => {
+      val root = zorderSnapTable(s, d)
+      SnapshotTable.readWhere(s, root, 1,
+          Seq(("l_partkey", 10L, 60L), ("l_suppkey", 2L, 5L)))
+        .groupBy("pt_year")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("l_orderkey")).as("n_keys"),
+          decSum("l_quantity").as("total_qty"))
+    }),
 
     // streaming twin of write_apply_changes (see streamingApplyChanges)
     "streaming_ingest_apply" -> ((s, d) => streamingApplyChanges(s, d)),
@@ -2270,6 +2336,17 @@ object WriteOps {
          cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
            AS total
          FROM orders WHERE o_custkey BETWEEN 100 AND 400
+         GROUP BY 1""",
+
+    // skipping is invisible to results: plain conjunctive predicate
+    "write_zorder_scan" ->
+      """SELECT cast(year(l_shipdate) AS int) AS pt_year,
+         cast(count(*) AS bigint) AS cnt,
+         cast(count(DISTINCT l_orderkey) AS bigint) AS n_keys,
+         cast(sum(cast(l_quantity AS decimal(18,2))) AS double)
+           AS total_qty
+         FROM lineitem
+         WHERE l_partkey BETWEEN 10 AND 60 AND l_suppkey BETWEEN 2 AND 5
          GROUP BY 1""",
 
     // the stream lands the same v1 state the one-shot upsert commit

@@ -144,6 +144,36 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(T.readRange(spark, root, 0, "s", emoji, emoji).count() === 1)
   }
 
+  test("conjunctive skipping over a z-ordered layout prunes multiplicatively") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("g_skip_zorder").toString
+    // 64×64 grid, fragmented commit, then OPTIMIZE ZORDER BY (a, b)
+    val df = (for (a <- 0L until 64L; b <- 0L until 64L)
+      yield (a, b, 1)).toDF("a", "b", "pt_year").repartition(10)
+    T.commit(spark, root, 0, df, Seq(1))
+    assert(T.optimize(spark, root, 1, maxFilesPerPartition = 1,
+      targetFileBytes = 4L << 10, zorderBy = Seq("a", "b")) === Seq(1))
+    val all = T.files(root, 1)
+    assert(all.size >= 4, s"fixture wrote ${all.size} files — too few to prune")
+    val prunedA = T.filesWhere(root, 1, Seq(("a", 10L, 20L)))
+    val prunedB = T.filesWhere(root, 1, Seq(("b", 10L, 20L)))
+    val prunedAB = T.filesWhere(root, 1,
+      Seq(("a", 10L, 20L), ("b", 10L, 20L)))
+    // the z-curve clusters BOTH dims: each 1-D predicate prunes, and
+    // the conjunction prunes at least as hard as the better of the two
+    assert(prunedA.size < all.size, "a-range did not prune")
+    assert(prunedB.size < all.size, "b-range did not prune")
+    assert(prunedAB.size <= math.min(prunedA.size, prunedB.size))
+    assert(prunedAB.nonEmpty)
+    // exactness: pruned conjunctive read == full scan + filter
+    val expect = T.read(spark, root, 1)
+      .filter(col("a").between(10, 20) && col("b").between(10, 20))
+      .count()
+    assert(expect === 11L * 11L)
+    assert(T.readWhere(spark, root, 1,
+      Seq(("a", 10L, 20L), ("b", 10L, 20L))).count() === expect)
+  }
+
   test("optimize's rewrite re-collects stats on the compacted files") {
     import spark.implicits._
     val root = Files.createTempDirectory("g_skip_opt").toString
