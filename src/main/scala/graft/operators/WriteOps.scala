@@ -1427,6 +1427,62 @@ object WriteOps {
         decSum("o_totalprice").as("total"))
   }
 
+  // per-(JVM, sfDir) state for the snapshot SOURCE gate:
+  // sfDir -> (table root, ckpt dir, output dir)
+  private val snapSrcState =
+    scala.collection.concurrent.TrieMap[String, (String, String, String)]()
+
+  /** Streaming READ of the snapshot table — gate
+    * `streaming_source_snapshot`, the consumer half of the lakehouse
+    * streaming story (streaming_ingest_snapshot is the producer): the
+    * graft-snapshot DSv2 connector (graft.sources.SnapshotSourceProvider)
+    * serves each committed VERSION's manifest-diff fresh files as
+    * streaming progress. The fixture history is append-shaped — v0
+    * loads years ≤ 1995, then one fresh-partition commit per later
+    * year — so the version diffs are exactly the appends, and draining
+    * the stream reconstructs the whole table; the oracle verifies it
+    * against the plain orders aggregate. The drain checkpoint makes
+    * re-invocation a restart: offsets resume past served versions,
+    * nothing re-emits, and the landed output is re-read as-is. */
+  private[graft] def streamingSnapshotSource(s: SparkSession,
+      d: String): DataFrame = {
+    val (root, ckpt, out) = snapSrcState.getOrElseUpdate(d, {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val r = scratch(s"snapsrc_tbl_$run")
+      SnapshotTable.deleteTree(r)
+      val base = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = base.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val (old, recent) = years.partition(_ <= 1995)
+      SnapshotTable.commit(s, r, 0,
+        base.filter(col("pt_year") <= 1995), old)
+      recent.zipWithIndex.foreach { case (y, i) =>
+        SnapshotTable.commit(s, r, i + 1,
+          base.filter(col("pt_year") === y), Seq(y))
+      }
+      (r, scratch(s"snapsrc_ckpt_$run"), scratch(s"snapsrc_out_$run"))
+    })
+    val src = s.readStream.format("graft-snapshot")
+      .option("root", root).load()
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        // per-batch overwrite dir: an at-least-once replay rewrites
+        // identical content — idempotent landing
+        b.write.mode(SaveMode.Overwrite).parquet(s"$out/b$id")
+      }
+      .start()
+    graft.streaming.DocIngest.await(q)
+    s.read.option("recursiveFileLookup", "true")
+      .schema(src.schema).parquet(out)
+      .groupBy("pt_year")
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        decSum("o_totalprice").as("total"))
+  }
+
   // per-(JVM, sfDir) CDC-applied table for the streaming apply twin
   private val streamApplyState =
     scala.collection.concurrent.TrieMap[String, (String, String, String)]()
@@ -1753,6 +1809,10 @@ object WriteOps {
 
     // streaming sink into the snapshot table (see streamingSnapshotSink)
     "streaming_ingest_snapshot" -> ((s, d) => streamingSnapshotSink(s, d)),
+
+    // streaming read FROM the snapshot table through the DSv2
+    // connector (see streamingSnapshotSource / graft.sources)
+    "streaming_source_snapshot" -> ((s, d) => streamingSnapshotSource(s, d)),
 
     // OPTIMIZE ZORDER × DATA SKIPPING — the full lakehouse maintenance
     // loop in one gate: a fragmented commit is z-order-compacted
@@ -2337,6 +2397,16 @@ object WriteOps {
            AS total
          FROM orders WHERE o_custkey BETWEEN 100 AND 400
          GROUP BY 1""",
+
+    // the drained stream reconstructs the whole table (append-shaped
+    // version history), so the oracle is the plain orders aggregate
+    "streaming_source_snapshot" ->
+      """SELECT cast(year(o_orderdate) AS int) AS pt_year,
+         cast(count(*) AS bigint) AS cnt,
+         cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+           AS total
+         FROM orders GROUP BY 1""",
 
     // skipping is invisible to results: plain conjunctive predicate
     "write_zorder_scan" ->

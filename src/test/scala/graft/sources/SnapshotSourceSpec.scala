@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.TestSpark
+import graft.operators.WriteOps.{SnapshotTable => T}
+
+/** The graft-snapshot DSv2 connector: batch reads resolve the head
+  * version, the micro-batch stream serves each VERSION's manifest-diff
+  * fresh files, offsets persist across restarts (a second drain picks
+  * up only versions committed since), rewritten partitions re-emit in
+  * full (the documented ignoreChanges semantics), and pre-evolution
+  * files null-fill by-name. */
+class SnapshotSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def frame(rows: (Long, Int, Double)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("k", "pt_year", "v")
+  }
+
+  /** Drain the stream once with AvailableNow, landing each batch in
+    * outDir/b<id>; returns the accumulated rows read back. */
+  private def drain(root: String, ckpt: String,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val src = spark.readStream.format("graft-snapshot")
+      .option("root", root).load()
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/b$id")
+      }
+      .start()
+    try { if (!q.awaitTermination(300000)) q.processAllAvailable() }
+    finally q.stop()
+    spark.read.option("recursiveFileLookup", "true")
+      .schema(src.schema).parquet(out)
+  }
+
+  test("batch read resolves the head version through the registered short name") {
+    val root = Files.createTempDirectory("g_src_batch").toString
+    T.commit(spark, root, 0, frame((1L, 1, 1.0), (2L, 2, 2.0)), Seq(1, 2))
+    T.commit(spark, root, 1, frame((2L, 2, 20.0)), Seq(2))
+    val got = spark.read.format("graft-snapshot").option("root", root)
+      .load().collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(got === Set((1L, 1.0), (2L, 20.0)))
+  }
+
+  test("stream replays the table then tails only new versions across restarts") {
+    val root = Files.createTempDirectory("g_src_stream").toString
+    val ckpt = Files.createTempDirectory("g_src_ckpt").toString
+    val out = Files.createTempDirectory("g_src_out").toString
+    // append-shaped history: each commit opens a fresh partition
+    T.commit(spark, root, 0, frame((1L, 1, 1.0), (2L, 1, 2.0)), Seq(1))
+    T.commit(spark, root, 1, frame((3L, 2, 3.0)), Seq(2))
+
+    val first = drain(root, ckpt, out.toString)
+    assert(first.count() === 3, "first drain must replay v0 + v1")
+
+    // two more commits AFTER the first drain
+    T.commit(spark, root, 2, frame((4L, 3, 4.0)), Seq(3))
+    T.commit(spark, root, 3, frame((5L, 4, 5.0), (6L, 4, 6.0)), Seq(4))
+    val second = drain(root, ckpt, out.toString)
+    // accumulated = 6 rows; the second drain's own batch carried ONLY
+    // the new versions' 3 rows (batch ids differ, so out/ keeps both)
+    assert(second.count() === 6)
+    val batchDirs = new java.io.File(out).listFiles().map(_.getName).sorted
+    assert(batchDirs.length === 2, s"expected 2 batch dirs, got ${batchDirs.mkString(",")}")
+    val secondBatch = spark.read.schema(first.schema)
+      .parquet(s"$out/${batchDirs.last}")
+    assert(secondBatch.count() === 3,
+      "restart re-served already-committed versions")
+    assert(secondBatch.select("k").collect().map(_.getLong(0)).toSet ===
+      Set(4L, 5L, 6L))
+
+    // third drain with nothing new: no new batch dir content
+    val third = drain(root, ckpt, out.toString)
+    assert(third.count() === 6)
+  }
+
+  test("a rewritten partition re-emits its fresh files in full") {
+    val root = Files.createTempDirectory("g_src_rw").toString
+    val ckpt = Files.createTempDirectory("g_src_rw_ck").toString
+    val out = Files.createTempDirectory("g_src_rw_out").toString
+    T.commit(spark, root, 0, frame((1L, 1, 1.0), (2L, 1, 2.0)), Seq(1))
+    drain(root, ckpt, out.toString)
+    // v1 REWRITES partition 1 (upsert shape: key 2 repriced, key 7 new)
+    T.commit(spark, root, 1,
+      frame((1L, 1, 1.0), (2L, 1, 22.0), (7L, 1, 7.0)), Seq(1))
+    drain(root, ckpt, out.toString)
+    val dirs = new java.io.File(out).listFiles().map(_.getName).sorted
+    val rewriteBatch = spark.read
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$out/${dirs.last}")
+    // ignoreChanges semantics: the whole rewritten partition re-emits
+    assert(rewriteBatch.count() === 3)
+    assert(rewriteBatch.filter(col("k") === 2L)
+      .head.getDouble(2) === 22.0)
+  }
+
+  test("pre-evolution files null-fill a later-added column by name") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("g_src_evo").toString
+    T.commit(spark, root, 0, frame((1L, 1, 1.0)), Seq(1))
+    T.commit(spark, root, 1,
+      Seq((2L, 2, 2.0, "web")).toDF("k", "pt_year", "v", "chan"), Seq(2))
+    val got = spark.read.format("graft-snapshot").option("root", root)
+      .load().orderBy("k").collect()
+    assert(got.length === 2)
+    assert(got(0).isNullAt(3), "the pre-evolution row must null-fill chan")
+    assert(got(1).getString(3) === "web")
+  }
+
+  test("the stream fails loudly when its resume point is vacuumed away") {
+    val root = Files.createTempDirectory("g_src_vac").toString
+    T.commit(spark, root, 0, frame((1L, 1, 1.0)), Seq(1))
+    T.commit(spark, root, 1, frame((2L, 2, 2.0)), Seq(2))
+    T.commit(spark, root, 2, frame((3L, 3, 3.0)), Seq(3))
+    T.vacuum(root, retain = 1)
+    val e = intercept[Exception] {
+      drain(root,
+        Files.createTempDirectory("g_src_vac_ck").toString,
+        Files.createTempDirectory("g_src_vac_out").toString).count()
+    }
+    assert(e.getMessage != null)
+  }
+}
