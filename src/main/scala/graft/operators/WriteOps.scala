@@ -623,25 +623,32 @@ object WriteOps {
       * fractions instead of taking their minimum. */
     def filesWhere(root: String, v: Int,
         preds: Seq[(String, Any, Any)]): Seq[String] =
-      statEntries(root, v).filter { e =>
-        val st = decodeStats(e.stats)
-        preds.forall { case (column, lo, hi) =>
-          st.get(column) match {
-            case None => true // no stats — cannot prune, stay correct
-            case Some(cs) => cs.typ match {
-              case 'L' =>
-                val (l, h) = (toL(lo), toL(hi))
-                !(h < cs.min.toLong || l > cs.max.toLong)
-              case 'D' =>
-                val (l, h) = (toD(lo), toD(hi))
-                !(h < cs.min.toDouble || l > cs.max.toDouble)
-              case _ =>
-                val (l, h) = (lo.toString, hi.toString)
-                !(utf8cmp(h, cs.min) < 0 || utf8cmp(l, cs.max) > 0)
-            }
+      statEntries(root, v).filter(entryMatches(_, preds)).map(_.path)
+
+    /** Can this file hold a row satisfying EVERY range? The single
+      * stats decision point — filesWhere and the DSv2 connector's
+      * pushdown both route here. Bounds may be null (one-sided
+      * predicates: `col > v` prunes on lo alone). */
+    private[graft] def entryMatches(e: FileEntry,
+        preds: Seq[(String, Any, Any)]): Boolean = {
+      val st = decodeStats(e.stats)
+      preds.forall { case (column, lo, hi) =>
+        st.get(column) match {
+          case None => true // no stats — cannot prune, stay correct
+          case Some(cs) => cs.typ match {
+            case 'L' =>
+              (hi == null || toL(hi) >= cs.min.toLong) &&
+                (lo == null || toL(lo) <= cs.max.toLong)
+            case 'D' =>
+              (hi == null || toD(hi) >= cs.min.toDouble) &&
+                (lo == null || toD(lo) <= cs.max.toDouble)
+            case _ =>
+              (hi == null || utf8cmp(hi.toString, cs.min) >= 0) &&
+                (lo == null || utf8cmp(lo.toString, cs.max) <= 0)
           }
         }
-      }.map(_.path)
+      }
+    }
 
     private def toL(a: Any): Long = a match {
       case n: Number => n.longValue()
@@ -688,8 +695,11 @@ object WriteOps {
           r.parquet(pruned: _*)
         } else read(s, root, v).filter(lit(false))
       preds.foldLeft(base) { case (df, (column, lo, hi)) =>
-        df.filter(col(column).between(
-          lit(boundLit(lo)), lit(boundLit(hi))))
+        val lower =
+          if (lo == null) lit(true) else col(column) >= lit(boundLit(lo))
+        val upper =
+          if (hi == null) lit(true) else col(column) <= lit(boundLit(hi))
+        df.filter(lower && upper)
       }
     }
 
@@ -703,9 +713,18 @@ object WriteOps {
       * it — exactly how a lakehouse serves pre-evolution files through
       * the current schema. */
     def read(s: SparkSession, root: String, v: Int): DataFrame = {
-      val r = tableSchema(root, v)
-        .map(s.read.schema).getOrElse(s.read)
-      r.parquet(files(root, v): _*)
+      val fs0 = files(root, v)
+      if (fs0.isEmpty)
+        // a version with zero live files (e.g. an empty v0 seeding a
+        // streaming-built table) still reads: its RECORDED schema, no rows
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          tableSchema(root, v).getOrElse(
+            new org.apache.spark.sql.types.StructType()))
+      else {
+        val r = tableSchema(root, v)
+          .map(s.read.schema).getOrElse(s.read)
+        r.parquet(fs0: _*)
+      }
     }
 
     /** Partition-scoped read: the file list is pruned in METADATA
@@ -1362,7 +1381,8 @@ object WriteOps {
     * recognized from the recorded txn and skipped BEFORE any file
     * lands; per-arrival cost is O(batch + touched partitions). */
   private[graft] def snapshotSinkMerge(s: SparkSession, root: String,
-      batchId: Long, batch: DataFrame): Unit = {
+      batchId: Long, batch: DataFrame,
+      app: String = "ingest"): Unit = {
     import org.apache.spark.sql.expressions.Window
     val touched = batch.select("pt_year").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
@@ -1375,7 +1395,7 @@ object WriteOps {
         .withColumn("rn", row_number().over(
           Window.partitionBy("o_orderkey").orderBy(col("src").desc)))
         .filter(col("rn") === 1).drop("rn", "src")
-      SnapshotTable.commitIfNew(s, root, "ingest", batchId, merged,
+      SnapshotTable.commitIfNew(s, root, app, batchId, merged,
         touched)
     }
   }
@@ -1478,6 +1498,75 @@ object WriteOps {
     s.read.option("recursiveFileLookup", "true")
       .schema(src.schema).parquet(out)
       .groupBy("pt_year")
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        decSum("o_totalprice").as("total"))
+  }
+
+  // per-(JVM, sfDir) state for the bronze→silver pipeline gate:
+  // sfDir -> (bronze root, silver root, ckpt dir); graft-visible so
+  // SnapshotSinkSpec can assert silver's version/txn history
+  private[graft] val snapPipeState =
+    scala.collection.concurrent.TrieMap[String, (String, String, String)]()
+
+  /** The MEDALLION HOP — gate `streaming_pipeline_snapshot`: ONE
+    * structured stream reads a snapshot table through the graft-snapshot
+    * DSv2 SOURCE (bronze: append-shaped version history), transforms
+    * each micro-batch (a derived price_band column — the
+    * cleanse/enrich step of a bronze→silver pipeline), and lands it in
+    * a SECOND snapshot table through the txn-guarded SINK
+    * ([[snapshotSinkMerge]], app "silver"). Exactly-once end-to-end is
+    * the COMPOSITION of the two halves' guarantees: the source resumes
+    * from its checkpointed version offset (a drained bronze version
+    * never re-serves), and the sink recognizes a replayed batchId in
+    * silver's manifest before any file lands — so a crash anywhere in
+    * the hop re-delivers at most once into a table that de-duplicates
+    * deliveries in metadata. Silver starts as an EMPTY v0 (recorded
+    * schema, zero files) and is built entirely by the stream; at
+    * 100 TB each hop trigger moves O(new bronze commits) data and
+    * O(manifest) metadata, never table-sized work on either end. */
+  private[graft] def streamingSnapshotPipeline(s: SparkSession,
+      d: String): DataFrame = {
+    val (bronze, silver, ckpt) = snapPipeState.getOrElseUpdate(d, {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val b = scratch(s"pipe_bronze_$run")
+      val sv = scratch(s"pipe_silver_$run")
+      SnapshotTable.deleteTree(b); SnapshotTable.deleteTree(sv)
+      val base = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = base.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val (old, recent) = years.partition(_ <= 1995)
+      SnapshotTable.commit(s, b, 0,
+        base.filter(col("pt_year") <= 1995), old)
+      recent.zipWithIndex.foreach { case (y, i) =>
+        SnapshotTable.commit(s, b, i + 1,
+          base.filter(col("pt_year") === y), Seq(y))
+      }
+      // silver v0: the recorded target schema, zero files — the stream
+      // builds the table
+      val silverSchema = base
+        .withColumn("price_band",
+          floor(col("o_totalprice") / 50000).cast("int"))
+        .filter(lit(false))
+      SnapshotTable.commit(s, sv, 0, silverSchema, Seq.empty)
+      (b, sv, scratch(s"pipe_ckpt_$run"))
+    })
+    val src = s.readStream.format("graft-snapshot")
+      .option("root", bronze).load()
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        snapshotSinkMerge(s, silver, id,
+          batch.withColumn("price_band",
+            floor(col("o_totalprice") / 50000).cast("int")),
+          app = "silver")
+      }
+      .start()
+    graft.streaming.DocIngest.await(q)
+    SnapshotTable.read(s, silver, SnapshotTable.versions(silver).max)
+      .groupBy("pt_year", "price_band")
       .agg(count(lit(1)).as("cnt"),
         countDistinct(col("o_orderkey")).as("n_keys"),
         decSum("o_totalprice").as("total"))
@@ -1813,6 +1902,11 @@ object WriteOps {
     // streaming read FROM the snapshot table through the DSv2
     // connector (see streamingSnapshotSource / graft.sources)
     "streaming_source_snapshot" -> ((s, d) => streamingSnapshotSource(s, d)),
+
+    // bronze→silver: DSv2 source + txn sink composed in one stream
+    // (see streamingSnapshotPipeline)
+    "streaming_pipeline_snapshot" ->
+      ((s, d) => streamingSnapshotPipeline(s, d)),
 
     // OPTIMIZE ZORDER × DATA SKIPPING — the full lakehouse maintenance
     // loop in one gate: a fragmented commit is z-order-compacted
@@ -2397,6 +2491,20 @@ object WriteOps {
            AS total
          FROM orders WHERE o_custkey BETWEEN 100 AND 400
          GROUP BY 1""",
+
+    // silver ends holding the enriched full table, so the oracle is
+    // the enrichment applied to orders directly (floor on a double is
+    // the same IEEE op in both engines)
+    "streaming_pipeline_snapshot" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year,
+             cast(floor(o_totalprice / 50000) AS int) AS price_band
+           FROM orders)
+         SELECT pt_year, price_band, cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total
+         FROM t GROUP BY 1, 2""",
 
     // the drained stream reconstructs the whole table (append-shaped
     // version history), so the oracle is the plain orders aggregate

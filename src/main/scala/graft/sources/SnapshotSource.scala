@@ -87,33 +87,99 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new SnapshotScan(root, tableSchema,
-        Option(options.get("startingVersion")).map(_.toInt).getOrElse(0))
+    new SnapshotScanBuilder(root, tableSchema,
+      Option(options.get("startingVersion")).map(_.toInt).getOrElse(0))
+}
+
+/** Pushdown surface of the connector.
+  *
+  *  - FILTERS: comparison filters on stat-indexed columns fold into
+  *    per-column conjunctive [lo, hi] bounds used ONLY for manifest-
+  *    stats FILE PRUNING (strict predicates conservatively widen to
+  *    inclusive bounds); every filter is returned as a post-scan
+  *    residual, so Spark re-evaluates exactly — pushdown can never
+  *    change results, only the files opened. `pushedFilters` reports
+  *    what pruning consumed (visible in explain).
+  *  - COLUMNS: the required schema reaches the parquet reader as a
+  *    real projection (`parquet.read.schema`), so unprojected columns
+  *    are never materialized — `SELECT k FROM …` reads one column's
+  *    pages, the scan-efficiency contract a wide 100 TB table needs. */
+private[sources] class SnapshotScanBuilder(root: String,
+    full: StructType, startingVersion: Int) extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources._
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+  private var ranges: Map[String, (Any, Any)] = Map.empty
+
+  private def comparable(v: Any): Boolean = v match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte | _: java.lang.Double | _: java.lang.Float |
+         _: String => true
+    case _ => false
+  }
+
+  private def tighten(c: String, lo: Any, hi: Any): Unit = {
+    // keep the NEWEST bound per side: all pushed conjuncts re-apply
+    // post-scan, so any sound bound works — last-write is sound
+    val (l0, h0) = ranges.getOrElse(c, (null, null))
+    ranges += c -> (if (lo != null) lo else l0, if (hi != null) hi else h0)
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val used = filters.filter {
+      case EqualTo(c, v) if comparable(v) => tighten(c, v, v); true
+      case GreaterThan(c, v) if comparable(v) => tighten(c, v, null); true
+      case GreaterThanOrEqual(c, v) if comparable(v) =>
+        tighten(c, v, null); true
+      case LessThan(c, v) if comparable(v) => tighten(c, null, v); true
+      case LessThanOrEqual(c, v) if comparable(v) =>
+        tighten(c, null, v); true
+      case _ => false
     }
+    pushed = used
+    filters // EVERYTHING re-evaluates post-scan (file-granular pruning)
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new SnapshotScan(root, required,
+    startingVersion, ranges.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) })
 }
 
 private[sources] class SnapshotScan(root: String, schema: StructType,
-    startingVersion: Int) extends Scan {
+    startingVersion: Int,
+    ranges: Seq[(String, Any, Any)] = Nil) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String =
-    s"graft-snapshot $root from v$startingVersion"
+    s"graft-snapshot $root from v$startingVersion" +
+      (if (ranges.isEmpty) ""
+       else ranges.map { case (c, lo, hi) => s"$c in [$lo, $hi]" }
+         .mkString(" pruned by ", " and ", ""))
 
   private def readerFactory(): PartitionReaderFactory =
     new GroupRowReaderFactory(schema.json, new SerializableConfiguration(
       SparkSession.active.sparkContext.hadoopConfiguration))
 
-  /** Batch read = the HEAD version's full file list. */
+  /** Batch read = the HEAD version's file list, manifest-stat-pruned
+    * by the pushed ranges. */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      SnapshotTable.files(root, SnapshotTable.versions(root).max)
-        .map(f => SnapshotFilePartition(f): InputPartition).toArray
+      SnapshotTable.statEntries(root, SnapshotTable.versions(root).max)
+        .filter(SnapshotTable.entryMatches(_, ranges))
+        .map(e => SnapshotFilePartition(e.path): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       readerFactory()
   }
 
   override def toMicroBatchStream(ckpt: String): MicroBatchStream =
-    new SnapshotMicroBatchStream(root, startingVersion, readerFactory())
+    new SnapshotMicroBatchStream(root, startingVersion, readerFactory(),
+      ranges)
 }
 
 /** Offset = "all versions ≤ v have been served". */
@@ -122,7 +188,8 @@ private[sources] case class VersionOffset(v: Int) extends Offset {
 }
 
 private[sources] class SnapshotMicroBatchStream(root: String,
-    startingVersion: Int, factory: PartitionReaderFactory)
+    startingVersion: Int, factory: PartitionReaderFactory,
+    ranges: Seq[(String, Any, Any)] = Nil)
     extends MicroBatchStream {
 
   override def initialOffset(): Offset = VersionOffset(startingVersion - 1)
@@ -133,13 +200,15 @@ private[sources] class SnapshotMicroBatchStream(root: String,
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.toInt)
 
-  /** Version v's fresh files: the manifest diff against its parent —
-    * metadata only. v = 0 (or the stream's first served version with
-    * no parent manifest retained) contributes its full list. */
-  private def freshFiles(v: Int): Seq[String] = {
-    val cur = SnapshotTable.files(root, v)
+  /** Version v's fresh entries: the manifest diff against its parent —
+    * metadata only. v = 0 contributes its full list. */
+  private def freshEntries(v: Int) = {
+    val cur = SnapshotTable.statEntries(root, v)
     if (v == 0) cur
-    else cur.diff(SnapshotTable.files(root, v - 1))
+    else {
+      val parent = SnapshotTable.files(root, v - 1).toSet
+      cur.filterNot(e => parent.contains(e.path))
+    }
   }
 
   override def planInputPartitions(start: Offset,
@@ -150,8 +219,8 @@ private[sources] class SnapshotMicroBatchStream(root: String,
       // the first served version replays in full (its own fresh files
       // ARE the full list only at v=0; a later starting version serves
       // its commit's changes, Delta's startingVersion contract)
-      freshFiles(v)
-    }.map(f => SnapshotFilePartition(f): InputPartition).toArray
+      freshEntries(v).filter(SnapshotTable.entryMatches(_, ranges))
+    }.map(e => SnapshotFilePartition(e.path): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = factory
@@ -174,12 +243,36 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
     val path = p.asInstanceOf[SnapshotFilePartition].path
     new PartitionReader[InternalRow] {
       import org.apache.parquet.example.data.Group
-      import org.apache.parquet.hadoop.ParquetReader
+      import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+      import org.apache.parquet.hadoop.api.ReadSupport
       import org.apache.parquet.hadoop.example.GroupReadSupport
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.MessageType
+
+      /** REAL column pruning: project the file's OWN fields (footer
+        * schema, so types match verbatim) down to the required names —
+        * parquet then skips the unprojected columns' pages entirely.
+        * Files lacking every required column (pre-evolution under a
+        * narrow projection, or a count(*) empty schema) read
+        * unprojected: rows still count, fields null-fill. */
+      private val readConf = {
+        val c = new org.apache.hadoop.conf.Configuration(conf.value)
+        val fr = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new HPath(path), conf.value))
+        val fileSchema =
+          try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+        val names = schema.fieldNames.toSet
+        val kept = fileSchema.getFields.asScala.filter(t =>
+          names.contains(t.getName))
+        if (kept.nonEmpty && kept.size < fileSchema.getFieldCount)
+          c.set(ReadSupport.PARQUET_READ_SCHEMA,
+            new MessageType(fileSchema.getName, kept.asJava).toString)
+        c
+      }
 
       private val reader: ParquetReader[Group] =
         ParquetReader.builder(new GroupReadSupport(), new HPath(path))
-          .withConf(conf.value).build()
+          .withConf(readConf).build()
       private var cur: Group = _
 
       override def next(): Boolean = {

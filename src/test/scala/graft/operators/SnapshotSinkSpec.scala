@@ -94,6 +94,30 @@ class SnapshotSinkSpec extends AnyFunSuite {
     assert(streamed === oneShot)
   }
 
+  test("bronze→silver pipeline hop is exactly-once end-to-end") {
+    val first = WriteOps.streamingSnapshotPipeline(spark, sf)
+      .collect().toSet
+    val (bronze, silver, _) = WriteOps.snapPipeState(sf)
+    val silverVersions = T.versions(silver)
+    // the stream built silver from its empty v0, txn-tagged per batch
+    assert(silverVersions.size > 1, "the hop never landed a batch")
+    silverVersions.tail.foreach { v =>
+      assert(T.txnOf(silver, v).exists(_._1 == "silver"),
+        s"silver v$v lost its txn record")
+    }
+    // silver row count equals bronze head (the hop is row-preserving)
+    val bronzeRows =
+      T.read(spark, bronze, T.versions(bronze).max).count()
+    assert(T.read(spark, silver, silverVersions.max).count() === bronzeRows)
+    // re-running the whole hop: source resumes past served bronze
+    // versions, sink sees no batch — silver history unchanged
+    val second = WriteOps.streamingSnapshotPipeline(spark, sf)
+      .collect().toSet
+    assert(T.versions(silver) === silverVersions,
+      "a re-run re-landed an already-hopped batch")
+    assert(first === second)
+  }
+
   test("re-invocation takes the restart path: no new versions, table byte-stable") {
     val before = WriteOps.streamingSnapshotSink(spark, sf)
       .collect().toSet

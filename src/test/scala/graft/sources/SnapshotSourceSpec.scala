@@ -117,6 +117,74 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(got(1).getString(3) === "web")
   }
 
+  test("filter pushdown prunes files from manifest stats; results stay exact") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.connector.read.{SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+    import org.apache.spark.sql.connector.catalog.SupportsRead
+    import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, LessThanOrEqual}
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import spark.implicits._
+
+    val root = Files.createTempDirectory("g_src_push").toString
+    val df = (0L until 4000L).map(k => (k, 1, k.toDouble))
+      .toDF("k", "pt_year", "v").repartitionByRange(4, col("k"))
+    T.commit(spark, root, 0, df, Seq(1))
+    val all = T.files(root, 0).size
+    assert(all >= 4)
+
+    val provider = new SnapshotSourceProvider
+    val opts = new CaseInsensitiveStringMap(Map("root" -> root).asJava)
+    val schema = provider.inferSchema(opts)
+    def scanWith(f: org.apache.spark.sql.sources.Filter*)
+        : org.apache.spark.sql.connector.read.Scan = {
+      val sb = provider.getTable(schema, Array.empty,
+          opts.asCaseSensitiveMap())
+        .asInstanceOf[SupportsRead].newScanBuilder(opts)
+      val residual = sb.asInstanceOf[SupportsPushDownFilters]
+        .pushFilters(f.toArray)
+      // EVERY filter must come back as residual — pruning is
+      // file-granular, exactness belongs to Spark's re-evaluation
+      assert(residual.toSet === f.toSet)
+      sb.asInstanceOf[SupportsPushDownRequiredColumns]
+        .pruneColumns(StructType(schema.fields.filter(_.name == "k")))
+      sb.build()
+    }
+    // two-sided range → a narrow band of files
+    val banded = scanWith(GreaterThanOrEqual("k", java.lang.Long.valueOf(100L)),
+      LessThanOrEqual("k", java.lang.Long.valueOf(200L)))
+      .toBatch.planInputPartitions()
+    assert(banded.length < all && banded.nonEmpty,
+      s"pruned ${banded.length}/$all")
+    // one-sided strict bound prunes too (conservatively inclusive)
+    val tail = scanWith(GreaterThan("k", java.lang.Long.valueOf(3800L)))
+      .toBatch.planInputPartitions()
+    assert(tail.length < all && tail.nonEmpty)
+    // end-to-end through the planner: filtered + projected read is exact
+    val got = spark.read.format("graft-snapshot").option("root", root)
+      .load().filter(col("k") >= 100 && col("k") <= 200).select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === (100L to 200L).toSet)
+  }
+
+  test("column projection reaches the parquet reader (narrow rows, null-fill)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("g_src_proj").toString
+    T.commit(spark, root, 0, frame((1L, 1, 1.0)), Seq(1))
+    T.commit(spark, root, 1,
+      Seq((2L, 2, 2.0, "web")).toDF("k", "pt_year", "v", "chan"), Seq(2))
+    // narrow select over the evolved table: the pre-evolution file is
+    // read under a projection it can't fully satisfy — chan null-fills
+    val rows = spark.read.format("graft-snapshot").option("root", root)
+      .load().select("k", "chan").orderBy("k").collect()
+    assert(rows.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getString(1))).toSeq ===
+      Seq((1L, null), (2L, "web")))
+    // count(*) — empty required schema still counts every row
+    assert(spark.read.format("graft-snapshot").option("root", root)
+      .load().count() === 2L)
+  }
+
   test("the stream fails loudly when its resume point is vacuumed away") {
     val root = Files.createTempDirectory("g_src_vac").toString
     T.commit(spark, root, 0, frame((1L, 1, 1.0)), Seq(1))
