@@ -692,7 +692,7 @@ object WriteOps {
       val base =
         if (pruned.nonEmpty) {
           val r = tableSchema(root, v).map(s.read.schema).getOrElse(s.read)
-          r.parquet(pruned: _*)
+          applyDv(s, root, v, r.parquet(pruned: _*))
         } else read(s, root, v).filter(lit(false))
       preds.foldLeft(base) { case (df, (column, lo, hi)) =>
         val lower =
@@ -706,6 +706,94 @@ object WriteOps {
     private def boundLit(a: Any): Any = a match {
       case d: java.time.LocalDate => java.sql.Date.valueOf(d)
       case o => o
+    }
+
+    // ------------------------------------------------------------------
+    // DELETION VECTORS — merge-on-read deletes (the modern lakehouse
+    // delete path; Delta deletion vectors / Hudi's merge-on-read log,
+    // key-granular variant): a delete is a METADATA commit — parent
+    // pointers carried verbatim, zero data files touched — plus one
+    // small (key, pt_year) sidecar of still-pending tombstones. Reads
+    // of that version anti-join the sidecar (broadcast — pending
+    // deletes stay bounded by rewrite cadence), so a GDPR-style delete
+    // of a million keys from a 100 TB table costs O(deleted keys), not
+    // a partition rewrite. Any later commit that REWRITES a partition
+    // physically purges it (its fresh files come from DV-applied
+    // reads) and drops that partition's tombstones from the carried
+    // sidecar — rewrites SUPERSEDE pending deletes, so a rewritten
+    // partition's rows are exactly what its files say. Time travel,
+    // CDF (delete rows appear in the feed via the dv-aware
+    // changedYears + DV-applied reads), optimize, and vacuum all
+    // compose; the streaming source skips DV commits (they add no
+    // files) — the append-stream contract, documented like Delta's
+    // ignoreDeletes.
+    // ------------------------------------------------------------------
+
+    private def dvRoot(root: String): HPath = new HPath(root, "_dv")
+
+    /** The version's pending-delete sidecar:
+      * (sidecar dir, key column, years with pending tombstones). */
+    def dvOf(root: String, v: Int): Option[(String, String, Seq[Int])] =
+      topLines(root, v).find(_.startsWith("#dv=")).map { l =>
+        val t = l.stripPrefix("#dv=").split('\t')
+        (t(0), t(1),
+          t(2).split(',').filter(_.nonEmpty).map(_.toInt).toSeq)
+      }
+
+    private def dvLineOf(path: String, keyCol: String,
+        years: Seq[Int]): String =
+      s"#dv=$path\t$keyCol\t${years.sorted.mkString(",")}"
+
+    /** Anti-join the version's pending tombstones, if any. Join keys
+      * are (keyCol, pt_year): a tombstone kills exactly the key's rows
+      * in the partition the delete saw it in. */
+    private def applyDv(s: SparkSession, root: String, v: Int,
+        df: DataFrame): DataFrame =
+      dvOf(root, v) match {
+        case None => df
+        case Some((p, k, _)) =>
+          df.join(broadcast(s.read.parquet(p)), Seq(k, "pt_year"),
+            "left_anti")
+      }
+
+    /** MERGE-ON-READ DELETE: commit `doomed` (columns: keyCol, pt_year)
+      * as version v's deletion vector — parent data pointers carried
+      * VERBATIM (no file moves, no rewrites; spec pins mtimes and the
+      * identical file list), tombstones unioned with the parent's
+      * still-pending set. Cost: O(pending tombstones) sidecar write +
+      * one manifest. */
+    def commitDelete(s: SparkSession, root: String, v: Int,
+        keyCol: String, doomed: DataFrame): Unit = {
+      val fs = fsFor(manifest(root, v))
+      require(v > 0, "a delete needs a parent version")
+      require(fs.exists(manifest(root, v - 1)),
+        s"cannot commit version $v: parent v${v - 1} was never committed")
+      require(!fs.exists(manifest(root, v)),
+        s"conflict: version $v is already committed — rebase on the " +
+        "current head and retry")
+      val fresh = doomed.select(col(keyCol), col("pt_year"))
+      val pending = (dvOf(root, v - 1) match {
+        case Some((p, k, _)) =>
+          require(k == keyCol,
+            s"pending deletion vector keys on '$k'; a '$keyCol' delete " +
+            "must wait for a rewrite to purge it")
+          s.read.parquet(p).unionByName(fresh).distinct()
+        case None => fresh.distinct()
+      }).localCheckpoint(true) // pin: the sidecar is read back below
+      val dvPath = new HPath(dvRoot(root), s"v$v").toString
+      pending.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dvPath)
+      val years = pending.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      require(years.nonEmpty, "an empty delete commits nothing")
+      val schema = tableSchema(root, v - 1)
+      val tmp = new HPath(mdir(root), s".v$v.tmp")
+      lockFor(root).synchronized {
+        writeAtomic(fs, tmp, manifest(root, v),
+          (schema.map(sc => s"#schema=${sc.json}").toSeq :+
+            dvLineOf(dvPath, keyCol, years)) ++
+            pointers(root, v - 1).toSeq.sortBy(_._1)
+              .map { case (y, m) => s"y$y\t$m" })
+      }
     }
 
     /** Reads resolve the version's RECORDED schema (no footer
@@ -723,7 +811,7 @@ object WriteOps {
       else {
         val r = tableSchema(root, v)
           .map(s.read.schema).getOrElse(s.read)
-        r.parquet(fs0: _*)
+        applyDv(s, root, v, r.parquet(fs0: _*))
       }
     }
 
@@ -736,7 +824,7 @@ object WriteOps {
       val fs0 = partitionEntries(root, v, years).map(_._1)
       val r = tableSchema(root, v)
         .map(s.read.schema).getOrElse(s.read)
-      if (fs0.nonEmpty) r.parquet(fs0: _*)
+      if (fs0.nonEmpty) applyDv(s, root, v, r.parquet(fs0: _*))
       else read(s, root, v).filter(lit(false))
     }
 
@@ -838,9 +926,29 @@ object WriteOps {
       val txnLine = txn.toSeq.map { case (app, id) =>
         s"#txn=${b64e(app)}\t$id"
       }
+      // deletion-vector carry/purge: a REWRITTEN partition's fresh
+      // files come from DV-applied reads (or deliberately re-introduce
+      // rows), so its tombstones drop — rewrites supersede pending
+      // deletes. Untouched partitions' tombstones carry.
+      val dvLine: Seq[String] =
+        (if (v == 0) None else dvOf(root, v - 1)) match {
+          case None => Nil
+          case Some((p, k, years)) =>
+            val remaining = years.filterNot(touched.contains)
+            if (remaining.isEmpty) Nil
+            else if (remaining == years) Seq(dvLineOf(p, k, years))
+            else {
+              val purged = s.read.parquet(p).filter(col("pt_year")
+                .isin(remaining.map(Integer.valueOf): _*))
+                .localCheckpoint(true)
+              val np = new HPath(dvRoot(root), s"v$v").toString
+              purged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(np)
+              Seq(dvLineOf(np, k, remaining))
+            }
+        }
       lockFor(root).synchronized {
         writeAtomic(fs, tmp, manifest(root, v),
-          (s"#schema=${schema.json}" +: txnLine) ++
+          (s"#schema=${schema.json}" +: (txnLine ++ dvLine)) ++
             (carriedPtrs ++ freshPtrs).toSeq.sortBy(_._1)
               .map { case (y, m) => s"y$y\t$m" })
       }
@@ -994,17 +1102,27 @@ object WriteOps {
       // set is belt-and-suspenders for the same reason
       val keptPtrs = kept.flatMap(pointers(root, _).values).toSet
       val keepFiles = kept.flatMap(files(root, _)).toSet
-      expired.foreach { v =>
-        pointers(root, v).values.filterNot(keptPtrs.contains)
-          .foreach { m =>
-            readPartManifest(m).map(_.path).filterNot(keepFiles.contains)
-              .foreach { f =>
-                val p = new HPath(f)
-                fsFor(p).delete(p, false)
-              }
-            val mp = new HPath(m)
-            fsFor(mp).delete(mp, false)
+      // deletion-vector sidecars reference-count exactly like m-files:
+      // carried dv lines share the path, so an expired version's
+      // sidecar dies only when no retained version still points at it
+      val keptDvs = kept.flatMap(dvOf(root, _).map(_._1)).toSet
+      expired.flatMap(v => dvOf(root, v).map(_._1)).toSet
+        .diff(keptDvs).foreach(deleteTree)
+      // the DEAD pointer set is computed across ALL expired versions
+      // first (carry-over shares pointers, so two expired versions can
+      // reference the same m-file — each dies exactly once)
+      val deadPtrs =
+        expired.flatMap(pointers(root, _).values).toSet -- keptPtrs
+      deadPtrs.foreach { m =>
+        readPartManifest(m).map(_.path).filterNot(keepFiles.contains)
+          .foreach { f =>
+            val p = new HPath(f)
+            fsFor(p).delete(p, false)
           }
+        val mp = new HPath(m)
+        fsFor(mp).delete(mp, false)
+      }
+      expired.foreach { v =>
         val top = manifest(root, v)
         fsFor(top).delete(top, false)
       }
@@ -1025,10 +1143,17 @@ object WriteOps {
     def changedYears(root: String, vFrom: Int, vTo: Int): Seq[Int] = {
       val a = pointers(root, vFrom)
       val b = pointers(root, vTo)
+      // deletion vectors change rows without changing pointers: when
+      // the dv lines differ, the union of both sides' pending-years is
+      // a conservative superset of where rows (dis)appeared
+      val dvYears =
+        if (dvOf(root, vFrom) == dvOf(root, vTo)) Set.empty[Int]
+        else (dvOf(root, vFrom).toSeq ++ dvOf(root, vTo).toSeq)
+          .flatMap(_._3).toSet
       // carry-over copies pointers verbatim and fresh m-files are
       // version-namespaced, so a partition changed iff its pointer did
-      (a.keySet ++ b.keySet).filter(y => a.get(y) != b.get(y))
-        .toSeq.sorted
+      ((a.keySet ++ b.keySet).filter(y => a.get(y) != b.get(y)) ++
+        dvYears).toSeq.sorted
     }
 
     // ------------------------------------------------------------------
@@ -1079,6 +1204,17 @@ object WriteOps {
       val vs = versions(root)
       require(vs.nonEmpty, "stageCommit needs a committed base version")
       val parent = vs.max
+      // a staged rewrite of a tombstoned partition would either purge
+      // (needs the sidecar rewrite commit() runs) or resurrect deleted
+      // rows on publish — refuse loudly; rewrite through commit() or
+      // stage elsewhere
+      dvOf(root, parent).foreach { case (_, _, years) =>
+        val hit = years.intersect(touched)
+        require(hit.isEmpty,
+          s"partitions ${hit.mkString(",")} hold pending deletion-vector " +
+          "tombstones; purge them with a rewrite commit before staging " +
+          "a branch there")
+      }
       val token = java.util.UUID.randomUUID().toString.take(8)
       val staged = stageDataFiles(s, root, s"stage_b${name}_$token",
         slice, touched, (y, i) => f"b$name-${token}_y${y}_p$i%05d.parquet")
@@ -1094,16 +1230,22 @@ object WriteOps {
         .map(mergeSchemas(_, slice.schema))
         .getOrElse(slice.schema)
       val tmp = new HPath(mdir(root), s".branch_$name.tmp")
+      // parent's pending-delete line rides the branch verbatim (the
+      // require above guarantees it is disjoint from the staged
+      // partitions) so a publish cannot resurrect deleted rows
+      val dvLine = topLines(root, parent).find(_.startsWith("#dv="))
       writeAtomic(bfs, tmp, bm,
-        Seq(s"#parent=$parent", s"#schema=${schema.json}") ++
+        (Seq(s"#parent=$parent", s"#schema=${schema.json}") ++
+          dvLine.toSeq) ++
           (carriedPtrs.toSeq.map { case (y, m) => s"y$y\t$m\tC" } ++
            freshPtrs.toSeq.map { case (y, m) => s"y$y\t$m\tF" }).sorted)
     }
 
     /** (parent version, pointer map year → (m-file, isFresh),
-      * schema json header line). */
+      * schema json header line, carried deletion-vector line). */
     private def branchState(root: String, name: String)
-        : (Int, Map[Int, (String, Boolean)], Option[String]) = {
+        : (Int, Map[Int, (String, Boolean)], Option[String],
+           Option[String]) = {
       val bm = branchManifest(root, name)
       val fs = fsFor(bm)
       require(fs.exists(bm), s"branch $name is not staged")
@@ -1115,13 +1257,14 @@ object WriteOps {
       (lines.find(_.startsWith("#parent="))
          .get.stripPrefix("#parent=").toInt,
        parsed,
-       lines.find(_.startsWith("#schema=")))
+       lines.find(_.startsWith("#schema=")),
+       lines.find(_.startsWith("#dv=")))
     }
 
     /** The branch's table state — what the audit step reads. */
     def readBranch(s: SparkSession, root: String,
         name: String): DataFrame = {
-      val (_, ptrs, schemaLine) = branchState(root, name)
+      val (_, ptrs, schemaLine, _) = branchState(root, name)
       val r = schemaLine
         .map(l => s.read.schema(org.apache.spark.sql.types.DataType
           .fromJson(l.stripPrefix("#schema="))
@@ -1137,7 +1280,7 @@ object WriteOps {
       * are already in place and simply become referenced). Returns the
       * new version. */
     def publishBranch(root: String, name: String): Int = {
-      val (parent, ptrs, schemaLine) = branchState(root, name)
+      val (parent, ptrs, schemaLine, dvLine) = branchState(root, name)
       val head = versions(root).max
       require(head == parent,
         s"main advanced to v$head since branch $name staged on " +
@@ -1148,7 +1291,7 @@ object WriteOps {
       val tmp = new HPath(mdir(root), s".v$v.tmp")
       lockFor(root).synchronized {
         writeAtomic(fs, tmp, m,
-          schemaLine.toSeq ++ ptrs.toSeq.sortBy(_._1)
+          (schemaLine.toSeq ++ dvLine.toSeq) ++ ptrs.toSeq.sortBy(_._1)
             .map { case (y, (mf, _)) => s"y$y\t$mf" })
       }
       fs.delete(branchManifest(root, name), false)
@@ -1161,7 +1304,7 @@ object WriteOps {
       * so does anything a previous staging of this name already
       * published) — then the ref. Main never saw anything. */
     def abandonBranch(root: String, name: String): Unit = {
-      val (_, ptrs, _) = branchState(root, name)
+      val (_, ptrs, _, _) = branchState(root, name)
       ptrs.values.collect { case (m, true) => m }.foreach { m =>
         readPartManifest(m).foreach { e =>
           val p = new HPath(e.path)
@@ -1908,6 +2051,41 @@ object WriteOps {
     "streaming_pipeline_snapshot" ->
       ((s, d) => streamingSnapshotPipeline(s, d)),
 
+    // DELETION VECTORS — merge-on-read deletes (see SnapshotTable's DV
+    // block): v1 deletes the 1996 ≡3-mod-10 keys as a METADATA commit
+    // (parent pointers verbatim + one small tombstone sidecar — zero
+    // data files moved, DeleteVectorSpec pins the mtimes), v2 rewrites
+    // the 1996 partition and thereby PURGES it physically (fresh files
+    // come from the DV-applied read; the carried sidecar drops 1996).
+    // The oracle proves logical == physical == the plain anti-filter,
+    // and that v0 time-travels intact. At 100 TB this is the GDPR
+    // path: deleting a million keys costs O(keys) metadata now and a
+    // normal rewrite later, never an immediate table-scale rewrite.
+    "write_delete_vectors" -> ((s, d) => {
+      val root = scratch("dv_tbl")
+      SnapshotTable.deleteTree(root) // fresh lineage per invocation
+      val base = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = base.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, root, 0, base, years)
+      val doomed = SnapshotTable.read(s, root, 0)
+        .filter(col("pt_year") === 1996 && col("o_orderkey") % 10 === 3)
+        .select("o_orderkey", "pt_year")
+      SnapshotTable.commitDelete(s, root, 1, "o_orderkey", doomed)
+      SnapshotTable.commit(s, root, 2,
+        SnapshotTable.read(s, root, 1).filter(col("pt_year") === 1996),
+        Seq(1996))
+      def snap(v: Int, label: String) = SnapshotTable.read(s, root, v)
+        .groupBy("pt_year").agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          decSum("o_totalprice").as("total"))
+        .withColumn("version", lit(label))
+      snap(0, "v0").unionByName(snap(1, "v1_logical"))
+        .unionByName(snap(2, "v2_physical"))
+        .select("version", "pt_year", "cnt", "n_keys", "total")
+    }),
+
     // OPTIMIZE ZORDER × DATA SKIPPING — the full lakehouse maintenance
     // loop in one gate: a fragmented commit is z-order-compacted
     // (Morton interleave of l_partkey × l_suppkey), the rewrite's own
@@ -2491,6 +2669,24 @@ object WriteOps {
            AS total
          FROM orders WHERE o_custkey BETWEEN 100 AND 400
          GROUP BY 1""",
+
+    // logical (DV-applied read) == physical (post-rewrite) == the
+    // plain anti-filter; v0 time-travels intact
+    "write_delete_vectors" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         vdel AS (
+           SELECT * FROM t
+           WHERE NOT (pt_year = 1996 AND o_orderkey % 10 = 3)),
+         lab AS (
+           SELECT 'v0' AS version, * FROM t
+           UNION ALL SELECT 'v1_logical', * FROM vdel
+           UNION ALL SELECT 'v2_physical', * FROM vdel)
+         SELECT version, pt_year, cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total
+         FROM lab GROUP BY version, pt_year""",
 
     // silver ends holding the enriched full table, so the oracle is
     // the enrichment applied to orders directly (floor on a double is
