@@ -1040,16 +1040,29 @@ object WriteOps {
     def optimize(s: SparkSession, root: String, newV: Int,
         maxFilesPerPartition: Int = 1,
         targetFileBytes: Long = 128L << 20,
-        zorderBy: Seq[String] = Nil): Seq[Int] = {
+        zorderBy: Seq[String] = Nil,
+        purgeTombstoned: Boolean = true): Seq[Int] = {
       require(targetFileBytes > 0, "targetFileBytes must be positive")
       require(zorderBy.length <= 2,
         "zorderBy supports one (range) or two (Morton) columns")
       val byYear: Map[Int, Seq[FileEntry]] =
         pointers(root, newV - 1).map { case (y, m) =>
           y -> readPartManifest(m) }
-      val fragmented = byYear.collect {
+      // rewrite targets = fragmented partitions ∪ (by default) the
+      // partitions holding pending deletion-vector tombstones: OPTIMIZE
+      // is the natural purge vehicle — the rewrite reads DV-applied
+      // rows, so tombstones turn physical and drop from the carried
+      // sidecar at zero extra cost. The data-UNCHANGED contract holds
+      // unchanged: visible rows are identical before/after (the DV was
+      // already applied at read), so the change feed across the
+      // optimize commit stays empty.
+      val tombstoned =
+        if (purgeTombstoned)
+          dvOf(root, newV - 1).map(_._3).getOrElse(Seq.empty)
+        else Seq.empty
+      val fragmented = (byYear.collect {
         case (y, fs) if fs.size > maxFilesPerPartition => y
-      }.toSeq.sorted
+      }.toSeq ++ tombstoned).distinct.sorted
       if (fragmented.nonEmpty) {
         // per-partition target file counts from MANIFEST byte metadata
         // alone (sizes were recorded at commit): planning the rewrite
@@ -1132,6 +1145,33 @@ object WriteOps {
       val p = new HPath(root)
       val fs = fsFor(p)
       if (fs.exists(p)) fs.delete(p, true)
+    }
+
+    /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`): a new
+      * table whose v0 is the source HEAD's manifest verbatim — schema,
+      * pending deletion vector, and partition POINTERS copied, zero
+      * data moved or duplicated (manifests store absolute paths, so
+      * the clone resolves the source's files in place). The clone then
+      * evolves independently: its commits write fresh files under its
+      * OWN root and carry source pointers only for partitions it never
+      * rewrites. Cost: one manifest write, however large the table.
+      * Txn lines do NOT transfer (a writer app's batch history belongs
+      * to the source). Documented hazard, same as Delta's: vacuuming
+      * the SOURCE can reclaim files a clone still references — gate
+      * source vacuums on clone lifetimes (or rewrite the clone fully).
+      */
+    def shallowClone(srcRoot: String, dstRoot: String): Unit = {
+      val head = versions(srcRoot).max
+      val dst = manifest(dstRoot, 0)
+      val fs = fsFor(dst)
+      require(versions(dstRoot).isEmpty,
+        s"clone target $dstRoot already holds a committed table")
+      fs.mkdirs(mdir(dstRoot))
+      val lines = topLines(srcRoot, head)
+        .filterNot(_.startsWith("#txn="))
+      lockFor(dstRoot).synchronized {
+        writeAtomic(fs, new HPath(mdir(dstRoot), ".v0.tmp"), dst, lines)
+      }
     }
 
     /** Partitions that changed between two versions, recovered from the
@@ -2051,6 +2091,45 @@ object WriteOps {
     "streaming_pipeline_snapshot" ->
       ((s, d) => streamingSnapshotPipeline(s, d)),
 
+    // SHALLOW CLONE (see SnapshotTable.shallowClone): dev/test forks of
+    // a production table for the cost of ONE manifest write — the
+    // clone's v0 points at the source's files in place, then the clone
+    // evolves independently (its upsert writes fresh files under its
+    // own root; the source's head stays byte-identical — CloneSpec pins
+    // the mtimes and the no-data-dir contract). The oracle proves the
+    // source is untouched by the clone's merge and the clone's history
+    // reads like any table's. At 100 TB: fork cost is O(|partitions|)
+    // metadata, zero data.
+    "write_shallow_clone" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val src = scratch("clone_src_tbl")
+      val dst = scratch("clone_dst_tbl")
+      SnapshotTable.deleteTree(src); SnapshotTable.deleteTree(dst)
+      val base = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = base.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, src, 0, base, years)
+      SnapshotTable.shallowClone(src, dst)
+      // the CLONE takes the 1997 upsert; the source must not move
+      val merged = upsertBatch(s, d).withColumn("src", lit(1))
+        .unionByName(SnapshotTable.read(s, dst, 0)
+          .filter(col("pt_year") === 1997).withColumn("src", lit(0)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderkey").orderBy(col("src").desc)))
+        .filter(col("rn") === 1).drop("rn", "src")
+      SnapshotTable.commit(s, dst, 1, merged, Seq(1997))
+      def snap(root: String, v: Int, label: String) =
+        SnapshotTable.read(s, root, v)
+          .groupBy("pt_year").agg(count(lit(1)).as("cnt"),
+            countDistinct(col("o_orderkey")).as("n_keys"),
+            decSum("o_totalprice").as("total"))
+          .withColumn("version", lit(label))
+      snap(src, 0, "source_head").unionByName(snap(dst, 0, "clone_v0"))
+        .unionByName(snap(dst, 1, "clone_v1"))
+        .select("version", "pt_year", "cnt", "n_keys", "total")
+    }),
+
     // DELETION VECTORS — merge-on-read deletes (see SnapshotTable's DV
     // block): v1 deletes the 1996 ≡3-mod-10 keys as a METADATA commit
     // (parent pointers verbatim + one small tombstone sidecar — zero
@@ -2669,6 +2748,31 @@ object WriteOps {
            AS total
          FROM orders WHERE o_custkey BETWEEN 100 AND 400
          GROUP BY 1""",
+
+    // the clone's merge cannot move the source: source_head == clone_v0
+    // == t, clone_v1 == the upsert applied (write_time_travel's v1)
+    "write_shallow_clone" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         upd AS (
+           SELECT o_orderkey, o_custkey,
+             o_totalprice + 100.0 AS o_totalprice, pt_year
+           FROM t WHERE pt_year = 1997
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, 1.0, pt_year
+           FROM t WHERE pt_year = 1997),
+         v1 AS (
+           SELECT * FROM t WHERE pt_year <> 1997
+           UNION ALL SELECT * FROM upd),
+         lab AS (
+           SELECT 'source_head' AS version, * FROM t
+           UNION ALL SELECT 'clone_v0', * FROM t
+           UNION ALL SELECT 'clone_v1', * FROM v1)
+         SELECT version, pt_year, cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total
+         FROM lab GROUP BY version, pt_year""",
 
     // logical (DV-applied read) == physical (post-rewrite) == the
     // plain anti-filter; v0 time-travels intact
