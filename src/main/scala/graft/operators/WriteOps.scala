@@ -1755,6 +1755,53 @@ object WriteOps {
         decSum("o_totalprice").as("total"))
   }
 
+  // per-(JVM, sfDir) table-name memo for the SQL catalog gate
+  private val sqlCatState =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** SQL TIME TRAVEL through the DSv2 catalog — gate `sql_version_asof`:
+    * the snapshot table served by `graft.sources.SnapshotCatalog` under
+    * a catalog name, read with Spark's NATIVE `VERSION AS OF` clause —
+    * v0 and the post-upsert v1 both queried in plain SQL, plus the
+    * unclause'd head. The catalog instance is JVM-cached by Spark's
+    * CatalogManager, so the base dir is a fixed per-JVM scratch root
+    * and tables are per-sfDir subdirs. */
+  private[graft] def sqlVersionAsOf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = scratch("sqlcat_base")
+    val tname = sqlCatState.getOrElseUpdate(d, {
+      val n = "t_" + java.util.UUID.randomUUID().toString.take(8)
+      val root = s"$base/$n"
+      SnapshotTable.deleteTree(root)
+      val b = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = b.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, root, 0, b, years)
+      val merged = upsertBatch(s, d).withColumn("src", lit(1))
+        .unionByName(SnapshotTable.read(s, root, 0)
+          .filter(col("pt_year") === 1997).withColumn("src", lit(0)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderkey").orderBy(col("src").desc)))
+        .filter(col("rn") === 1).drop("rn", "src")
+      SnapshotTable.commit(s, root, 1, merged, Seq(1997))
+      n
+    })
+    s.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftlake.base", base)
+    def agg(label: String, clause: String) = s.sql(
+      s"""SELECT '$label' AS version, pt_year,
+            cast(count(*) AS bigint) AS cnt,
+            cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+              AS total
+          FROM graftlake.$tname $clause GROUP BY pt_year""")
+    agg("v0", "VERSION AS OF 0")
+      .unionByName(agg("v1", "VERSION AS OF 1"))
+      .unionByName(agg("head", ""))
+  }
+
   // per-(JVM, sfDir) CDC-applied table for the streaming apply twin
   private val streamApplyState =
     scala.collection.concurrent.TrieMap[String, (String, String, String)]()
@@ -2090,6 +2137,10 @@ object WriteOps {
     // (see streamingSnapshotPipeline)
     "streaming_pipeline_snapshot" ->
       ((s, d) => streamingSnapshotPipeline(s, d)),
+
+    // SQL time travel: VERSION AS OF through the DSv2 catalog
+    // (see sqlVersionAsOf / graft.sources.SnapshotCatalog)
+    "sql_version_asof" -> ((s, d) => sqlVersionAsOf(s, d)),
 
     // SHALLOW CLONE (see SnapshotTable.shallowClone): dev/test forks of
     // a production table for the cost of ONE manifest write — the
@@ -2748,6 +2799,31 @@ object WriteOps {
            AS total
          FROM orders WHERE o_custkey BETWEEN 100 AND 400
          GROUP BY 1""",
+
+    // v0 = t, v1 = head = the upsert applied — time travel readable in
+    // plain SQL through the catalog
+    "sql_version_asof" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         upd AS (
+           SELECT o_orderkey, o_custkey,
+             o_totalprice + 100.0 AS o_totalprice, pt_year
+           FROM t WHERE pt_year = 1997
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, 1.0, pt_year
+           FROM t WHERE pt_year = 1997),
+         v1 AS (
+           SELECT * FROM t WHERE pt_year <> 1997
+           UNION ALL SELECT * FROM upd),
+         lab AS (
+           SELECT 'v0' AS version, * FROM t
+           UNION ALL SELECT 'v1', * FROM v1
+           UNION ALL SELECT 'head', * FROM v1)
+         SELECT version, pt_year, cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total
+         FROM lab GROUP BY version, pt_year""",
 
     // the clone's merge cannot move the source: source_head == clone_v0
     // == t, clone_v1 == the upsert applied (write_time_travel's v1)

@@ -76,19 +76,107 @@ class SnapshotSourceProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new SnapshotSourceTable(schema,
-      properties.getOrDefault("root", properties.get("path")))
+      properties.getOrDefault("root", properties.get("path")),
+      Option(properties.get("versionAsOf")).map(_.toInt))
+}
+
+/** DataSource V2 CATALOG over a directory of snapshot tables — the SQL
+  * front door: register with
+  * `spark.sql.catalog.<name> = graft.sources.SnapshotCatalog` and
+  * `spark.sql.catalog.<name>.base = <dir>`, then every `<dir>/<table>`
+  * root is `SELECT ... FROM <name>.<table>` — including Spark's native
+  * time-travel syntax `VERSION AS OF <v>`, which lands here through
+  * `loadTable(ident, version)` and pins the scan to that version's
+  * manifest. Read-only by design (writes go through the commit
+  * protocol, which owns atomicity): create/alter/drop/rename refuse. */
+class SnapshotCatalog
+    extends org.apache.spark.sql.connector.catalog.TableCatalog {
+  import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+
+  private var catalogName: String = _
+  private var base: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    base = options.get("base")
+    require(base != null,
+      s"spark.sql.catalog.$name.base must point at the table directory")
+  }
+
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name())
+      .foldLeft(base)((p, seg) => s"$p/$seg")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new HPath(namespace.foldLeft(base)((p, s) => s"$p/$s"))
+    val fs = dir.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => SnapshotTable.versions(s"${dir.toString}/$n").nonEmpty)
+      .map(Identifier.of(namespace, _))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    SnapshotTable.versions(rootOf(ident)).nonEmpty
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    val vs = SnapshotTable.versions(root)
+    if (vs.isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    new SnapshotSourceTable(
+      SnapshotTable.tableSchema(root, vs.max).get, root, None)
+  }
+
+  /** `VERSION AS OF <v>` — Spark routes the SQL time-travel clause
+    * here; the returned table pins every scan to version v. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    val v = version.toInt
+    require(SnapshotTable.versions(root).contains(v),
+      s"version $v of ${ident.name} is unavailable (vacuumed or never " +
+      "committed)")
+    new SnapshotSourceTable(
+      SnapshotTable.tableSchema(root, v).get, root, Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "snapshot tables are written through the commit protocol, not SQL DDL")
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "snapshot table schema evolves through commits")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "drop snapshot tables through SnapshotTable.deleteTree")
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "snapshot table roots are immutable paths")
 }
 
 private[sources] class SnapshotSourceTable(tableSchema: StructType,
-    root: String) extends Table with SupportsRead {
-  override def name(): String = s"graft_snapshot($root)"
+    root: String, pinnedVersion: Option[Int] = None)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graft_snapshot($root${pinnedVersion.fold("")(v => s"@v$v")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(root, tableSchema,
-      Option(options.get("startingVersion")).map(_.toInt).getOrElse(0))
+      Option(options.get("startingVersion")).map(_.toInt).getOrElse(0),
+      pinnedVersion
+        .orElse(Option(options.get("versionAsOf")).map(_.toInt)),
+      options.getBoolean("ignoreDeletes", false))
 }
 
 /** Pushdown surface of the connector.
@@ -105,7 +193,9 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
   *    are never materialized — `SELECT k FROM …` reads one column's
   *    pages, the scan-efficiency contract a wide 100 TB table needs. */
 private[sources] class SnapshotScanBuilder(root: String,
-    full: StructType, startingVersion: Int) extends ScanBuilder
+    full: StructType, startingVersion: Int,
+    pinnedVersion: Option[Int] = None,
+    ignoreDeletes: Boolean = false) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources._
@@ -149,37 +239,71 @@ private[sources] class SnapshotScanBuilder(root: String,
     required = requiredSchema
 
   override def build(): Scan = new SnapshotScan(root, required,
-    startingVersion, ranges.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) })
+    startingVersion, ranges.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) },
+    pinnedVersion, ignoreDeletes)
 }
 
 private[sources] class SnapshotScan(root: String, schema: StructType,
     startingVersion: Int,
-    ranges: Seq[(String, Any, Any)] = Nil) extends Scan {
+    ranges: Seq[(String, Any, Any)] = Nil,
+    pinnedVersion: Option[Int] = None,
+    ignoreDeletes: Boolean = false) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String =
-    s"graft-snapshot $root from v$startingVersion" +
+    s"graft-snapshot $root " +
+      pinnedVersion.fold(s"from v$startingVersion")(v => s"@v$v") +
       (if (ranges.isEmpty) ""
        else ranges.map { case (c, lo, hi) => s"$c in [$lo, $hi]" }
          .mkString(" pruned by ", " and ", ""))
 
-  private def readerFactory(): PartitionReaderFactory =
-    new GroupRowReaderFactory(schema.json, new SerializableConfiguration(
-      SparkSession.active.sparkContext.hadoopConfiguration))
+  /** keyCol → type tag for tombstone normalization. */
+  private def dvInfo(v: Int): Option[(String, String, Char)] =
+    SnapshotTable.dvOf(root, v).map { case (path, keyCol, _) =>
+      import org.apache.spark.sql.types._
+      val tag = schemaOfKey(keyCol) match {
+        case StringType => 'S'
+        case DoubleType | FloatType => 'D'
+        case _ => 'L'
+      }
+      (path, keyCol, tag)
+    }
 
-  /** Batch read = the HEAD version's file list, manifest-stat-pruned
-    * by the pushed ranges. */
-  override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      SnapshotTable.statEntries(root, SnapshotTable.versions(root).max)
-        .filter(SnapshotTable.entryMatches(_, ranges))
-        .map(e => SnapshotFilePartition(e.path): InputPartition).toArray
-    override def createReaderFactory(): PartitionReaderFactory =
-      readerFactory()
+  private def schemaOfKey(keyCol: String) =
+    SnapshotTable.tableSchema(root,
+        pinnedVersion.getOrElse(SnapshotTable.versions(root).max))
+      .flatMap(_.find(_.name == keyCol))
+      .map(_.dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
+
+  private def readerFactory(dv: Option[(String, String, Char)] = None)
+      : PartitionReaderFactory =
+    new GroupRowReaderFactory(schema.json, new SerializableConfiguration(
+      SparkSession.active.sparkContext.hadoopConfiguration), dv)
+
+  /** Batch read = the pinned version's (VERSION AS OF / versionAsOf)
+    * or the HEAD's file list, manifest-stat-pruned by the pushed
+    * ranges. A version with pending deletion vectors ships the
+    * tombstone sidecar to every reader (executor-side hash filter,
+    * JVM-cached) so merge-on-read deletes hold through SQL too. */
+  override def toBatch: Batch = {
+    val v = pinnedVersion.getOrElse(SnapshotTable.versions(root).max)
+    val dv = dvInfo(v)
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        SnapshotTable.statEntries(root, v)
+          .filter(SnapshotTable.entryMatches(_, ranges))
+          .map(e => SnapshotFilePartition(e.path): InputPartition).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        readerFactory(dv)
+    }
   }
 
-  override def toMicroBatchStream(ckpt: String): MicroBatchStream =
+  override def toMicroBatchStream(ckpt: String): MicroBatchStream = {
+    require(pinnedVersion.isEmpty,
+      "a VERSION AS OF read is a batch snapshot — streams follow head")
     new SnapshotMicroBatchStream(root, startingVersion, readerFactory(),
-      ranges)
+      ranges, ignoreDeletes)
+  }
 }
 
 /** Offset = "all versions ≤ v have been served". */
@@ -189,7 +313,8 @@ private[sources] case class VersionOffset(v: Int) extends Offset {
 
 private[sources] class SnapshotMicroBatchStream(root: String,
     startingVersion: Int, factory: PartitionReaderFactory,
-    ranges: Seq[(String, Any, Any)] = Nil)
+    ranges: Seq[(String, Any, Any)] = Nil,
+    ignoreDeletes: Boolean = false)
     extends MicroBatchStream {
 
   override def initialOffset(): Offset = VersionOffset(startingVersion - 1)
@@ -216,10 +341,19 @@ private[sources] class SnapshotMicroBatchStream(root: String,
     val s = start.asInstanceOf[VersionOffset].v
     val e = end.asInstanceOf[VersionOffset].v
     ((s + 1) to e).flatMap { v =>
-      // the first served version replays in full (its own fresh files
-      // ARE the full list only at v=0; a later starting version serves
-      // its commit's changes, Delta's startingVersion contract)
-      freshEntries(v).filter(SnapshotTable.entryMatches(_, ranges))
+      val fresh = freshEntries(v)
+      // a PURE delete commit (deletion vector moved, zero fresh files)
+      // removes rows an append stream has already emitted — fail
+      // loudly unless the consumer opted in, Delta's ignoreDeletes
+      // contract (a REWRITE that purges re-emits its partition and is
+      // covered by the ignoreChanges semantics instead)
+      if (!ignoreDeletes && fresh.isEmpty && v > 0 &&
+          SnapshotTable.dvOf(root, v) != SnapshotTable.dvOf(root, v - 1))
+        throw new IllegalStateException(
+          s"version $v of $root is a delete commit; an append stream " +
+          "cannot represent it — set .option(\"ignoreDeletes\", \"true\")" +
+          " to skip delete commits, or consume the change feed instead")
+      fresh.filter(SnapshotTable.entryMatches(_, ranges))
     }.map(e => SnapshotFilePartition(e.path): InputPartition).toArray
   }
 
@@ -231,12 +365,61 @@ private[sources] class SnapshotMicroBatchStream(root: String,
 private[sources] case class SnapshotFilePartition(path: String)
     extends InputPartition
 
+/** Per-JVM cache of deletion-vector tombstone sets, keyed by sidecar
+  * path — executors load each sidecar once however many file
+  * partitions they read. Entries are (normalized key, pt_year). */
+private[sources] object DvCache {
+  private val cache =
+    scala.collection.concurrent.TrieMap[String, Set[(Any, Int)]]()
+
+  def tombstones(dvPath: String, keyCol: String, tag: Char,
+      conf: org.apache.hadoop.conf.Configuration): Set[(Any, Int)] =
+    cache.getOrElseUpdate(dvPath, {
+      import org.apache.parquet.hadoop.ParquetReader
+      import org.apache.parquet.hadoop.example.GroupReadSupport
+      val dir = new HPath(dvPath)
+      val fs = dir.getFileSystem(conf)
+      val parts = fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      val out = scala.collection.mutable.HashSet[(Any, Int)]()
+      parts.foreach { p =>
+        val rd = ParquetReader.builder(new GroupReadSupport(), p)
+          .withConf(conf).build()
+        try {
+          var g = rd.read()
+          while (g != null) {
+            val gt = g.getType
+            val ki = gt.getFieldIndex(keyCol)
+            val yi = gt.getFieldIndex("pt_year")
+            val key: Any = tag match {
+              case 'S' => new String(g.getBinary(ki, 0).getBytes,
+                java.nio.charset.StandardCharsets.UTF_8)
+              case 'D' => g.getDouble(ki, 0)
+              case _ =>
+                if (gt.getType(ki).asPrimitiveType().getPrimitiveTypeName
+                    == org.apache.parquet.schema.PrimitiveType
+                      .PrimitiveTypeName.INT32) g.getInteger(ki, 0).toLong
+                else g.getLong(ki, 0)
+            }
+            out += ((key, g.getInteger(yi, 0)))
+            g = rd.read()
+          }
+        } finally rd.close()
+      }
+      out.toSet
+    })
+}
+
 /** Executor-side parquet→InternalRow reader over parquet-mr's Group
   * API (the public example read path — no Spark-private internals).
   * Column lookup is BY NAME so pre-evolution files null-fill columns
-  * they predate; types cover the snapshot write path's flat schemas. */
+  * they predate; types cover the snapshot write path's flat schemas.
+  * With `dv` set, rows matching the version's tombstone set are
+  * filtered DURING the scan (merge-on-read applied at the reader). */
 private[sources] class GroupRowReaderFactory(schemaJson: String,
-    conf: SerializableConfiguration) extends PartitionReaderFactory {
+    conf: SerializableConfiguration,
+    dv: Option[(String, String, Char)] = None)
+    extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -254,14 +437,18 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
         * parquet then skips the unprojected columns' pages entirely.
         * Files lacking every required column (pre-evolution under a
         * narrow projection, or a count(*) empty schema) read
-        * unprojected: rows still count, fields null-fill. */
+        * unprojected: rows still count, fields null-fill. With a
+        * deletion vector, the key and pt_year columns stay projected
+        * even when the query doesn't ask for them — the reader needs
+        * them to apply tombstones. */
       private val readConf = {
         val c = new org.apache.hadoop.conf.Configuration(conf.value)
         val fr = ParquetFileReader.open(
           HadoopInputFile.fromPath(new HPath(path), conf.value))
         val fileSchema =
           try fr.getFooter.getFileMetaData.getSchema finally fr.close()
-        val names = schema.fieldNames.toSet
+        val names = schema.fieldNames.toSet ++
+          dv.map(d => Set(d._2, "pt_year")).getOrElse(Set.empty)
         val kept = fileSchema.getFields.asScala.filter(t =>
           names.contains(t.getName))
         if (kept.nonEmpty && kept.size < fileSchema.getFieldCount)
@@ -270,13 +457,48 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
         c
       }
 
+      private val doomed: Set[(Any, Int)] = dv match {
+        case Some((dvPath, keyCol, tag)) =>
+          DvCache.tombstones(dvPath, keyCol, tag, conf.value)
+        case None => Set.empty
+      }
+
       private val reader: ParquetReader[Group] =
         ParquetReader.builder(new GroupReadSupport(), new HPath(path))
           .withConf(readConf).build()
       private var cur: Group = _
 
+      private def tombstoned(g: Group): Boolean = dv match {
+        case None => false
+        case Some((_, keyCol, tag)) =>
+          val gt = g.getType
+          if (!gt.containsField(keyCol) || !gt.containsField("pt_year"))
+            false
+          else {
+            val ki = gt.getFieldIndex(keyCol)
+            val yi = gt.getFieldIndex("pt_year")
+            if (g.getFieldRepetitionCount(ki) == 0 ||
+                g.getFieldRepetitionCount(yi) == 0) false
+            else {
+              val key: Any = tag match {
+                case 'S' => new String(g.getBinary(ki, 0).getBytes,
+                  java.nio.charset.StandardCharsets.UTF_8)
+                case 'D' => g.getDouble(ki, 0)
+                case _ =>
+                  if (gt.getType(ki).asPrimitiveType().getPrimitiveTypeName
+                      == org.apache.parquet.schema.PrimitiveType
+                        .PrimitiveTypeName.INT32)
+                    g.getInteger(ki, 0).toLong
+                  else g.getLong(ki, 0)
+              }
+              doomed.contains((key, g.getInteger(yi, 0)))
+            }
+          }
+      }
+
       override def next(): Boolean = {
         cur = reader.read()
+        while (cur != null && tombstoned(cur)) cur = reader.read()
         cur != null
       }
 

@@ -185,6 +185,106 @@ class SnapshotSourceSpec extends AnyFunSuite {
       .load().count() === 2L)
   }
 
+  test("merge-on-read deletes hold through the connector's batch reads") {
+    val root = Files.createTempDirectory("g_src_dv").toString
+    T.commit(spark, root, 0,
+      frame((1L, 1, 1.0), (2L, 1, 2.0), (3L, 2, 3.0)), Seq(1, 2))
+    T.commitDelete(spark, root, 1, "k",
+      frame((2L, 1, 0.0)).select("k", "pt_year"))
+    val got = spark.read.format("graft-snapshot").option("root", root)
+      .load().collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L), "the reader served a tombstoned row")
+    // a narrow projection that drops the key column still applies the
+    // vector (the reader keeps key+pt_year projected internally)
+    assert(spark.read.format("graft-snapshot").option("root", root)
+      .load().select("v").collect()
+      .map(_.getDouble(0)).toSet === Set(1.0, 3.0))
+    // count(*) over the DV version
+    assert(spark.read.format("graft-snapshot").option("root", root)
+      .load().count() === 2L)
+  }
+
+  test("versionAsOf pins a batch read; streams refuse a pinned version") {
+    val root = Files.createTempDirectory("g_src_vasof").toString
+    T.commit(spark, root, 0, frame((1L, 1, 1.0)), Seq(1))
+    T.commit(spark, root, 1, frame((1L, 1, 11.0), (2L, 1, 2.0)), Seq(1))
+    def at(v: Int) = spark.read.format("graft-snapshot")
+      .option("root", root).option("versionAsOf", v.toString).load()
+    assert(at(0).count() === 1 && at(1).count() === 2)
+    assert(at(0).head.getDouble(2) === 1.0)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-snapshot").option("root", root)
+        .option("versionAsOf", "0").load()
+        .writeStream.format("noop")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination(60000)
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("SQL catalog: SELECT ... VERSION AS OF through SnapshotCatalog") {
+    val base = Files.createTempDirectory("g_src_cat").toString
+    val root = s"$base/orders_t"
+    T.commit(spark, root, 0, frame((1L, 1, 10.0), (2L, 2, 20.0)), Seq(1, 2))
+    T.commit(spark, root, 1, frame((1L, 1, 11.0), (9L, 1, 90.0)), Seq(1))
+    spark.conf.set("spark.sql.catalog.lakespec",
+      classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakespec.base", base)
+    assert(spark.sql(
+      "SELECT sum(v) FROM lakespec.orders_t VERSION AS OF 0")
+      .head.getDouble(0) === 30.0)
+    assert(spark.sql(
+      "SELECT sum(v) FROM lakespec.orders_t VERSION AS OF 1")
+      .head.getDouble(0) === 121.0)
+    // head read without the clause
+    assert(spark.sql(
+      "SELECT count(*) FROM lakespec.orders_t").head.getLong(0) === 3L)
+    // filter pushdown works through SQL too (results exact)
+    assert(spark.sql(
+      "SELECT k FROM lakespec.orders_t WHERE k >= 9")
+      .collect().map(_.getLong(0)).toSet === Set(9L))
+    // DDL refuses — the commit protocol owns writes
+    intercept[Exception] {
+      spark.sql("DROP TABLE lakespec.orders_t")
+    }
+  }
+
+  test("a pure delete commit stops an append stream unless ignoreDeletes") {
+    val root = Files.createTempDirectory("g_src_igdel").toString
+    T.commit(spark, root, 0, frame((1L, 1, 1.0), (2L, 1, 2.0)), Seq(1))
+    T.commitDelete(spark, root, 1, "k",
+      frame((2L, 1, 0.0)).select("k", "pt_year"))
+    T.commit(spark, root, 2, frame((3L, 2, 3.0)), Seq(2))
+    // default: loud failure naming the option
+    val out1 = Files.createTempDirectory("g_src_igdel_o1").toString
+    val e = intercept[Exception] {
+      drain(root, Files.createTempDirectory("g_src_igdel_c1").toString,
+        out1)
+      spark.read.option("recursiveFileLookup", "true").parquet(out1)
+        .count()
+    }
+    assert(e.getMessage.contains("ignoreDeletes") ||
+      (e.getCause != null && e.getCause.getMessage.contains("ignoreDeletes")))
+    // opted in: the delete commit is skipped, appends still flow
+    val out2 = Files.createTempDirectory("g_src_igdel_o2").toString
+    val src = spark.readStream.format("graft-snapshot")
+      .option("root", root).option("ignoreDeletes", "true").load()
+    val q = src.writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("g_src_igdel_c2").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out2/b$id")
+      }
+      .start()
+    try { if (!q.awaitTermination(300000)) q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.read.option("recursiveFileLookup", "true")
+      .schema(src.schema).parquet(out2)
+      .collect().map(_.getLong(0)).toSet
+    // v0's appends + v2's append; the delete itself is not representable
+    assert(got === Set(1L, 2L, 3L))
+  }
+
   test("the stream fails loudly when its resume point is vacuumed away") {
     val root = Files.createTempDirectory("g_src_vac").toString
     T.commit(spark, root, 0, frame((1L, 1, 1.0)), Seq(1))
