@@ -303,10 +303,21 @@ object WriteOps {
     private def lockFor(root: String): Object =
       rootLocks.getOrElseUpdate(root, new Object)
 
+    // serializes every exists+rename pair within this JVM: the local
+    // filesystem's rename silently replaces, so without this two racing
+    // writers can BOTH pass the exists check and the loser's rename
+    // clobbers the winner's just-committed bytes (observed as a
+    // ChecksumException when the winner reads its file back for footer
+    // stats). The critical section is two metadata calls — microseconds
+    // — and HDFS (whose rename refuses inside the NameNode) doesn't
+    // need it but isn't hurt by it.
+    private val renameLock = new Object
+
     /** Rename refusing to replace an existing destination — the commit
-      * race arbiter. Atomic on HDFS; guarded by [[lockFor]] on local. */
+      * race arbiter. Atomic on HDFS; made check-then-rename-atomic
+      * within this JVM by [[renameLock]] on the local filesystem. */
     private def renameNoReplace(fs: FileSystem, src: HPath,
-        dst: HPath): Unit = {
+        dst: HPath): Unit = renameLock.synchronized {
       if (fs.exists(dst))
         throw new java.nio.file.FileAlreadyExistsException(dst.toString)
       if (!fs.rename(src, dst))
