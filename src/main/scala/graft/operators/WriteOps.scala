@@ -2043,6 +2043,23 @@ object WriteOps {
           col("r_name").as("region_name"))
     }),
 
+    // ORC round trip — the second columnar format Spark ships natively
+    // (vectorized reader, predicate pushdown, same splittable layout
+    // economics as parquet): write orders as ORC, read it back, and
+    // aggregate so the oracle proves value fidelity through the
+    // format's own encoders (double/long/int all round-trip exact).
+    "scan_orc" -> ((s, d) => {
+      val orcDir = scratch("fmt_orc")
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+        .write.mode(SaveMode.Overwrite).orc(orcDir)
+      s.read.orc(orcDir)
+        .groupBy("pt_year")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          decSum("o_totalprice").as("total"))
+    }),
+
     // Malformed-input hardening: a JSONL source where a known subset of
     // lines is deliberately truncated mid-record. PERMISSIVE mode with
     // a _corrupt_record column QUARANTINES bad lines (other fields
@@ -2763,6 +2780,15 @@ object WriteOps {
     "scan_csv_json" ->
       """SELECT n_nationkey, n_name, r_name AS region_name
          FROM nation JOIN region ON n_regionkey = r_regionkey""",
+
+    // the round trip is invisible to values: plain orders aggregate
+    "scan_orc" ->
+      """SELECT cast(year(o_orderdate) AS int) AS pt_year,
+         cast(count(*) AS bigint) AS cnt,
+         cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+           AS total
+         FROM orders GROUP BY 1""",
     // predicts the PERMISSIVE outcome from the corruption contract:
     // corrupt rows parse nothing (sums NULL), good rows parse exactly
     "scan_json_corrupt" ->
