@@ -800,8 +800,9 @@ object WriteOps {
       val tmp = new HPath(mdir(root), s".v$v.tmp")
       lockFor(root).synchronized {
         writeAtomic(fs, tmp, manifest(root, v),
-          (schema.map(sc => s"#schema=${sc.json}").toSeq :+
-            dvLineOf(dvPath, keyCol, years)) ++
+          (schema.map(sc => s"#schema=${sc.json}").toSeq ++
+            Seq(s"#ts=${System.currentTimeMillis()}",
+              dvLineOf(dvPath, keyCol, years))) ++
             pointers(root, v - 1).toSeq.sortBy(_._1)
               .map { case (y, m) => s"y$y\t$m" })
       }
@@ -959,10 +960,31 @@ object WriteOps {
         }
       lockFor(root).synchronized {
         writeAtomic(fs, tmp, manifest(root, v),
-          (s"#schema=${schema.json}" +: (txnLine ++ dvLine)) ++
+          (Seq(s"#schema=${schema.json}",
+            s"#ts=${System.currentTimeMillis()}") ++ txnLine ++ dvLine) ++
             (carriedPtrs ++ freshPtrs).toSeq.sortBy(_._1)
               .map { case (y, m) => s"y$y\t$m" })
       }
+    }
+
+    /** The version's commit wall-clock (epoch millis, recorded in its
+      * top manifest) — what `TIMESTAMP AS OF` resolves against. Absent
+      * on manifests written before timestamps were recorded. */
+    def commitTs(root: String, v: Int): Option[Long] =
+      topLines(root, v).find(_.startsWith("#ts="))
+        .map(_.stripPrefix("#ts=").toLong)
+
+    /** TIMESTAMP AS OF resolution: the LATEST version committed at or
+      * before `tsMillis` (Delta's contract). Fails loudly when every
+      * retained version is newer, and treats versions without a
+      * recorded timestamp as unavailable for time-based travel. */
+    def versionAt(root: String, tsMillis: Long): Int = {
+      val vs = versions(root)
+      val dated = vs.flatMap(v => commitTs(root, v).map(v -> _))
+      dated.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no version of $root committed at or before $tsMillis " +
+          s"(earliest dated: ${dated.headOption.map(_._2)})"))
     }
 
     /** The (application, batchId) recorded with version v's commit, if
@@ -1342,7 +1364,9 @@ object WriteOps {
       val tmp = new HPath(mdir(root), s".v$v.tmp")
       lockFor(root).synchronized {
         writeAtomic(fs, tmp, m,
-          (schemaLine.toSeq ++ dvLine.toSeq) ++ ptrs.toSeq.sortBy(_._1)
+          (schemaLine.toSeq ++
+            Seq(s"#ts=${System.currentTimeMillis()}") ++ dvLine.toSeq) ++
+            ptrs.toSeq.sortBy(_._1)
             .map { case (y, (mf, _)) => s"y$y\t$mf" })
       }
       fs.delete(branchManifest(root, name), false)

@@ -145,6 +145,16 @@ class SnapshotCatalog
       SnapshotTable.tableSchema(root, v).get, root, Some(v))
   }
 
+  /** `TIMESTAMP AS OF <t>` — Spark hands the clause's timestamp in
+    * MICROSECONDS; it resolves to the latest version committed at or
+    * before it (Delta's contract), then pins like VERSION AS OF. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val root = rootOf(ident)
+    val v = SnapshotTable.versionAt(root, timestampMicros / 1000L)
+    new SnapshotSourceTable(
+      SnapshotTable.tableSchema(root, v).get, root, Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table =

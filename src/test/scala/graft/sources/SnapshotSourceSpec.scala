@@ -248,6 +248,30 @@ class SnapshotSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("TIMESTAMP AS OF resolves the latest version committed at or before") {
+    val base = Files.createTempDirectory("g_src_tsof").toString
+    val root = s"$base/tt"
+    T.commit(spark, root, 0, frame((1L, 1, 10.0)), Seq(1))
+    val afterV0 = System.currentTimeMillis()
+    Thread.sleep(20)
+    T.commit(spark, root, 1, frame((1L, 1, 10.0), (2L, 1, 20.0)), Seq(1))
+    assert(T.versionAt(root, afterV0) === 0)
+    assert(T.versionAt(root, System.currentTimeMillis()) === 1)
+    intercept[IllegalArgumentException] {
+      T.versionAt(root, T.commitTs(root, 0).get - 10000)
+    }
+    spark.conf.set("spark.sql.catalog.lakets",
+      classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakets.base", base)
+    // ISO instant with explicit Z — immune to session/JVM tz skew
+    val tsLit = java.time.Instant.ofEpochMilli(afterV0).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM lakets.tt TIMESTAMP AS OF '$tsLit'")
+      .head.getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) FROM lakets.tt")
+      .head.getLong(0) === 2L)
+  }
+
   test("a pure delete commit stops an append stream unless ignoreDeletes") {
     val root = Files.createTempDirectory("g_src_igdel").toString
     T.commit(spark, root, 0, frame((1L, 1, 1.0), (2L, 1, 2.0)), Seq(1))
