@@ -36,6 +36,43 @@ import org.apache.spark.sql.SparkSession
   * makes the disproof part of the artifact instead of narrative.
   */
 object Bench {
+  /** Last path segment — the scale-factor identity of a data dir or of
+    * a recorded artifact's `sf` field ("/root/testdata/sf0.1" →
+    * "sf0.1"). */
+  private[graft] def sfName(p: String): String =
+    p.stripSuffix("/").split('/').last
+
+  /** The artifact's recorded `"sf"` field, if any. */
+  private[graft] def parseSf(content: String): Option[String] =
+    "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(content).map(_.group(1))
+
+  /** Parse the `"queries"` object ONLY (the line also carries
+    * `queries_cold`, whose entries must not shadow the medians). */
+  private[graft] def parseQueriesJson(content: String): Map[String, Double] =
+    "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(content)
+      .map(m => "\"([a-z0-9_]+)\":([0-9.]+)".r
+        .findAllMatchIn(m.group(1))
+        .map(g => g.group(1) -> g.group(2).toDouble).toMap)
+      .getOrElse(Map.empty)
+
+  /** SCALE-FACTOR GUARD on baseline acceptance (r12 post-mortem: an
+    * sf0.01 run overwrote the committed sf0.1 BENCH_FULL.json, and the
+    * uniform-load guard — median-based, with an overhead-bound median
+    * gate — passed the cross-scale comparison, poisoning five
+    * subsequent round-end windows into self-discarding on a partly
+    * false co-tenant-load diagnosis). A baseline recorded at a
+    * DIFFERENT scale factor than the current run is REFUSED: no
+    * ratios, no noise guard, no uniform-load discard — and the writer
+    * refuses to overwrite it (the run parks per-sf instead). A
+    * baseline without an `sf` field (pre-guard vintage) is also
+    * refused — its scale is unprovable. */
+  private[graft] def baselineFor(content: String,
+      sfDir: String): Map[String, Double] =
+    parseSf(content) match {
+      case Some(b) if sfName(b) == sfName(sfDir) => parseQueriesJson(content)
+      case _ => Map.empty
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine's width: every committed bench artifact is
@@ -140,21 +177,26 @@ object Bench {
       }
 
     // previous committed medians — parsed BEFORE publishing so the noise
-    // guard below can compare against them. Parse the "queries" object
-    // ONLY: the line also carries "queries_cold", whose entries must not
-    // shadow the medians.
+    // guard below can compare against them, and ACCEPTED only when the
+    // baseline's recorded sf matches this run's (see baselineFor)
     val benchDir = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "bench"))
     val fullPath = benchDir.resolve("BENCH_FULL.json")
+    val committed: Option[String] =
+      if (java.nio.file.Files.exists(fullPath))
+        Some(java.nio.file.Files.readString(fullPath))
+      else None
+    val committedSfMismatch = committed.exists(c =>
+      !parseSf(c).map(sfName).contains(sfName(sfDir)))
+    if (committedSfMismatch) System.err.println(
+      s"[bench] committed baseline ${fullPath} was recorded at sf " +
+        s"'${committed.flatMap(parseSf).getOrElse("?")}' but this run is " +
+        s"'$sfDir' — cross-sf comparison REFUSED (no ratios, no " +
+        "uniform-load guard) and the baseline will not be overwritten; " +
+        "this run's payload parks in BENCH_FULL_" + sfName(sfDir) +
+        ".json (delete BENCH_FULL.json to rebase the baseline)")
     val prev: Map[String, Double] =
-      if (java.nio.file.Files.exists(fullPath)) {
-        val content = java.nio.file.Files.readString(fullPath)
-        "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(content)
-          .map(m => "\"([a-z0-9_]+)\":([0-9.]+)".r
-            .findAllMatchIn(m.group(1))
-            .map(g => g.group(1) -> g.group(2).toDouble).toMap)
-          .getOrElse(Map.empty)
-      } else Map.empty
+      committed.map(baselineFor(_, sfDir)).getOrElse(Map.empty)
 
     // NOISE GUARD: any query whose median regressed >1.5x vs the
     // committed baseline is re-measured once (fresh reps, end of run)
@@ -359,7 +401,12 @@ object Bench {
           s"[bench] uniform load detected (median ratio ${medianRatio.map(fmt).getOrElse("?")} " +
             "> 1.1 vs committed baseline); BENCH_FULL.json preserved, " +
             "run parked in BENCH_FULL_DISCARDED.json")
-      } else java.nio.file.Files.writeString(fullPath, line)
+      } else java.nio.file.Files.writeString(
+        // sf guard, write side: a run at a different sf than the
+        // committed baseline NEVER overwrites it — it parks per-sf
+        if (committedSfMismatch)
+          benchDir.resolve(s"BENCH_FULL_${sfName(sfDir)}.json")
+        else fullPath, line)
     } catch { case e: Exception =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }

@@ -48,6 +48,12 @@ object EventOps {
     // future events fixture legitimately contains event_type
     // "__sentinel__" or user_id -1.
     val sentinelBoundSec = 4102444800L
+    // LOCAL-ONLY BY CONTRACT: the staged replay source, checkpoints, and
+    // sinks below are gate-harness fixtures created as JVM temp dirs
+    // (java.nio is correct here — createTempDirectory has no Hadoop
+    // analog and these paths never derive from scratch()/table roots).
+    // Production streams point checkpointLocation/sinks at cluster URIs
+    // through their own options; nothing here is on a data path.
     private val staged =
       scala.collection.concurrent.TrieMap[String, java.nio.file.Path]()
 
@@ -56,10 +62,15 @@ object EventOps {
       staged.getOrElseUpdate(d, {
         val stage = java.nio.file.Files.createTempDirectory("g_replay_src")
         deleteOnExit(stage)
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          stage.resolve("events.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // the SOURCE side is a data path (env-controlled sfDir): copy
+        // through the Hadoop FS API so any scheme serves the fixture
+        val conf = s.sparkContext.hadoopConfiguration
+        val src = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+        val dst = new org.apache.hadoop.fs.Path(
+          stage.resolve("events.parquet").toString)
+        org.apache.hadoop.fs.FileUtil.copy(
+          src.getFileSystem(conf), src, dst.getFileSystem(conf), dst,
+          false, true, conf)
         val row = org.apache.spark.sql.Row(schema.fields.map { f =>
           if (f.name == "ts") f.dataType match {
             // match the fixture's physical shape (TESTDATA vintages:
@@ -395,18 +406,24 @@ select bucket_start, event_type, sum_val from hourly
       .parquet(s"$tblRoot/v$batchId")
   }
 
+  /** Newest version directory `v<id>` with id < `below` under the
+    * versioned state-table root. Resolves through the Hadoop FS API —
+    * like every other table-root consumer in the write family — so the
+    * root may be local (the gate fixture), `hdfs://`, or any configured
+    * scheme; one directory listing, no data reads. */
   private[graft] def latestVersion(tblRoot: String,
       below: Long): Option[String] = {
-    val root = java.nio.file.Paths.get(tblRoot)
-    if (!java.nio.file.Files.exists(root)) None
+    val root = new org.apache.hadoop.fs.Path(tblRoot)
+    val fs = root.getFileSystem(
+      org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
     else {
-      val stream = java.nio.file.Files.list(root)
-      val vs =
-        try stream.toArray.toSeq
-          .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
-          .filter(_.startsWith("v")).map(_.drop(1).toLong)
-          .filter(_ < below)
-        finally stream.close() // Files.list leaks an fd if not closed
+      val vs = fs.listStatus(root).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+        .map(_.drop(1).toLong)
+        .filter(_ < below)
       if (vs.isEmpty) None else Some(s"$tblRoot/v${vs.max}")
     }
   }

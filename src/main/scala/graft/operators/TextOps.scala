@@ -89,9 +89,13 @@ object TextOps {
     * retrains on the new ones. */
   private def corpusStamp(d: String): Long =
     try {
-      val p = java.nio.file.Paths.get(s"$d/documents.parquet")
-      java.nio.file.Files.size(p) ^
-        java.nio.file.Files.getLastModifiedTime(p).toMillis
+      // Hadoop FS, not java.nio: the sfDir is env-controlled and may be
+      // any configured scheme, same contract as every table-root path
+      val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+      val st = p.getFileSystem(
+        org.apache.spark.sql.SparkSession.active
+          .sparkContext.hadoopConfiguration).getFileStatus(p)
+      st.getLen ^ st.getModificationTime
     } catch { case _: Exception => 0L }
 
   /** `cap` (the acceptance window; [[BPE_CAND_CAP]] in production) is

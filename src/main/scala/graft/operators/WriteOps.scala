@@ -274,14 +274,15 @@ object WriteOps {
   /** IO substrate note (the 100 TB deployment story): every table-root
     * path below resolves through `org.apache.hadoop.fs.FileSystem`, so a
     * root may be a local dir (tests), `hdfs://`, or an object store.
-    * Commit atomicity = manifest rename-no-replace, which is atomic on
-    * HDFS (the server refuses an existing destination inside the rename);
-    * on the LOCAL filesystem Hadoop's rename is a POSIX rename that
-    * would silently replace, so a per-root JVM lock makes the
-    * check-then-rename race-free within one driver — exactly the split
-    * Delta's LogStore formalizes (HDFSLogStore vs LocalLogStore). Object
-    * stores (S3) lack atomic rename entirely; deploying there needs the
-    * put-if-absent LogStore upgrade, same caveat Delta documents. */
+    * Commit atomicity is an ENFORCED SEAM, not a caveat: every publish
+    * routes through the scheme-selected [[SnapshotTable.CommitSubstrate]]
+    * — rename-no-replace on rename-atomic filesystems (HDFS refuses an
+    * existing destination inside the rename; the local FS gets a JVM
+    * lock around the exists+rename pair), put-if-absent
+    * (`create(dst, overwrite = false)`) on object stores that opt in to
+    * server-enforced conditional create, and a LOUD REFUSAL on anything
+    * else — the same split Delta's LogStore formalizes (HDFSLogStore /
+    * LocalLogStore / S3SingleDriverLogStore). */
   private[graft] object SnapshotTable {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
@@ -313,16 +314,104 @@ object WriteOps {
     // need it but isn't hurt by it.
     private val renameLock = new Object
 
-    /** Rename refusing to replace an existing destination — the commit
-      * race arbiter. Atomic on HDFS; made check-then-rename-atomic
-      * within this JVM by [[renameLock]] on the local filesystem. */
-    private def renameNoReplace(fs: FileSystem, src: HPath,
-        dst: HPath): Unit = renameLock.synchronized {
-      if (fs.exists(dst))
-        throw new java.nio.file.FileAlreadyExistsException(dst.toString)
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"rename $src -> $dst failed")
+    // ------------------------------------------------------------------
+    // ATOMIC-PUBLISH SUBSTRATE (Delta's LogStore split, ENFORCED as a
+    // seam rather than documented as a caveat): every publish — manifest
+    // rename, data-file move, branch ref — routes through the substrate
+    // selected by the root filesystem's URI scheme.
+    //  - RENAME substrate (hdfs/file/viewfs): rename-no-replace, atomic
+    //    on HDFS (the NameNode refuses an existing destination inside
+    //    the rename); on the local FS a JVM-wide lock makes the
+    //    exists+rename pair race-free within one driver.
+    //  - PUT-IF-ABSENT substrate (object stores whose connector
+    //    enforces conditional create server-side): the staged bytes
+    //    re-publish through `create(dst, overwrite = false)` and the
+    //    store arbitrates the race. OPT-IN per scheme
+    //    (SPARK_GRAFT_PUTIFABSENT_SCHEMES env, or the
+    //    graft.putifabsent.schemes system property) because Hadoop
+    //    connectors differ on whether create(false) is a true
+    //    conditional put or a client-side check-then-put.
+    //  - Any other scheme (s3a/gs/wasb/... without the opt-in) REFUSES
+    //    LOUDLY at publish: on a store with silently-replacing rename,
+    //    proceeding would let a commit-race loser overwrite the
+    //    winner's committed manifest — corrupting the log is strictly
+    //    worse than failing the write.
+    // ------------------------------------------------------------------
+    private[graft] sealed trait CommitSubstrate {
+      /** Publish staged `src` at `dst`, refusing an existing
+        * destination — throws java.nio.file.FileAlreadyExistsException
+        * (the commit-race loser's signal; `src` is left for the caller
+        * to clean). */
+      def publishNoReplace(fs: FileSystem, src: HPath, dst: HPath): Unit
     }
+
+    private[graft] object RenameSubstrate extends CommitSubstrate {
+      def publishNoReplace(fs: FileSystem, src: HPath,
+          dst: HPath): Unit = renameLock.synchronized {
+        if (fs.exists(dst))
+          throw new java.nio.file.FileAlreadyExistsException(dst.toString)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"rename $src -> $dst failed")
+      }
+    }
+
+    private[graft] object PutIfAbsentSubstrate extends CommitSubstrate {
+      def publishNoReplace(fs: FileSystem, src: HPath,
+          dst: HPath): Unit = {
+        // fast-path refuse; the create(overwrite = false) below is the
+        // server-side arbiter on stores that enforce conditional puts
+        if (fs.exists(dst))
+          throw new java.nio.file.FileAlreadyExistsException(dst.toString)
+        val in = fs.open(src)
+        val bytes =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+            buf.toByteArray
+          } finally in.close()
+        val out =
+          try fs.create(dst, false)
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                 _: java.io.IOException =>
+              throw new java.nio.file.FileAlreadyExistsException(
+                dst.toString)
+          }
+        try out.write(bytes) finally out.close()
+        fs.delete(src, false)
+      }
+    }
+
+    private val renameSafeSchemes = Set("file", "hdfs", "viewfs", "webhdfs")
+
+    private def putIfAbsentSchemes: Set[String] =
+      sys.env.get("SPARK_GRAFT_PUTIFABSENT_SCHEMES")
+        .orElse(sys.props.get("graft.putifabsent.schemes"))
+        .map(_.split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
+
+    /** The publish substrate for a URI scheme — the single decision
+      * point every table-root write routes through. Unknown schemes
+      * refuse with the deployment instructions in the message. */
+    private[graft] def substrateFor(scheme: String): CommitSubstrate = {
+      val s = Option(scheme).map(_.toLowerCase).getOrElse("file")
+      if (renameSafeSchemes.contains(s)) RenameSubstrate
+      else if (putIfAbsentSchemes.contains(s)) PutIfAbsentSubstrate
+      else throw new UnsupportedOperationException(
+        s"snapshot-table commits need an atomic publish, and scheme " +
+        s"'$s' guarantees neither rename-no-replace nor conditional " +
+        "create out of the box. If this store enforces " +
+        "create(overwrite=false) server-side (conditional put), opt in " +
+        s"with SPARK_GRAFT_PUTIFABSENT_SCHEMES=$s (or the " +
+        "graft.putifabsent.schemes system property); otherwise front " +
+        "the table root with HDFS or a rename-atomic filesystem.")
+    }
+
+    /** Publish refusing to replace an existing destination — the commit
+      * race arbiter, routed through the scheme's [[CommitSubstrate]]. */
+    private def renameNoReplace(fs: FileSystem, src: HPath,
+        dst: HPath): Unit =
+      substrateFor(fs.getUri.getScheme).publishNoReplace(fs, src, dst)
 
     private def readAllLines(fs: FileSystem, p: HPath): Seq[String] = {
       val in = fs.open(p)
@@ -571,7 +660,16 @@ object WriteOps {
                     (new String(b.genericGetMin.getBytes, UTF_8),
                       new String(b.genericGetMax.getBytes, UTF_8))
                   case _ =>
-                    (st.genericGetMin.toString, st.genericGetMax.toString)
+                    // FLOAT bounds must record the float's EXACT double:
+                    // Float.toString("3.4") re-parsed as Double (3.4d)
+                    // understates the true value (3.4f == 3.400000095d),
+                    // so a pushed `f >= 3.4f` predicate would wrongly
+                    // prune the file holding its own boundary value
+                    def repr(v: Any): String = v match {
+                      case f: java.lang.Float => f.doubleValue().toString
+                      case o => o.toString
+                    }
+                    (repr(st.genericGetMin), repr(st.genericGetMax))
                 }
                 if (typ == 'D' &&
                     (mn.toDouble.isNaN || mx.toDouble.isNaN)) dead += name
@@ -651,8 +749,15 @@ object WriteOps {
               (hi == null || toL(hi) >= cs.min.toLong) &&
                 (lo == null || toL(lo) <= cs.max.toLong)
             case 'D' =>
-              (hi == null || toD(hi) >= cs.min.toDouble) &&
-                (lo == null || toD(lo) <= cs.max.toDouble)
+              // a NaN bound cannot prune: under Spark semantics NaN is
+              // ordered GREATEST and equal to itself, while the IEEE
+              // comparisons below would read `NaN >= min` as false and
+              // wrongly prune EVERY file — keep them all and let the
+              // residual filter apply Spark's NaN ordering exactly
+              (hi == null || toD(hi).isNaN ||
+                toD(hi) >= cs.min.toDouble) &&
+                (lo == null || toD(lo).isNaN ||
+                  toD(lo) <= cs.max.toDouble)
             case _ =>
               (hi == null || utf8cmp(hi.toString, cs.min) >= 0) &&
                 (lo == null || utf8cmp(lo.toString, cs.max) <= 0)
@@ -742,6 +847,27 @@ object WriteOps {
 
     private def dvRoot(root: String): HPath = new HPath(root, "_dv")
 
+    /** Age past which an UNREFERENCED sidecar dir is presumed a race
+      * loser's leftover rather than an in-flight commit (vacuum's
+      * orphan horizon). private[graft] var so the vacuum spec can
+      * shrink it to exercise the orphan-reclaim path. */
+    private[graft] var dvOrphanHorizonMs: Long = 60L * 60 * 1000
+
+    /** A FRESH, token-uniquified sidecar dir for version v. The token
+      * matters for the commit race: the sidecar is written BEFORE the
+      * manifest rename that arbitrates the version — with a
+      * deterministic `_dv/v$v` path, a racing writer that LOSES the
+      * manifest CAS could still have overwritten the winner's
+      * already-committed sidecar bytes (data files dodge this with
+      * UUID staging names; sidecars get the same treatment here). A
+      * loser's orphan dir is garbage-collected by vacuum. Token-unique
+      * paths also make the executor-side [[graft.sources.DvCache]]
+      * sound: a sidecar path, once committed, never holds different
+      * bytes. */
+    private def freshDvPath(root: String, v: Int): String =
+      new HPath(dvRoot(root),
+        s"v$v-${java.util.UUID.randomUUID().toString.take(8)}").toString
+
     /** The version's pending-delete sidecar:
       * (sidecar dir, key column, years with pending tombstones). */
     def dvOf(root: String, v: Int): Option[(String, String, Seq[Int])] =
@@ -755,16 +881,61 @@ object WriteOps {
         years: Seq[Int]): String =
       s"#dv=$path\t$keyCol\t${years.sorted.mkString(",")}"
 
+    /** Broadcast ceiling for the pending-tombstone anti-join's build
+      * side, in sidecar ON-DISK bytes (64 MB default — comfortably
+      * inside executor broadcast budgets even after decompression).
+      * private[graft] var so DeleteVectorSpec can force the fallback. */
+    private[graft] var dvBroadcastMaxBytes: Long = 64L << 20
+
+    /** The version's pending-tombstone sidecar size in bytes (0 when no
+      * deletes are pending) — the OPTIMIZE purge-debt telemetry, read
+      * from one FS content summary of the sidecar dir. */
+    def pendingDvBytes(root: String, v: Int): Long =
+      dvOf(root, v).map { case (p, _, _) =>
+        val hp = new HPath(p)
+        val fs = fsFor(hp)
+        if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+      }.getOrElse(0L)
+
+    /** Operator-facing table telemetry (the `DESCRIBE DETAIL` analog):
+      * version, live file count/bytes (from manifest metadata alone),
+      * partition count, and the pending deletion-vector debt — sidecar
+      * bytes and tombstoned partitions — so deployments SEE when purge
+      * cadence (OPTIMIZE) is falling behind the [[dvBroadcastMaxBytes]]
+      * ceiling rather than discovering it as a plan change. */
+    def describe(root: String, v: Int): Map[String, String] = {
+      val es = entries(root, v)
+      val dv = dvOf(root, v)
+      Map(
+        "version" -> v.toString,
+        "num_files" -> es.size.toString,
+        "total_bytes" -> es.map(_._2).sum.toString,
+        "num_partitions" -> pointers(root, v).size.toString,
+        "pending_dv_bytes" -> pendingDvBytes(root, v).toString,
+        "pending_dv_years" ->
+          dv.map(_._3.mkString(",")).getOrElse(""),
+        "commit_ts" -> commitTs(root, v).map(_.toString).getOrElse(""))
+    }
+
     /** Anti-join the version's pending tombstones, if any. Join keys
       * are (keyCol, pt_year): a tombstone kills exactly the key's rows
-      * in the partition the delete saw it in. */
+      * in the partition the delete saw it in. The build side broadcasts
+      * only while the sidecar stays under [[dvBroadcastMaxBytes]];
+      * past that (a deployment letting purge debt accumulate across
+      * many delete commits) the anti-join falls back to a plain
+      * shuffle join — slower, never wrong, and the debt is visible in
+      * [[describe]] so OPTIMIZE can purge it. */
     private def applyDv(s: SparkSession, root: String, v: Int,
         df: DataFrame): DataFrame =
       dvOf(root, v) match {
         case None => df
         case Some((p, k, _)) =>
-          df.join(broadcast(s.read.parquet(p)), Seq(k, "pt_year"),
-            "left_anti")
+          val side = s.read.parquet(p)
+          val build =
+            if (pendingDvBytes(root, v) <= dvBroadcastMaxBytes)
+              broadcast(side)
+            else side
+          df.join(build, Seq(k, "pt_year"), "left_anti")
       }
 
     /** MERGE-ON-READ DELETE: commit `doomed` (columns: keyCol, pt_year)
@@ -791,7 +962,7 @@ object WriteOps {
           s.read.parquet(p).unionByName(fresh).distinct()
         case None => fresh.distinct()
       }).localCheckpoint(true) // pin: the sidecar is read back below
-      val dvPath = new HPath(dvRoot(root), s"v$v").toString
+      val dvPath = freshDvPath(root, v)
       pending.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dvPath)
       val years = pending.select("pt_year").distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
@@ -801,7 +972,7 @@ object WriteOps {
       lockFor(root).synchronized {
         writeAtomic(fs, tmp, manifest(root, v),
           (schema.map(sc => s"#schema=${sc.json}").toSeq ++
-            Seq(s"#ts=${System.currentTimeMillis()}",
+            Seq(s"#ts=${monotonicTs(root, v)}",
               dvLineOf(dvPath, keyCol, years))) ++
             pointers(root, v - 1).toSeq.sortBy(_._1)
               .map { case (y, m) => s"y$y\t$m" })
@@ -953,7 +1124,7 @@ object WriteOps {
               val purged = s.read.parquet(p).filter(col("pt_year")
                 .isin(remaining.map(Integer.valueOf): _*))
                 .localCheckpoint(true)
-              val np = new HPath(dvRoot(root), s"v$v").toString
+              val np = freshDvPath(root, v)
               purged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(np)
               Seq(dvLineOf(np, k, remaining))
             }
@@ -961,10 +1132,31 @@ object WriteOps {
       lockFor(root).synchronized {
         writeAtomic(fs, tmp, manifest(root, v),
           (Seq(s"#schema=${schema.json}",
-            s"#ts=${System.currentTimeMillis()}") ++ txnLine ++ dvLine) ++
+            s"#ts=${monotonicTs(root, v)}") ++ txnLine ++ dvLine) ++
             (carriedPtrs ++ freshPtrs).toSeq.sortBy(_._1)
               .map { case (y, m) => s"y$y\t$m" })
       }
+    }
+
+    /** Version v's commit stamp: wall-clock forced MONOTONIC per table
+      * — `max(parent_ts + 1, now)`. Two commits landing in the same
+      * millisecond (or a clock stepping backwards between commits)
+      * would otherwise make `TIMESTAMP AS OF`'s at-or-before mapping
+      * ambiguous: with monotonic stamps, version order and timestamp
+      * order agree by construction, so the mapping is total and
+      * deterministic (SnapshotSourceSpec pins the same-millisecond
+      * case). Same discipline as Delta's in-commit-timestamp
+      * monotonicity clamp. */
+    // wall-clock hook — private[graft] var ONLY so the spec can freeze
+    // or step the clock backwards to pin the same-millisecond and
+    // clock-skew cases deterministically
+    private[graft] var clock: () => Long = () => System.currentTimeMillis()
+
+    private def monotonicTs(root: String, v: Int): Long = {
+      val now = clock()
+      if (v == 0) now
+      else commitTs(root, v - 1).map(p => math.max(p + 1, now))
+        .getOrElse(now)
     }
 
     /** The version's commit wall-clock (epoch millis, recorded in its
@@ -1140,6 +1332,26 @@ object WriteOps {
       fragmented
     }
 
+    /** True iff `p` lives under table root `root` (path-segment prefix,
+      * both sides HPath-normalized). The vacuum containment test: a
+      * SHALLOW CLONE's manifests carry absolute pointers into the
+      * SOURCE table's root, and reclaiming those from the clone side
+      * would destroy data the source head still references — Delta
+      * scopes vacuum to files under the table root for exactly this
+      * reason, and so does this. */
+    private[graft] def underRoot(root: String, p: String): Boolean = {
+      val r = new HPath(root).toString
+      val s = new HPath(p).toString
+      s == r || s.startsWith(r + "/")
+    }
+
+    /** Reclaim versions older than the newest `retain`. ROOT-SCOPED by
+      * contract: only m-files, data files, and DV sidecars physically
+      * under `root` are ever deleted — cross-root pointers (a shallow
+      * clone referencing its source's files) are skipped, never
+      * reclaimed by the clone; the source's own vacuum owns them (and,
+      * symmetrically, can still break a clone that outlives the
+      * source's retention — the documented Delta-clone hazard). */
     def vacuum(root: String, retain: Int): Unit = {
       val vs = versions(root)
       val (expired, kept) = vs.splitAt(math.max(vs.length - retain, 0))
@@ -1150,17 +1362,45 @@ object WriteOps {
       val keepFiles = kept.flatMap(files(root, _)).toSet
       // deletion-vector sidecars reference-count exactly like m-files:
       // carried dv lines share the path, so an expired version's
-      // sidecar dies only when no retained version still points at it
-      val keptDvs = kept.flatMap(dvOf(root, _).map(_._1)).toSet
-      expired.flatMap(v => dvOf(root, v).map(_._1)).toSet
-        .diff(keptDvs).foreach(deleteTree)
+      // sidecar dies only when no retained version still points at it.
+      // The reclaim set is LIST-based (everything under _dv minus the
+      // retained versions' sidecars), so a loser of the sidecar-token
+      // race (commitDelete writes token-uniquified dirs) is garbage-
+      // collected here even though no manifest ever referenced it.
+      val dvDir = dvRoot(root)
+      val dvFs = fsFor(dvDir)
+      // listStatus returns FULLY-QUALIFIED paths (file:/...); manifest
+      // lines record the caller's root form — qualify both sides
+      def qual(p: String): String =
+        dvFs.makeQualified(new HPath(p)).toString
+      val keptDvs = kept.flatMap(dvOf(root, _).map(_._1)).map(qual).toSet
+      val refDvs = vs.flatMap(dvOf(root, _).map(_._1)).map(qual).toSet
+      if (dvFs.exists(dvDir))
+        dvFs.listStatus(dvDir).toSeq.foreach { st =>
+          val p = st.getPath.toString
+          val dead =
+            if (keptDvs.contains(p)) false
+            else if (refDvs.contains(p)) true // expired-referenced
+            else
+              // an ORPHAN (referenced by NO version) is either a race
+              // loser's leftover or an IN-FLIGHT delete-commit whose
+              // manifest hasn't published yet — reclaim only past an
+              // age horizon (Delta's vacuum-horizon discipline; no
+              // commit stays in flight for an hour)
+              System.currentTimeMillis() - st.getModificationTime >
+                dvOrphanHorizonMs
+          if (dead) deleteTree(p)
+        }
       // the DEAD pointer set is computed across ALL expired versions
       // first (carry-over shares pointers, so two expired versions can
-      // reference the same m-file — each dies exactly once)
+      // reference the same m-file — each dies exactly once). Cross-root
+      // pointers (clone → source) are NOT ours to reclaim: skip them.
       val deadPtrs =
-        expired.flatMap(pointers(root, _).values).toSet -- keptPtrs
+        (expired.flatMap(pointers(root, _).values).toSet -- keptPtrs)
+          .filter(underRoot(root, _))
       deadPtrs.foreach { m =>
         readPartManifest(m).map(_.path).filterNot(keepFiles.contains)
+          .filter(underRoot(root, _))
           .foreach { f =>
             val p = new HPath(f)
             fsFor(p).delete(p, false)
@@ -1204,6 +1444,42 @@ object WriteOps {
         .filterNot(_.startsWith("#txn="))
       lockFor(dstRoot).synchronized {
         writeAtomic(fs, new HPath(mdir(dstRoot), ".v0.tmp"), dst, lines)
+      }
+    }
+
+    /** RESTORE (Delta's `RESTORE TABLE ... TO VERSION AS OF v`): the
+      * table's next version's CONTENT is an older version's,
+      * republished as version `newV` — pointers, schema, and pending
+      * deletion vector copied from the restored manifest verbatim; ONE
+      * metadata write, zero data movement (the old version's files
+      * simply become referenced again). History is PRESERVED, not
+      * rewritten: the bad intermediate versions stay readable within
+      * retention, the restore is itself a commit (time travel past it
+      * works), and the change feed across it shows exactly the
+      * partitions whose pointers moved back ([[changedYears]] — carry-
+      * over shares pointers, so unchanged partitions diff empty).
+      * Fails loudly when the target version was vacuumed — a restore
+      * can only resurrect files that still exist, the same retention
+      * contract time travel has. At 100 TB: un-doing a bad load is
+      * O(|partitions|) metadata, never a data rewrite. Txn lines do
+      * not copy (the restored content is not the writer app's batch). */
+    def restore(root: String, newV: Int, toVersion: Int): Unit = {
+      val fs = fsFor(manifest(root, newV))
+      require(toVersion < newV,
+        s"restore target v$toVersion must precede the new version $newV")
+      require(fs.exists(manifest(root, newV - 1)),
+        s"cannot commit version $newV: parent v${newV - 1} was never " +
+        "committed")
+      require(!fs.exists(manifest(root, newV)),
+        s"conflict: version $newV is already committed — rebase on the " +
+        "current head and retry")
+      // topLines fails loudly when toVersion was vacuumed
+      val restored = topLines(root, toVersion)
+        .filterNot(l => l.startsWith("#ts=") || l.startsWith("#txn="))
+      val tmp = new HPath(mdir(root), s".v$newV.tmp")
+      lockFor(root).synchronized {
+        writeAtomic(fs, tmp, manifest(root, newV),
+          s"#ts=${monotonicTs(root, newV)}" +: restored)
       }
     }
 
@@ -1365,7 +1641,7 @@ object WriteOps {
       lockFor(root).synchronized {
         writeAtomic(fs, tmp, m,
           (schemaLine.toSeq ++
-            Seq(s"#ts=${System.currentTimeMillis()}") ++ dvLine.toSeq) ++
+            Seq(s"#ts=${monotonicTs(root, v)}") ++ dvLine.toSeq) ++
             ptrs.toSeq.sortBy(_._1)
             .map { case (y, (mf, _)) => s"y$y\t$mf" })
       }
@@ -1682,9 +1958,14 @@ object WriteOps {
     * against the plain orders aggregate. The drain checkpoint makes
     * re-invocation a restart: offsets resume past served versions,
     * nothing re-emits, and the landed output is re-read as-is. */
+  /** `maxVersions`: when set, the stream opts in to the source's
+    * ADMISSION CONTROL (`maxVersionsPerTrigger`) — the rate-limit gate's
+    * twin of this gate; SnapshotSourceSpec asserts the bounded-batch
+    * count, the oracle proves pacing never changes the landed table. */
   private[graft] def streamingSnapshotSource(s: SparkSession,
-      d: String): DataFrame = {
-    val (root, ckpt, out) = snapSrcState.getOrElseUpdate(d, {
+      d: String, maxVersions: Option[Int] = None): DataFrame = {
+    val variant = maxVersions.fold("")(m => s"#rate$m")
+    val (root, ckpt, out) = snapSrcState.getOrElseUpdate(d + variant, {
       val run = java.util.UUID.randomUUID().toString.take(8)
       val r = scratch(s"snapsrc_tbl_$run")
       SnapshotTable.deleteTree(r)
@@ -1701,8 +1982,11 @@ object WriteOps {
       }
       (r, scratch(s"snapsrc_ckpt_$run"), scratch(s"snapsrc_out_$run"))
     })
-    val src = s.readStream.format("graft-snapshot")
-      .option("root", root).load()
+    val reader = s.readStream.format("graft-snapshot")
+      .option("root", root)
+    val src = maxVersions
+      .fold(reader)(m => reader.option("maxVersionsPerTrigger", m))
+      .load()
     val q = src.writeStream
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2185,6 +2469,15 @@ object WriteOps {
     // connector (see streamingSnapshotSource / graft.sources)
     "streaming_source_snapshot" -> ((s, d) => streamingSnapshotSource(s, d)),
 
+    // ADMISSION CONTROL on the DSv2 source (maxVersionsPerTrigger=1 —
+    // Delta's maxFilesPerTrigger analog): the same backfill PACED into
+    // one-version micro-batches; pacing must not change the landed
+    // table (same oracle), and SnapshotSourceSpec asserts the batch
+    // count actually split. At 100 TB this is what makes a years-deep
+    // backfill checkpointable instead of one all-or-nothing batch.
+    "streaming_source_ratelimit" ->
+      ((s, d) => streamingSnapshotSource(s, d, maxVersions = Some(1))),
+
     // bronze→silver: DSv2 source + txn sink composed in one stream
     // (see streamingSnapshotPipeline)
     "streaming_pipeline_snapshot" ->
@@ -2230,6 +2523,41 @@ object WriteOps {
           .withColumn("version", lit(label))
       snap(src, 0, "source_head").unionByName(snap(dst, 0, "clone_v0"))
         .unionByName(snap(dst, 1, "clone_v1"))
+        .select("version", "pt_year", "cnt", "n_keys", "total")
+    }),
+
+    // RESTORE (see SnapshotTable.restore): v1 is a BAD 1997 load
+    // (re-priced rows + phantom inserts — the operator-error shape);
+    // v2 RESTORES the table to v0 in ONE metadata write — pointers
+    // copied back, zero data moved (RestoreSpec pins the file list and
+    // mtimes), history preserved (v1 stays readable). The oracle
+    // proves v1 held the bad state and the restored head equals the
+    // original exactly. At 100 TB: un-doing a bad load is
+    // O(|partitions|) metadata, never a rewrite.
+    "write_restore" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val root = scratch("restore_tbl")
+      SnapshotTable.deleteTree(root)
+      val base = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = base.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, root, 0, base, years)
+      val merged = upsertBatch(s, d).withColumn("src", lit(1))
+        .unionByName(SnapshotTable.read(s, root, 0)
+          .filter(col("pt_year") === 1997).withColumn("src", lit(0)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderkey").orderBy(col("src").desc)))
+        .filter(col("rn") === 1).drop("rn", "src")
+      SnapshotTable.commit(s, root, 1, merged, Seq(1997))
+      SnapshotTable.restore(root, 2, 0)
+      def snap(v: Int, label: String) =
+        SnapshotTable.read(s, root, v)
+          .groupBy("pt_year").agg(count(lit(1)).as("cnt"),
+            countDistinct(col("o_orderkey")).as("n_keys"),
+            decSum("o_totalprice").as("total"))
+          .withColumn("version", lit(label))
+      snap(1, "v1_bad").unionByName(snap(2, "v2_restored"))
         .select("version", "pt_year", "cnt", "n_keys", "total")
     }),
 
@@ -2952,6 +3280,40 @@ object WriteOps {
          cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
            AS total
          FROM orders GROUP BY 1""",
+
+    // pacing must not change the landed table: the rate-limited drain
+    // reconstructs the same whole table, one version per micro-batch
+    "streaming_source_ratelimit" ->
+      """SELECT cast(year(o_orderdate) AS int) AS pt_year,
+         cast(count(*) AS bigint) AS cnt,
+         cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+           AS total
+         FROM orders GROUP BY 1""",
+
+    // v1 = the bad 1997 load (write_time_travel's v1 algebra); the
+    // restored head equals the original table exactly
+    "write_restore" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         upd AS (
+           SELECT o_orderkey, o_custkey,
+             o_totalprice + 100.0 AS o_totalprice, pt_year
+           FROM t WHERE pt_year = 1997
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, 1.0, pt_year
+           FROM t WHERE pt_year = 1997),
+         v1 AS (
+           SELECT * FROM t WHERE pt_year <> 1997
+           UNION ALL SELECT * FROM upd),
+         lab AS (
+           SELECT 'v1_bad' AS version, * FROM v1
+           UNION ALL SELECT 'v2_restored', * FROM t)
+         SELECT version, pt_year, cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total
+         FROM lab GROUP BY version, pt_year""",
 
     // skipping is invisible to results: plain conjunctive predicate
     "write_zorder_scan" ->

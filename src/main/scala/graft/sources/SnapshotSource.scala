@@ -186,7 +186,8 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
       Option(options.get("startingVersion")).map(_.toInt).getOrElse(0),
       pinnedVersion
         .orElse(Option(options.get("versionAsOf")).map(_.toInt)),
-      options.getBoolean("ignoreDeletes", false))
+      options.getBoolean("ignoreDeletes", false),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
 }
 
 /** Pushdown surface of the connector.
@@ -205,7 +206,8 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
 private[sources] class SnapshotScanBuilder(root: String,
     full: StructType, startingVersion: Int,
     pinnedVersion: Option[Int] = None,
-    ignoreDeletes: Boolean = false) extends ScanBuilder
+    ignoreDeletes: Boolean = false,
+    maxVersionsPerTrigger: Option[Int] = None) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources._
@@ -216,8 +218,15 @@ private[sources] class SnapshotScanBuilder(root: String,
 
   private def comparable(v: Any): Boolean = v match {
     case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
-         _: java.lang.Byte | _: java.lang.Double | _: java.lang.Float |
-         _: String => true
+         _: java.lang.Byte | _: String => true
+    // NaN must NOT become a pruning bound: Spark orders NaN greatest
+    // and equal to itself, but the stats comparison is IEEE (`NaN >=
+    // min` is false), which would prune EVERY file and lose rows the
+    // residual filter can never recover. Non-finite bounds fall back
+    // to unpruned scans (manifest stats never record non-finite
+    // values, so infinities can't prune usefully either).
+    case d: java.lang.Double => !d.isNaN && !d.isInfinite
+    case f: java.lang.Float => !f.isNaN && !f.isInfinite
     case _ => false
   }
 
@@ -250,14 +259,15 @@ private[sources] class SnapshotScanBuilder(root: String,
 
   override def build(): Scan = new SnapshotScan(root, required,
     startingVersion, ranges.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) },
-    pinnedVersion, ignoreDeletes)
+    pinnedVersion, ignoreDeletes, maxVersionsPerTrigger)
 }
 
 private[sources] class SnapshotScan(root: String, schema: StructType,
     startingVersion: Int,
     ranges: Seq[(String, Any, Any)] = Nil,
     pinnedVersion: Option[Int] = None,
-    ignoreDeletes: Boolean = false) extends Scan {
+    ignoreDeletes: Boolean = false,
+    maxVersionsPerTrigger: Option[Int] = None) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String =
     s"graft-snapshot $root " +
@@ -312,7 +322,7 @@ private[sources] class SnapshotScan(root: String, schema: StructType,
     require(pinnedVersion.isEmpty,
       "a VERSION AS OF read is a batch snapshot — streams follow head")
     new SnapshotMicroBatchStream(root, startingVersion, readerFactory(),
-      ranges, ignoreDeletes)
+      ranges, ignoreDeletes, maxVersionsPerTrigger)
   }
 }
 
@@ -321,16 +331,50 @@ private[sources] case class VersionOffset(v: Int) extends Offset {
   override def json(): String = v.toString
 }
 
+/** The stream half of the connector. With `maxVersionsPerTrigger` set
+  * the stream implements ADMISSION CONTROL (Delta's maxFilesPerTrigger
+  * analog, version-granular): each trigger admits at most that many
+  * versions past the last committed offset, so a backfill of a
+  * years-deep table becomes a paced sequence of bounded micro-batches
+  * instead of ONE batch holding the entire history — the difference
+  * between a checkpointable, restartable backfill and a single giant
+  * all-or-nothing job at 100 TB. Trigger.AvailableNow composes: Spark
+  * iterates bounded batches until the captured head is reached. */
 private[sources] class SnapshotMicroBatchStream(root: String,
     startingVersion: Int, factory: PartitionReaderFactory,
     ranges: Seq[(String, Any, Any)] = Nil,
-    ignoreDeletes: Boolean = false)
-    extends MicroBatchStream {
+    ignoreDeletes: Boolean = false,
+    maxVersionsPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   override def initialOffset(): Offset = VersionOffset(startingVersion - 1)
 
   override def latestOffset(): Offset =
     VersionOffset(SnapshotTable.versions(root).max)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  // Trigger.AvailableNow's contract: pin the head at query start, run
+  // PACED batches up to exactly that bound (commits racing the drain
+  // wait for the next run), terminate when the bound is reached
+  private var availableNowBound: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(SnapshotTable.versions(root).max)
+
+  /** Bounded progress: at most maxVersionsPerTrigger versions past
+    * `start` (the last committed offset) per trigger. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val head = availableNowBound
+      .getOrElse(SnapshotTable.versions(root).max)
+    val s = start.asInstanceOf[VersionOffset].v
+    VersionOffset(maxVersionsPerTrigger
+      .map(m => math.min(head, s + math.max(m, 1))).getOrElse(head))
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.toInt)
@@ -377,7 +421,14 @@ private[sources] case class SnapshotFilePartition(path: String)
 
 /** Per-JVM cache of deletion-vector tombstone sets, keyed by sidecar
   * path — executors load each sidecar once however many file
-  * partitions they read. Entries are (normalized key, pt_year). */
+  * partitions they read. Entries are (normalized key, pt_year).
+  * Path-keyed memoization is SOUND because committed sidecar paths are
+  * token-uniquified (`_dv/v<N>-<token>`, see SnapshotTable's
+  * freshDvPath): a path, once referenced by a manifest, never holds
+  * different bytes — a re-created table at the same root or a retried
+  * delete-commit lands at a fresh token, never a reused path. Stale
+  * entries for vacuumed sidecars are dead weight, not wrong answers
+  * (their paths are never served again). */
 private[sources] object DvCache {
   private val cache =
     scala.collection.concurrent.TrieMap[String, Set[(Any, Int)]]()

@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The atomic-publish substrate seam (Delta's LogStore split, enforced):
+  * rename-atomic filesystems get rename-no-replace, object stores get
+  * put-if-absent ONLY by explicit opt-in, and anything else refuses
+  * loudly — a silently-replacing rename must never reach the commit
+  * log. */
+class CommitSubstrateSpec extends AnyFunSuite {
+
+  private val T = WriteOps.SnapshotTable
+
+  test("rename-atomic schemes route to the rename substrate") {
+    assert(T.substrateFor("hdfs") eq T.RenameSubstrate)
+    assert(T.substrateFor("file") eq T.RenameSubstrate)
+    assert(T.substrateFor("viewfs") eq T.RenameSubstrate)
+    assert(T.substrateFor(null) eq T.RenameSubstrate) // schemeless local
+  }
+
+  test("an object-store scheme without the opt-in refuses loudly") {
+    Seq("s3a", "gs", "abfs", "wasb", "oss").foreach { s =>
+      val e = intercept[UnsupportedOperationException](T.substrateFor(s))
+      assert(e.getMessage.contains("atomic publish"))
+      assert(e.getMessage.contains("PUTIFABSENT"),
+        "the refusal must carry the opt-in instructions")
+    }
+  }
+
+  test("opted-in schemes get put-if-absent, whose publish REFUSES an " +
+      "existing destination even where rename would silently replace") {
+    sys.props("graft.putifabsent.schemes") = "s3a, gs"
+    try {
+      val sub = T.substrateFor("s3a")
+      assert(sub eq T.PutIfAbsentSubstrate)
+      assert(T.substrateFor("gs") eq T.PutIfAbsentSubstrate)
+      // drive the substrate on the LOCAL filesystem — exactly the
+      // substrate whose rename() silently replaces — and prove the
+      // publish path refuses instead of clobbering the winner
+      val dir = Files.createTempDirectory("g_substrate")
+      val fs = FileSystem.getLocal(new Configuration())
+      def put(name: String, body: String): HPath = {
+        val p = new HPath(dir.resolve(name).toString)
+        val out = fs.create(p, true)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        p
+      }
+      val staged = put("staged", "loser bytes")
+      val committed = put("committed", "winner bytes")
+      intercept[java.nio.file.FileAlreadyExistsException](
+        sub.publishNoReplace(fs, staged, committed))
+      val in = fs.open(committed)
+      val kept =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      assert(kept === "winner bytes", "the loser overwrote the winner")
+      // and a fresh destination publishes, consuming the staged file
+      val fresh = new HPath(dir.resolve("fresh").toString)
+      sub.publishNoReplace(fs, staged, fresh)
+      val in2 = fs.open(fresh)
+      val got =
+        try scala.io.Source.fromInputStream(in2, "UTF-8").mkString
+        finally in2.close()
+      assert(got === "loser bytes")
+      assert(!fs.exists(staged), "staged source must be consumed")
+    } finally sys.props -= "graft.putifabsent.schemes"
+  }
+}
