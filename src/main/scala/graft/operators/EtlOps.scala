@@ -24,6 +24,10 @@ object EtlOps {
   private def runStreamingExample(s: SparkSession, d: String,
       gate: String): String = {
     import graft.streaming.DocIngest
+    // java.nio is correct here: examples/*.sql are REPO SOURCE files
+    // read relative to the checkout (like the specs read fixtures),
+    // not data paths — the data path (source_dir) flows through the
+    // ETL's own Hadoop-routed readers
     val etl = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("examples/ingest_documents_stream.sql")),
       "UTF-8")
