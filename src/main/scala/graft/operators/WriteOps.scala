@@ -1159,6 +1159,71 @@ object WriteOps {
         .getOrElse(now)
     }
 
+    /** TRUE APPEND commit — `INSERT INTO` semantics at O(batch) cost:
+      * the batch's rows land as FRESH files and each touched
+      * partition's new m-file is the PARENT's entry list ++ the fresh
+      * entries — parent data files are neither read nor rewritten
+      * (spec pins their mtimes), so appending a 1 GB batch into a
+      * 100 TB partition costs the batch write plus an O(files-in-
+      * partition) metadata line copy, never a copy-on-write rewrite
+      * (that's [[commit]]'s job, for merges). Schema evolution rules
+      * match commit's (parent ∪ batch, type changes refuse). Appends
+      * into partitions holding PENDING deletion-vector tombstones are
+      * REFUSED loudly: the key-granular DV anti-join would silently
+      * kill a re-inserted tombstoned key — purge first (OPTIMIZE), the
+      * same refusal WAP staging makes. */
+    def commitAppend(s: SparkSession, root: String, v: Int,
+        batch: DataFrame, txn: Option[(String, Long)] = None): Unit = {
+      val fs = fsFor(manifest(root, v))
+      require(v > 0, "append needs an initialized table (v0)")
+      require(fs.exists(manifest(root, v - 1)),
+        s"cannot commit version $v: parent v${v - 1} was never committed")
+      require(!fs.exists(manifest(root, v)),
+        s"conflict: version $v is already committed — rebase on the " +
+        "current head and retry")
+      val touched = batch.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      require(touched.nonEmpty, "an empty append commits nothing")
+      val dvLine: Seq[String] = dvOf(root, v - 1) match {
+        case Some((p, k, years)) =>
+          val hit = years.intersect(touched)
+          require(hit.isEmpty,
+            s"partitions ${hit.mkString(",")} hold pending deletion-" +
+            "vector tombstones; an append there could silently lose " +
+            "re-inserted keys to the tombstone anti-join — run " +
+            "optimize(purgeTombstoned) first")
+          Seq(dvLineOf(p, k, years))
+        case None => Nil
+      }
+      val parentPtrs = pointers(root, v - 1)
+      val staged = stageDataFiles(s, root,
+        s"stage_v${v}_${java.util.UUID.randomUUID().toString.take(8)}",
+        batch, touched, (y, i) => f"v${v}_y${y}_a$i%05d.parquet")
+      // fresh m-file per touched partition = parent entries (a metadata
+      // line copy — no data file is opened) ++ the staged fresh entries
+      val freshPtrs: Map[Int, String] = staged.collect {
+        case (y, es) if es.nonEmpty =>
+          val parentEs = parentPtrs.get(y).map(readPartManifest)
+            .getOrElse(Seq.empty)
+          y -> writePartManifest(root, s"m_v${v}_y$y.txt", parentEs ++ es)
+      }.toMap
+      val carriedPtrs = parentPtrs -- freshPtrs.keySet
+      val schema = tableSchema(root, v - 1)
+        .map(mergeSchemas(_, batch.schema))
+        .getOrElse(batch.schema)
+      val txnLine = txn.toSeq.map { case (app, id) =>
+        s"#txn=${b64e(app)}\t$id"
+      }
+      val tmp = new HPath(mdir(root), s".v$v.tmp")
+      lockFor(root).synchronized {
+        writeAtomic(fs, tmp, manifest(root, v),
+          (Seq(s"#schema=${schema.json}",
+            s"#ts=${monotonicTs(root, v)}") ++ txnLine ++ dvLine) ++
+            (carriedPtrs ++ freshPtrs).toSeq.sortBy(_._1)
+              .map { case (y, m) => s"y$y\t$m" })
+      }
+    }
+
     /** The version's commit wall-clock (epoch millis, recorded in its
       * top manifest) — what `TIMESTAMP AS OF` resolves against. Absent
       * on manifests written before timestamps were recorded. */
@@ -2121,6 +2186,48 @@ object WriteOps {
       .unionByName(agg("head", ""))
   }
 
+  // per-(JVM, sfDir) table-name memo for the SQL insert gate
+  private val sqlInsState =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** SQL WRITE through the DSv2 catalog — gate `sql_insert_snapshot`:
+    * plain `INSERT INTO <catalog>.<table> SELECT ...` lands as a TRUE
+    * APPEND commit (SnapshotTable.commitAppend via the V1Write bridge)
+    * — fresh files + an O(metadata) manifest merge, parent files never
+    * rewritten (SqlInsertSpec pins their mtimes), full txn protocol.
+    * The table starts as every year EXCEPT 1997; the SQL insert adds
+    * the 1997 slice; the head then equals the plain orders table —
+    * which is exactly what the oracle checks. Build+insert memoized
+    * per (JVM, sfDir) so re-invocation reads the same head. */
+  private[graft] def sqlInsertSnapshot(s: SparkSession,
+      d: String): DataFrame = {
+    val base = scratch("sqlins_base")
+    s.conf.set("spark.sql.catalog.graftins",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftins.base", base)
+    val tname = sqlInsState.getOrElseUpdate(d, {
+      val n = "t_" + java.util.UUID.randomUUID().toString.take(8)
+      val root = s"$base/$n"
+      SnapshotTable.deleteTree(root)
+      val b = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = b.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, root, 0,
+        b.filter(col("pt_year") =!= 1997), years.filterNot(_ == 1997))
+      b.filter(col("pt_year") === 1997)
+        .createOrReplaceTempView(s"ins_src_$n")
+      s.sql(s"INSERT INTO graftins.$n SELECT * FROM ins_src_$n")
+      n
+    })
+    s.sql(
+      s"""SELECT pt_year, cast(count(*) AS bigint) AS cnt,
+            cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+              AS total
+          FROM graftins.$tname GROUP BY pt_year""")
+  }
+
   // per-(JVM, sfDir) CDC-applied table for the streaming apply twin
   private val streamApplyState =
     scala.collection.concurrent.TrieMap[String, (String, String, String)]()
@@ -2486,6 +2593,10 @@ object WriteOps {
     // SQL time travel: VERSION AS OF through the DSv2 catalog
     // (see sqlVersionAsOf / graft.sources.SnapshotCatalog)
     "sql_version_asof" -> ((s, d) => sqlVersionAsOf(s, d)),
+
+    // SQL writes: INSERT INTO through the DSv2 catalog lands as a TRUE
+    // APPEND commit (see sqlInsertSnapshot / SnapshotTable.commitAppend)
+    "sql_insert_snapshot" -> ((s, d) => sqlInsertSnapshot(s, d)),
 
     // SHALLOW CLONE (see SnapshotTable.shallowClone): dev/test forks of
     // a production table for the cost of ONE manifest write — the
@@ -3274,6 +3385,16 @@ object WriteOps {
     // the drained stream reconstructs the whole table (append-shaped
     // version history), so the oracle is the plain orders aggregate
     "streaming_source_snapshot" ->
+      """SELECT cast(year(o_orderdate) AS int) AS pt_year,
+         cast(count(*) AS bigint) AS cnt,
+         cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+           AS total
+         FROM orders GROUP BY 1""",
+
+    // the append restores exactly the missing 1997 slice, so the head
+    // equals the plain orders table
+    "sql_insert_snapshot" ->
       """SELECT cast(year(o_orderdate) AS int) AS pt_year,
          cast(count(*) AS bigint) AS cnt,
          cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,

@@ -172,14 +172,50 @@ class SnapshotCatalog
       "snapshot table roots are immutable paths")
 }
 
+/** SQL WRITE surface: `INSERT INTO <catalog>.<table> ...` lands as a
+  * TRUE APPEND commit ([[SnapshotTable.commitAppend]]) — fresh files +
+  * an O(metadata) manifest merge, full txn protocol (atomic publish,
+  * race losers rebase), schema checked by Spark's insert resolution
+  * against the table's RECORDED schema. The V1Write bridge hands the
+  * driver the batch as a DataFrame; the data write itself distributes
+  * as a normal Spark job (only manifest lines touch the driver) — the
+  * same bridge Delta shipped on for years. Version-pinned tables
+  * (VERSION/TIMESTAMP AS OF) refuse writes; INSERT OVERWRITE refuses
+  * (overwrites are merges — use the commit/upsert protocol). */
 private[sources] class SnapshotSourceTable(tableSchema: StructType,
     root: String, pinnedVersion: Option[Int] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+
   override def name(): String =
     s"graft_snapshot($root${pinnedVersion.fold("")(v => s"@v$v")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      "a VERSION/TIMESTAMP AS OF table is a read-only snapshot — " +
+      "writes go to the table head")
+    require(tableSchema.fieldNames.contains("pt_year"),
+      s"$root records no pt_year partition column; SQL appends need it")
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+            require(!overwrite,
+              "INSERT OVERWRITE is not supported on snapshot tables — " +
+              "overwrites are merges; use the commit/upsert protocol")
+            val head = SnapshotTable.versions(root).max
+            SnapshotTable.commitAppend(data.sparkSession, root,
+              head + 1, data)
+          }
+      }
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(root, tableSchema,

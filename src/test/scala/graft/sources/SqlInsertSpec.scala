@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.TestSpark
+import graft.operators.WriteOps.SnapshotTable
+
+/** SQL INSERT through the DSv2 catalog + the commitAppend it rides on:
+  * TRUE APPEND semantics (parent data files neither read nor
+  * rewritten — mtimes pinned; new partitions open, existing ones
+  * merge at the metadata level), txn-protocol versioning, schema
+  * evolution via the direct API, the tombstoned-partition refusal,
+  * and the read-only contracts (pinned versions, INSERT OVERWRITE). */
+class SqlInsertSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val T = SnapshotTable
+
+  private def frame(rows: (Long, Int, Double)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("o_orderkey", "pt_year", "o_totalprice")
+  }
+
+  private def freshCatalog(): (String, String) = {
+    val base = Files.createTempDirectory("g_sqlins_cat").toString
+    val name = "gtest_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.base", base)
+    (name, base)
+  }
+
+  test("INSERT INTO appends without rewriting parent files") {
+    val (cat, base) = freshCatalog()
+    val root = s"$base/t1"
+    T.commit(spark, root, 0, frame((1L, 1, 10.0), (2L, 2, 20.0)), Seq(1, 2))
+    val v0Files = T.files(root, 0)
+    val v0Times = v0Files.map(f =>
+      f -> Files.getLastModifiedTime(Paths.get(f)).toMillis).toMap
+    // append into an EXISTING partition (1) and a NEW one (3)
+    frame((9L, 1, 90.0), (3L, 3, 30.0)).createOrReplaceTempView("ins_b1")
+    spark.sql(s"INSERT INTO $cat.t1 SELECT * FROM ins_b1")
+    assert(T.versions(root) === Seq(0, 1))
+    // TRUE append: every v0 file is still referenced AND untouched
+    assert(v0Files.forall(T.files(root, 1).contains))
+    assert(v0Files.map(f =>
+      f -> Files.getLastModifiedTime(Paths.get(f)).toMillis).toMap ===
+      v0Times, "append rewrote parent data files")
+    assert(spark.sql(s"SELECT * FROM $cat.t1").count() === 4)
+    assert(spark.sql(
+      s"SELECT sum(o_totalprice) AS s FROM $cat.t1 WHERE pt_year = 1")
+      .collect().head.getDouble(0) === 100.0)
+    // time travel still serves the pre-insert state
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.t1 VERSION AS OF 0")
+      .collect().head.getLong(0) === 2)
+  }
+
+  test("INSERT OVERWRITE refuses; DDL stays refused") {
+    val (cat, base) = freshCatalog()
+    T.commit(spark, s"$base/t2", 0, frame((1L, 1, 10.0)), Seq(1))
+    frame((2L, 1, 20.0)).createOrReplaceTempView("ins_b2")
+    val e = intercept[Exception](spark.sql(
+      s"INSERT OVERWRITE $cat.t2 SELECT * FROM ins_b2"))
+    assert(e.getMessage.toLowerCase.contains("overwrite") ||
+      e.getMessage.toLowerCase.contains("truncate"))
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.t2")
+      .collect().head.getLong(0) === 1, "failed overwrite mutated data")
+  }
+
+  test("a version-pinned table refuses writes") {
+    val (_, base) = freshCatalog()
+    val root = s"$base/t3"
+    T.commit(spark, root, 0, frame((1L, 1, 10.0)), Seq(1))
+    val pinned = new SnapshotSourceTable(
+      T.tableSchema(root, 0).get, root, Some(0))
+    val e = intercept[IllegalArgumentException](
+      pinned.newWriteBuilder(null))
+    assert(e.getMessage.contains("read-only snapshot"))
+  }
+
+  test("commitAppend refuses tombstoned partitions, allows others") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("g_append_dv").toString
+    T.commit(spark, root, 0, frame((1L, 1, 10.0), (2L, 2, 20.0)), Seq(1, 2))
+    T.commitDelete(spark, root, 1, "o_orderkey",
+      Seq((1L, 1)).toDF("o_orderkey", "pt_year"))
+    val e = intercept[IllegalArgumentException](
+      T.commitAppend(spark, root, 2, frame((5L, 1, 50.0))))
+    assert(e.getMessage.contains("tombstones"))
+    // appends elsewhere carry the pending DV line untouched
+    T.commitAppend(spark, root, 2, frame((6L, 2, 60.0)))
+    assert(T.dvOf(root, 2) === T.dvOf(root, 1))
+    assert(T.read(spark, root, 2).collect().map(_.getLong(0)).toSet ===
+      Set(2L, 6L))
+  }
+
+  test("commitAppend evolves schema like commit does") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("g_append_evolve").toString
+    T.commit(spark, root, 0, frame((1L, 1, 10.0)), Seq(1))
+    val wide = Seq((2L, 1, 20.0, "web"))
+      .toDF("o_orderkey", "pt_year", "o_totalprice", "o_channel")
+    T.commitAppend(spark, root, 1, wide)
+    val got = T.read(spark, root, 1)
+      .select("o_orderkey", "o_channel").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(1L -> None, 2L -> Some("web")))
+    // v0 keeps its narrow schema verbatim
+    assert(!T.tableSchema(root, 0).get.fieldNames.contains("o_channel"))
+  }
+
+  test("the streaming source serves SQL appends as append progress") {
+    val (cat, base) = freshCatalog()
+    val root = s"$base/t4"
+    T.commit(spark, root, 0, frame((1L, 1, 10.0)), Seq(1))
+    frame((2L, 1, 20.0)).createOrReplaceTempView("ins_b4")
+    spark.sql(s"INSERT INTO $cat.t4 SELECT * FROM ins_b4")
+    val out = Files.createTempDirectory("g_sqlins_out").toString
+    val q = spark.readStream.format("graft-snapshot")
+      .option("root", root).load()
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("g_sqlins_ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination(300000); q.stop()
+    // v0's row + the appended row, no re-emission of v0 in v1's diff
+    assert(spark.read.parquet(out).count() === 2)
+  }
+}
