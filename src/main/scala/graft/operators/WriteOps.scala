@@ -2228,6 +2228,46 @@ object WriteOps {
           FROM graftins.$tname GROUP BY pt_year""")
   }
 
+  // per-(JVM, sfDir) table-name memo for the SQL delete gate
+  private val sqlDelState =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** SQL DELETE through the DSv2 catalog — gate `sql_delete_snapshot`:
+    * `DELETE FROM <catalog>.<table> WHERE pt_year = 1996 AND
+    * o_custkey <= 500` runs the partition-scoped copy-on-write delete
+    * (SupportsDelete.deleteWhere): ONLY the 1996 partition rewrites
+    * (from a DV-applied read of the survivors), every other partition
+    * carries by pointer, and the pre-delete state stays served by
+    * VERSION AS OF 0 — both states oracled in one labeled union. */
+  private[graft] def sqlDeleteSnapshot(s: SparkSession,
+      d: String): DataFrame = {
+    val base = scratch("sqldel_base")
+    s.conf.set("spark.sql.catalog.graftdel",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftdel.base", base)
+    val tname = sqlDelState.getOrElseUpdate(d, {
+      val n = "t_" + java.util.UUID.randomUUID().toString.take(8)
+      val root = s"$base/$n"
+      SnapshotTable.deleteTree(root)
+      val b = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = b.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, root, 0, b, years)
+      s.sql(s"DELETE FROM graftdel.$n " +
+        "WHERE pt_year = 1996 AND o_custkey <= 500")
+      n
+    })
+    def agg(label: String, clause: String) = s.sql(
+      s"""SELECT '$label' AS version, pt_year,
+            cast(count(*) AS bigint) AS cnt,
+            cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+              AS total
+          FROM graftdel.$tname $clause GROUP BY pt_year""")
+    agg("head", "").unionByName(agg("v0", "VERSION AS OF 0"))
+  }
+
   // per-(JVM, sfDir) CDC-applied table for the streaming apply twin
   private val streamApplyState =
     scala.collection.concurrent.TrieMap[String, (String, String, String)]()
@@ -2597,6 +2637,10 @@ object WriteOps {
     // SQL writes: INSERT INTO through the DSv2 catalog lands as a TRUE
     // APPEND commit (see sqlInsertSnapshot / SnapshotTable.commitAppend)
     "sql_insert_snapshot" -> ((s, d) => sqlInsertSnapshot(s, d)),
+
+    // SQL DELETE: partition-scoped copy-on-write via SupportsDelete
+    // (see sqlDeleteSnapshot), pre-delete state time-traveled
+    "sql_delete_snapshot" -> ((s, d) => sqlDeleteSnapshot(s, d)),
 
     // SHALLOW CLONE (see SnapshotTable.shallowClone): dev/test forks of
     // a production table for the cost of ONE manifest write — the
@@ -3391,6 +3435,21 @@ object WriteOps {
          cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
            AS total
          FROM orders GROUP BY 1""",
+
+    // head = the anti-filter; v0 = the intact original (time travel)
+    "sql_delete_snapshot" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         kept AS (SELECT * FROM t
+           WHERE NOT (pt_year = 1996 AND o_custkey <= 500)),
+         lab AS (
+           SELECT 'head' AS version, * FROM kept
+           UNION ALL SELECT 'v0', * FROM t)
+         SELECT version, pt_year, cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total
+         FROM lab GROUP BY version, pt_year""",
 
     // the append restores exactly the missing 1997 slice, so the head
     // equals the plain orders table

@@ -185,7 +185,8 @@ class SnapshotCatalog
 private[sources] class SnapshotSourceTable(tableSchema: StructType,
     root: String, pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 
   override def name(): String =
@@ -194,6 +195,48 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE).asJava
+
+  /** `DESCRIBE TABLE EXTENDED` telemetry: the version's manifest-level
+    * stats plus the pending deletion-vector PURGE DEBT
+    * (SnapshotTable.describe) — operators see falling-behind OPTIMIZE
+    * cadence in plain SQL, not by reading plans. */
+  override def properties(): util.Map[String, String] =
+    SnapshotTable.describe(root,
+      pinnedVersion.getOrElse(SnapshotTable.versions(root).max)).asJava
+
+  /** SQL `DELETE FROM <catalog>.<table> WHERE <pred>` — partition-
+    * scoped COPY-ON-WRITE delete (the Delta-without-DV shape): the
+    * touched partitions are exactly those holding matching rows; each
+    * rewrites from a DV-applied read keeping only non-matching rows,
+    * untouched partitions carry over by pointer (files never opened,
+    * mtimes pinned by spec). Commits through the same txn protocol as
+    * everything else, so time travel serves the pre-delete state and
+    * the change feed emits the deletions. Predicates must translate
+    * to source filters (canDeleteWhere) — Spark refuses loudly
+    * otherwise. Key-granular MERGE-ON-READ deletes (O(keys) metadata,
+    * no rewrite) stay available programmatically via commitDelete. */
+  override def canDeleteWhere(filters: Array[
+      org.apache.spark.sql.sources.Filter]): Boolean =
+    pinnedVersion.isEmpty &&
+      filters.forall(SnapshotFilters.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[
+      org.apache.spark.sql.sources.Filter]): Unit = {
+    require(pinnedVersion.isEmpty,
+      "a VERSION/TIMESTAMP AS OF table is a read-only snapshot")
+    val s = SparkSession.active
+    import org.apache.spark.sql.functions.{col, lit}
+    val pred = filters.flatMap(SnapshotFilters.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val head = SnapshotTable.versions(root).max
+    val touched = SnapshotTable.read(s, root, head).filter(pred)
+      .select("pt_year").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.nonEmpty) {
+      val kept = SnapshotTable.readPartitions(s, root, head, touched)
+        .filter(!pred)
+      SnapshotTable.commit(s, root, head + 1, kept, touched)
+    } // zero matches: delete is a no-op, no version burned
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
@@ -224,6 +267,40 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
         .orElse(Option(options.get("versionAsOf")).map(_.toInt)),
       options.getBoolean("ignoreDeletes", false),
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+}
+
+/** V1 source Filter → Column translation for the SQL DELETE path.
+  * Total over the conjunctive/boolean core; anything untranslatable
+  * returns None and canDeleteWhere refuses the whole DELETE (Spark
+  * then fails loudly before any data moves — never a partial or
+  * over-broad delete). */
+private[sources] object SnapshotFilters {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) =>
+      for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+    case Or(l, r) =>
+      for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case Not(c) => toColumn(c).map(!_)
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
 }
 
 /** Pushdown surface of the connector.

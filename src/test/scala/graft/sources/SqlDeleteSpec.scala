@@ -1,0 +1,115 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.TestSpark
+import graft.operators.WriteOps.SnapshotTable
+
+/** SQL DELETE (SupportsDelete, partition-scoped copy-on-write) + the
+  * DESCRIBE-visible table properties: only matching partitions
+  * rewrite (untouched files mtime-pinned), time travel serves the
+  * pre-delete state, untranslatable predicates refuse before any data
+  * moves, zero-match deletes burn no version, WHERE-less DELETE
+  * truncates, and properties() surfaces the purge-debt telemetry. */
+class SqlDeleteSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val T = SnapshotTable
+
+  private def frame(rows: (Long, Int, Double)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("o_orderkey", "pt_year", "o_totalprice")
+  }
+
+  private def freshCatalog(): (String, String) = {
+    val base = Files.createTempDirectory("g_sqldel_cat").toString
+    val name = "gdel_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.base", base)
+    (name, base)
+  }
+
+  test("DELETE rewrites only matching partitions; time travel intact") {
+    val (cat, base) = freshCatalog()
+    val root = s"$base/t1"
+    T.commit(spark, root, 0, frame(
+      (1L, 1, 10.0), (2L, 1, 20.0), (3L, 2, 30.0)), Seq(1, 2))
+    val p2Files = T.files(root, 0).filter(_.contains("_y2_"))
+    val p2Times = p2Files.map(f =>
+      f -> Files.getLastModifiedTime(Paths.get(f)).toMillis).toMap
+    spark.sql(s"DELETE FROM $cat.t1 WHERE pt_year = 1 AND o_orderkey = 1")
+    assert(T.versions(root) === Seq(0, 1))
+    assert(spark.sql(s"SELECT o_orderkey FROM $cat.t1").collect()
+      .map(_.getLong(0)).toSet === Set(2L, 3L))
+    // partition 2 carried by pointer: same files, untouched bytes
+    assert(p2Files.forall(T.files(root, 1).contains))
+    assert(p2Files.map(f =>
+      f -> Files.getLastModifiedTime(Paths.get(f)).toMillis).toMap ===
+      p2Times, "DELETE rewrote an unmatched partition")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.t1 VERSION AS OF 0")
+      .collect().head.getLong(0) === 3)
+  }
+
+  test("an untranslatable predicate refuses before any data moves") {
+    val (cat, base) = freshCatalog()
+    val root = s"$base/t2"
+    T.commit(spark, root, 0, frame((1L, 1, 10.0), (3L, 1, 30.0)), Seq(1))
+    intercept[Exception](spark.sql(
+      s"DELETE FROM $cat.t2 WHERE o_orderkey % 10 = 3"))
+    assert(T.versions(root) === Seq(0))
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.t2")
+      .collect().head.getLong(0) === 2, "refused DELETE mutated data")
+  }
+
+  test("zero-match DELETE burns no version; WHERE-less DELETE truncates") {
+    val (cat, base) = freshCatalog()
+    val root = s"$base/t3"
+    T.commit(spark, root, 0, frame((1L, 1, 10.0), (3L, 2, 30.0)), Seq(1, 2))
+    spark.sql(s"DELETE FROM $cat.t3 WHERE o_orderkey = 999")
+    assert(T.versions(root) === Seq(0), "no-op delete burned a version")
+    spark.sql(s"DELETE FROM $cat.t3")
+    assert(T.versions(root) === Seq(0, 1))
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.t3")
+      .collect().head.getLong(0) === 0)
+    // history intact even across the truncate
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.t3 VERSION AS OF 0")
+      .collect().head.getLong(0) === 2)
+  }
+
+  test("DELETE physically purges pending merge-on-read tombstones") {
+    import spark.implicits._
+    val (cat, base) = freshCatalog()
+    val root = s"$base/t4"
+    T.commit(spark, root, 0, frame((1L, 1, 10.0), (2L, 1, 20.0)), Seq(1))
+    T.commitDelete(spark, root, 1, "o_orderkey",
+      Seq((1L, 1)).toDF("o_orderkey", "pt_year"))
+    // the SQL delete's rewrite reads DV-applied rows: key 1 stays
+    // dead, key 2 goes, and the carried sidecar drops the partition
+    spark.sql(s"DELETE FROM $cat.t4 WHERE o_orderkey = 2")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.t4")
+      .collect().head.getLong(0) === 0)
+    assert(T.dvOf(root, 2).isEmpty, "rewrite did not purge tombstones")
+  }
+
+  test("DESCRIBE-visible properties surface version and purge debt") {
+    import spark.implicits._
+    val (cat, base) = freshCatalog()
+    val root = s"$base/t5"
+    T.commit(spark, root, 0, frame((1L, 1, 10.0), (2L, 1, 20.0)), Seq(1))
+    T.commitDelete(spark, root, 1, "o_orderkey",
+      Seq((1L, 1)).toDF("o_orderkey", "pt_year"))
+    val props = new SnapshotSourceTable(
+      T.tableSchema(root, 1).get, root, None).properties()
+    assert(props.get("version") === "1")
+    assert(props.get("pending_dv_bytes").toLong > 0)
+    assert(props.get("pending_dv_years") === "1")
+    assert(props.get("num_files").toInt === T.files(root, 1).size)
+    // and through plain SQL
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.t5")
+      .collect().map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("pending_dv_bytes"))
+  }
+}
