@@ -1174,31 +1174,29 @@ object WriteOps {
       * same refusal WAP staging makes. */
     def commitAppend(s: SparkSession, root: String, v: Int,
         batch: DataFrame, txn: Option[(String, Long)] = None): Unit = {
-      val fs = fsFor(manifest(root, v))
-      require(v > 0, "append needs an initialized table (v0)")
-      require(fs.exists(manifest(root, v - 1)),
-        s"cannot commit version $v: parent v${v - 1} was never committed")
-      require(!fs.exists(manifest(root, v)),
-        s"conflict: version $v is already committed — rebase on the " +
-        "current head and retry")
       val touched = batch.select("pt_year").distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
       require(touched.nonEmpty, "an empty append commits nothing")
-      val dvLine: Seq[String] = dvOf(root, v - 1) match {
-        case Some((p, k, years)) =>
-          val hit = years.intersect(touched)
-          require(hit.isEmpty,
-            s"partitions ${hit.mkString(",")} hold pending deletion-" +
-            "vector tombstones; an append there could silently lose " +
-            "re-inserted keys to the tombstone anti-join — run " +
-            "optimize(purgeTombstoned) first")
-          Seq(dvLineOf(p, k, years))
-        case None => Nil
-      }
-      val parentPtrs = pointers(root, v - 1)
+      val dvLine = appendPreflight(root, v, touched)
       val staged = stageDataFiles(s, root,
         s"stage_v${v}_${java.util.UUID.randomUUID().toString.take(8)}",
         batch, touched, (y, i) => f"v${v}_y${y}_a$i%05d.parquet")
+      commitAppendEntries(root, v, staged, batch.schema, txn, dvLine)
+    }
+
+    /** The manifest-merge half of [[commitAppend]], shared with the
+      * native streaming sink (whose executor-side writers have already
+      * produced the fresh files): publish `staged` fresh entries as
+      * version v — each touched partition's new m-file = the PARENT's
+      * entry lines ++ the fresh entries (metadata copy, no data file
+      * opened), untouched partitions carry by pointer. */
+    private[graft] def commitAppendEntries(root: String, v: Int,
+        staged: Seq[(Int, Seq[FileEntry])],
+        batchSchema: org.apache.spark.sql.types.StructType,
+        txn: Option[(String, Long)],
+        dvLine: Seq[String]): Unit = {
+      val fs = fsFor(manifest(root, v))
+      val parentPtrs = pointers(root, v - 1)
       // fresh m-file per touched partition = parent entries (a metadata
       // line copy — no data file is opened) ++ the staged fresh entries
       val freshPtrs: Map[Int, String] = staged.collect {
@@ -1209,8 +1207,8 @@ object WriteOps {
       }.toMap
       val carriedPtrs = parentPtrs -- freshPtrs.keySet
       val schema = tableSchema(root, v - 1)
-        .map(mergeSchemas(_, batch.schema))
-        .getOrElse(batch.schema)
+        .map(mergeSchemas(_, batchSchema))
+        .getOrElse(batchSchema)
       val txnLine = txn.toSeq.map { case (app, id) =>
         s"#txn=${b64e(app)}\t$id"
       }
@@ -1223,6 +1221,39 @@ object WriteOps {
               .map { case (y, m) => s"y$y\t$m" })
       }
     }
+
+    /** Pre-flight checks + the carried dv line for an APPEND of
+      * `touched` partitions as version v (shared by commitAppend and
+      * the native streaming sink): parent exists, v free, and no
+      * touched partition holds pending tombstones. */
+    private[graft] def appendPreflight(root: String, v: Int,
+        touched: Seq[Int]): Seq[String] = {
+      val fs = fsFor(manifest(root, v))
+      require(v > 0, "append needs an initialized table (v0)")
+      require(fs.exists(manifest(root, v - 1)),
+        s"cannot commit version $v: parent v${v - 1} was never committed")
+      require(!fs.exists(manifest(root, v)),
+        s"conflict: version $v is already committed — rebase on the " +
+        "current head and retry")
+      dvOf(root, v - 1) match {
+        case Some((p, k, years)) =>
+          val hit = years.intersect(touched)
+          require(hit.isEmpty,
+            s"partitions ${hit.mkString(",")} hold pending deletion-" +
+            "vector tombstones; an append there could silently lose " +
+            "re-inserted keys to the tombstone anti-join — run " +
+            "optimize(purgeTombstoned) first")
+          Seq(dvLineOf(p, k, years))
+        case None => Nil
+      }
+    }
+
+    /** Stats for externally-written fresh files (the streaming sink's
+      * commit path) — same footer-read fan-out as fresh commits. */
+    private[graft] def statsFor(s: SparkSession, paths: Seq[String],
+        schema: org.apache.spark.sql.types.StructType)
+        : Map[String, String] =
+      collectStats(s, paths, statColsOf(schema))
 
     /** The version's commit wall-clock (epoch millis, recorded in its
       * top manifest) — what `TIMESTAMP AS OF` resolves against. Absent
@@ -2268,6 +2299,50 @@ object WriteOps {
     agg("head", "").unionByName(agg("v0", "VERSION AS OF 0"))
   }
 
+  // per-(JVM, sfDir) state for the native streaming sink gate:
+  // sfDir -> (table root, staged source dir, ckpt dir)
+  private val nativeSinkState =
+    scala.collection.concurrent.TrieMap[String, (String, String, String)]()
+
+  /** NATIVE streaming sink — gate `streaming_native_sink`:
+    * `writeStream.format("graft-snapshot")` with NO foreachBatch — the
+    * connector's own StreamingWrite lands each epoch as a txn-recorded
+    * append version, rows written executor-side, exactly-once via the
+    * manifest txn guard (see graft.sources.SnapshotStreamingWrite).
+    * The drained stream rebuilds the full orders projection from a
+    * file-stream source, so the oracle is the plain orders aggregate;
+    * re-invocation restarts from the checkpoint (empty epoch, no new
+    * version). */
+  private[graft] def streamingNativeSink(s: SparkSession,
+      d: String): DataFrame = {
+    val (root, stage, ckpt) = nativeSinkState.getOrElseUpdate(d, {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val r = scratch(s"natsink_tbl_$run")
+      SnapshotTable.deleteTree(r)
+      val base = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      // v0: the recorded schema, zero files — the stream builds the table
+      SnapshotTable.commit(s, r, 0, base.filter(lit(false)), Seq.empty)
+      val src = scratch(s"natsink_src_$run")
+      base.write.mode(SaveMode.Overwrite).parquet(src)
+      (r, src, scratch(s"natsink_ckpt_$run"))
+    })
+    val src = s.readStream
+      .schema(s.read.parquet(stage).schema).parquet(stage)
+    val q = src.writeStream.format("graft-snapshot")
+      .option("root", root)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    graft.streaming.DocIngest.await(q)
+    SnapshotTable.read(s, root, SnapshotTable.versions(root).max)
+      .groupBy("pt_year")
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        decSum("o_totalprice").as("total"))
+  }
+
   // per-(JVM, sfDir) CDC-applied table for the streaming apply twin
   private val streamApplyState =
     scala.collection.concurrent.TrieMap[String, (String, String, String)]()
@@ -2641,6 +2716,11 @@ object WriteOps {
     // SQL DELETE: partition-scoped copy-on-write via SupportsDelete
     // (see sqlDeleteSnapshot), pre-delete state time-traveled
     "sql_delete_snapshot" -> ((s, d) => sqlDeleteSnapshot(s, d)),
+
+    // NATIVE streaming sink: writeStream.format("graft-snapshot") with
+    // no foreachBatch — executor-side writers, per-epoch txn-recorded
+    // append versions, exactly-once (see streamingNativeSink)
+    "streaming_native_sink" -> ((s, d) => streamingNativeSink(s, d)),
 
     // SHALLOW CLONE (see SnapshotTable.shallowClone): dev/test forks of
     // a production table for the cost of ONE manifest write — the
@@ -3429,6 +3509,15 @@ object WriteOps {
     // the drained stream reconstructs the whole table (append-shaped
     // version history), so the oracle is the plain orders aggregate
     "streaming_source_snapshot" ->
+      """SELECT cast(year(o_orderdate) AS int) AS pt_year,
+         cast(count(*) AS bigint) AS cnt,
+         cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+           AS total
+         FROM orders GROUP BY 1""",
+
+    // the drained native sink rebuilds the full orders projection
+    "streaming_native_sink" ->
       """SELECT cast(year(o_orderdate) AS int) AS pt_year,
          cast(count(*) AS bigint) AS cnt,
          cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,

@@ -194,7 +194,10 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE).asJava
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
 
   /** `DESCRIBE TABLE EXTENDED` telemetry: the version's manifest-level
     * stats plus the pending deletion-vector PURGE DEBT
@@ -238,23 +241,63 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
     } // zero matches: delete is a no-op, no version burned
   }
 
+  /** `INSERT INTO` = true append; `INSERT OVERWRITE` (SupportsOverwrite
+    * with the trivial AlwaysTrue filter — the no-partition-spec SQL
+    * shape) = ONE commit touching every live ∪ batch partition, so the
+    * head becomes exactly the batch while history keeps serving the
+    * pre-overwrite state. Filtered overwrites refuse (use DELETE +
+    * INSERT, each its own auditable commit). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       "a VERSION/TIMESTAMP AS OF table is a read-only snapshot — " +
       "writes go to the table head")
     require(tableSchema.fieldNames.contains("pt_year"),
       s"$root records no pt_year partition column; SQL appends need it")
-    new WriteBuilder {
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def overwrite(filters: Array[
+          org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        require(filters.isEmpty ||
+          filters.forall(_.isInstanceOf[
+            org.apache.spark.sql.sources.AlwaysTrue]),
+          "filtered INSERT OVERWRITE is not supported on snapshot " +
+          "tables — run DELETE FROM ... WHERE, then INSERT INTO (each " +
+          "an auditable commit)")
+        overwriteAll = true; this
+      }
       override def build(): Write = new V1Write {
+        /** The NATIVE STREAMING SINK (see [[SnapshotStreamingWrite]]):
+          * every epoch lands as one txn-recorded append version,
+          * exactly-once across restarts and replays. */
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite = {
+          require(!overwriteAll,
+            "graft-snapshot streams are append-only (a snapshot " +
+            "table's history is append-only by construction) — " +
+            "complete/update output modes are unsupported")
+          new SnapshotStreamingWrite(root, info.schema().json,
+            info.queryId(), new org.apache.spark.util
+              .SerializableConfiguration(SparkSession.active
+                .sparkContext.hadoopConfiguration))
+        }
+
         override def toInsertableRelation
             : org.apache.spark.sql.sources.InsertableRelation =
-          (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-            require(!overwrite,
-              "INSERT OVERWRITE is not supported on snapshot tables — " +
-              "overwrites are merges; use the commit/upsert protocol")
+          (data: org.apache.spark.sql.DataFrame, ovw: Boolean) => {
+            val s = data.sparkSession
             val head = SnapshotTable.versions(root).max
-            SnapshotTable.commitAppend(data.sparkSession, root,
-              head + 1, data)
+            if (overwriteAll || ovw) {
+              // full overwrite: every live partition is touched (those
+              // absent from the batch become empty), pending deletion
+              // vectors purge (the rewrite supersedes them)
+              val live = SnapshotTable.pointers(root, head).keySet
+              val batchYears = data.select("pt_year").distinct()
+                .collect().map(_.getInt(0)).toSet
+              SnapshotTable.commit(s, root, head + 1, data,
+                (live ++ batchYears).toSeq.sorted)
+            } else SnapshotTable.commitAppend(s, root, head + 1, data)
           }
       }
     }

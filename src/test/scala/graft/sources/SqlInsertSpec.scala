@@ -58,16 +58,19 @@ class SqlInsertSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 2)
   }
 
-  test("INSERT OVERWRITE refuses; DDL stays refused") {
+  test("INSERT OVERWRITE replaces the head in ONE commit; history intact") {
     val (cat, base) = freshCatalog()
-    T.commit(spark, s"$base/t2", 0, frame((1L, 1, 10.0)), Seq(1))
-    frame((2L, 1, 20.0)).createOrReplaceTempView("ins_b2")
-    val e = intercept[Exception](spark.sql(
-      s"INSERT OVERWRITE $cat.t2 SELECT * FROM ins_b2"))
-    assert(e.getMessage.toLowerCase.contains("overwrite") ||
-      e.getMessage.toLowerCase.contains("truncate"))
-    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.t2")
-      .collect().head.getLong(0) === 1, "failed overwrite mutated data")
+    val root = s"$base/t2"
+    T.commit(spark, root, 0, frame((1L, 1, 10.0), (3L, 2, 30.0)), Seq(1, 2))
+    frame((7L, 1, 70.0)).createOrReplaceTempView("ins_b2")
+    spark.sql(s"INSERT OVERWRITE $cat.t2 SELECT * FROM ins_b2")
+    assert(T.versions(root) === Seq(0, 1), "overwrite must be ONE commit")
+    // the head is exactly the batch — partition 2 emptied, not carried
+    assert(spark.sql(s"SELECT o_orderkey FROM $cat.t2").collect()
+      .map(_.getLong(0)).toSet === Set(7L))
+    // history still serves the pre-overwrite state until vacuum
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.t2 VERSION AS OF 0")
+      .collect().head.getLong(0) === 2)
   }
 
   test("a version-pinned table refuses writes") {
