@@ -1178,9 +1178,12 @@ object WriteOps {
         .collect().map(_.getInt(0)).toSeq.sorted
       require(touched.nonEmpty, "an empty append commits nothing")
       val dvLine = appendPreflight(root, v, touched)
-      val staged = stageDataFiles(s, root,
-        s"stage_v${v}_${java.util.UUID.randomUUID().toString.take(8)}",
-        batch, touched, (y, i) => f"v${v}_y${y}_a$i%05d.parquet")
+      // token-uniquified names: two appenders RACING to the same v
+      // stage without file-level collisions — the manifest rename alone
+      // arbitrates, the loser rebases, its orphans await vacuumOrphans
+      val tok = java.util.UUID.randomUUID().toString.take(8)
+      val staged = stageDataFiles(s, root, s"stage_v${v}_$tok",
+        batch, touched, (y, i) => f"v${v}_y${y}_a$i%05d_$tok.parquet")
       commitAppendEntries(root, v, staged, batch.schema, txn, dvLine)
     }
 
@@ -1197,13 +1200,17 @@ object WriteOps {
         dvLine: Seq[String]): Unit = {
       val fs = fsFor(manifest(root, v))
       val parentPtrs = pointers(root, v - 1)
+      // m-file names carry a token too: append racers must not collide
+      // below the manifest rename that arbitrates them
+      val mtok = java.util.UUID.randomUUID().toString.take(8)
       // fresh m-file per touched partition = parent entries (a metadata
       // line copy — no data file is opened) ++ the staged fresh entries
       val freshPtrs: Map[Int, String] = staged.collect {
         case (y, es) if es.nonEmpty =>
           val parentEs = parentPtrs.get(y).map(readPartManifest)
             .getOrElse(Seq.empty)
-          y -> writePartManifest(root, s"m_v${v}_y$y.txt", parentEs ++ es)
+          y -> writePartManifest(root, s"m_v${v}_y${y}_$mtok.txt",
+            parentEs ++ es)
       }.toMap
       val carriedPtrs = parentPtrs -- freshPtrs.keySet
       val schema = tableSchema(root, v - 1)
@@ -1508,6 +1515,64 @@ object WriteOps {
         val top = manifest(root, v)
         fsFor(top).delete(top, false)
       }
+    }
+
+    /** Reclaim ORPHANS — data files and m-files referenced by NO
+      * version and NO staged branch. `vacuum()` is metadata-only (it
+      * never lists the data dir) so it cannot see a commit-race
+      * loser's already-staged leftovers; this is the listing-based
+      * companion Delta's VACUUM runs: ONE flat listing of `data/` and
+      * `_manifests/`, a set-difference against every retained
+      * version's and branch's references, AGE-GATED so an in-flight
+      * commit's just-staged files always survive (no commit stays in
+      * flight for an hour). Returns the reclaimed paths. At 100 TB
+      * this is the nightly maintenance pass paired with OPTIMIZE —
+      * O(live files) metadata, zero data reads, and safe to run
+      * concurrently with readers (it deletes only what no manifest
+      * has ever referenced). */
+    def vacuumOrphans(root: String,
+        horizonMs: Long = 60L * 60 * 1000): Seq[String] = {
+      val now = System.currentTimeMillis()
+      val vs = versions(root)
+      val md = mdir(root)
+      val mfs = fsFor(md)
+      val branches: Seq[String] =
+        if (!mfs.exists(md)) Seq.empty
+        else mfs.listStatus(md).toSeq.map(_.getPath.getName)
+          .filter(n => n.startsWith("branch_") && n.endsWith(".txt"))
+          .map(_.stripPrefix("branch_").stripSuffix(".txt"))
+      val branchPtrs: Seq[(String, Boolean)] =
+        branches.flatMap(b => branchState(root, b)._2.values)
+      val refM: Set[String] =
+        (vs.flatMap(pointers(root, _).values) ++ branchPtrs.map(_._1)).toSet
+      val refFiles: Set[String] =
+        (vs.flatMap(files(root, _)) ++
+          branchPtrs.map(_._1).flatMap(readPartManifest(_).map(_.path)))
+          .toSet
+      val reclaimed = scala.collection.mutable.ArrayBuffer[String]()
+      def sweep(dir: HPath, referenced: Set[String],
+          eligible: String => Boolean): Unit = {
+        val fs = fsFor(dir)
+        if (!fs.exists(dir)) return
+        val refQ = referenced.map(p =>
+          fs.makeQualified(new HPath(p)).toString)
+        fs.listStatus(dir).foreach { st =>
+          if (st.isFile && eligible(st.getPath.getName) &&
+              !refQ.contains(st.getPath.toString) &&
+              now - st.getModificationTime > horizonMs) {
+            fs.delete(st.getPath, false)
+            reclaimed += st.getPath.toString
+          }
+        }
+      }
+      sweep(new HPath(root, "data"), refFiles, _ => true)
+      // m-file sweep: top manifests (v<N>.txt) and branch refs are the
+      // roots of reachability — never candidates; everything else in
+      // _manifests is an m-file that must be referenced to live
+      sweep(md, refM, n => !n.matches("v\\d+\\.txt") &&
+        !(n.startsWith("branch_") && n.endsWith(".txt")) &&
+        !n.startsWith("."))
+      reclaimed.toSeq
     }
 
     def deleteTree(root: String): Unit = {

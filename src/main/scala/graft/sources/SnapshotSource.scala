@@ -241,6 +241,15 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
     } // zero matches: delete is a no-op, no version burned
   }
 
+  /** A retriable commit-race loss (vs a real precondition failure like
+    * a tombstoned-partition append, which must surface). */
+  private def isCommitConflict(e: Throwable): Boolean = e match {
+    case _: java.nio.file.FileAlreadyExistsException => true
+    case e: IllegalArgumentException =>
+      Option(e.getMessage).exists(_.contains("conflict: version"))
+    case _ => false
+  }
+
   /** `INSERT INTO` = true append; `INSERT OVERWRITE` (SupportsOverwrite
     * with the trivial AlwaysTrue filter — the no-partition-spec SQL
     * shape) = ONE commit touching every live ∪ batch partition, so the
@@ -287,17 +296,38 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
             : org.apache.spark.sql.sources.InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, ovw: Boolean) => {
             val s = data.sparkSession
-            val head = SnapshotTable.versions(root).max
-            if (overwriteAll || ovw) {
-              // full overwrite: every live partition is touched (those
-              // absent from the batch become empty), pending deletion
-              // vectors purge (the rewrite supersedes them)
-              val live = SnapshotTable.pointers(root, head).keySet
-              val batchYears = data.select("pt_year").distinct()
-                .collect().map(_.getInt(0)).toSet
-              SnapshotTable.commit(s, root, head + 1, data,
-                (live ++ batchYears).toSeq.sorted)
-            } else SnapshotTable.commitAppend(s, root, head + 1, data)
+            // OPTIMISTIC CONCURRENCY with bounded rebase-retries
+            // (Delta's txn retry): two INSERTs racing both target
+            // head+1; the manifest rename arbitrates, the loser sees
+            // the conflict (either the pre-flight require or the
+            // rename itself), REBASES on the new head and retries.
+            // A loser's already-staged files are unreferenced orphans
+            // — vacuumOrphans reclaims them on the maintenance pass.
+            var attempt = 0
+            var done = false
+            while (!done) {
+              val head = SnapshotTable.versions(root).max
+              try {
+                if (overwriteAll || ovw) {
+                  // full overwrite: every live partition is touched
+                  // (those absent from the batch become empty),
+                  // pending deletion vectors purge (rewrite supersedes)
+                  val live = SnapshotTable.pointers(root, head).keySet
+                  val batchYears = data.select("pt_year").distinct()
+                    .collect().map(_.getInt(0)).toSet
+                  SnapshotTable.commit(s, root, head + 1, data,
+                    (live ++ batchYears).toSeq.sorted)
+                } else {
+                  SnapshotTable.commitAppend(s, root, head + 1, data)
+                }
+                done = true
+              } catch {
+                case e @ (_: java.nio.file.FileAlreadyExistsException |
+                          _: IllegalArgumentException)
+                    if attempt < 4 && isCommitConflict(e) =>
+                  attempt += 1 // lost the race — rebase and retry
+              }
+            }
           }
       }
     }
