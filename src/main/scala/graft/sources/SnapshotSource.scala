@@ -232,7 +232,17 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
     val pred = filters.flatMap(SnapshotFilters.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     val head = SnapshotTable.versions(root).max
-    val touched = SnapshotTable.read(s, root, head).filter(pred)
+    // PARTITION PRUNING before the touch-scan: a pt_year constraint in
+    // the (conjunctive) filter list bounds the candidate partitions in
+    // METADATA — `DELETE ... WHERE pt_year = 1996 AND <pred>` scans
+    // ONLY 1996, not the table; unconstrained deletes scan the head
+    val live = SnapshotTable.pointers(root, head).keySet
+    val candidates = filters.foldLeft(live) { (acc, f) =>
+      acc.intersect(SnapshotFilters.yearBound(f).getOrElse(live))
+    }.toSeq.sorted
+    val touched = SnapshotTable
+      .readPartitions(s, root, head, candidates)
+      .filter(pred)
       .select("pt_year").distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (touched.nonEmpty) {
       val kept = SnapshotTable.readPartitions(s, root, head, touched)
@@ -372,6 +382,19 @@ private[sources] object SnapshotFilters {
     case Not(c) => toColumn(c).map(!_)
     case _: AlwaysTrue => Some(lit(true))
     case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
+
+  /** The pt_year partitions a TOP-LEVEL conjunct can touch, when it
+    * bounds them: EqualTo/In on pt_year (the `DELETE ... WHERE
+    * pt_year = Y AND <rest>` shape). None = unbounded — sound because
+    * deleteWhere only ever INTERSECTS these bounds (a conjunct can
+    * restrict the candidate set, never widen it). */
+  def yearBound(f: Filter): Option[Set[Int]] = f match {
+    case EqualTo("pt_year", v: java.lang.Integer) => Some(Set(v.intValue))
+    case In("pt_year", vs) =>
+      val ints = vs.collect { case v: java.lang.Integer => v.intValue }
+      if (ints.length == vs.length) Some(ints.toSet) else None
     case _ => None
   }
 }

@@ -94,6 +94,20 @@ class SqlDeleteSpec extends AnyFunSuite {
     assert(T.dvOf(root, 2).isEmpty, "rewrite did not purge tombstones")
   }
 
+  test("a pt_year conjunct bounds the touch-scan candidates in metadata") {
+    import org.apache.spark.sql.sources._
+    assert(SnapshotFilters.yearBound(
+      EqualTo("pt_year", Integer.valueOf(1996))) === Some(Set(1996)))
+    assert(SnapshotFilters.yearBound(In("pt_year",
+      Array[Any](Integer.valueOf(1), Integer.valueOf(2)))) ===
+      Some(Set(1, 2)))
+    // non-partition columns and non-equality shapes stay unbounded
+    assert(SnapshotFilters.yearBound(
+      EqualTo("o_custkey", Integer.valueOf(5))) === None)
+    assert(SnapshotFilters.yearBound(
+      GreaterThan("pt_year", Integer.valueOf(1996))) === None)
+  }
+
   test("DESCRIBE-visible properties surface version and purge debt") {
     import spark.implicits._
     val (cat, base) = freshCatalog()
