@@ -2408,6 +2408,42 @@ object WriteOps {
         decSum("o_totalprice").as("total"))
   }
 
+  // per-(JVM, sfDir) table-name memo for the SQL CTAS gate
+  private val sqlCtasState =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** SQL DDL through the DSv2 catalog — gate `sql_ctas_snapshot`:
+    * `CREATE TABLE <catalog>.<t> AS SELECT ...` creates the table as
+    * an empty v0 (createTable) and lands the SELECT as the v1 append
+    * through the normal write path — the catalog is CRUD-complete.
+    * The CTAS materializes the per-(custkey, year) order rollup; the
+    * oracle recomputes it from orders directly. */
+  private[graft] def sqlCtasSnapshot(s: SparkSession,
+      d: String): DataFrame = {
+    val base = scratch("sqlctas_base")
+    s.conf.set("spark.sql.catalog.graftctas",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftctas.base", base)
+    val tname = sqlCtasState.getOrElseUpdate(d, {
+      val n = "t_" + java.util.UUID.randomUUID().toString.take(8)
+      SnapshotTable.deleteTree(s"$base/$n")
+      orders(s, d).createOrReplaceTempView(s"ctas_src_$n")
+      s.sql(
+        s"""CREATE TABLE graftctas.$n AS
+            SELECT o_custkey, cast(year(o_orderdate) AS int) AS pt_year,
+              count(*) AS n_orders,
+              cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+                AS total
+            FROM ctas_src_$n GROUP BY o_custkey, 2""")
+      n
+    })
+    s.sql(
+      s"""SELECT pt_year, cast(count(*) AS bigint) AS n_rows,
+            cast(sum(n_orders) AS bigint) AS n_orders,
+            cast(sum(cast(total AS decimal(18,2))) AS double) AS total
+          FROM graftctas.$tname GROUP BY pt_year""")
+  }
+
   // per-(JVM, sfDir) CDC-applied table for the streaming apply twin
   private val streamApplyState =
     scala.collection.concurrent.TrieMap[String, (String, String, String)]()
@@ -2786,6 +2822,10 @@ object WriteOps {
     // no foreachBatch — executor-side writers, per-epoch txn-recorded
     // append versions, exactly-once (see streamingNativeSink)
     "streaming_native_sink" -> ((s, d) => streamingNativeSink(s, d)),
+
+    // SQL DDL: CREATE TABLE AS SELECT through the catalog — empty v0
+    // create + the SELECT landing as the v1 append (see sqlCtasSnapshot)
+    "sql_ctas_snapshot" -> ((s, d) => sqlCtasSnapshot(s, d)),
 
     // SHALLOW CLONE (see SnapshotTable.shallowClone): dev/test forks of
     // a production table for the cost of ONE manifest write — the
@@ -3580,6 +3620,20 @@ object WriteOps {
          cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
            AS total
          FROM orders GROUP BY 1""",
+
+    // the CTAS result re-aggregated per year equals the same rollup
+    // computed from orders directly
+    "sql_ctas_snapshot" ->
+      """WITH r AS (
+           SELECT o_custkey, cast(year(o_orderdate) AS int) AS pt_year,
+             count(*) AS n_orders,
+             cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+               AS total
+           FROM orders GROUP BY o_custkey, 2)
+         SELECT pt_year, cast(count(*) AS bigint) AS n_rows,
+           cast(sum(n_orders) AS bigint) AS n_orders,
+           cast(sum(cast(total AS decimal(18,2))) AS double) AS total
+         FROM r GROUP BY pt_year""",
 
     // the drained native sink rebuilds the full orders projection
     "streaming_native_sink" ->

@@ -87,8 +87,11 @@ class SnapshotSourceProvider extends TableProvider with DataSourceRegister {
   * root is `SELECT ... FROM <name>.<table>` — including Spark's native
   * time-travel syntax `VERSION AS OF <v>`, which lands here through
   * `loadTable(ident, version)` and pins the scan to that version's
-  * manifest. Read-only by design (writes go through the commit
-  * protocol, which owns atomicity): create/alter/drop/rename refuse. */
+  * manifest. CRUD-complete (r13): CREATE TABLE / CTAS initialize an
+  * empty v0 through the commit protocol, INSERT INTO / INSERT
+  * OVERWRITE / DELETE FROM ride the table's write surface, DROP TABLE
+  * removes the root; ALTER refuses (schema evolves through commits)
+  * and RENAME refuses (roots are immutable paths — clone instead). */
 class SnapshotCatalog
     extends org.apache.spark.sql.connector.catalog.TableCatalog {
   import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
@@ -155,21 +158,50 @@ class SnapshotCatalog
       SnapshotTable.tableSchema(root, v).get, root, Some(v))
   }
 
+  /** `CREATE TABLE <cat>.<t> (...)` — and the create half of CTAS:
+    * the table is born as an EMPTY v0 carrying the recorded schema
+    * (one manifest write; CTAS's SELECT then lands as the v1 append
+    * through the normal write path). Partition transforms are refused
+    * — partitioning is the pt_year column convention, which the
+    * schema must therefore carry. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "snapshot tables are written through the commit protocol, not SQL DDL")
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "snapshot tables partition by the pt_year COLUMN convention — " +
+      "declare pt_year in the schema instead of PARTITIONED BY")
+    require(schema.fieldNames.contains("pt_year"),
+      "snapshot tables need a pt_year int column (the partition key)")
+    val root = rootOf(ident)
+    require(SnapshotTable.versions(root).isEmpty,
+      s"table ${ident.name} already exists at $root")
+    val s = SparkSession.active
+    SnapshotTable.commit(s, root, 0,
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      Seq.empty)
+    new SnapshotSourceTable(
+      SnapshotTable.tableSchema(root, 0).get, root, None)
+  }
+
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table =
     throw new UnsupportedOperationException(
-      "snapshot table schema evolves through commits")
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "drop snapshot tables through SnapshotTable.deleteTree")
+      "snapshot table schema evolves through commits (append a batch " +
+      "carrying the new column)")
+
+  /** `DROP TABLE` — removes the whole root (manifests, data, sidecars,
+    * scratch); false when nothing was there, per the catalog API. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    if (SnapshotTable.versions(root).isEmpty) false
+    else { SnapshotTable.deleteTree(root); true }
+  }
+
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException(
-      "snapshot table roots are immutable paths")
+      "snapshot table roots are immutable paths — shallow-clone to a " +
+      "new root instead")
 }
 
 /** SQL WRITE surface: `INSERT INTO <catalog>.<table> ...` lands as a

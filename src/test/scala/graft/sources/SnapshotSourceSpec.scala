@@ -242,9 +242,15 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT k FROM lakespec.orders_t WHERE k >= 9")
       .collect().map(_.getLong(0)).toSet === Set(9L))
-    // DDL refuses — the commit protocol owns writes
+    // DDL through the catalog (r13: CRUD-complete): ALTER/RENAME still
+    // refuse — schema evolves through commits, roots are immutable —
+    // while DROP removes the root (SqlDdlSpec owns the full matrix)
     intercept[Exception] {
-      spark.sql("DROP TABLE lakespec.orders_t")
+      spark.sql("ALTER TABLE lakespec.orders_t ADD COLUMN xx DOUBLE")
+    }
+    spark.sql("DROP TABLE lakespec.orders_t")
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM lakespec.orders_t").collect()
     }
   }
 

@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.TestSpark
+import graft.operators.WriteOps.SnapshotTable
+
+/** Catalog DDL: CREATE TABLE (empty v0 through the commit protocol),
+  * CTAS (create + the SELECT as the v1 append), DROP TABLE, the
+  * pt_year convention refusals, and the still-refused ALTER/RENAME. */
+class SqlDdlSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val T = SnapshotTable
+
+  private def freshCatalog(): (String, String) = {
+    val base = Files.createTempDirectory("g_ddl_cat").toString
+    val name = "gddl_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.base", base)
+    (name, base)
+  }
+
+  test("CREATE TABLE births an empty v0; INSERT then DROP complete CRUD") {
+    val (cat, base) = freshCatalog()
+    spark.sql(
+      s"CREATE TABLE $cat.t1 (k BIGINT, pt_year INT, v DOUBLE)")
+    val root = s"$base/t1"
+    assert(T.versions(root) === Seq(0))
+    assert(T.files(root, 0).isEmpty)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.t1")
+      .collect().head.getLong(0) === 0)
+    spark.sql(s"INSERT INTO $cat.t1 VALUES (1, 2023, 1.5)")
+    assert(spark.sql(s"SELECT k FROM $cat.t1").collect()
+      .head.getLong(0) === 1L)
+    spark.sql(s"DROP TABLE $cat.t1")
+    assert(T.versions(root).isEmpty)
+    intercept[Exception](spark.sql(s"SELECT * FROM $cat.t1").collect())
+  }
+
+  test("CTAS lands the SELECT as v1 on the created empty v0") {
+    import spark.implicits._
+    val (cat, base) = freshCatalog()
+    Seq((1L, 2023, 1.0), (2L, 2024, 2.0)).toDF("k", "pt_year", "v")
+      .createOrReplaceTempView("ddl_src")
+    spark.sql(s"CREATE TABLE $cat.t2 AS SELECT * FROM ddl_src")
+    val root = s"$base/t2"
+    assert(T.versions(root) === Seq(0, 1))
+    assert(spark.sql(s"SELECT k FROM $cat.t2").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(T.pointers(root, 1).keySet === Set(2023, 2024))
+  }
+
+  test("schema without pt_year, PARTITIONED BY, duplicate create refuse") {
+    val (cat, _) = freshCatalog()
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.t3 (k BIGINT, v DOUBLE)"))
+    assert(e1.getMessage.contains("pt_year"))
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.t4 (k BIGINT, pt_year INT) " +
+      "PARTITIONED BY (pt_year)"))
+    assert(e2.getMessage.contains("convention"))
+    spark.sql(s"CREATE TABLE $cat.t5 (k BIGINT, pt_year INT)")
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.t5 (k BIGINT, pt_year INT)"))
+  }
+
+  test("ALTER and RENAME keep refusing; DROP of a non-table is false") {
+    val (cat, base) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t6 (k BIGINT, pt_year INT)")
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.t6 ADD COLUMN extra DOUBLE"))
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.t6 RENAME TO t7"))
+    val catalog = new SnapshotCatalog()
+    catalog.initialize("x", new org.apache.spark.sql.util
+      .CaseInsensitiveStringMap(java.util.Map.of("base", base)))
+    assert(!catalog.dropTable(org.apache.spark.sql.connector.catalog
+      .Identifier.of(Array.empty[String], "never_created")))
+  }
+}
