@@ -172,6 +172,11 @@ class SnapshotCatalog
       "declare pt_year in the schema instead of PARTITIONED BY")
     require(schema.fieldNames.contains("pt_year"),
       "snapshot tables need a pt_year int column (the partition key)")
+    require(schema("pt_year").dataType ==
+        org.apache.spark.sql.types.IntegerType,
+      s"pt_year must be INT (got ${schema("pt_year").dataType.sql}) — " +
+      "the partition-key contract is enforced at DDL time so the " +
+      "first write doesn't fail deep in the append path")
     val root = rootOf(ident)
     require(SnapshotTable.versions(root).isEmpty,
       s"table ${ident.name} already exists at $root")
@@ -260,7 +265,7 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
     require(pinnedVersion.isEmpty,
       "a VERSION/TIMESTAMP AS OF table is a read-only snapshot")
     val s = SparkSession.active
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val pred = filters.flatMap(SnapshotFilters.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     val head = SnapshotTable.versions(root).max
@@ -272,13 +277,21 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
     val candidates = filters.foldLeft(live) { (acc, f) =>
       acc.intersect(SnapshotFilters.yearBound(f).getOrElse(live))
     }.toSeq.sorted
+    // THREE-VALUED LOGIC at the negation boundary: SQL DELETE removes
+    // only rows where the predicate is TRUE — a NULL-evaluating row
+    // (e.g. `WHERE o_custkey <= 500` on a NULL o_custkey) must be
+    // KEPT. `filter(!pred)` would drop it (NOT NULL = NULL, filtered
+    // out), silently deleting unmatched rows; matching = pred-is-true
+    // and surviving = NOT pred-is-true (Delta's not(cond <=> true)
+    // keep-condition shape).
+    val matches = coalesce(pred, lit(false))
     val touched = SnapshotTable
       .readPartitions(s, root, head, candidates)
-      .filter(pred)
+      .filter(matches)
       .select("pt_year").distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (touched.nonEmpty) {
       val kept = SnapshotTable.readPartitions(s, root, head, touched)
-        .filter(!pred)
+        .filter(!matches)
       SnapshotTable.commit(s, root, head + 1, kept, touched)
     } // zero matches: delete is a no-op, no version burned
   }

@@ -66,6 +66,12 @@ class SqlDdlSpec extends AnyFunSuite {
     spark.sql(s"CREATE TABLE $cat.t5 (k BIGINT, pt_year INT)")
     intercept[Exception](spark.sql(
       s"CREATE TABLE $cat.t5 (k BIGINT, pt_year INT)"))
+    // the partition-key CONTRACT is enforced at DDL time: a STRING
+    // pt_year would otherwise fail deep in the first append (getInt on
+    // the partition column) with an opaque error
+    val e3 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.t5b (k BIGINT, pt_year STRING)"))
+    assert(e3.getMessage.contains("pt_year must be INT"))
   }
 
   test("ALTER and RENAME keep refusing; DROP of a non-table is false") {

@@ -53,6 +53,35 @@ class SqlDeleteSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 3)
   }
 
+  test("NULL-evaluating rows survive DELETE (three-valued logic)") {
+    // SQL DELETE removes only rows where the predicate is TRUE: a row
+    // whose o_custkey is NULL makes `o_custkey <= 500` evaluate NULL —
+    // it is NOT matched and MUST be kept. A naive filter(!pred)
+    // survivor set drops it (NOT NULL = NULL), silently deleting data.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val (cat, base) = freshCatalog()
+    val root = s"$base/t_null"
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = false),
+      StructField("o_custkey", LongType, nullable = true),
+      StructField("pt_year", IntegerType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 100L, 1996),      // matches: deleted
+        Row(2L, null, 1996),      // NULL predicate: must survive
+        Row(3L, 900L, 1996),      // no match: survives
+        Row(4L, null, 1995))),    // untouched partition
+      schema)
+    T.commit(spark, root, 0, df, Seq(1995, 1996))
+    spark.sql(
+      s"DELETE FROM $cat.t_null WHERE pt_year = 1996 AND o_custkey <= 500")
+    val kept = spark.sql(s"SELECT o_orderkey FROM $cat.t_null")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L, 4L),
+      "DELETE dropped NULL-evaluating rows — three-valued-logic bug")
+  }
+
   test("an untranslatable predicate refuses before any data moves") {
     val (cat, base) = freshCatalog()
     val root = s"$base/t2"
