@@ -350,8 +350,20 @@ object WriteOps {
           dst: HPath): Unit = renameLock.synchronized {
         if (fs.exists(dst))
           throw new java.nio.file.FileAlreadyExistsException(dst.toString)
-        if (!fs.rename(src, dst))
+        if (!fs.rename(src, dst)) {
+          // TWO-DRIVER race on HDFS: the JVM lock only serializes one
+          // process, so both drivers can pass the exists() check; the
+          // NameNode then fails the loser's rename with a plain
+          // `false`. That IS the commit-race loser's signal — re-check
+          // the destination and translate, so isCommitConflict
+          // recognizes it and the caller rebases instead of erroring.
+          // A genuine rename failure (dst still absent) stays an
+          // IOException.
+          if (fs.exists(dst))
+            throw new java.nio.file.FileAlreadyExistsException(
+              dst.toString)
           throw new java.io.IOException(s"rename $src -> $dst failed")
+        }
       }
     }
 
@@ -369,15 +381,37 @@ object WriteOps {
             org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
             buf.toByteArray
           } finally in.close()
+        // ONLY the store's conditional-put conflict translates to the
+        // commit-race loser's signal; any other IOException (network,
+        // quota, transient store error) must SURFACE — translating it
+        // too would send the caller's rebase-retry loop spinning
+        // against a store that is actually erroring, masking the
+        // real failure behind a bogus "lost the race" diagnosis.
         val out =
           try fs.create(dst, false)
           catch {
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-                 _: java.io.IOException =>
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              throw new java.nio.file.FileAlreadyExistsException(
+                dst.toString)
+            case e: java.io.IOException
+                if Option(e.getMessage).exists(m =>
+                  m.contains("already exists") ||
+                  m.toLowerCase.contains("precondition")) =>
+              // connectors that report the conditional-put loss as a
+              // message-coded IOException (412 PreconditionFailed)
               throw new java.nio.file.FileAlreadyExistsException(
                 dst.toString)
           }
-        try out.write(bytes) finally out.close()
+        // a create that succeeded but whose write/close fails must not
+        // leave a PARTIAL manifest at dst to be read as the committed
+        // version — reclaim it best-effort and surface the failure
+        try { out.write(bytes); out.close() }
+        catch {
+          case e: Throwable =>
+            try out.close() catch { case _: Exception => () }
+            try fs.delete(dst, false) catch { case _: Exception => () }
+            throw e
+        }
         fs.delete(src, false)
       }
     }
@@ -1109,30 +1143,96 @@ object WriteOps {
       val txnLine = txn.toSeq.map { case (app, id) =>
         s"#txn=${b64e(app)}\t$id"
       }
-      // deletion-vector carry/purge: a REWRITTEN partition's fresh
-      // files come from DV-applied reads (or deliberately re-introduce
-      // rows), so its tombstones drop — rewrites supersede pending
-      // deletes. Untouched partitions' tombstones carry.
-      val dvLine: Seq[String] =
-        (if (v == 0) None else dvOf(root, v - 1)) match {
-          case None => Nil
-          case Some((p, k, years)) =>
-            val remaining = years.filterNot(touched.contains)
-            if (remaining.isEmpty) Nil
-            else if (remaining == years) Seq(dvLineOf(p, k, years))
-            else {
-              val purged = s.read.parquet(p).filter(col("pt_year")
-                .isin(remaining.map(Integer.valueOf): _*))
-                .localCheckpoint(true)
-              val np = freshDvPath(root, v)
-              purged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(np)
-              Seq(dvLineOf(np, k, remaining))
-            }
-        }
+      val dvLine: Seq[String] = dvCarryAfterRewrite(s, root, v, touched)
       lockFor(root).synchronized {
         writeAtomic(fs, tmp, manifest(root, v),
           (Seq(s"#schema=${schema.json}",
             s"#ts=${monotonicTs(root, v)}") ++ txnLine ++ dvLine) ++
+            (carriedPtrs ++ freshPtrs).toSeq.sortBy(_._1)
+              .map { case (y, m) => s"y$y\t$m" })
+      }
+      txn.foreach { case (app, id) => recordTxnMarker(root, app, id) }
+    }
+
+    /** Deletion-vector carry/purge for a commit REWRITING `touched`
+      * partitions: a rewritten partition's fresh files come from
+      * DV-applied reads (or deliberately re-introduce rows), so its
+      * tombstones drop — rewrites supersede pending deletes; untouched
+      * partitions' tombstones carry (shared by [[commit]] and
+      * [[commitReplaceEntries]]). */
+    private def dvCarryAfterRewrite(s: SparkSession, root: String,
+        v: Int, touched: Seq[Int]): Seq[String] =
+      (if (v == 0) None else dvOf(root, v - 1)) match {
+        case None => Nil
+        case Some((p, k, years)) =>
+          val remaining = years.filterNot(touched.contains)
+          if (remaining.isEmpty) Nil
+          else if (remaining == years) Seq(dvLineOf(p, k, years))
+          else {
+            val purged = s.read.parquet(p).filter(col("pt_year")
+              .isin(remaining.map(Integer.valueOf): _*))
+              .localCheckpoint(true)
+            val np = freshDvPath(root, v)
+            purged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(np)
+            Seq(dvLineOf(np, k, remaining))
+          }
+      }
+
+    /** GROUP-REPLACE commit — the write half of the SQL row-level
+      * operations (UPDATE / MERGE / group-based DELETE over the DSv2
+      * [[graft.sources.SnapshotRowLevelOperation]]): version v =
+      * parent with the `replaced` partitions' pointers SWAPPED for
+      * their staged fresh entries (a replaced partition with no fresh
+      * rows drops its pointer — it is now empty), while staged entries
+      * for partitions OUTSIDE `replaced` (a MERGE's NOT-MATCHED
+      * inserts, an UPDATE moving rows across pt_year) APPEND to the
+      * parent's entry list. Untouched partitions carry by pointer.
+      * Replaced partitions' pending deletion-vector tombstones purge
+      * (the rewrite's fresh files come from DV-applied reads);
+      * append-target partitions holding pending tombstones REFUSE,
+      * the same guard as [[commitAppend]]. */
+    private[graft] def commitReplaceEntries(s: SparkSession,
+        root: String, v: Int, staged: Seq[(Int, Seq[FileEntry])],
+        replaced: Seq[Int]): Unit = {
+      val fs = fsFor(manifest(root, v))
+      require(v > 0, "a group-replace needs a parent version")
+      require(fs.exists(manifest(root, v - 1)),
+        s"cannot commit version $v: parent v${v - 1} was never committed")
+      require(!fs.exists(manifest(root, v)),
+        s"conflict: version $v is already committed — rebase on the " +
+        "current head and retry")
+      val parentPtrs = pointers(root, v - 1)
+      val appendYears =
+        staged.collect { case (y, es) if es.nonEmpty => y }
+          .filterNot(replaced.contains)
+      dvOf(root, v - 1).foreach { case (_, _, dvYears) =>
+        val hit = dvYears.intersect(appendYears)
+        require(hit.isEmpty,
+          s"partitions ${hit.mkString(",")} hold pending deletion-" +
+          "vector tombstones; inserting there could silently lose " +
+          "re-inserted keys to the tombstone anti-join — run " +
+          "optimize(purgeTombstoned) first")
+      }
+      val mtok = java.util.UUID.randomUUID().toString.take(8)
+      val freshPtrs: Map[Int, String] = staged.collect {
+        case (y, es) if es.nonEmpty =>
+          val base =
+            if (replaced.contains(y)) Seq.empty
+            else parentPtrs.get(y).map(readPartManifest)
+              .getOrElse(Seq.empty)
+          y -> writePartManifest(root, s"m_v${v}_y${y}_$mtok.txt",
+            base ++ es)
+      }.toMap
+      val carriedPtrs = (parentPtrs -- replaced) -- freshPtrs.keySet
+      val schema = tableSchema(root, v - 1).getOrElse(
+        throw new IllegalStateException(
+          s"version ${v - 1} of $root records no schema"))
+      val dvLine = dvCarryAfterRewrite(s, root, v, replaced)
+      val tmp = new HPath(mdir(root), s".v$v.tmp")
+      lockFor(root).synchronized {
+        writeAtomic(fs, tmp, manifest(root, v),
+          (Seq(s"#schema=${schema.json}",
+            s"#ts=${monotonicTs(root, v)}") ++ dvLine) ++
             (carriedPtrs ++ freshPtrs).toSeq.sortBy(_._1)
               .map { case (y, m) => s"y$y\t$m" })
       }
@@ -1227,6 +1327,7 @@ object WriteOps {
             (carriedPtrs ++ freshPtrs).toSeq.sortBy(_._1)
               .map { case (y, m) => s"y$y\t$m" })
       }
+      txn.foreach { case (app, id) => recordTxnMarker(root, app, id) }
     }
 
     /** Pre-flight checks + the carried dv line for an APPEND of
@@ -1292,14 +1393,55 @@ object WriteOps {
         (b64d(rest.take(i)), rest.drop(i + 1).toLong)
       }
 
-    /** Latest batchId `app` has committed — head-first scan of the
-      * retained versions' top manifests (each a KB of metadata; the
-      * scan is bounded by retention, and a steady writer hits it on
-      * the first or second probe). */
-    def lastTxn(root: String, app: String): Option[Long] =
-      versions(root).sorted.reverseIterator
+    // per-app durable txn MARKERS, the vacuum-proof half of
+    // exactly-once: the manifest txn line dies with its version when
+    // vacuum expires it (an idle stream can outlive retention), so
+    // each txn commit ALSO drops an empty marker file
+    // `_txns/<b64 app>_<batchId>` — named by value, so creation is
+    // atomic on every store and replay detection needs no read, only
+    // a listing. Older markers for the app are pruned best-effort
+    // (batchIds are monotone per app), keeping the dir O(apps).
+    private def txnDir(root: String): HPath = new HPath(root, "_txns")
+
+    private def recordTxnMarker(root: String, app: String,
+        batchId: Long): Unit = {
+      val dir = txnDir(root)
+      val fs = fsFor(dir)
+      val enc = b64e(app)
+      try {
+        fs.create(new HPath(dir, s"${enc}_$batchId"), true).close()
+        fs.listStatus(dir).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith(s"${enc}_"))
+          .filter(_.getName.stripPrefix(s"${enc}_").toLong < batchId)
+          .foreach(p => fs.delete(p, false))
+      } catch { case _: java.io.IOException => () }
+      // marker write is belt-and-suspenders OVER the manifest txn
+      // line — a transient failure here must not fail a commit that
+      // already published (the line still guards until vacuum)
+    }
+
+    private def markerTxn(root: String, app: String): Option[Long] = {
+      val dir = txnDir(root)
+      val fs = fsFor(dir)
+      val enc = b64e(app)
+      if (!fs.exists(dir)) None
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(s"${enc}_"))
+        .flatMap(n => n.stripPrefix(s"${enc}_").toLongOption)
+        .maxOption
+    }
+
+    /** Latest batchId `app` has committed — the max of the head-first
+      * manifest scan (each top manifest a KB of metadata; a steady
+      * writer hits it on the first or second probe) and the app's
+      * durable `_txns` marker, which survives vacuum expiring the
+      * version that carried the txn line. */
+    def lastTxn(root: String, app: String): Option[Long] = {
+      val fromManifests = versions(root).sorted.reverseIterator
         .flatMap(v => txnOf(root, v).filter(_._1 == app).map(_._2))
         .nextOption()
+      (fromManifests.toSeq ++ markerTxn(root, app).toSeq).maxOption
+    }
 
     /** IDEMPOTENT commit for at-least-once writers (foreachBatch): the
       * batch lands as the next version with its (app, batchId) recorded

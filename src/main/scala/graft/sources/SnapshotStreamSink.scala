@@ -115,18 +115,43 @@ private[sources] class SnapshotStreamingWrite(root: String,
       files.foreach { case (_, p, _) => SnapshotTable.deleteTree(p) }
     } else if (files.nonEmpty) {
       val s = SparkSession.active
-      val v = SnapshotTable.versions(root).max + 1
       val touched = files.map(_._1).distinct.sorted
-      val dvLine = SnapshotTable.appendPreflight(root, v, touched)
       val stats = SnapshotTable.statsFor(s, files.map(_._2), schema)
       val staged = files.groupBy(_._1).toSeq.map { case (y, fs) =>
         y -> fs.map { case (_, p, b) =>
           SnapshotTable.FileEntry(p, b, stats.getOrElse(p, ""))
         }.sortBy(_.path)
       }
-      SnapshotTable.commitAppendEntries(root, v, staged, schema,
-        Some((app, epochId)), dvLine)
+      // OPTIMISTIC CONCURRENCY, same bounded rebase-retry as the SQL
+      // insert path: a concurrent batch writer landing between our
+      // head read and the manifest publish makes US the race loser —
+      // the staged files are already on disk and partition-disjoint
+      // from the winner's (token-uniquified names), so the retry is a
+      // pure METADATA re-merge on the new head, never a re-write.
+      var attempt = 0
+      var done = false
+      while (!done) {
+        val v = SnapshotTable.versions(root).max + 1
+        try {
+          val dvLine = SnapshotTable.appendPreflight(root, v, touched)
+          SnapshotTable.commitAppendEntries(root, v, staged, schema,
+            Some((app, epochId)), dvLine)
+          done = true
+        } catch {
+          case e @ (_: java.nio.file.FileAlreadyExistsException |
+                    _: IllegalArgumentException)
+              if attempt < 4 && isConflict(e) =>
+            attempt += 1 // lost the race — rebase on the new head
+        }
+      }
     } // empty epoch: nothing to publish, no version burned
+  }
+
+  private def isConflict(e: Throwable): Boolean = e match {
+    case _: java.nio.file.FileAlreadyExistsException => true
+    case e: IllegalArgumentException =>
+      Option(e.getMessage).exists(_.contains("conflict: version"))
+    case _ => false
   }
 
   override def abort(epochId: Long,
@@ -143,6 +168,19 @@ private[sources] class SnapshotStreamWriterFactory(root: String,
       epochId: Long): DataWriter[InternalRow] =
     new SnapshotGroupWriter(root, schemaJson, conf.value,
       partitionId, epochId)
+}
+
+/** Batch twin of the streaming factory — the row-level operations'
+  * replacement write ([[SnapshotReplaceDataWrite]]) rides the same
+  * executor-side writers; file names stay collision-free through the
+  * per-writer token. */
+private[sources] class SnapshotBatchWriterFactory(root: String,
+    schemaJson: String, conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new SnapshotGroupWriter(root, schemaJson, conf.value,
+      partitionId, 0L)
 }
 
 /** Executor-side row writer: one parquet-mr writer per pt_year this

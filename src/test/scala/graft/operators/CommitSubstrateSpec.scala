@@ -69,4 +69,58 @@ class CommitSubstrateSpec extends AnyFunSuite {
       assert(!fs.exists(staged), "staged source must be consumed")
     } finally sys.props -= "graft.putifabsent.schemes"
   }
+
+  test("put-if-absent surfaces transient store failures instead of " +
+      "misreporting them as a lost commit race") {
+    sys.props("graft.putifabsent.schemes") = "s3a"
+    try {
+      val sub = T.substrateFor("s3a")
+      val dir = Files.createTempDirectory("g_substrate_err")
+      val real = FileSystem.getLocal(new Configuration())
+      val staged = new HPath(dir.resolve("staged").toString)
+      val out = real.create(staged, true)
+      try out.write("bytes".getBytes("UTF-8")) finally out.close()
+      // a store whose create() fails TRANSIENTLY (network) — a genuine
+      // store error, not a conditional-put conflict: the caller's
+      // rebase-retry loop must SEE it, not spin 4 times against a
+      // broken store on a bogus "lost the race" diagnosis
+      val fs = new org.apache.hadoop.fs.FilterFileSystem(real) {
+        override def create(p: HPath, overwrite: Boolean)
+            : org.apache.hadoop.fs.FSDataOutputStream =
+          throw new java.io.IOException("connection reset by peer")
+      }
+      val dst = new HPath(dir.resolve("fresh_dst").toString)
+      val e = intercept[java.io.IOException](
+        sub.publishNoReplace(fs, staged, dst))
+      assert(!e.isInstanceOf[java.nio.file.FileAlreadyExistsException],
+        s"store error misreported as a commit-race loss: $e")
+      assert(e.getMessage.contains("connection reset"))
+    } finally sys.props -= "graft.putifabsent.schemes"
+  }
+
+  test("rename substrate translates a cross-process rename loss into " +
+      "the commit-race loser's signal") {
+    // two DRIVERS racing on HDFS: both pass the exists() check (the
+    // JVM lock covers one process only); the NameNode fails the
+    // loser's rename with `false`. Simulate with a stub fs whose
+    // exists() lies once — the re-check must classify the loss as
+    // FileAlreadyExistsException so isCommitConflict rebases.
+    val dir = Files.createTempDirectory("g_substrate_race")
+    val real = FileSystem.getLocal(new Configuration())
+    val staged = new HPath(dir.resolve("staged").toString)
+    val o = real.create(staged, true); o.write('x'); o.close()
+    val committed = new HPath(dir.resolve("committed").toString)
+    val c = real.create(committed, true); c.write('w'); c.close()
+    val fs = new org.apache.hadoop.fs.FilterFileSystem(real) {
+      private var first = true
+      override def exists(p: HPath): Boolean =
+        if (p == committed && first) { first = false; false }
+        else super.exists(p)
+      override def rename(src: HPath, dst: HPath): Boolean =
+        if (dst == committed) false // NameNode refuses: dst exists
+        else super.rename(src, dst)
+    }
+    intercept[java.nio.file.FileAlreadyExistsException](
+      T.RenameSubstrate.publishNoReplace(fs, staged, committed))
+  }
 }

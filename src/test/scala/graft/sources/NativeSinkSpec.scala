@@ -95,6 +95,68 @@ class NativeSinkSpec extends AnyFunSuite {
     assert(T.read(spark, root, head).count() === 1)
   }
 
+  test("exactly-once survives vacuum expiring the txn-bearing version") {
+    val root = initTable()
+    val srcDir = Files.createTempDirectory("g_natsink_src3").toString
+    val ckpt = Files.createTempDirectory("g_natsink_ck3").toString
+    frame((1L, 2023, 1.0)).write.mode("overwrite").parquet(srcDir)
+    drainInto(root, srcDir, ckpt)
+    val epochV = T.versions(root).max
+    val app = T.txnOf(root, epochV).get._1
+    // batch writers advance the table past retention...
+    (1 to 3).foreach { i =>
+      T.commitAppend(spark, root, epochV + i, frame((10L + i, 2023, 1.0)))
+    }
+    T.vacuum(root, retain = 2)
+    assert(!T.versions(root).contains(epochV),
+      "vacuum should have expired the txn-bearing version")
+    assert(T.txnOf(root, T.versions(root).max).isEmpty)
+    // ...yet the durable _txns marker still recognizes the epoch, so a
+    // crash-replay of it is a no-op instead of a double-commit
+    assert(T.lastTxn(root, app).contains(0L),
+      "txn marker lost with the vacuumed manifest — exactly-once broken")
+    val head = T.versions(root).max
+    val w = new SnapshotStreamingWrite(root,
+      T.tableSchema(root, head).get.json, app.stripPrefix("stream-"),
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val writer = new SnapshotGroupWriter(root,
+      T.tableSchema(root, head).get.json,
+      spark.sparkContext.hadoopConfiguration, 0, 0L)
+    writer.write(org.apache.spark.sql.catalyst.InternalRow(9L, 2023, 9.0))
+    val msg = writer.commit().asInstanceOf[SnapshotFilesMsg]
+    w.commit(0L, Array(msg))
+    assert(T.versions(root).max === head,
+      "replayed epoch re-committed after vacuum")
+  }
+
+  test("a sink epoch losing a commit race rebases instead of failing") {
+    val root = initTable()
+    val schemaJson = T.tableSchema(root, 0).get.json
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // two writers (distinct queries) race their epoch commits at the
+    // same head: the loser must REBASE onto the winner's head and land
+    // as the next version — never fail the stream, never clobber
+    def stage(key: Long): SnapshotFilesMsg = {
+      val writer = new SnapshotGroupWriter(root, schemaJson,
+        spark.sparkContext.hadoopConfiguration, key.toInt, 0L)
+      writer.write(org.apache.spark.sql.catalyst.InternalRow(
+        key, 2023, key.toDouble))
+      writer.commit().asInstanceOf[SnapshotFilesMsg]
+    }
+    val msgs = Seq(1L, 2L).map(k => k -> stage(k))
+    val threads = msgs.map { case (k, m) =>
+      new Thread(() => new SnapshotStreamingWrite(root, schemaJson,
+        s"q$k", conf).commit(0L, Array(m)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(T.versions(root) === Seq(0, 1, 2),
+      "race loser failed to rebase onto the winner's head")
+    assert(T.read(spark, root, 2).collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L), "a racing epoch's rows were lost")
+  }
+
   test("abort reclaims staged files; aborted epochs never publish") {
     val root = initTable()
     val writer = new SnapshotGroupWriter(root,
