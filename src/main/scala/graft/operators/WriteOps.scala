@@ -575,6 +575,15 @@ object WriteOps {
         .map(e => (e.path, e.bytes))
     }
 
+    /** SELECTED partitions' full manifest records, grouped by year —
+      * the file-granular DELETE's pruning input (stats blobs intact). */
+    private[graft] def partitionStatEntries(root: String, v: Int,
+        years: Seq[Int]): Seq[(Int, Seq[FileEntry])] = {
+      val ps = pointers(root, v)
+      years.sorted.flatMap(y =>
+        ps.get(y).map(m => y -> readPartManifest(m)))
+    }
+
     // entry line = path \t bytes [\t stats]; paths are generated names
     // (never contain tabs), so a plain split is unambiguous
     private def parseEntry(line: String): FileEntry = {
@@ -1032,6 +1041,18 @@ object WriteOps {
       }
     }
 
+    /** Read an explicit file subset of version v through the version's
+      * recorded schema, DV-applied — the file-granular DELETE's
+      * touch-scan and rewrite read. An empty list resolves the schema
+      * with zero row reads. */
+    private[graft] def readFiles(s: SparkSession, root: String, v: Int,
+        paths: Seq[String]): DataFrame = {
+      val r = tableSchema(root, v)
+        .map(s.read.schema).getOrElse(s.read)
+      if (paths.nonEmpty) applyDv(s, root, v, r.parquet(paths: _*))
+      else read(s, root, v).filter(lit(false))
+    }
+
     /** Partition-scoped read: the file list is pruned in METADATA
       * (selected pointers only), so unselected partitions' files are
       * never opened — not even their footers. An empty selection
@@ -1104,7 +1125,8 @@ object WriteOps {
     }
 
     def commit(s: SparkSession, root: String, v: Int, slice: DataFrame,
-        touched: Seq[Int], txn: Option[(String, Long)] = None): Unit = {
+        touched: Seq[Int], txn: Option[(String, Long)] = None,
+        carriedFiles: Map[Int, Seq[FileEntry]] = Map.empty): Unit = {
       val fs = fsFor(manifest(root, v))
       // optimistic concurrency: history is linear and a version commits
       // once. Two writers racing to publish the same v both pass this
@@ -1116,15 +1138,38 @@ object WriteOps {
       require(!fs.exists(manifest(root, v)),
         s"conflict: version $v is already committed — rebase on the " +
         "current head and retry")
+      // `carriedFiles`: a PARTIAL partition rewrite (file-granular
+      // DELETE) carries the untouched files' entries verbatim into the
+      // touched partition's fresh m-file — a metadata line copy, the
+      // files themselves never open. Refused where pending
+      // deletion-vector tombstones exist: a partial rewrite cannot
+      // soundly purge them (carried files may still hold tombstoned
+      // keys), and this commit purges touched years' tombstones.
+      require(carriedFiles.keySet.subsetOf(touched.toSet),
+        "carried file entries must belong to touched partitions")
+      if (carriedFiles.nonEmpty && v > 0)
+        dvOf(root, v - 1).foreach { case (_, _, dvYears) =>
+          val hit = dvYears.toSet.intersect(carriedFiles.keySet)
+          require(hit.isEmpty,
+            s"partitions ${hit.mkString(",")} hold pending tombstones " +
+            "— a partial (file-granular) rewrite there would purge " +
+            "them unsoundly; rewrite the full partition instead")
+        }
       val staged = stageDataFiles(s, root,
         s"stage_v${v}_${java.util.UUID.randomUUID().toString.take(8)}",
         slice, touched, (y, i) => f"v${v}_y${y}_p$i%05d.parquet")
-      // one immutable m-file per touched partition WITH files; a
-      // touched partition left empty simply has no pointer in v
-      val freshPtrs: Map[Int, String] = staged.collect {
-        case (y, es) if es.nonEmpty =>
-          y -> writePartManifest(root, s"m_v${v}_y$y.txt", es)
-      }.toMap
+      // one immutable m-file per touched partition WITH files (carried
+      // entries first, fresh after); a touched partition left with
+      // neither simply has no pointer in v
+      val stagedMap = staged.toMap
+      val freshPtrs: Map[Int, String] =
+        (stagedMap.keySet ++ carriedFiles.keySet).toSeq.sorted.flatMap {
+          y =>
+            val es = carriedFiles.getOrElse(y, Seq.empty) ++
+              stagedMap.getOrElse(y, Seq.empty)
+            if (es.isEmpty) None
+            else Some(y -> writePartManifest(root, s"m_v${v}_y$y.txt", es))
+        }.toMap
       // carry-over = the parent's POINTERS for untouched partitions —
       // their m-files are not re-read, let alone rewritten
       val carriedPtrs =
@@ -2329,7 +2374,15 @@ object WriteOps {
     * deliveries in metadata. Silver starts as an EMPTY v0 (recorded
     * schema, zero files) and is built entirely by the stream; at
     * 100 TB each hop trigger moves O(new bronze commits) data and
-    * O(manifest) metadata, never table-sized work on either end. */
+    * O(manifest) metadata, never table-sized work on either end.
+    *
+    * r14: the gate also exercises the SMALL-FILE MAINTENANCE cadence
+    * a long-running hop needs — after the first drain, silver is
+    * OPTIMIZE-compacted (a data-unchanged commit), then a late bronze
+    * slice (1998) lands and the SAME checkpointed stream drains it
+    * into the compacted table: sink → OPTIMIZE → stream-continues,
+    * with the final head equal to the full enrichment either way
+    * (which is exactly what the oracle checks). */
   private[graft] def streamingSnapshotPipeline(s: SparkSession,
       d: String): DataFrame = {
     val (bronze, silver, ckpt) = snapPipeState.getOrElseUpdate(d, {
@@ -2341,7 +2394,9 @@ object WriteOps {
         col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
       val years = base.select("pt_year").distinct()
         .collect().map(_.getInt(0)).sorted
-      val (old, recent) = years.partition(_ <= 1995)
+      val lateYear = years.max // held back until after the compaction
+      val (old, recent) =
+        years.filterNot(_ == lateYear).partition(_ <= 1995)
       SnapshotTable.commit(s, b, 0,
         base.filter(col("pt_year") <= 1995), old)
       recent.zipWithIndex.foreach { case (y, i) =>
@@ -2355,21 +2410,37 @@ object WriteOps {
           floor(col("o_totalprice") / 50000).cast("int"))
         .filter(lit(false))
       SnapshotTable.commit(s, sv, 0, silverSchema, Seq.empty)
-      (b, sv, scratch(s"pipe_ckpt_$run"))
-    })
-    val src = s.readStream.format("graft-snapshot")
-      .option("root", bronze).load()
-    val q = src.writeStream
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        snapshotSinkMerge(s, silver, id,
-          batch.withColumn("price_band",
-            floor(col("o_totalprice") / 50000).cast("int")),
-          app = "silver")
+      val ck = scratch(s"pipe_ckpt_$run")
+      def drain(): Unit = {
+        val src = s.readStream.format("graft-snapshot")
+          .option("root", b).load()
+        val q = src.writeStream
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            snapshotSinkMerge(s, sv, id,
+              batch.withColumn("price_band",
+                floor(col("o_totalprice") / 50000).cast("int")),
+              app = "silver")
+          }
+          .start()
+        graft.streaming.DocIngest.await(q)
       }
-      .start()
-    graft.streaming.DocIngest.await(q)
+      drain() // bronze → silver, everything but the late year
+      // MAINTENANCE between drains: compact silver's per-epoch small
+      // files (data-unchanged commit; batch readers see identical
+      // rows, a downstream snapshot STREAM would see the rewritten
+      // partitions re-emit — the documented ignoreChanges posture)
+      SnapshotTable.optimize(s, sv,
+        SnapshotTable.versions(sv).max + 1)
+      // the late bronze slice lands AFTER the compaction; the same
+      // checkpointed stream picks it up and appends into the
+      // compacted table — the hop outlives its maintenance passes
+      SnapshotTable.commit(s, b, SnapshotTable.versions(b).max + 1,
+        base.filter(col("pt_year") === lateYear), Seq(lateYear))
+      drain()
+      (b, sv, ck)
+    })
     SnapshotTable.read(s, silver, SnapshotTable.versions(silver).max)
       .groupBy("pt_year", "price_band")
       .agg(count(lit(1)).as("cnt"),
@@ -2503,6 +2574,109 @@ object WriteOps {
             cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
               AS total
           FROM graftdel.$tname $clause GROUP BY pt_year""")
+    agg("head", "").unionByName(agg("v0", "VERSION AS OF 0"))
+  }
+
+  // per-(JVM, sfDir) table-name memo for the SQL update gate
+  private val sqlUpdState =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** SQL UPDATE through the DSv2 row-level operation — gate
+    * `sql_update_snapshot`: `UPDATE <catalog>.<table> SET ... WHERE
+    * pt_year = 1996 AND o_custkey <= 500` runs the GROUP-BASED
+    * partition copy-on-write (SupportsRowLevelOperations →
+    * ReplaceData): the pt_year conjunct prunes statically, runtime
+    * group filtering confirms only 1996 holds matches, so exactly ONE
+    * partition rewrites (SqlMergeUpdateSpec pins the others' mtimes)
+    * while VERSION AS OF 0 keeps serving the pre-update state — both
+    * states oracled in one labeled union. The +1.0 bump is exact in
+    * double, so Spark and DuckDB agree bit-for-bit. */
+  private[graft] def sqlUpdateSnapshot(s: SparkSession,
+      d: String): DataFrame = {
+    val base = scratch("sqlupd_base")
+    s.conf.set("spark.sql.catalog.graftupd",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftupd.base", base)
+    val tname = sqlUpdState.getOrElseUpdate(d, {
+      val n = "t_" + java.util.UUID.randomUUID().toString.take(8)
+      val root = s"$base/$n"
+      SnapshotTable.deleteTree(root)
+      val b = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = b.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, root, 0, b, years)
+      s.sql(s"UPDATE graftupd.$n SET o_totalprice = o_totalprice + 1.0 " +
+        "WHERE pt_year = 1996 AND o_custkey <= 500")
+      n
+    })
+    def agg(label: String, clause: String) = s.sql(
+      s"""SELECT '$label' AS version, pt_year,
+            cast(count(*) AS bigint) AS cnt,
+            cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+              AS total
+          FROM graftupd.$tname $clause GROUP BY pt_year""")
+    agg("head", "").unionByName(agg("v0", "VERSION AS OF 0"))
+  }
+
+  // per-(JVM, sfDir) table-name memo for the SQL merge gate
+  private val sqlMrgState =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** SQL MERGE INTO through the DSv2 row-level operation — gate
+    * `sql_merge_snapshot`: one statement composes matched UPDATE
+    * (keys ≡1 mod 10 get +10.0), matched DELETE (keys ≡2 mod 10), and
+    * NOT-MATCHED INSERT (negated keys ≡3 mod 10 landing in the brand-
+    * new 2030 partition — an APPEND to a partition the scan never
+    * read). Spark rewrites it into ReplaceData over the group scan;
+    * the commit swaps the matched partitions' pointers and appends
+    * the insert partition. Head and VERSION AS OF 0 both oracled. */
+  private[graft] def sqlMergeSnapshot(s: SparkSession,
+      d: String): DataFrame = {
+    val base = scratch("sqlmrg_base")
+    s.conf.set("spark.sql.catalog.graftmrg",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftmrg.base", base)
+    val tname = sqlMrgState.getOrElseUpdate(d, {
+      val n = "t_" + java.util.UUID.randomUUID().toString.take(8)
+      val root = s"$base/$n"
+      SnapshotTable.deleteTree(root)
+      val b = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = b.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, root, 0, b, years)
+      val src = b.filter(col("o_orderkey") % 10 === 1)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+          (col("o_totalprice") + 10.0).as("np"),
+          col("pt_year").as("y"), lit("U").as("op"))
+        .unionByName(b.filter(col("o_orderkey") % 10 === 2)
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+            col("o_totalprice").as("np"), col("pt_year").as("y"),
+            lit("D").as("op")))
+        .unionByName(b.filter(col("o_orderkey") % 10 === 3)
+          .select((-col("o_orderkey")).as("k"),
+            col("o_custkey").as("ck"), col("o_totalprice").as("np"),
+            lit(2030).as("y"), lit("I").as("op")))
+      src.createOrReplaceTempView(s"mrg_src_$n")
+      s.sql(
+        s"""MERGE INTO graftmrg.$n t USING mrg_src_$n s
+            ON t.o_orderkey = s.k
+            WHEN MATCHED AND s.op = 'D' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET o_totalprice = s.np
+            WHEN NOT MATCHED THEN
+              INSERT (o_orderkey, o_custkey, o_totalprice, pt_year)
+              VALUES (s.k, s.ck, s.np, s.y)""")
+      n
+    })
+    def agg(label: String, clause: String) = s.sql(
+      s"""SELECT '$label' AS version, pt_year,
+            cast(count(*) AS bigint) AS cnt,
+            cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+              AS total
+          FROM graftmrg.$tname $clause GROUP BY pt_year""")
     agg("head", "").unionByName(agg("v0", "VERSION AS OF 0"))
   }
 
@@ -2959,6 +3133,8 @@ object WriteOps {
     // SQL DELETE: partition-scoped copy-on-write via SupportsDelete
     // (see sqlDeleteSnapshot), pre-delete state time-traveled
     "sql_delete_snapshot" -> ((s, d) => sqlDeleteSnapshot(s, d)),
+    "sql_update_snapshot" -> ((s, d) => sqlUpdateSnapshot(s, d)),
+    "sql_merge_snapshot" -> ((s, d) => sqlMergeSnapshot(s, d)),
 
     // NATIVE streaming sink: writeStream.format("graft-snapshot") with
     // no foreachBatch — executor-side writers, per-epoch txn-recorded
@@ -3794,6 +3970,47 @@ object WriteOps {
            WHERE NOT (pt_year = 1996 AND o_custkey <= 500)),
          lab AS (
            SELECT 'head' AS version, * FROM kept
+           UNION ALL SELECT 'v0', * FROM t)
+         SELECT version, pt_year, cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total
+         FROM lab GROUP BY version, pt_year""",
+
+    // head = the 1996/custkey<=500 rows bumped by +1.0 (exact in
+    // double); v0 = the intact original (time travel)
+    "sql_update_snapshot" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         upd AS (SELECT o_orderkey, o_custkey,
+             CASE WHEN pt_year = 1996 AND o_custkey <= 500
+               THEN o_totalprice + 1.0 ELSE o_totalprice END
+               AS o_totalprice, pt_year FROM t),
+         lab AS (
+           SELECT 'head' AS version, * FROM upd
+           UNION ALL SELECT 'v0', * FROM t)
+         SELECT version, pt_year, cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total
+         FROM lab GROUP BY version, pt_year""",
+
+    // head = matched updates (+10.0, keys ≡1 mod 10), matched deletes
+    // (keys ≡2), and the not-matched inserts (negated keys ≡3 landing
+    // in 2030); v0 = the intact original
+    "sql_merge_snapshot" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         merged AS (
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 10.0
+               ELSE o_totalprice END AS o_totalprice, pt_year
+           FROM t WHERE o_orderkey % 10 <> 2
+           UNION ALL
+           SELECT -o_orderkey, o_custkey, o_totalprice, 2030
+           FROM t WHERE o_orderkey % 10 = 3),
+         lab AS (
+           SELECT 'head' AS version, * FROM merged
            UNION ALL SELECT 'v0', * FROM t)
          SELECT version, pt_year, cast(count(*) AS bigint) AS cnt,
            cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,

@@ -87,11 +87,13 @@ class SnapshotSourceProvider extends TableProvider with DataSourceRegister {
   * root is `SELECT ... FROM <name>.<table>` — including Spark's native
   * time-travel syntax `VERSION AS OF <v>`, which lands here through
   * `loadTable(ident, version)` and pins the scan to that version's
-  * manifest. CRUD-complete (r13): CREATE TABLE / CTAS initialize an
-  * empty v0 through the commit protocol, INSERT INTO / INSERT
-  * OVERWRITE / DELETE FROM ride the table's write surface, DROP TABLE
-  * removes the root; ALTER refuses (schema evolves through commits)
-  * and RENAME refuses (roots are immutable paths — clone instead). */
+  * manifest. CRUD-complete (r13), DML/DDL-complete (r14): CREATE
+  * TABLE / CTAS initialize an empty v0 through the commit protocol,
+  * INSERT INTO / INSERT OVERWRITE / DELETE FROM ride the table's
+  * write surface, UPDATE / MERGE INTO run the group-based row-level
+  * operation ([[SnapshotRowLevelOperation]]), ALTER TABLE ADD COLUMN
+  * lands as a schema-bump commit, DROP TABLE removes the root;
+  * RENAME refuses (roots are immutable paths — clone instead). */
 class SnapshotCatalog
     extends org.apache.spark.sql.connector.catalog.TableCatalog {
   import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
@@ -189,11 +191,53 @@ class SnapshotCatalog
       SnapshotTable.tableSchema(root, 0).get, root, None)
   }
 
+  /** `ALTER TABLE ... ADD COLUMN(S)` — mapped onto the substrate's
+    * schema-evolution-through-commits: ONE empty true-append commit
+    * carrying parent ∪ the new (nullable) columns. Data files are
+    * untouched — every pointer carries; pre-evolution files null-fill
+    * the new column by name at read, and `VERSION AS OF` a
+    * pre-evolution version still serves the old schema verbatim.
+    * Type changes, renames, drops, and positioned/defaulted adds
+    * refuse (a silent type change would corrupt carried data). */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "snapshot table schema evolves through commits (append a batch " +
-      "carrying the new column)")
+      changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    val vs = SnapshotTable.versions(root)
+    require(vs.nonEmpty, s"table ${ident.name} does not exist")
+    val head = vs.max
+    val parent = SnapshotTable.tableSchema(root, head).getOrElse(
+      throw new IllegalStateException(
+        s"version $head of $root records no schema"))
+    val added = changes.map {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "snapshot tables hold flat schemas — nested ADD COLUMN is " +
+          "unsupported")
+        require(add.position == null,
+          "ADD COLUMN ... FIRST/AFTER is unsupported — new columns " +
+          "append (readers resolve by name, not position)")
+        require(add.defaultValue == null,
+          "ADD COLUMN DEFAULT is unsupported — carried files null-" +
+          "fill new columns")
+        StructField(add.fieldNames.head, add.dataType,
+          nullable = true) // carried files lack it: must null-fill
+      case other => throw new UnsupportedOperationException(
+        s"snapshot tables support ALTER TABLE ADD COLUMN only " +
+        s"(got ${other.getClass.getSimpleName}); types and names of " +
+        "committed columns are immutable — add a new column instead")
+    }
+    added.foreach(f => require(!parent.fieldNames.contains(f.name),
+      s"column '${f.name}' already exists"))
+    val evolved = StructType(parent.fields ++ added)
+    val s = SparkSession.active
+    // empty commit, zero touched partitions: every pointer carries,
+    // only the recorded schema advances (O(1 manifest) metadata)
+    SnapshotTable.commit(s, root, head + 1,
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], evolved),
+      Seq.empty)
+    new SnapshotSourceTable(evolved, root, None)
+  }
 
   /** `DROP TABLE` — removes the whole root (manifests, data, sidecars,
     * scratch); false when nothing was there, per the catalog API. */
@@ -223,8 +267,27 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
     root: String, pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
-  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, V1Write, Write, WriteBuilder}
+
+  /** SQL `UPDATE` / `MERGE INTO` (and DELETE with predicates the
+    * metadata path can't translate) — the GROUP-BASED row-level
+    * operation: Spark rewrites the command into a ReplaceData plan
+    * over [[SnapshotRowLevelOperation]]'s scan (whole pt_year
+    * partitions, runtime-group-filtered down to those actually
+    * holding matches) and writes the replacement rows back through
+    * the executor-side parquet writers; the commit swaps exactly the
+    * scanned partitions' pointers. Translatable DELETEs keep routing
+    * through [[deleteWhere]] (Spark's OptimizeMetadataOnlyDeleteFromTable
+    * converts them back — one partition-scoped CoW commit, no
+    * replacement write job). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      "a VERSION/TIMESTAMP AS OF table is a read-only snapshot")
+    () => new SnapshotRowLevelOperation(root, tableSchema, info.command)
+  }
 
   override def name(): String =
     s"graft_snapshot($root${pinnedVersion.fold("")(v => s"@v$v")})"
@@ -244,17 +307,31 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
     SnapshotTable.describe(root,
       pinnedVersion.getOrElse(SnapshotTable.versions(root).max)).asJava
 
-  /** SQL `DELETE FROM <catalog>.<table> WHERE <pred>` — partition-
-    * scoped COPY-ON-WRITE delete (the Delta-without-DV shape): the
-    * touched partitions are exactly those holding matching rows; each
-    * rewrites from a DV-applied read keeping only non-matching rows,
-    * untouched partitions carry over by pointer (files never opened,
-    * mtimes pinned by spec). Commits through the same txn protocol as
-    * everything else, so time travel serves the pre-delete state and
-    * the change feed emits the deletions. Predicates must translate
-    * to source filters (canDeleteWhere) — Spark refuses loudly
-    * otherwise. Key-granular MERGE-ON-READ deletes (O(keys) metadata,
-    * no rewrite) stay available programmatically via commitDelete. */
+  /** SQL `DELETE FROM <catalog>.<table> WHERE <pred>` — FILE-granular
+    * COPY-ON-WRITE delete: three pruning layers run before any row
+    * moves, each in metadata —
+    *
+    *  1. pt_year conjuncts bound the candidate PARTITIONS
+    *     ([[SnapshotFilters.yearBound]]);
+    *  2. manifest column stats exclude candidate FILES that cannot
+    *     hold a matching row ([[SnapshotFilters.statRanges]] →
+    *     entryMatches — the same machinery as read-side skipping), so
+    *     the touch-scan opens only possibly-matching files;
+    *  3. the rewrite itself is file-granular: within a touched
+    *     partition, stats-excluded files CARRY as verbatim manifest
+    *     entries (never opened, mtimes pinned by spec) while only the
+    *     possibly-matching files rewrite from a DV-applied read
+    *     keeping non-matching rows.
+    *
+    * Partitions holding pending deletion-vector tombstones rewrite
+    * WHOLE (a partial rewrite could not soundly purge their
+    * tombstones). Commits through the same txn protocol as everything
+    * else, so time travel serves the pre-delete state and the change
+    * feed emits the deletions. Predicates must translate to source
+    * filters (canDeleteWhere) — untranslatable ones fall back to the
+    * group-based row-level rewrite ([[SnapshotRowLevelOperation]]).
+    * Key-granular MERGE-ON-READ deletes (O(keys) metadata, no rewrite)
+    * stay available programmatically via commitDelete. */
   override def canDeleteWhere(filters: Array[
       org.apache.spark.sql.sources.Filter]): Boolean =
     pinnedVersion.isEmpty &&
@@ -285,14 +362,40 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
     // and surviving = NOT pred-is-true (Delta's not(cond <=> true)
     // keep-condition shape).
     val matches = coalesce(pred, lit(false))
+    // FILE-GRANULAR stats pruning inside the candidate partitions:
+    // a file whose manifest [min, max] ranges exclude every conjunct
+    // bound cannot hold a TRUE-matching row (NULL-valued rows are
+    // outside stats AND evaluate the predicate to non-TRUE), so it
+    // neither touch-scans nor rewrites. Tombstoned partitions opt out
+    // — they must rewrite whole so the purge stays sound.
+    val preds = SnapshotFilters.statRanges(filters)
+    val dvYears = SnapshotTable.dvOf(root, head)
+      .map(_._3.toSet).getOrElse(Set.empty[Int])
+    val parts: Seq[(Int, Seq[SnapshotTable.FileEntry],
+        Seq[SnapshotTable.FileEntry])] =
+      SnapshotTable.partitionStatEntries(root, head, candidates).map {
+        case (y, es) =>
+          if (dvYears.contains(y)) (y, es, Seq.empty)
+          else {
+            val (maybe, excluded) =
+              es.partition(SnapshotTable.entryMatches(_, preds))
+            (y, maybe, excluded)
+          }
+      }
     val touched = SnapshotTable
-      .readPartitions(s, root, head, candidates)
+      .readFiles(s, root, head, parts.flatMap(_._2).map(_.path))
       .filter(matches)
-      .select("pt_year").distinct().collect().map(_.getInt(0)).toSeq.sorted
+      .select("pt_year").distinct().collect().map(_.getInt(0)).toSet
     if (touched.nonEmpty) {
-      val kept = SnapshotTable.readPartitions(s, root, head, touched)
+      val touchedParts = parts.filter(p => touched.contains(p._1))
+      val kept = SnapshotTable
+        .readFiles(s, root, head, touchedParts.flatMap(_._2).map(_.path))
         .filter(!matches)
-      SnapshotTable.commit(s, root, head + 1, kept, touched)
+      val carried = touchedParts.collect {
+        case (y, _, excluded) if excluded.nonEmpty => y -> excluded
+      }.toMap
+      SnapshotTable.commit(s, root, head + 1, kept,
+        touched.toSeq.sorted, carriedFiles = carried)
     } // zero matches: delete is a no-op, no version burned
   }
 
@@ -344,7 +447,8 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
           new SnapshotStreamingWrite(root, info.schema().json,
             info.queryId(), new org.apache.spark.util
               .SerializableConfiguration(SparkSession.active
-                .sparkContext.hadoopConfiguration))
+                .sparkContext.hadoopConfiguration),
+            Option(info.options.get("compactEvery")).map(_.toInt))
         }
 
         override def toInsertableRelation
@@ -394,7 +498,210 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
       pinnedVersion
         .orElse(Option(options.get("versionAsOf")).map(_.toInt)),
       options.getBoolean("ignoreDeletes", false),
-      Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+}
+
+/** GROUP-BASED row-level operation (UPDATE / MERGE / non-translatable
+  * DELETE) — partition copy-on-write, the Iceberg/Delta group-rewrite
+  * shape re-expressed over the snapshot manifest:
+  *
+  *  - the GROUP is a pt_year partition (the table's commit unit);
+  *  - the HEAD is pinned when the operation is built, so the scan and
+  *    the commit see one snapshot (a concurrent commit in between
+  *    surfaces as a loud conflict — a stale row-level rewrite must
+  *    never silently clobber it);
+  *  - STATIC pruning: pt_year conjuncts in the command's condition
+  *    reach [[SnapshotFilters.yearBound]] through filter pushdown, so
+  *    `UPDATE ... WHERE pt_year = 1996 AND ...` plans only 1996;
+  *  - RUNTIME group filtering: the scan implements
+  *    SupportsRuntimeV2Filtering on pt_year, so Spark runs the
+  *    matching-rows subquery first and narrows the rewrite to the
+  *    partitions that actually HOLD matches — at 100 TB the
+  *    difference between rewriting one partition and the table;
+  *  - the replacement write lands executor-side (the same parquet-mr
+  *    group writers as the streaming sink; only (year, path, bytes)
+  *    triples reach the driver) and the commit swaps exactly the
+  *    scanned partitions' pointers ([[graft.operators.WriteOps
+  *    .SnapshotTable.commitReplaceEntries]]); rows the command moves
+  *    or inserts into UNSCANNED partitions append there. */
+private[sources] class SnapshotRowLevelOperation(root: String,
+    tableSchema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, Write, WriteBuilder}
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+
+  /** Head pinned at operation build: one snapshot for scan + commit. */
+  private[sources] val readVersion = SnapshotTable.versions(root).max
+  @volatile private[sources] var configuredScan: SnapshotGroupScan = _
+
+  override def command(): org.apache.spark.sql.connector.write
+      .RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graft-snapshot $cmd group-CoW @v$readVersion"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      import org.apache.spark.sql.sources.Filter
+      private var pushed: Array[Filter] = Array.empty
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        // partition-granular pruning ONLY: groups replace whole, so a
+        // file-granular stats prune would lose the group's other rows
+        pushed = filters.filter(SnapshotFilters.yearBound(_).isDefined)
+        filters // everything re-evaluates in the rewritten plan
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def build(): Scan = {
+        val live = SnapshotTable.pointers(root, readVersion).keySet
+        val years = pushed.foldLeft(live) { (acc, f) =>
+          acc.intersect(SnapshotFilters.yearBound(f).getOrElse(live))
+        }
+        val s = new SnapshotGroupScan(root, tableSchema, readVersion,
+          years)
+        configuredScan = s
+        s
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: org.apache.spark.sql.connector.write
+            .BatchWrite =
+          new SnapshotReplaceDataWrite(SnapshotRowLevelOperation.this,
+            root, info.schema().json,
+            new SerializableConfiguration(SparkSession.active
+              .sparkContext.hadoopConfiguration))
+      }
+    }
+}
+
+/** The row-level operation's scan: ALL files of the selected pt_year
+  * partitions at the pinned version (DV-applied executor-side, like
+  * every read path). Runtime group filtering narrows the partition
+  * set; the final set is what the write's commit REPLACES. */
+private[sources] class SnapshotGroupScan(root: String,
+    schema: StructType, version: Int, initialYears: Set[Int])
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Expressions, Literal => VLiteral, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
+
+  @volatile private[sources] var years: Set[Int] = initialYears
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot $root@v$version groups=" +
+      years.toSeq.sorted.mkString(",")
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("pt_year"))
+
+  /** Spark's runtime group filter arrives as `pt_year IN (...)` (or
+    * `=`) over the matching-rows subquery's collected values — keep
+    * only those partitions. Unparseable predicates narrow nothing
+    * (sound: the rewrite re-evaluates everything row-level). */
+  override def filter(predicates: Array[VPredicate]): Unit =
+    predicates.foreach { p =>
+      runtimeYears(p).foreach(in => years = years.intersect(in))
+    }
+
+  private def colName(e: VExpr): Option[String] = e match {
+    case r: NamedReference => Some(r.fieldNames.mkString("."))
+    case _ => None
+  }
+  private def intOf(e: VExpr): Option[Int] = e match {
+    case l: VLiteral[_] => l.value match {
+      case n: Number => Some(n.intValue)
+      case _ => None
+    }
+    case _ => None
+  }
+  private def runtimeYears(p: VPredicate): Option[Set[Int]] =
+    (p.name, p.children.toSeq) match {
+      case ("IN", c +: vs) if colName(c).contains("pt_year") =>
+        val ints = vs.flatMap(intOf)
+        if (ints.length == vs.length) Some(ints.toSet) else None
+      case ("=", Seq(c, v)) if colName(c).contains("pt_year") =>
+        intOf(v).map(Set(_))
+      case _ => None
+    }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    SnapshotTable.partitionEntries(root, version, years.toSeq.sorted)
+      .map { case (path, _) =>
+        SnapshotFilePartition(path): InputPartition
+      }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val dv = SnapshotTable.dvOf(root, version).map { case (p, k, _) =>
+      val tag = schema.find(_.name == k).map(_.dataType) match {
+        case Some(StringType) => 'S'
+        case Some(DoubleType) | Some(FloatType) => 'D'
+        case _ => 'L'
+      }
+      (p, k, tag)
+    }
+    new GroupRowReaderFactory(schema.json, new SerializableConfiguration(
+      SparkSession.active.sparkContext.hadoopConfiguration), dv)
+  }
+}
+
+/** The replacement write: executor-side parquet-mr writers (one per
+  * pt_year a task sees), then ONE commit swapping the scanned
+  * partitions' pointers for the staged entries — rows written into
+  * partitions the scan didn't read (MERGE inserts, cross-partition
+  * UPDATE moves) append to their partitions instead. An empty
+  * operation (runtime filter found no matching groups) commits
+  * nothing. */
+private[sources] class SnapshotReplaceDataWrite(
+    op: SnapshotRowLevelOperation, root: String, schemaJson: String,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  private def schema =
+    DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new SnapshotBatchWriterFactory(root, schemaJson, conf)
+
+  private def filesOf(messages: Array[WriterCommitMessage]) =
+    messages.collect { case m: SnapshotFilesMsg => m.files }
+      .flatten.toSeq
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = filesOf(messages)
+    val scan = op.configuredScan
+    require(scan != null,
+      "row-level write committed without a configured scan")
+    val replaced = scan.years.toSeq.sorted
+    if (files.isEmpty && replaced.isEmpty) return // matched nothing
+    val s = SparkSession.active
+    val stats = SnapshotTable.statsFor(s, files.map(_._2), schema)
+    val staged = files.groupBy(_._1).toSeq.map { case (y, fs) =>
+      y -> fs.map { case (_, p, b) =>
+        SnapshotTable.FileEntry(p, b, stats.getOrElse(p, ""))
+      }.sortBy(_.path)
+    }
+    // the pinned-snapshot commit: a concurrent writer landing after
+    // readVersion surfaces as a loud conflict — a row-level rewrite
+    // computed against a stale snapshot must never silently clobber
+    // the interleaved commit (retry the statement instead)
+    SnapshotTable.commitReplaceEntries(s, root, op.readVersion + 1,
+      staged, replaced)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    filesOf(messages).foreach { case (_, p, _) =>
+      SnapshotTable.deleteTree(p)
+    }
 }
 
 /** V1 source Filter → Column translation for the SQL DELETE path.
@@ -430,6 +737,42 @@ private[sources] object SnapshotFilters {
     case _ => None
   }
 
+  // Same bound-value whitelist as the read-side scan builder: NaN /
+  // non-finite floats must never become pruning bounds (Spark orders
+  // NaN greatest-and-self-equal; IEEE stats comparison would wrongly
+  // exclude every file).
+  private def comparable(v: Any): Boolean = v match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte | _: String => true
+    case d: java.lang.Double => !d.isNaN && !d.isInfinite
+    case f: java.lang.Float => !f.isNaN && !f.isInfinite
+    case _ => false
+  }
+
+  /** Per-column conjunctive [lo, hi] bounds from the TOP-LEVEL filter
+    * conjuncts — the DELETE path's file-granular stats prune. Only the
+    * plain comparison shapes contribute (strict bounds conservatively
+    * widen to inclusive); anything else contributes nothing, which is
+    * SOUND because bounds only ever EXCLUDE files whose stats ranges
+    * cannot satisfy a handled conjunct. */
+  def statRanges(filters: Array[Filter]): Seq[(String, Any, Any)] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, (Any, Any)]()
+    def tighten(c: String, lo: Any, hi: Any): Unit = {
+      val (l0, h0) = m.getOrElse(c, (null, null))
+      m(c) = (if (lo != null) lo else l0, if (hi != null) hi else h0)
+    }
+    filters.foreach {
+      case EqualTo(c, v) if comparable(v) => tighten(c, v, v)
+      case GreaterThan(c, v) if comparable(v) => tighten(c, v, null)
+      case GreaterThanOrEqual(c, v) if comparable(v) =>
+        tighten(c, v, null)
+      case LessThan(c, v) if comparable(v) => tighten(c, null, v)
+      case LessThanOrEqual(c, v) if comparable(v) => tighten(c, null, v)
+      case _ => ()
+    }
+    m.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+  }
+
   /** The pt_year partitions a TOP-LEVEL conjunct can touch, when it
     * bounds them: EqualTo/In on pt_year (the `DELETE ... WHERE
     * pt_year = Y AND <rest>` shape). None = unbounded — sound because
@@ -461,7 +804,8 @@ private[sources] class SnapshotScanBuilder(root: String,
     full: StructType, startingVersion: Int,
     pinnedVersion: Option[Int] = None,
     ignoreDeletes: Boolean = false,
-    maxVersionsPerTrigger: Option[Int] = None) extends ScanBuilder
+    maxVersionsPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources._
@@ -513,7 +857,8 @@ private[sources] class SnapshotScanBuilder(root: String,
 
   override def build(): Scan = new SnapshotScan(root, required,
     startingVersion, ranges.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) },
-    pinnedVersion, ignoreDeletes, maxVersionsPerTrigger)
+    pinnedVersion, ignoreDeletes, maxVersionsPerTrigger,
+    maxBytesPerTrigger)
 }
 
 private[sources] class SnapshotScan(root: String, schema: StructType,
@@ -521,7 +866,8 @@ private[sources] class SnapshotScan(root: String, schema: StructType,
     ranges: Seq[(String, Any, Any)] = Nil,
     pinnedVersion: Option[Int] = None,
     ignoreDeletes: Boolean = false,
-    maxVersionsPerTrigger: Option[Int] = None) extends Scan {
+    maxVersionsPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String =
     s"graft-snapshot $root " +
@@ -576,38 +922,66 @@ private[sources] class SnapshotScan(root: String, schema: StructType,
     require(pinnedVersion.isEmpty,
       "a VERSION AS OF read is a batch snapshot — streams follow head")
     new SnapshotMicroBatchStream(root, startingVersion, readerFactory(),
-      ranges, ignoreDeletes, maxVersionsPerTrigger)
+      ranges, ignoreDeletes, maxVersionsPerTrigger, maxBytesPerTrigger)
   }
 }
 
-/** Offset = "all versions ≤ v have been served". */
-private[sources] case class VersionOffset(v: Int) extends Offset {
-  override def json(): String = v.toString
+/** Stream position: versions BELOW `v` fully served, plus the first
+  * `idx` fresh files of version v (file-granular admission control
+  * splits a fat version across triggers). Serialized `v:idx`; a bare
+  * integer `n` (pre-r14 checkpoints, whose meaning was "fully served
+  * THROUGH n") deserializes to `(n+1, 0)` — old checkpoints resume
+  * unchanged. */
+private[sources] case class VersionOffset(v: Int, idx: Int = 0)
+    extends Offset {
+  override def json(): String = s"$v:$idx"
 }
 
-/** The stream half of the connector. With `maxVersionsPerTrigger` set
-  * the stream implements ADMISSION CONTROL (Delta's maxFilesPerTrigger
-  * analog, version-granular): each trigger admits at most that many
-  * versions past the last committed offset, so a backfill of a
-  * years-deep table becomes a paced sequence of bounded micro-batches
-  * instead of ONE batch holding the entire history — the difference
-  * between a checkpointable, restartable backfill and a single giant
-  * all-or-nothing job at 100 TB. Trigger.AvailableNow composes: Spark
-  * iterates bounded batches until the captured head is reached. */
+private[sources] object VersionOffset {
+  def parse(json: String): VersionOffset = json.split(':') match {
+    case Array(v, i) => VersionOffset(v.toInt, i.toInt)
+    case Array(v) => VersionOffset(v.toInt + 1, 0) // legacy inclusive
+  }
+}
+
+/** The stream half of the connector. ADMISSION CONTROL (Delta's
+  * maxFilesPerTrigger analog) comes in two grains:
+  *
+  *  - `maxVersionsPerTrigger` (version-granular): each trigger admits
+  *    at most that many versions past the last committed offset, so a
+  *    backfill of a years-deep table becomes a paced sequence of
+  *    bounded micro-batches instead of ONE batch holding the entire
+  *    history;
+  *  - `maxBytesPerTrigger` (file-granular, r14): a single FAT version
+  *    — a 10 TB backfill commit — splits across triggers at file
+  *    boundaries (byte sizes come from the manifest, zero filesystem
+  *    metadata reads), the offset advancing through the version as
+  *    `v:fileIdx`. At least one file always admits (progress
+  *    guarantee); exactly-once holds because the fresh-file list of a
+  *    committed version is immutable and deterministically ordered.
+  *
+  * Both compose with Trigger.AvailableNow (Spark iterates bounded
+  * batches until the captured head is reached) and with each other
+  * (versions cap the stride, bytes cap within it). */
 private[sources] class SnapshotMicroBatchStream(root: String,
     startingVersion: Int, factory: PartitionReaderFactory,
     ranges: Seq[(String, Any, Any)] = Nil,
     ignoreDeletes: Boolean = false,
-    maxVersionsPerTrigger: Option[Int] = None)
+    maxVersionsPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
-  override def initialOffset(): Offset = VersionOffset(startingVersion - 1)
+  override def initialOffset(): Offset = VersionOffset(startingVersion, 0)
+
+  /** The fully-caught-up position: everything below head+1 served. */
+  private def headPosition(head: Int): VersionOffset =
+    VersionOffset(head + 1, 0)
 
   override def latestOffset(): Offset =
-    VersionOffset(SnapshotTable.versions(root).max)
+    headPosition(SnapshotTable.versions(root).max)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -618,23 +992,53 @@ private[sources] class SnapshotMicroBatchStream(root: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowBound = Some(SnapshotTable.versions(root).max)
 
-  /** Bounded progress: at most maxVersionsPerTrigger versions past
-    * `start` (the last committed offset) per trigger. */
+  /** Bounded progress from `start` (the last committed offset): at
+    * most maxVersionsPerTrigger versions, at most maxBytesPerTrigger
+    * manifest bytes (≥1 file), whichever binds first. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val head = availableNowBound
       .getOrElse(SnapshotTable.versions(root).max)
-    val s = start.asInstanceOf[VersionOffset].v
-    VersionOffset(maxVersionsPerTrigger
-      .map(m => math.min(head, s + math.max(m, 1))).getOrElse(head))
+    val s = start.asInstanceOf[VersionOffset]
+    if (s.v > head) return s // caught up (canonical: idx always valid)
+    val vCap = maxVersionsPerTrigger
+      .map(m => math.min(head, s.v + math.max(m, 1) - 1))
+      .getOrElse(head)
+    maxBytesPerTrigger match {
+      case None => headPosition(vCap)
+      case Some(budget) =>
+        // walk the manifest byte sizes file-by-file; stop AFTER the
+        // file that exhausts the budget (≥1 file per trigger)
+        var v = s.v
+        var idx = s.idx
+        var spent = 0L
+        var admitted = 0
+        var done = false
+        while (!done && v <= vCap) {
+          val fresh = freshEntries(v)
+          if (idx >= fresh.size) { v += 1; idx = 0 }
+          else {
+            spent += fresh(idx).bytes
+            idx += 1
+            admitted += 1
+            if (spent >= budget) done = true
+          }
+        }
+        if (v > vCap) headPosition(vCap)
+        else if (idx >= freshEntries(v).size) VersionOffset(v + 1, 0)
+        else VersionOffset(v, idx)
+    }
   }
 
   override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset =
-    VersionOffset(json.toInt)
+    VersionOffset.parse(json)
 
   /** Version v's fresh entries: the manifest diff against its parent —
-    * metadata only. v = 0 contributes its full list. */
+    * metadata only, DETERMINISTICALLY ordered (partition manifests are
+    * path-sorted per year, years sorted), so a file-granular offset
+    * into the list is stable across restarts. v = 0 contributes its
+    * full list. */
   private def freshEntries(v: Int) = {
     val cur = SnapshotTable.statEntries(root, v)
     if (v == 0) cur
@@ -646,22 +1050,29 @@ private[sources] class SnapshotMicroBatchStream(root: String,
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[VersionOffset].v
-    val e = end.asInstanceOf[VersionOffset].v
-    ((s + 1) to e).flatMap { v =>
-      val fresh = freshEntries(v)
-      // a PURE delete commit (deletion vector moved, zero fresh files)
-      // removes rows an append stream has already emitted — fail
-      // loudly unless the consumer opted in, Delta's ignoreDeletes
-      // contract (a REWRITE that purges re-emits its partition and is
-      // covered by the ignoreChanges semantics instead)
-      if (!ignoreDeletes && fresh.isEmpty && v > 0 &&
-          SnapshotTable.dvOf(root, v) != SnapshotTable.dvOf(root, v - 1))
-        throw new IllegalStateException(
-          s"version $v of $root is a delete commit; an append stream " +
-          "cannot represent it — set .option(\"ignoreDeletes\", \"true\")" +
-          " to skip delete commits, or consume the change feed instead")
-      fresh.filter(SnapshotTable.entryMatches(_, ranges))
+    val s = start.asInstanceOf[VersionOffset]
+    val e = end.asInstanceOf[VersionOffset]
+    (s.v to e.v).flatMap { v =>
+      if (v == e.v && e.idx == 0) Seq.empty // end is exclusive here
+      else {
+        val fresh = freshEntries(v)
+        // a PURE delete commit (deletion vector moved, zero fresh
+        // files) removes rows an append stream has already emitted —
+        // fail loudly unless the consumer opted in, Delta's
+        // ignoreDeletes contract (a REWRITE that purges re-emits its
+        // partition and is covered by ignoreChanges semantics instead)
+        if (!ignoreDeletes && fresh.isEmpty && v > 0 &&
+            SnapshotTable.dvOf(root, v) != SnapshotTable.dvOf(root, v - 1))
+          throw new IllegalStateException(
+            s"version $v of $root is a delete commit; an append stream " +
+            "cannot represent it — set .option(\"ignoreDeletes\", " +
+            "\"true\") to skip delete commits, or consume the change " +
+            "feed instead")
+        val from = if (v == s.v) s.idx else 0
+        val to = if (v == e.v) e.idx else fresh.size
+        fresh.slice(from, to)
+          .filter(SnapshotTable.entryMatches(_, ranges))
+      }
     }.map(e => SnapshotFilePartition(e.path): InputPartition).toArray
   }
 

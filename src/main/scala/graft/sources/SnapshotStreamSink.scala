@@ -90,7 +90,8 @@ private[sources] case class SnapshotFilesMsg(
     files: Seq[(Int, String, Long)]) extends WriterCommitMessage
 
 private[sources] class SnapshotStreamingWrite(root: String,
-    schemaJson: String, queryId: String, conf: SerializableConfiguration)
+    schemaJson: String, queryId: String, conf: SerializableConfiguration,
+    compactEvery: Option[Int] = None)
     extends StreamingWrite {
 
   private def schema =
@@ -137,6 +138,21 @@ private[sources] class SnapshotStreamingWrite(root: String,
           SnapshotTable.commitAppendEntries(root, v, staged, schema,
             Some((app, epochId)), dvLine)
           done = true
+          // SMALL-FILE PRESSURE: each epoch writes one file per
+          // (task, pt_year) — at 1000-task × hourly-epoch cadence the
+          // classic grind. `compactEvery = N` composes OPTIMIZE into
+          // the sink: every Nth version triggers a compaction commit
+          // (data-unchanged, right-sized files; a no-op when nothing
+          // is fragmented). Downstream snapshot STREAMS see the
+          // compaction as rewritten partitions and need the
+          // ignoreChanges posture the source already documents;
+          // batch readers see identical rows. Compaction failure
+          // never fails the epoch — the data is committed, the
+          // maintenance pass can re-run.
+          compactEvery.filter(n => v % n == 0).foreach { _ =>
+            try SnapshotTable.optimize(SparkSession.active, root, v + 1)
+            catch { case _: Exception => () }
+          }
         } catch {
           case e @ (_: java.nio.file.FileAlreadyExistsException |
                     _: IllegalArgumentException)
@@ -197,6 +213,14 @@ private[sources] class SnapshotGroupWriter(root: String,
   private val token = java.util.UUID.randomUUID().toString.take(8)
   private val writers =
     mutable.Map[Int, (HPath, ParquetWriter[Group])]()
+  // ReplaceData (SQL UPDATE / MERGE) feeds the writer rows PREFIXED
+  // with Spark's __row_operation int column (RowDeltaUtils
+  // .OPERATION_COLUMN; the plain DataWritingSparkTask hands the row
+  // through unprojected when the operation declares no metadata
+  // attributes) — the declared write schema stays the table schema,
+  // so data fields sit at a fixed +1 offset. Streaming/append rows
+  // arrive unprefixed (offset 0). Computed per row-width once.
+  private var fieldOffset = -1
 
   private def writerFor(y: Int): ParquetWriter[Group] =
     writers.getOrElseUpdate(y, {
@@ -209,31 +233,38 @@ private[sources] class SnapshotGroupWriter(root: String,
     })._2
 
   override def write(row: InternalRow): Unit = {
-    require(!row.isNullAt(ptIdx),
+    if (fieldOffset < 0) {
+      fieldOffset = row.numFields - schema.length
+      require(fieldOffset == 0 || fieldOffset == 1,
+        s"row width ${row.numFields} does not match write schema " +
+        s"width ${schema.length} (± the __row_operation column)")
+    }
+    val off = fieldOffset
+    require(!row.isNullAt(ptIdx + off),
       "pt_year must not be null in a snapshot-sink row")
     val g = new SimpleGroup(msgType)
     var i = 0
     while (i < schema.length) {
-      if (!row.isNullAt(i)) {
+      if (!row.isNullAt(i + off)) {
         val f = schema.fields(i)
         f.dataType match {
           case LongType | TimestampType | TimestampNTZType =>
-            g.add(f.name, row.getLong(i))
-          case IntegerType | DateType => g.add(f.name, row.getInt(i))
-          case ShortType => g.add(f.name, row.getShort(i).toInt)
-          case ByteType => g.add(f.name, row.getByte(i).toInt)
-          case DoubleType => g.add(f.name, row.getDouble(i))
-          case FloatType => g.add(f.name, row.getFloat(i))
-          case BooleanType => g.add(f.name, row.getBoolean(i))
+            g.add(f.name, row.getLong(i + off))
+          case IntegerType | DateType => g.add(f.name, row.getInt(i + off))
+          case ShortType => g.add(f.name, row.getShort(i + off).toInt)
+          case ByteType => g.add(f.name, row.getByte(i + off).toInt)
+          case DoubleType => g.add(f.name, row.getDouble(i + off))
+          case FloatType => g.add(f.name, row.getFloat(i + off))
+          case BooleanType => g.add(f.name, row.getBoolean(i + off))
           case StringType => g.add(f.name,
-            Binary.fromString(row.getUTF8String(i).toString))
+            Binary.fromString(row.getUTF8String(i + off).toString))
           case dt => throw new UnsupportedOperationException(
             s"graft-snapshot sink does not write ${dt.simpleString}")
         }
       }
       i += 1
     }
-    writerFor(row.getInt(ptIdx)).write(g)
+    writerFor(row.getInt(ptIdx + off)).write(g)
   }
 
   override def commit(): WriterCommitMessage = {

@@ -157,6 +157,36 @@ class NativeSinkSpec extends AnyFunSuite {
       Set(1L, 2L), "a racing epoch's rows were lost")
   }
 
+  test("compactEvery composes OPTIMIZE into the sink cadence") {
+    val root = initTable()
+    val srcDir = Files.createTempDirectory("g_natsink_src4").toString
+    val ckpt = Files.createTempDirectory("g_natsink_ck4").toString
+    // many input files → many sink tasks → several files per pt_year
+    frame((1 to 8).map(i => (i.toLong, 2023, i * 1.0)): _*)
+      .repartition(4).write.mode("overwrite").parquet(srcDir)
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    val q = src.writeStream.format("graft-snapshot")
+      .option("root", root)
+      .option("checkpointLocation", ckpt)
+      .option("compactEvery", "1")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000); q.stop()
+    // v1 = the epoch (multi-file), v2 = its compaction commit
+    assert(T.versions(root) === Seq(0, 1, 2),
+      "compactEvery=1 should add one OPTIMIZE commit after the epoch")
+    assert(T.files(root, 1).size > 1, "fixture needs a fragmented epoch")
+    assert(T.files(root, 2).size === 1,
+      s"compaction left ${T.files(root, 2).size} files")
+    // data-unchanged: identical rows through the compaction, and the
+    // file-count telemetry is DESCRIBE-visible
+    assert(T.read(spark, root, 2).collect().map(_.getLong(0)).toSet ===
+      (1L to 8L).toSet)
+    assert(T.describe(root, 2)("num_files") === "1")
+  }
+
   test("abort reclaims staged files; aborted epochs never publish") {
     val root = initTable()
     val writer = new SnapshotGroupWriter(root,

@@ -72,6 +72,60 @@ class RateLimitSpec extends AnyFunSuite {
     assert(ids.size === 1, s"unlimited drain split into $ids")
   }
 
+  private def drainBytes(root: String, ckpt: String,
+      maxBytes: Long): (Seq[Long], Long) = {
+    val src = spark.readStream.format("graft-snapshot")
+      .option("root", root)
+      .option("maxBytesPerTrigger", maxBytes).load()
+    val batches = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val n = b.count()
+        batches.synchronized { batches += ((id, n)) }
+        ()
+      }
+      .start()
+    q.awaitTermination(300000)
+    q.stop()
+    val done = batches.synchronized(batches.toSeq)
+    (done.map(_._1), done.map(_._2).sum)
+  }
+
+  test("maxBytesPerTrigger splits ONE fat version across triggers, " +
+      "exactly-once intact") {
+    import spark.implicits._
+    // one version, many files: each partition stages its own file, so
+    // v0 carries 4 data files — the version-granular knob can't split
+    // it, the byte-granular one must
+    val root = Files.createTempDirectory("g_ratelimit_fat").toString
+    T.commit(spark, root, 0,
+      (0 until 4).map(i => (i.toLong, 2000 + i, i * 1.0))
+        .toDF("o_orderkey", "pt_year", "o_totalprice"),
+      (0 until 4).map(2000 + _))
+    assert(T.files(root, 0).size === 4)
+    val ckpt = Files.createTempDirectory("g_ratelimit_ckptb").toString
+    // budget = 1 byte → one file per trigger (the ≥1-file progress
+    // guarantee binds), so the single fat version drains in 4 batches
+    val (ids, rows) = drainBytes(root, ckpt, 1L)
+    assert(rows === 4, "byte pacing changed the landed content")
+    assert(ids.distinct.size >= 4,
+      s"one fat version should split file-per-trigger, got $ids")
+    // restart: the mid-version file offset is checkpointed — nothing
+    // re-serves, nothing is lost
+    val (ids2, rows2) = drainBytes(root, ckpt, 1L)
+    assert(rows2 === 0, s"restart re-served rows (batches $ids2)")
+    // and a realistic budget (covers ~2 of the 4 files per trigger)
+    // drains the same content in fewer, bounded batches
+    val bytes = T.entries(root, 0).map(_._2)
+    val ckpt2 = Files.createTempDirectory("g_ratelimit_ckptb2").toString
+    val (ids3, rows3) = drainBytes(root, ckpt2, bytes.take(2).sum)
+    assert(rows3 === 4)
+    assert(ids3.distinct.size >= 2 && ids3.distinct.size < 4,
+      s"expected ~2-file triggers, got $ids3")
+  }
+
   test("pacing resumes mid-backfill from the checkpointed offset") {
     val root = buildTable(2)
     val ckpt = Files.createTempDirectory("g_ratelimit_ckpt2").toString

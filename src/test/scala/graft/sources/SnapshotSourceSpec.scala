@@ -242,11 +242,14 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT k FROM lakespec.orders_t WHERE k >= 9")
       .collect().map(_.getLong(0)).toSet === Set(9L))
-    // DDL through the catalog (r13: CRUD-complete): ALTER/RENAME still
-    // refuse — schema evolves through commits, roots are immutable —
-    // while DROP removes the root (SqlDdlSpec owns the full matrix)
+    // DDL through the catalog (r14: ALTER TABLE ADD COLUMN lands as a
+    // schema-bump commit; RENAME still refuses — roots are immutable;
+    // DROP removes the root; SqlDdlSpec owns the full matrix)
+    spark.sql("ALTER TABLE lakespec.orders_t ADD COLUMN xx DOUBLE")
+    assert(spark.sql("SELECT xx FROM lakespec.orders_t")
+      .collect().forall(_.isNullAt(0)), "carried files must null-fill")
     intercept[Exception] {
-      spark.sql("ALTER TABLE lakespec.orders_t ADD COLUMN xx DOUBLE")
+      spark.sql("ALTER TABLE lakespec.orders_t RENAME COLUMN xx TO y")
     }
     spark.sql("DROP TABLE lakespec.orders_t")
     intercept[Exception] {

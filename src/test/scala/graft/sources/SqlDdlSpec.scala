@@ -74,11 +74,44 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("pt_year must be INT"))
   }
 
-  test("ALTER and RENAME keep refusing; DROP of a non-table is false") {
+  test("ALTER TABLE ADD COLUMN is a schema-bump commit; old files " +
+      "null-fill; pre-evolution versions keep the old schema") {
+    val (cat, base) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.ta (k BIGINT, pt_year INT)")
+    spark.sql(s"INSERT INTO $cat.ta VALUES (1, 2023)")
+    val root = s"$base/ta"
+    val preFiles = T.files(root, 1)
+    spark.sql(s"ALTER TABLE $cat.ta ADD COLUMN extra DOUBLE")
+    // one empty commit: same data files, schema advanced
+    assert(T.versions(root) === Seq(0, 1, 2))
+    assert(T.files(root, 2) === preFiles,
+      "ADD COLUMN touched data files")
+    assert(T.tableSchema(root, 2).get.fieldNames.toSeq ===
+      Seq("k", "pt_year", "extra"))
+    // the pre-evolution file null-fills the new column by name
+    assert(spark.sql(s"SELECT extra FROM $cat.ta").collect()
+      .head.isNullAt(0))
+    // an INSERT carrying the new column lands; old row stays null
+    spark.sql(s"INSERT INTO $cat.ta VALUES (2, 2023, 7.5)")
+    val rows = spark.sql(s"SELECT k, extra FROM $cat.ta").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(rows === Map(1L -> null, 2L -> 7.5))
+    // VERSION AS OF the pre-evolution version serves the OLD schema
+    assert(spark.sql(s"SELECT * FROM $cat.ta VERSION AS OF 1")
+      .schema.fieldNames.toSeq === Seq("k", "pt_year"))
+    // type changes / renames / drops keep refusing
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.ta DROP COLUMN extra"))
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.ta RENAME COLUMN extra TO extra2"))
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.ta ADD COLUMN extra DOUBLE")) // duplicate
+  }
+
+  test("RENAME keeps refusing; DROP of a non-table is false") {
     val (cat, base) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t6 (k BIGINT, pt_year INT)")
-    intercept[Exception](spark.sql(
-      s"ALTER TABLE $cat.t6 ADD COLUMN extra DOUBLE"))
     intercept[Exception](spark.sql(
       s"ALTER TABLE $cat.t6 RENAME TO t7"))
     val catalog = new SnapshotCatalog()

@@ -7,12 +7,14 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.etl.TestSpark
 import graft.operators.WriteOps.SnapshotTable
 
-/** SQL DELETE (SupportsDelete, partition-scoped copy-on-write) + the
+/** SQL DELETE (SupportsDelete, file-granular copy-on-write) + the
   * DESCRIBE-visible table properties: only matching partitions
-  * rewrite (untouched files mtime-pinned), time travel serves the
-  * pre-delete state, untranslatable predicates refuse before any data
-  * moves, zero-match deletes burn no version, WHERE-less DELETE
-  * truncates, and properties() surfaces the purge-debt telemetry. */
+  * rewrite (untouched files mtime-pinned), stats-excluded files
+  * inside a touched partition carry verbatim, NULL-evaluating rows
+  * survive (three-valued logic), time travel serves the pre-delete
+  * state, untranslatable predicates fall back to the group-based
+  * row-level rewrite, zero-match deletes burn no version, WHERE-less
+  * DELETE truncates, and properties() surfaces purge-debt telemetry. */
 class SqlDeleteSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
@@ -82,15 +84,53 @@ class SqlDeleteSpec extends AnyFunSuite {
       "DELETE dropped NULL-evaluating rows — three-valued-logic bug")
   }
 
-  test("an untranslatable predicate refuses before any data moves") {
+  test("an untranslatable predicate falls back to the group-based " +
+      "row-level rewrite (r13 refused; r14 rewrites)") {
     val (cat, base) = freshCatalog()
     val root = s"$base/t2"
     T.commit(spark, root, 0, frame((1L, 1, 10.0), (3L, 1, 30.0)), Seq(1))
-    intercept[Exception](spark.sql(
-      s"DELETE FROM $cat.t2 WHERE o_orderkey % 10 = 3"))
-    assert(T.versions(root) === Seq(0))
-    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.t2")
-      .collect().head.getLong(0) === 2, "refused DELETE mutated data")
+    // `% 10 = 3` translates to no source Filter, so the metadata-only
+    // path refuses — SupportsRowLevelOperations now catches it as a
+    // partition copy-on-write ReplaceData instead of failing the query
+    spark.sql(s"DELETE FROM $cat.t2 WHERE o_orderkey % 10 = 3")
+    assert(T.versions(root) === Seq(0, 1))
+    assert(spark.sql(s"SELECT o_orderkey FROM $cat.t2").collect()
+      .map(_.getLong(0)).toSet === Set(1L))
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.t2 VERSION AS OF 0")
+      .collect().head.getLong(0) === 2)
+  }
+
+  test("FILE-granular pruning: stats-excluded files in a touched " +
+      "partition carry verbatim (mtimes pinned), only matching files " +
+      "rewrite") {
+    val (cat, base) = freshCatalog()
+    val root = s"$base/t_fg"
+    // partition 1 holds TWO files with disjoint o_orderkey ranges:
+    // v0 stages keys 1-3 (file A), the append stages 100-102 (file B)
+    T.commit(spark, root, 0, frame(
+      (1L, 1, 10.0), (2L, 1, 20.0), (3L, 1, 30.0)).coalesce(1), Seq(1))
+    T.commitAppend(spark, root, 1, frame(
+      (100L, 1, 1.0), (101L, 1, 2.0), (102L, 1, 3.0)).coalesce(1))
+    val v1Files = T.files(root, 1)
+    assert(v1Files.size === 2, "fixture needs two files in one partition")
+    val fileB = v1Files.filter(_.contains("_a")) // the appended file
+    assert(fileB.size === 1)
+    val bTime = Files.getLastModifiedTime(Paths.get(fileB.head)).toMillis
+    // the predicate's stats range [_, 10] excludes file B ([100, 102])
+    spark.sql(s"DELETE FROM $cat.t_fg WHERE o_orderkey <= 10 " +
+      "AND o_totalprice >= 15.0")
+    assert(spark.sql(s"SELECT o_orderkey FROM $cat.t_fg").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 100L, 101L, 102L))
+    // file B carried by ENTRY: same path in the head manifest, bytes
+    // untouched — the rewrite opened only file A
+    val headFiles = T.files(root, T.versions(root).max)
+    assert(headFiles.contains(fileB.head),
+      "stats-excluded file was rewritten instead of carried")
+    assert(Files.getLastModifiedTime(Paths.get(fileB.head)).toMillis
+      === bTime, "carried file's bytes were touched")
+    // and time travel still serves the pre-delete state
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.t_fg VERSION AS OF 1")
+      .collect().head.getLong(0) === 6)
   }
 
   test("zero-match DELETE burns no version; WHERE-less DELETE truncates") {
