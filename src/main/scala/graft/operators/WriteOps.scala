@@ -2680,6 +2680,116 @@ object WriteOps {
     agg("head", "").unionByName(agg("v0", "VERSION AS OF 0"))
   }
 
+  /** SQL maintenance procedures through the DSv2 ProcedureCatalog —
+    * gate `sql_call_procedures` (Spark 4's `CALL` statement, the
+    * Iceberg-procedure shape; see graft.sources.SnapshotProcedures):
+    * the full maintenance lifecycle on one table. v0 lands FRAGMENTED
+    * (32-task exchange, ~32 files per partition), `CALL
+    * system.optimize` compacts every partition to one right-sized
+    * file as v1, SQL DELETE carves 1996/custkey<=500 as v2, `CALL
+    * system.restore(version => 1)` rolls back to the optimized
+    * pre-delete state as v3, and `CALL system.vacuum(retain => 2)`
+    * reclaims v0/v1 while head and v2 stay readable. The result
+    * unions the head aggregate (== the plain orders projection — the
+    * restore worked AND optimize/vacuum changed no data), the VERSION
+    * AS OF 2 aggregate (the post-delete state surviving vacuum), and
+    * the three CALL summary rows — version numbers, rewrite counts
+    * and retention counts are deterministic, so the procedure OUTPUTS
+    * themselves are oracled, not just the table states they leave.
+    * Fresh lineage per invocation: the measured operator IS the
+    * maintenance pipeline (like write_optimize_snapshot). */
+  private[graft] def sqlCallProcedures(s: SparkSession,
+      d: String): DataFrame = {
+    val base = scratch("sqlcall_base")
+    s.conf.set("spark.sql.catalog.graftcall",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftcall.base", base)
+    val n = "t_" + java.util.UUID.randomUUID().toString.take(8)
+    val root = s"$base/$n"
+    SnapshotTable.deleteTree(root)
+    val b = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+    val years = b.select("pt_year").distinct()
+      .collect().map(_.getInt(0)).sorted
+    SnapshotTable.commit(s, root, 0, b.repartition(32), years)
+    val opt = s.sql(s"CALL graftcall.system.optimize(table => '$n')")
+      .collect().head
+    s.sql(s"DELETE FROM graftcall.$n " +
+      "WHERE pt_year = 1996 AND o_custkey <= 500")
+    val res = s.sql(
+      s"CALL graftcall.system.restore(table => '$n', version => 1)")
+      .collect().head
+    val vac = s.sql(
+      s"CALL graftcall.system.vacuum(table => '$n', retain => 2)")
+      .collect().head
+    def agg(label: String, clause: String) = s.sql(
+      s"""SELECT '$label' AS version, pt_year,
+            cast(count(*) AS bigint) AS cnt,
+            cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+              AS total
+          FROM graftcall.$n $clause GROUP BY pt_year""")
+    import s.implicits._
+    val calls = Seq(
+      ("call_optimize", opt.getInt(0), opt.getInt(1).toLong),
+      ("call_restore", res.getInt(1), res.getInt(0).toLong),
+      ("call_vacuum", vac.getInt(0), vac.getInt(1).toLong))
+      .toDF("version", "pt_year", "cnt")
+      .withColumn("n_keys", lit(0L)).withColumn("total", lit(0.0))
+    agg("head", "").unionByName(agg("v2", "VERSION AS OF 2"))
+      .unionByName(calls)
+  }
+
+  // per-(JVM, sfDir) table-name memo for the metadata-tables gate
+  private val sqlMetaState =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** METADATA TABLES through the catalog — gate `sql_metadata_tables`
+    * (see graft.sources.SnapshotMetadataTables, the Iceberg
+    * `tbl.history/.files/.partitions` pattern): a fragmented v0 is
+    * optimized to exactly one file per partition as v1, then the gate
+    * reads all three views in plain SQL. Deterministic because the
+    * optimize target makes per-partition file counts exactly 1 at
+    * every test SF (partition bytes ≪ 128 MB) and history's
+    * n_partitions is the year count for both versions — so the
+    * manifest-derived rows are oracle-computable from orders alone.
+    * Build memoized per (JVM, sfDir): the measured operator is the
+    * metadata READ (a production query inspects a long-lived table's
+    * manifests; it doesn't rebuild the table per question). */
+  private[graft] def sqlMetadataTables(s: SparkSession,
+      d: String): DataFrame = {
+    val base = scratch("sqlmeta_base")
+    s.conf.set("spark.sql.catalog.graftmeta",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftmeta.base", base)
+    val tname = sqlMetaState.getOrElseUpdate(d, {
+      val n = "t_" + java.util.UUID.randomUUID().toString.take(8)
+      val root = s"$base/$n"
+      SnapshotTable.deleteTree(root)
+      val b = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = b.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, root, 0, b.repartition(32), years)
+      SnapshotTable.optimize(s, root, 1)
+      n
+    })
+    s.sql(
+      s"""SELECT 'partitions' AS version, pt_year,
+            cast(n_files AS bigint) AS cnt,
+            cast(0 AS bigint) AS n_keys, cast(0.0 AS double) AS total
+          FROM graftmeta.$tname.partitions
+          UNION ALL
+          SELECT 'files', pt_year, cast(count(*) AS bigint),
+            cast(0 AS bigint), cast(0.0 AS double)
+          FROM graftmeta.$tname.files GROUP BY pt_year
+          UNION ALL
+          SELECT 'history', cast(version AS int),
+            cast(n_partitions AS bigint),
+            cast(0 AS bigint), cast(0.0 AS double)
+          FROM graftmeta.$tname.history""")
+  }
+
   // per-(JVM, sfDir) state for the native streaming sink gate:
   // sfDir -> (table root, staged source dir, ckpt dir)
   private val nativeSinkState =
@@ -3135,6 +3245,14 @@ object WriteOps {
     "sql_delete_snapshot" -> ((s, d) => sqlDeleteSnapshot(s, d)),
     "sql_update_snapshot" -> ((s, d) => sqlUpdateSnapshot(s, d)),
     "sql_merge_snapshot" -> ((s, d) => sqlMergeSnapshot(s, d)),
+
+    // SQL maintenance: CALL system.{optimize,restore,vacuum} through
+    // the DSv2 ProcedureCatalog (see sqlCallProcedures)
+    "sql_call_procedures" -> ((s, d) => sqlCallProcedures(s, d)),
+
+    // metadata tables: <t>.history/.files/.partitions in plain SQL
+    // (see sqlMetadataTables / graft.sources.SnapshotMetadataTables)
+    "sql_metadata_tables" -> ((s, d) => sqlMetadataTables(s, d)),
 
     // NATIVE streaming sink: writeStream.format("graft-snapshot") with
     // no foreachBatch — executor-side writers, per-epoch txn-recorded
@@ -4017,6 +4135,53 @@ object WriteOps {
            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
              AS total
          FROM lab GROUP BY version, pt_year""",
+
+    // head = the restored pre-delete projection (optimize + restore +
+    // vacuum change no data); v2 = the post-delete state; the three
+    // CALL summary rows carry deterministic version/rewrite counts
+    "sql_call_procedures" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         kept AS (SELECT * FROM t
+           WHERE NOT (pt_year = 1996 AND o_custkey <= 500)),
+         lab AS (
+           SELECT 'head' AS version, * FROM t
+           UNION ALL SELECT 'v2', * FROM kept)
+         SELECT version, pt_year, cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total
+         FROM lab GROUP BY version, pt_year
+         UNION ALL
+         SELECT 'call_optimize', cast(1 AS int),
+           (SELECT cast(count(DISTINCT year(o_orderdate)) AS bigint)
+              FROM orders),
+           cast(0 AS bigint), cast(0.0 AS double)
+         UNION ALL
+         SELECT 'call_restore', cast(3 AS int), cast(1 AS bigint),
+           cast(0 AS bigint), cast(0.0 AS double)
+         UNION ALL
+         SELECT 'call_vacuum', cast(3 AS int), cast(2 AS bigint),
+           cast(0 AS bigint), cast(0.0 AS double)""",
+
+    // partitions/files both read 1 file per year at the optimized
+    // head; history reads n_partitions = the year count for v0 and v1
+    "sql_metadata_tables" ->
+      """WITH y AS (SELECT DISTINCT cast(year(o_orderdate) AS int)
+             AS pt_year FROM orders),
+         n AS (SELECT cast(count(*) AS bigint) AS nyears FROM y)
+         SELECT 'partitions' AS version, pt_year,
+           cast(1 AS bigint) AS cnt, cast(0 AS bigint) AS n_keys,
+           cast(0.0 AS double) AS total FROM y
+         UNION ALL
+         SELECT 'files', pt_year, cast(1 AS bigint), cast(0 AS bigint),
+           cast(0.0 AS double) FROM y
+         UNION ALL
+         SELECT 'history', cast(0 AS int), (SELECT nyears FROM n),
+           cast(0 AS bigint), cast(0.0 AS double)
+         UNION ALL
+         SELECT 'history', cast(1 AS int), (SELECT nyears FROM n),
+           cast(0 AS bigint), cast(0.0 AS double)""",
 
     // the append restores exactly the missing 1997 slice, so the head
     // equals the plain orders table

@@ -95,7 +95,8 @@ class SnapshotSourceProvider extends TableProvider with DataSourceRegister {
   * lands as a schema-bump commit, DROP TABLE removes the root;
   * RENAME refuses (roots are immutable paths — clone instead). */
 class SnapshotCatalog
-    extends org.apache.spark.sql.connector.catalog.TableCatalog {
+    extends org.apache.spark.sql.connector.catalog.TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
 
   private var catalogName: String = _
@@ -128,13 +129,32 @@ class SnapshotCatalog
   override def tableExists(ident: Identifier): Boolean =
     SnapshotTable.versions(rootOf(ident)).nonEmpty
 
+  /** Metadata-table fallback: `<cat>.<t>.history|files|partitions`
+    * parses as name = the metadata kind with the REAL table as the
+    * namespace tail. Real tables always win (this only fires when no
+    * snapshot lineage exists at the identifier's own root), and the
+    * base table must exist. */
+  private def metadataTable(ident: Identifier,
+      pinned: Option[Int]): Option[Table] =
+    if (SnapshotMetadataTables.names.contains(ident.name()) &&
+        ident.namespace().nonEmpty) {
+      val baseIdent = Identifier.of(ident.namespace().dropRight(1),
+        ident.namespace().last)
+      val baseRoot = rootOf(baseIdent)
+      if (SnapshotTable.versions(baseRoot).nonEmpty)
+        Some(SnapshotMetadataTables.table(ident.name(), baseRoot,
+          baseIdent.name(), pinned))
+      else None
+    } else None
+
   override def loadTable(ident: Identifier): Table = {
     val root = rootOf(ident)
     val vs = SnapshotTable.versions(root)
     if (vs.isEmpty)
-      throw new org.apache.spark.sql.catalyst.analysis
-        .NoSuchTableException(ident)
-    new SnapshotSourceTable(
+      metadataTable(ident, None).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchTableException(ident))
+    else new SnapshotSourceTable(
       SnapshotTable.tableSchema(root, vs.max).get, root, None)
   }
 
@@ -143,6 +163,9 @@ class SnapshotCatalog
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     val v = version.toInt
+    if (SnapshotTable.versions(root).isEmpty &&
+        metadataTable(ident, Some(v)).isDefined)
+      return metadataTable(ident, Some(v)).get
     require(SnapshotTable.versions(root).contains(v),
       s"version $v of ${ident.name} is unavailable (vacuumed or never " +
       "committed)")
@@ -251,6 +274,26 @@ class SnapshotCatalog
     throw new UnsupportedOperationException(
       "snapshot table roots are immutable paths — shallow-clone to a " +
       "new root instead")
+
+  /** `CALL <cat>.system.<proc>(...)` — the SQL maintenance surface
+    * (optimize / vacuum / vacuum_orphans / restore), see
+    * [[SnapshotProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure = {
+    require(ident.namespace().sameElements(SnapshotProcedures.Namespace),
+      s"procedures live in the system namespace — " +
+      s"CALL $catalogName.system.<name>(...) (got " +
+      s"${(ident.namespace() :+ ident.name()).mkString(".")})")
+    SnapshotProcedures.load(ident.name(), base)
+  }
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(SnapshotProcedures.Namespace))
+      SnapshotProcedures.names
+        .map(Identifier.of(SnapshotProcedures.Namespace, _)).toArray
+    else Array.empty
 }
 
 /** SQL WRITE surface: `INSERT INTO <catalog>.<table> ...` lands as a
@@ -297,7 +340,11 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE,
+      // `MERGE WITH SCHEMA EVOLUTION`: the analyzer lowers source-only
+      // columns to alterTable(AddColumn) — our empty schema-bump
+      // commit — before planning the row-level rewrite
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   /** `DESCRIBE TABLE EXTENDED` telemetry: the version's manifest-level
     * stats plus the pending deletion-vector PURGE DEBT

@@ -186,4 +186,35 @@ class SqlMergeUpdateSpec extends AnyFunSuite {
       T.commitReplaceEntries(spark, root, 1, Seq.empty, Seq(1)))
     assert(e.getMessage.contains("conflict"))
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION adds the source-only column") {
+    import spark.implicits._
+    val (cat, base) = freshCatalog()
+    val root = s"$base/t9"
+    T.commit(spark, root, 0, frame(
+      (1L, 1, 10.0), (2L, 1, 20.0), (3L, 2, 30.0)), Seq(1, 2))
+    // source carries `tag`, a column the table has never seen — the
+    // WITH SCHEMA EVOLUTION clause lowers to alterTable(AddColumn)
+    // (one empty schema-bump commit) before the row-level rewrite
+    Seq((1L, 1, 11.0, "a"), (9L, 2, 90.0, "b"))
+      .toDF("o_orderkey", "pt_year", "o_totalprice", "tag")
+      .createOrReplaceTempView("mse_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t9 t USING mse_src s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    val rows = spark.sql(
+      s"SELECT o_orderkey, o_totalprice, tag FROM $cat.t9").collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), Option(r.getString(2)).getOrElse("-"))).toMap
+    assert(rows === Map(
+      1L -> (11.0, "a"),   // matched update carries the new column
+      2L -> (20.0, "-"),   // untouched row null-fills it
+      3L -> (30.0, "-"),
+      9L -> (90.0, "b")))  // not-matched insert lands with it
+    // pre-evolution versions keep the old schema verbatim
+    assert(!spark.sql(s"SELECT * FROM $cat.t9 VERSION AS OF 0")
+      .columns.contains("tag"))
+  }
 }
