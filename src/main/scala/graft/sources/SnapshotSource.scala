@@ -1214,7 +1214,7 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
         * deletion vector, the key and pt_year columns stay projected
         * even when the query doesn't ask for them — the reader needs
         * them to apply tombstones. */
-      private val readConf = {
+      private val (readConf, groupSchema) = {
         val c = new org.apache.hadoop.conf.Configuration(conf.value)
         val fr = ParquetFileReader.open(
           HadoopInputFile.fromPath(new HPath(path), conf.value))
@@ -1224,10 +1224,62 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
           dv.map(d => Set(d._2, "pt_year")).getOrElse(Set.empty)
         val kept = fileSchema.getFields.asScala.filter(t =>
           names.contains(t.getName))
-        if (kept.nonEmpty && kept.size < fileSchema.getFieldCount)
-          c.set(ReadSupport.PARQUET_READ_SCHEMA,
-            new MessageType(fileSchema.getName, kept.asJava).toString)
-        c
+        if (kept.nonEmpty && kept.size < fileSchema.getFieldCount) {
+          val projected = new MessageType(fileSchema.getName, kept.asJava)
+          c.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
+          (c, projected) // records arrive typed with the projection
+        } else (c, fileSchema)
+      }
+
+      // ---- per-FILE row-materialization plan (hoisted out of get():
+      // the per-row path must not do name lookups, DataType matching,
+      // or closure maps — at 1.5M rows/file those dominated the scan
+      // and their megamorphic call sites starved the JIT; see
+      // SCALE.md's r14 connector-materialization entry) ----
+      private val nCols = schema.fields.length
+      private val colIdx = new Array[Int](nCols) // -1: file lacks col
+      private val colTag = new Array[Byte](nCols)
+      locally {
+        var j = 0
+        while (j < nCols) {
+          val f = schema.fields(j)
+          if (!groupSchema.containsField(f.name)) colIdx(j) = -1
+          else {
+            colIdx(j) = groupSchema.getFieldIndex(f.name)
+            colTag(j) = f.dataType match {
+              case LongType | TimestampType | TimestampNTZType => 0
+              case IntegerType | DateType => 1
+              case ShortType => 2
+              case ByteType => 3
+              case DoubleType => 4
+              case FloatType => 5
+              case BooleanType => 6
+              case StringType => 7
+              case dt => throw new UnsupportedOperationException(
+                s"graft-snapshot source does not read " +
+                s"${dt.simpleString} (column '${f.name}')")
+            }
+          }
+          j += 1
+        }
+      }
+
+      /** Tombstone plan, hoisted like the column plan: (keyIdx,
+        * yearIdx, tag, keyIsInt32) — None when no DV applies or the
+        * file predates the key/pt_year columns. */
+      private val dvPlan: Option[(Int, Int, Char, Boolean)] = dv.flatMap {
+        case (_, keyCol, tag) =>
+          if (!groupSchema.containsField(keyCol) ||
+              !groupSchema.containsField("pt_year")) None
+          else {
+            val ki = groupSchema.getFieldIndex(keyCol)
+            val isInt32 = tag != 'S' && tag != 'D' &&
+              groupSchema.getType(ki).asPrimitiveType()
+                .getPrimitiveTypeName ==
+              org.apache.parquet.schema.PrimitiveType
+                .PrimitiveTypeName.INT32
+            Some((ki, groupSchema.getFieldIndex("pt_year"), tag, isInt32))
+          }
       }
 
       private val doomed: Set[(Any, Int)] = dv match {
@@ -1241,31 +1293,21 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
           .withConf(readConf).build()
       private var cur: Group = _
 
-      private def tombstoned(g: Group): Boolean = dv match {
+      private def tombstoned(g: Group): Boolean = dvPlan match {
         case None => false
-        case Some((_, keyCol, tag)) =>
-          val gt = g.getType
-          if (!gt.containsField(keyCol) || !gt.containsField("pt_year"))
-            false
+        case Some((ki, yi, tag, keyIsInt32)) =>
+          if (g.getFieldRepetitionCount(ki) == 0 ||
+              g.getFieldRepetitionCount(yi) == 0) false
           else {
-            val ki = gt.getFieldIndex(keyCol)
-            val yi = gt.getFieldIndex("pt_year")
-            if (g.getFieldRepetitionCount(ki) == 0 ||
-                g.getFieldRepetitionCount(yi) == 0) false
-            else {
-              val key: Any = tag match {
-                case 'S' => new String(g.getBinary(ki, 0).getBytes,
-                  java.nio.charset.StandardCharsets.UTF_8)
-                case 'D' => g.getDouble(ki, 0)
-                case _ =>
-                  if (gt.getType(ki).asPrimitiveType().getPrimitiveTypeName
-                      == org.apache.parquet.schema.PrimitiveType
-                        .PrimitiveTypeName.INT32)
-                    g.getInteger(ki, 0).toLong
-                  else g.getLong(ki, 0)
-              }
-              doomed.contains((key, g.getInteger(yi, 0)))
+            val key: Any = tag match {
+              case 'S' => new String(g.getBinary(ki, 0).getBytes,
+                java.nio.charset.StandardCharsets.UTF_8)
+              case 'D' => g.getDouble(ki, 0)
+              case _ =>
+                if (keyIsInt32) g.getInteger(ki, 0).toLong
+                else g.getLong(ki, 0)
             }
+            doomed.contains((key, g.getInteger(yi, 0)))
           }
       }
 
@@ -1277,30 +1319,26 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
 
       override def get(): InternalRow = {
         val g = cur
-        val gt = g.getType
-        val vals = schema.fields.map { f =>
-          if (!gt.containsField(f.name)) null // pre-evolution file
-          else {
-            val i = gt.getFieldIndex(f.name)
-            if (g.getFieldRepetitionCount(i) == 0) null // SQL NULL
-            else f.dataType match {
-              case LongType | TimestampType | TimestampNTZType =>
-                g.getLong(i, 0)
-              case IntegerType | DateType => g.getInteger(i, 0)
-              case ShortType => g.getInteger(i, 0).toShort
-              case ByteType => g.getInteger(i, 0).toByte
-              case DoubleType => g.getDouble(i, 0)
-              case FloatType => g.getFloat(i, 0)
-              case BooleanType => g.getBoolean(i, 0)
-              case StringType =>
-                UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
-              case dt => throw new UnsupportedOperationException(
-                s"graft-snapshot source does not read ${dt.simpleString}" +
-                s" (column '${f.name}')")
+        val vals = new Array[Any](nCols) // nulls by default
+        var j = 0
+        while (j < nCols) {
+          val i = colIdx(j)
+          // i < 0: pre-evolution file (null-fill); repetition 0: SQL NULL
+          if (i >= 0 && g.getFieldRepetitionCount(i) > 0) {
+            vals(j) = colTag(j) match {
+              case 0 => g.getLong(i, 0)
+              case 1 => g.getInteger(i, 0)
+              case 2 => g.getInteger(i, 0).toShort
+              case 3 => g.getInteger(i, 0).toByte
+              case 4 => g.getDouble(i, 0)
+              case 5 => g.getFloat(i, 0)
+              case 6 => g.getBoolean(i, 0)
+              case _ => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
             }
           }
+          j += 1
         }
-        new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+        new GenericInternalRow(vals)
       }
 
       override def close(): Unit = reader.close()

@@ -376,4 +376,36 @@ select 1 as actual, 2 as expected
 """, Map("__skip_all__" -> "true"))
     p2.run() // no exception because everything is skipped
   }
+
+  test("ETL steps drive the snapshot catalog: DDL, INSERT, CALL, " +
+      "metadata read — the lakehouse surface inside the step language") {
+    val spark = TestSpark.spark
+    val base = java.nio.file.Files
+      .createTempDirectory("g_etl_cat").toString
+    val cat = "getl_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    // the backend execs step SQL verbatim, so catalog DDL/DML,
+    // maintenance CALLs, and metadata tables all work as plain steps —
+    // the same reason the reference's Spark backend surfaces whatever
+    // SQL the engine supports (easy_sql backend exec_sql passthrough)
+    new SqlProcessor(new SparkBackend(spark), s"""
+-- target=action.create_table
+create table $cat.m (k bigint, pt_year int, v double)
+
+-- target=action.load
+insert into $cat.m values (1, 2023, 1.5), (2, 2024, 2.5)
+
+-- target=action.maintain
+call $cat.system.optimize(table => 'm')
+
+-- target=temp.m_parts
+select pt_year, n_files from $cat.m.partitions
+""").run()
+    val rows = spark.sql(
+      "select pt_year, n_files from m_parts order by pt_year")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(rows === Seq((2023, 1L), (2024, 1L)))
+  }
 }

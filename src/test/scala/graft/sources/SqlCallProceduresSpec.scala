@@ -142,5 +142,9 @@ class SqlCallProceduresSpec extends AnyFunSuite {
     val names = df.collect().map(_.getString(nameIdx)).toSet
     assert(names === Set("optimize", "vacuum", "vacuum_orphans",
       "restore"))
+    // DESCRIBE PROCEDURE surfaces the registered description
+    val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.optimize")
+      .collect().map(_.toSeq.mkString(" ")).mkString("\n")
+    assert(desc.contains("optimize"))
   }
 }
