@@ -7,11 +7,15 @@
 # suffers minutes-scale co-tenant contention episodes that throttle
 # any multi-threaded Spark job 10-60x — a single JVM's reps can all
 # land inside one episode, so per-gate numbers come from TWO
-# time-separated passes; the summary publishes the MIN of the two
-# pass medians and FLAGS gates whose passes disagree >3x (re-run
-# those, don't average them). Scratch tables and shuffle dirs live on
-# tmpfs so the episodes' I/O component stays out of the loop; source
-# fixtures stay on disk (read-only, page-cached after rep 1).
+# time-separated passes and the summary publishes the MIN across all
+# reps of both passes (Bench's queries_min field): under purely
+# additive interference the min is the engine-cost bound episodes can
+# only raise, while a median of a few reps can land entirely inside
+# one episode. Gates whose two pass-mins disagree >3x are FLAGGED
+# (both windows poisoned differently — re-run, don't average).
+# Scratch tables and shuffle dirs live on tmpfs so the episodes' I/O
+# component stays out of the loop; source fixtures stay on disk
+# (read-only, page-cached after rep 1).
 #
 # Usage: tools/probe_sqldml.sh <sf1_dir> <sf10_dir> <out_dir>
 set -euo pipefail
@@ -63,7 +67,8 @@ vals = {}
 for f in glob.glob(f"{out}/pass*_sf*/BENCH_FULL.json"):
     tag = os.path.basename(os.path.dirname(f))
     p, sf, q = tag.split("_", 2)
-    d = json.loads(open(f).read())["queries"]
+    j = json.loads(open(f).read())
+    d = j.get("queries_min") or j["queries"]
     vals.setdefault((sf, q), {})[p] = list(d.values())[0]
 print(f"| gate | sf1 s | sf10 s | ratio on 10x | flag |")
 print("|---|---|---|---|---|")
