@@ -57,9 +57,20 @@ object SqlDmlProbe {
     t("read: connector agg head#2")(agg(""))
     t("dml: DELETE 1996 custkey<=500")(spark.sql(
       "DELETE FROM gprobe.t WHERE pt_year = 1996 AND o_custkey <= 500"))
+    // distinct-vs-plain attribution: the sf10 probe's two super-linear
+    // gate totals are dominated by a whole-table count(DISTINCT)
+    // read-back — separate the distinct's expand+shuffle cost from the
+    // plain scan+agg cost on the same table
+    def aggPlain(clause: String): Array[org.apache.spark.sql.Row] =
+      spark.sql(
+        s"""SELECT pt_year, count(*) AS cnt,
+              cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+                AS t
+            FROM gprobe.t $clause GROUP BY pt_year""").collect()
     (1 to 4).foreach { i =>
       t(s"read: post-delete head #$i")(agg(""))
       t(s"read: post-delete v0   #$i")(agg("VERSION AS OF 0"))
+      t(s"read: plain (no distinct) #$i")(aggPlain(""))
     }
     // the gate's exact shape: ONE statement unioning head + v0 aggs
     def gateShape(): Array[org.apache.spark.sql.Row] = {
