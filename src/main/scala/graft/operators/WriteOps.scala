@@ -539,6 +539,19 @@ object WriteOps {
     private[graft] case class FileEntry(path: String, bytes: Long,
         stats: String = "")
 
+    /** Row-group byte bound for EVERY snapshot data-file write (the
+      * staged commit path and the executor-side group writers alike).
+      * Parquet's 128 MB default would leave a compacted file as ONE
+      * row group — unsplittable, so a whole partition would scan on
+      * one core no matter how the read plans; 16 MB groups make the
+      * connector's byte-range splits ([[graft.sources.SnapshotSplits]])
+      * land on real row-group boundaries. Override via the hadoop conf
+      * key (specs use a small value to pin split behavior without
+      * writing hundreds of MB). */
+    private[graft] def rowGroupBytes(
+        conf: org.apache.hadoop.conf.Configuration): Long =
+      conf.getLong("graft.snapshot.rowGroupBytes", 16L << 20)
+
     private def readPartManifest(m: String): Seq[FileEntry] = {
       val hp = new HPath(m)
       readAllLines(fsFor(hp), hp).filter(_.nonEmpty).map(parseEntry)
@@ -1093,6 +1106,11 @@ object WriteOps {
       slice.filter(col("pt_year").isin(touched.map(Integer.valueOf): _*))
         .withColumn("__pt", col("pt_year"))
         .write.mode(SaveMode.Overwrite).partitionBy("__pt")
+        // bounded row groups keep committed files SPLITTABLE — see
+        // rowGroupBytes; without this a one-file partition reads on
+        // one core forever after
+        .option("parquet.block.size",
+          rowGroupBytes(s.sparkContext.hadoopConfiguration).toString)
         .parquet(stage.toString)
       val moved = touched.map { y =>
         val pDir = new HPath(stage, s"__pt=$y")
@@ -1126,7 +1144,9 @@ object WriteOps {
 
     def commit(s: SparkSession, root: String, v: Int, slice: DataFrame,
         touched: Seq[Int], txn: Option[(String, Long)] = None,
-        carriedFiles: Map[Int, Seq[FileEntry]] = Map.empty): Unit = {
+        carriedFiles: Map[Int, Seq[FileEntry]] = Map.empty,
+        schemaOverride: Option[org.apache.spark.sql.types.StructType] =
+          None): Unit = {
       val fs = fsFor(manifest(root, v))
       // optimistic concurrency: history is linear and a version commits
       // once. Two writers racing to publish the same v both pass this
@@ -1177,13 +1197,17 @@ object WriteOps {
         else pointers(root, v - 1) -- touched
       // schema evolution: the version's schema = parent schema ∪ the
       // committed slice's (new columns append nullable; type changes
-      // refuse) — recorded as metadata so readers never sample footers
-      val schema =
+      // refuse) — recorded as metadata so readers never sample footers.
+      // `schemaOverride` bypasses the merge for the DDL path ONLY:
+      // ALTER COLUMN TYPE records a deliberately-widened schema that
+      // the write-side merge would (correctly) refuse as implicit.
+      val schema = schemaOverride.getOrElse {
         if (v == 0) org.apache.spark.sql.types.StructType(
           slice.schema.fields.map(_.copy(nullable = true)))
         else tableSchema(root, v - 1)
           .map(mergeSchemas(_, slice.schema))
           .getOrElse(slice.schema)
+      }
       val tmp = new HPath(mdir(root), s".v$v.tmp")
       val txnLine = txn.toSeq.map { case (app, id) =>
         s"#txn=${b64e(app)}\t$id"
@@ -1236,9 +1260,16 @@ object WriteOps {
       * (the rewrite's fresh files come from DV-applied reads);
       * append-target partitions holding pending tombstones REFUSE,
       * the same guard as [[commitAppend]]. */
+    /** `carried`: the file-granular half of a group rewrite — stats-
+      * excluded files of REPLACED partitions whose manifest entries
+      * re-point verbatim (never opened, never rewritten; mtimes are
+      * spec-pinned), alongside the freshly staged replacement files.
+      * Keys must be replaced partitions: carrying into an
+      * append-shaped partition would duplicate its parent entries. */
     private[graft] def commitReplaceEntries(s: SparkSession,
         root: String, v: Int, staged: Seq[(Int, Seq[FileEntry])],
-        replaced: Seq[Int]): Unit = {
+        replaced: Seq[Int],
+        carried: Map[Int, Seq[FileEntry]] = Map.empty): Unit = {
       val fs = fsFor(manifest(root, v))
       require(v > 0, "a group-replace needs a parent version")
       require(fs.exists(manifest(root, v - 1)),
@@ -1246,6 +1277,8 @@ object WriteOps {
       require(!fs.exists(manifest(root, v)),
         s"conflict: version $v is already committed — rebase on the " +
         "current head and retry")
+      require(carried.keySet.subsetOf(replaced.toSet),
+        "carried files must belong to replaced partitions")
       val parentPtrs = pointers(root, v - 1)
       val appendYears =
         staged.collect { case (y, es) if es.nonEmpty => y }
@@ -1259,15 +1292,19 @@ object WriteOps {
           "optimize(purgeTombstoned) first")
       }
       val mtok = java.util.UUID.randomUUID().toString.take(8)
-      val freshPtrs: Map[Int, String] = staged.collect {
-        case (y, es) if es.nonEmpty =>
+      val stagedMap = staged.toMap
+      val freshPtrs: Map[Int, String] =
+        (stagedMap.keySet ++ carried.keySet).toSeq.sorted.flatMap { y =>
+          val es = carried.getOrElse(y, Seq.empty) ++
+            stagedMap.getOrElse(y, Seq.empty)
           val base =
             if (replaced.contains(y)) Seq.empty
             else parentPtrs.get(y).map(readPartManifest)
               .getOrElse(Seq.empty)
-          y -> writePartManifest(root, s"m_v${v}_y${y}_$mtok.txt",
-            base ++ es)
-      }.toMap
+          if (es.isEmpty) None
+          else Some(y -> writePartManifest(root,
+            s"m_v${v}_y${y}_$mtok.txt", base ++ es))
+        }.toMap
       val carriedPtrs = (parentPtrs -- replaced) -- freshPtrs.keySet
       val schema = tableSchema(root, v - 1).getOrElse(
         throw new IllegalStateException(
@@ -1582,11 +1619,30 @@ object WriteOps {
         // per-partition target file counts from MANIFEST byte metadata
         // alone (sizes were recorded at commit): planning the rewrite
         // makes zero filesystem calls — at millions of live files the
-        // nightly optimize never stats a file
+        // nightly optimize never stats a file.
+        // DATA-PROPORTIONAL PARALLELISM (r15): the rewrite's task
+        // count equals its output file count (one range-exchange
+        // partition per file), so a byte target far above
+        // bytes/parallelism would idle most of the cluster — the r14
+        // sf10 probe measured 7 tasks carrying 10× rows each. The
+        // EFFECTIVE target therefore shrinks toward
+        // totalBytes/defaultParallelism, floored at the row-group
+        // bound (files stay row-group-aligned; splittable reads make
+        // the extra files free) and never above the caller's target.
+        val effTarget = {
+          val floor = math.min(
+            rowGroupBytes(s.sparkContext.hadoopConfiguration),
+            targetFileBytes)
+          val totalBytes =
+            fragmented.map(y => byYear(y).map(_.bytes).sum).sum
+          math.max(floor, math.min(targetFileBytes, math.max(1L,
+            totalBytes /
+              math.max(1, s.sparkContext.defaultParallelism))))
+        }
         val filesFor: Map[Int, Int] = fragmented.map { y =>
           val bytes = byYear(y).map(_.bytes).sum
           y -> math.max(1,
-            math.ceil(bytes.toDouble / targetFileBytes).toInt)
+            math.ceil(bytes.toDouble / effTarget).toInt)
         }.toMap
         val totalFiles = math.max(filesFor.values.sum, 1)
         // metadata-pruned read: only the fragmented partitions' files
@@ -2577,28 +2633,28 @@ object WriteOps {
     agg("head", "").unionByName(agg("v0", "VERSION AS OF 0"))
   }
 
-  // per-(JVM, sfDir) table-name memo for the SQL update gate
-  private val sqlUpdState =
-    scala.collection.concurrent.TrieMap[String, String]()
-
   /** SQL UPDATE through the DSv2 row-level operation — gate
     * `sql_update_snapshot`: `UPDATE <catalog>.<table> SET ... WHERE
     * pt_year = 1996 AND o_custkey <= 500` runs the GROUP-BASED
     * partition copy-on-write (SupportsRowLevelOperations →
     * ReplaceData): the pt_year conjunct prunes statically, runtime
     * group filtering confirms only 1996 holds matches, so exactly ONE
-    * partition rewrites (SqlMergeUpdateSpec pins the others' mtimes)
-    * while VERSION AS OF 0 keeps serving the pre-update state — both
-    * states oracled in one labeled union. The +1.0 bump is exact in
-    * double, so Spark and DuckDB agree bit-for-bit. */
+    * partition rewrites — file-granularly, stats-excluded files carry
+    * (SqlMergeUpdateSpec pins both unmatched partitions' and carried
+    * files' mtimes) — while VERSION AS OF 0 keeps serving the
+    * pre-update state, both states oracled in one labeled union. The
+    * +1.0 bump is exact in double, so Spark and DuckDB agree
+    * bit-for-bit. FRESH lineage per invocation (fixed root cleared up
+    * front): warm bench reps time the UPDATE itself, not just the
+    * read-back of a memoized result. */
   private[graft] def sqlUpdateSnapshot(s: SparkSession,
       d: String): DataFrame = {
     val base = scratch("sqlupd_base")
     s.conf.set("spark.sql.catalog.graftupd",
       classOf[graft.sources.SnapshotCatalog].getName)
     s.conf.set("spark.sql.catalog.graftupd.base", base)
-    val tname = sqlUpdState.getOrElseUpdate(d, {
-      val n = "t_" + java.util.UUID.randomUUID().toString.take(8)
+    val tname = {
+      val n = "t"
       val root = s"$base/$n"
       SnapshotTable.deleteTree(root)
       val b = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
@@ -2609,7 +2665,7 @@ object WriteOps {
       s.sql(s"UPDATE graftupd.$n SET o_totalprice = o_totalprice + 1.0 " +
         "WHERE pt_year = 1996 AND o_custkey <= 500")
       n
-    })
+    }
     def agg(label: String, clause: String) = s.sql(
       s"""SELECT '$label' AS version, pt_year,
             cast(count(*) AS bigint) AS cnt,
@@ -2620,10 +2676,6 @@ object WriteOps {
     agg("head", "").unionByName(agg("v0", "VERSION AS OF 0"))
   }
 
-  // per-(JVM, sfDir) table-name memo for the SQL merge gate
-  private val sqlMrgState =
-    scala.collection.concurrent.TrieMap[String, String]()
-
   /** SQL MERGE INTO through the DSv2 row-level operation — gate
     * `sql_merge_snapshot`: one statement composes matched UPDATE
     * (keys ≡1 mod 10 get +10.0), matched DELETE (keys ≡2 mod 10), and
@@ -2631,15 +2683,17 @@ object WriteOps {
     * new 2030 partition — an APPEND to a partition the scan never
     * read). Spark rewrites it into ReplaceData over the group scan;
     * the commit swaps the matched partitions' pointers and appends
-    * the insert partition. Head and VERSION AS OF 0 both oracled. */
+    * the insert partition. Head and VERSION AS OF 0 both oracled.
+    * FRESH lineage per invocation (fixed root cleared up front): warm
+    * bench reps time the MERGE itself, not just the read-back. */
   private[graft] def sqlMergeSnapshot(s: SparkSession,
       d: String): DataFrame = {
     val base = scratch("sqlmrg_base")
     s.conf.set("spark.sql.catalog.graftmrg",
       classOf[graft.sources.SnapshotCatalog].getName)
     s.conf.set("spark.sql.catalog.graftmrg.base", base)
-    val tname = sqlMrgState.getOrElseUpdate(d, {
-      val n = "t_" + java.util.UUID.randomUUID().toString.take(8)
+    val tname = {
+      val n = "t"
       val root = s"$base/$n"
       SnapshotTable.deleteTree(root)
       val b = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
@@ -2669,7 +2723,7 @@ object WriteOps {
               INSERT (o_orderkey, o_custkey, o_totalprice, pt_year)
               VALUES (s.k, s.ck, s.np, s.y)""")
       n
-    })
+    }
     def agg(label: String, clause: String) = s.sql(
       s"""SELECT '$label' AS version, pt_year,
             cast(count(*) AS bigint) AS cnt,
@@ -2678,6 +2732,89 @@ object WriteOps {
               AS total
           FROM graftmrg.$tname $clause GROUP BY pt_year""")
     agg("head", "").unionByName(agg("v0", "VERSION AS OF 0"))
+  }
+
+  /** Partition-scoped SQL INSERT OVERWRITE — gate
+    * `sql_overwrite_partition`: `INSERT OVERWRITE <catalog>.<table>
+    * PARTITION (pt_year = 1996) SELECT ...` lands as ONE commit
+    * touching exactly the named partition (SupportsOverwrite with the
+    * static EqualTo(pt_year) filter lowered to the partition-scoped
+    * commit) — every other partition carries by pointer (SqlInsertSpec
+    * pins their mtimes), batch rows outside the scope refuse, and
+    * VERSION AS OF 0 keeps serving the pre-overwrite 1996. Head and v0
+    * oracled in one labeled union. Fresh lineage per invocation: the
+    * measured operator is the overwrite itself. */
+  private[graft] def sqlOverwritePartition(s: SparkSession,
+      d: String): DataFrame = {
+    val base = scratch("sqlovw_base")
+    s.conf.set("spark.sql.catalog.graftovw",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftovw.base", base)
+    val tname = {
+      val n = "t"
+      val root = s"$base/$n"
+      SnapshotTable.deleteTree(root)
+      val b = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = b.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, root, 0, b, years)
+      b.filter(col("pt_year") === 1996)
+        .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+        .createOrReplaceTempView(s"ovw_src_$n")
+      s.sql(s"INSERT OVERWRITE graftovw.$n PARTITION (pt_year = 1996) " +
+        s"SELECT o_orderkey, o_custkey, o_totalprice FROM ovw_src_$n")
+      n
+    }
+    def agg(label: String, clause: String) = s.sql(
+      s"""SELECT '$label' AS version, pt_year,
+            cast(count(*) AS bigint) AS cnt,
+            cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+              AS total
+          FROM graftovw.$tname $clause GROUP BY pt_year""")
+    agg("head", "").unionByName(agg("v0", "VERSION AS OF 0"))
+  }
+
+  /** SQL `ALTER COLUMN ... TYPE <wider>` end-to-end — gate
+    * `sql_alter_widen`: the table is born with o_custkey committed as
+    * INT (every year except 1997), `ALTER TABLE ... ALTER COLUMN ck
+    * TYPE BIGINT` lands as an O(1-manifest) schema-bump commit, and
+    * the 1997 slice then INSERTs at the WIDE type — so the head scan
+    * mixes pre-widen int32 files (reader upcasts by the FILE's
+    * physical type) with post-widen int64 files under one bigint
+    * schema, and the oracle checks the exact integral sum across
+    * both. Fresh lineage per invocation. */
+  private[graft] def sqlAlterWiden(s: SparkSession,
+      d: String): DataFrame = {
+    val base = scratch("sqlwid_base")
+    s.conf.set("spark.sql.catalog.graftwid",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftwid.base", base)
+    val tname = {
+      val n = "t"
+      val root = s"$base/$n"
+      SnapshotTable.deleteTree(root)
+      val b = orders(s, d).select(col("o_orderkey"),
+        col("o_custkey").cast("int").as("ck"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val b0 = b.filter(col("pt_year") =!= 1997)
+      val years = b0.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, root, 0, b0, years)
+      s.sql(s"ALTER TABLE graftwid.$n ALTER COLUMN ck TYPE BIGINT")
+      b.filter(col("pt_year") === 1997)
+        .withColumn("ck", col("ck").cast("bigint"))
+        .createOrReplaceTempView(s"wid_src_$n")
+      s.sql(s"INSERT INTO graftwid.$n SELECT * FROM wid_src_$n")
+      n
+    }
+    s.sql(
+      s"""SELECT pt_year, cast(count(*) AS bigint) AS cnt,
+            cast(sum(ck) AS bigint) AS sum_ck,
+            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+              AS total
+          FROM graftwid.$tname GROUP BY pt_year""")
   }
 
   /** SQL maintenance procedures through the DSv2 ProcedureCatalog —
@@ -2704,7 +2841,9 @@ object WriteOps {
     s.conf.set("spark.sql.catalog.graftcall",
       classOf[graft.sources.SnapshotCatalog].getName)
     s.conf.set("spark.sql.catalog.graftcall.base", base)
-    val n = "t_" + java.util.UUID.randomUUID().toString.take(8)
+    // FIXED root, cleared up front: a UUID name would orphan a full
+    // orders-sized lineage in scratch on every invocation
+    val n = "t"
     val root = s"$base/$n"
     SnapshotTable.deleteTree(root)
     val b = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
@@ -3245,6 +3384,8 @@ object WriteOps {
     "sql_delete_snapshot" -> ((s, d) => sqlDeleteSnapshot(s, d)),
     "sql_update_snapshot" -> ((s, d) => sqlUpdateSnapshot(s, d)),
     "sql_merge_snapshot" -> ((s, d) => sqlMergeSnapshot(s, d)),
+    "sql_overwrite_partition" -> ((s, d) => sqlOverwritePartition(s, d)),
+    "sql_alter_widen" -> ((s, d) => sqlAlterWiden(s, d)),
 
     // SQL maintenance: CALL system.{optimize,restore,vacuum} through
     // the DSv2 ProcedureCatalog (see sqlCallProcedures)
@@ -4135,6 +4276,33 @@ object WriteOps {
            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
              AS total
          FROM lab GROUP BY version, pt_year""",
+
+    // head = 1996 overwritten with the +5.0 slice, all other years
+    // untouched; v0 = the intact original
+    "sql_overwrite_partition" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         ovw AS (SELECT o_orderkey, o_custkey,
+             CASE WHEN pt_year = 1996 THEN o_totalprice + 5.0
+               ELSE o_totalprice END AS o_totalprice, pt_year FROM t),
+         lab AS (
+           SELECT 'head' AS version, * FROM ovw
+           UNION ALL SELECT 'v0', * FROM t)
+         SELECT version, pt_year, cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total
+         FROM lab GROUP BY version, pt_year""",
+
+    // pre-widen int32 files and post-widen int64 files under one
+    // bigint schema sum exactly
+    "sql_alter_widen" ->
+      """SELECT cast(year(o_orderdate) AS int) AS pt_year,
+         cast(count(*) AS bigint) AS cnt,
+         cast(sum(cast(o_custkey AS bigint)) AS bigint) AS sum_ck,
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+           AS total
+         FROM orders GROUP BY 1""",
 
     // head = the restored pre-delete projection (optimize + restore +
     // vacuum change no data); v2 = the post-delete state; the three

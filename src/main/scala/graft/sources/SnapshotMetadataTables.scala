@@ -47,8 +47,7 @@ object SnapshotMetadataTables {
       new MetaTable(s"$tableName.history", historySchema,
         () => historyRows(root))
     case "files" =>
-      new MetaTable(s"$tableName.files", filesSchema,
-        () => filesRows(root, pinned))
+      new FilesTable(s"$tableName.files", root, pinned)
     case "partitions" =>
       new MetaTable(s"$tableName.partitions", partitionsSchema,
         () => partitionsRows(root, pinned))
@@ -101,19 +100,88 @@ object SnapshotMetadataTables {
         files.map(_.bytes).sum)): InternalRow
     }.toArray
 
-  private def filesRows(root: String,
-      pinned: Option[Int]): Array[InternalRow] =
-    entriesOf(root, headOr(root, pinned)).flatMap { case (y, es) =>
-      es.map(e => new GenericInternalRow(Array[Any](
-        y, UTF8String.fromString(e.path), e.bytes)): InternalRow)
-    }.toArray
-
   private def partitionsRows(root: String,
       pinned: Option[Int]): Array[InternalRow] =
     entriesOf(root, headOr(root, pinned)).map { case (y, es) =>
       new GenericInternalRow(Array[Any](
         y, es.length.toLong, es.map(_.bytes).sum)): InternalRow
     }.toArray
+
+  /** `files` served as a DISTRIBUTED scan — one [[InputPartition]] per
+    * PARTITION MANIFEST (m-file), rows parsed executor-side: the
+    * driver touches only the version's TOP manifest (O(partitions)
+    * pointer lines), so a millions-of-files table stays plannable —
+    * the per-file rows never materialize driver-side. `history` and
+    * `partitions` stay driver-local (their row counts are O(versions)
+    * and O(partitions), the same material every commit reads). */
+  private final class FilesTable(tableName: String, root: String,
+      pinned: Option[Int]) extends Table with SupportsRead {
+    import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory}
+
+    override def name(): String = tableName
+    override def schema(): StructType = filesSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(
+        options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new Scan with Batch {
+          override def readSchema(): StructType = filesSchema
+          override def toBatch: Batch = this
+          override def description(): String = s"$tableName (manifest)"
+          // resolved at scan build, like every metadata read
+          override def planInputPartitions(): Array[InputPartition] = {
+            val v = headOr(root, pinned)
+            SnapshotTable.pointers(root, v).toSeq.sortBy(_._1)
+              .map { case (y, m) =>
+                FilesMetaPartition(y, m): InputPartition
+              }.toArray
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            new FilesMetaReaderFactory(
+              new org.apache.spark.util.SerializableConfiguration(
+                org.apache.spark.sql.SparkSession.active.sparkContext
+                  .hadoopConfiguration))
+        }
+      }
+  }
+
+  private case class FilesMetaPartition(ptYear: Int, manifest: String)
+      extends org.apache.spark.sql.connector.read.InputPartition
+
+  /** Executor-side m-file line parser (`path \t bytes [\t stats]` —
+    * [[SnapshotTable]]'s fmtEntry shape; paths are generated names,
+    * never containing tabs). */
+  private final class FilesMetaReaderFactory(
+      conf: org.apache.spark.util.SerializableConfiguration)
+      extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+    import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+
+    override def createReader(p: InputPartition)
+        : PartitionReader[InternalRow] = {
+      val fp = p.asInstanceOf[FilesMetaPartition]
+      new PartitionReader[InternalRow] {
+        private val path = new org.apache.hadoop.fs.Path(fp.manifest)
+        private val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(
+            path.getFileSystem(conf.value).open(path),
+            java.nio.charset.StandardCharsets.UTF_8))
+        private var cur: String = _
+        override def next(): Boolean = {
+          cur = in.readLine()
+          while (cur != null && cur.isEmpty) cur = in.readLine()
+          cur != null
+        }
+        override def get(): InternalRow = {
+          val t = cur.split('\t')
+          new GenericInternalRow(Array[Any](
+            fp.ptYear, UTF8String.fromString(t(0)),
+            if (t.length >= 2) t(1).toLong else -1L))
+        }
+        override def close(): Unit = in.close()
+      }
+    }
+  }
 
   /** A read-only driver-local table: rows re-read from the manifests
     * at SCAN BUILD (a query sees the lineage as of its own planning,

@@ -163,9 +163,8 @@ class SnapshotCatalog
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     val v = version.toInt
-    if (SnapshotTable.versions(root).isEmpty &&
-        metadataTable(ident, Some(v)).isDefined)
-      return metadataTable(ident, Some(v)).get
+    if (SnapshotTable.versions(root).isEmpty)
+      metadataTable(ident, Some(v)).foreach(t => return t)
     require(SnapshotTable.versions(root).contains(v),
       s"version $v of ${ident.name} is unavailable (vacuumed or never " +
       "committed)")
@@ -214,14 +213,22 @@ class SnapshotCatalog
       SnapshotTable.tableSchema(root, 0).get, root, None)
   }
 
-  /** `ALTER TABLE ... ADD COLUMN(S)` — mapped onto the substrate's
-    * schema-evolution-through-commits: ONE empty true-append commit
-    * carrying parent ∪ the new (nullable) columns. Data files are
-    * untouched — every pointer carries; pre-evolution files null-fill
-    * the new column by name at read, and `VERSION AS OF` a
-    * pre-evolution version still serves the old schema verbatim.
-    * Type changes, renames, drops, and positioned/defaulted adds
-    * refuse (a silent type change would corrupt carried data). */
+  /** `ALTER TABLE ... ADD COLUMN(S)` and `ALTER COLUMN ... TYPE
+    * <wider>` — mapped onto the substrate's schema-evolution-through-
+    * commits: ONE empty true-append commit carrying the evolved
+    * schema. Data files are untouched — every pointer carries;
+    * pre-evolution files null-fill added columns by name at read, and
+    * files written at a NARROWER type upcast at read (int32→long,
+    * float→double — the reader keys its per-file plan off the FILE's
+    * physical type, so old and new files mix freely under the widened
+    * schema). `VERSION AS OF` a pre-evolution version still serves
+    * the old schema verbatim. Widenings are the value-preserving
+    * lattice only (byte→short→int→bigint, float→double); NARROWING,
+    * renames, drops, and positioned/defaulted adds refuse loudly (a
+    * silent narrowing would corrupt carried data). Manifest stats
+    * survive widening unchanged — integral stats order as Long and
+    * float stats already record exact doubles, so file pruning keeps
+    * the same semantics at the wider type. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val root = rootOf(ident)
@@ -231,7 +238,35 @@ class SnapshotCatalog
     val parent = SnapshotTable.tableSchema(root, head).getOrElse(
       throw new IllegalStateException(
         s"version $head of $root records no schema"))
-    val added = changes.map {
+    // value-preserving widenings ONLY — every narrower value maps to
+    // exactly itself at the wider type
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    val widened = changes.collect {
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames.length == 1,
+          "snapshot tables hold flat schemas — nested ALTER COLUMN " +
+          "is unsupported")
+        val name = upd.fieldNames.head
+        val cur = parent.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(
+            s"column '$name' does not exist")).dataType
+        require(widens(cur, upd.newDataType),
+          s"ALTER COLUMN $name TYPE ${upd.newDataType.sql}: only " +
+          s"value-preserving widenings are supported (byte→short→int→" +
+          s"bigint, float→double); ${cur.sql} → ${upd.newDataType.sql} " +
+          "would narrow or reinterpret committed data — refused")
+        require(name != "pt_year",
+          "pt_year is the partition key — its int type is part of " +
+          "the manifest contract and cannot widen")
+        name -> upd.newDataType
+    }.toMap
+    val added = changes.collect {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "snapshot tables hold flat schemas — nested ADD COLUMN is " +
@@ -244,21 +279,28 @@ class SnapshotCatalog
           "fill new columns")
         StructField(add.fieldNames.head, add.dataType,
           nullable = true) // carried files lack it: must null-fill
+    }
+    changes.foreach {
+      case _: TableChange.AddColumn | _: TableChange.UpdateColumnType =>
       case other => throw new UnsupportedOperationException(
-        s"snapshot tables support ALTER TABLE ADD COLUMN only " +
-        s"(got ${other.getClass.getSimpleName}); types and names of " +
-        "committed columns are immutable — add a new column instead")
+        s"snapshot tables support ALTER TABLE ADD COLUMN and ALTER " +
+        s"COLUMN ... TYPE <wider> only (got " +
+        s"${other.getClass.getSimpleName}); names of committed " +
+        "columns are immutable — add a new column instead")
     }
     added.foreach(f => require(!parent.fieldNames.contains(f.name),
       s"column '${f.name}' already exists"))
-    val evolved = StructType(parent.fields ++ added)
+    val evolved = StructType(parent.fields.map(f =>
+      widened.get(f.name).fold(f)(t => f.copy(dataType = t))) ++ added)
     val s = SparkSession.active
     // empty commit, zero touched partitions: every pointer carries,
-    // only the recorded schema advances (O(1 manifest) metadata)
+    // only the recorded schema advances (O(1 manifest) metadata);
+    // schemaOverride because widened types must not re-merge against
+    // the parent (the write-side merge refuses implicit type changes)
     SnapshotTable.commit(s, root, head + 1,
       s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], evolved),
-      Seq.empty)
+      Seq.empty, schemaOverride = Some(evolved))
     new SnapshotSourceTable(evolved, root, None)
   }
 
@@ -293,7 +335,11 @@ class SnapshotCatalog
     if (namespace.sameElements(SnapshotProcedures.Namespace))
       SnapshotProcedures.names
         .map(Identifier.of(SnapshotProcedures.Namespace, _)).toArray
-    else Array.empty
+    else
+      // loud per the ProcedureCatalog contract — a typo'd SHOW
+      // PROCEDURES IN <cat>.<ns> must error, not print nothing
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
 }
 
 /** SQL WRITE surface: `INSERT INTO <catalog>.<table> ...` lands as a
@@ -335,6 +381,16 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
   override def name(): String =
     s"graft_snapshot($root${pinnedVersion.fold("")(v => s"@v$v")})"
   override def schema(): StructType = tableSchema
+
+  /** The pt_year COLUMN convention declared as identity partitioning —
+    * this is what lets Spark's analyzer accept `INSERT OVERWRITE ...
+    * PARTITION (pt_year = k)` (static partition spec validation checks
+    * the table's declared transforms). */
+  override def partitioning(): Array[Transform] =
+    if (tableSchema.fieldNames.contains("pt_year"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .identity("pt_year"))
+    else Array.empty
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
@@ -455,12 +511,21 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
     case _ => false
   }
 
-  /** `INSERT INTO` = true append; `INSERT OVERWRITE` (SupportsOverwrite
-    * with the trivial AlwaysTrue filter — the no-partition-spec SQL
-    * shape) = ONE commit touching every live ∪ batch partition, so the
-    * head becomes exactly the batch while history keeps serving the
-    * pre-overwrite state. Filtered overwrites refuse (use DELETE +
-    * INSERT, each its own auditable commit). */
+  /** `INSERT INTO` = true append; `INSERT OVERWRITE` (SupportsOverwrite)
+    * in two shapes:
+    *  - the trivial AlwaysTrue filter (no partition spec) = ONE commit
+    *    touching every live ∪ batch partition, so the head becomes
+    *    exactly the batch while history keeps serving the
+    *    pre-overwrite state;
+    *  - a pt_year-bounded filter (`INSERT OVERWRITE ... PARTITION
+    *    (pt_year = k)`, or a pt_year = / IN predicate) = ONE commit
+    *    touching exactly those partitions — other partitions carry by
+    *    pointer (mtimes spec-pinned), and a batch row landing OUTSIDE
+    *    the overwrite scope refuses loudly (a silent scope widening
+    *    would clobber partitions the statement never named).
+    * Overwrite filters on anything other than pt_year refuse (row-
+    * granular overwrites are DELETE + INSERT, each its own auditable
+    * commit). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       "a VERSION/TIMESTAMP AS OF table is a read-only snapshot — " +
@@ -470,16 +535,27 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
     new WriteBuilder
         with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var overwriteAll = false
+      private var overwriteYears: Option[Set[Int]] = None
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
       override def overwrite(filters: Array[
           org.apache.spark.sql.sources.Filter]): WriteBuilder = {
-        require(filters.isEmpty ||
-          filters.forall(_.isInstanceOf[
-            org.apache.spark.sql.sources.AlwaysTrue]),
-          "filtered INSERT OVERWRITE is not supported on snapshot " +
-          "tables — run DELETE FROM ... WHERE, then INSERT INTO (each " +
-          "an auditable commit)")
-        overwriteAll = true; this
+        if (filters.isEmpty || filters.forall(_.isInstanceOf[
+            org.apache.spark.sql.sources.AlwaysTrue])) {
+          overwriteAll = true
+        } else {
+          // partition-scoped overwrite: every conjunct must bound
+          // pt_year; the scope is their intersection
+          val bounds = filters.map(SnapshotFilters.yearBound)
+          require(bounds.forall(_.isDefined),
+            "INSERT OVERWRITE on snapshot tables is PARTITION-scoped " +
+            "— the overwrite filter must bound pt_year (PARTITION " +
+            "(pt_year = k), or a pt_year =/IN predicate); got " +
+            filters.mkString(", ") + ". For row-granular overwrites " +
+            "run DELETE FROM ... WHERE, then INSERT INTO (each an " +
+            "auditable commit)")
+          overwriteYears = Some(bounds.flatten.reduce(_ intersect _))
+        }
+        this
       }
       override def build(): Write = new V1Write {
         /** The NATIVE STREAMING SINK (see [[SnapshotStreamingWrite]]):
@@ -487,7 +563,7 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
           * exactly-once across restarts and replays. */
         override def toStreaming: org.apache.spark.sql.connector.write
             .streaming.StreamingWrite = {
-          require(!overwriteAll,
+          require(!overwriteAll && overwriteYears.isEmpty,
             "graft-snapshot streams are append-only (a snapshot " +
             "table's history is append-only by construction) — " +
             "complete/update output modes are unsupported")
@@ -514,7 +590,23 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
             while (!done) {
               val head = SnapshotTable.versions(root).max
               try {
-                if (overwriteAll || ovw) {
+                if (overwriteYears.isDefined) {
+                  // partition-scoped overwrite: exactly the named
+                  // partitions are touched; a batch row outside the
+                  // scope is a statement error, not a widened commit
+                  val years = overwriteYears.get
+                  val batchYears = data.select("pt_year").distinct()
+                    .collect().map(_.getInt(0)).toSet
+                  val stray = batchYears -- years
+                  require(stray.isEmpty,
+                    s"INSERT OVERWRITE PARTITION (pt_year in " +
+                    s"${years.toSeq.sorted.mkString("{", ",", "}")}) " +
+                    s"received rows for partitions " +
+                    s"${stray.toSeq.sorted.mkString(",")} outside the " +
+                    "overwrite scope")
+                  SnapshotTable.commit(s, root, head + 1, data,
+                    years.toSeq.sorted)
+                } else if (overwriteAll || ovw) {
                   // full overwrite: every live partition is touched
                   // (those absent from the batch become empty),
                   // pending deletion vectors purge (rewrite supersedes)
@@ -596,9 +688,11 @@ private[sources] class SnapshotRowLevelOperation(root: String,
       import org.apache.spark.sql.sources.Filter
       private var pushed: Array[Filter] = Array.empty
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-        // partition-granular pruning ONLY: groups replace whole, so a
-        // file-granular stats prune would lose the group's other rows
-        pushed = filters.filter(SnapshotFilters.yearBound(_).isDefined)
+        // keep every conjunct a pruning layer understands: pt_year
+        // bounds prune PARTITIONS, comparison bounds prune FILES
+        pushed = filters.filter(f =>
+          SnapshotFilters.yearBound(f).isDefined ||
+          SnapshotFilters.statRanges(Array(f)).nonEmpty)
         filters // everything re-evaluates in the rewritten plan
       }
       override def pushedFilters(): Array[Filter] = pushed
@@ -607,8 +701,32 @@ private[sources] class SnapshotRowLevelOperation(root: String,
         val years = pushed.foldLeft(live) { (acc, f) =>
           acc.intersect(SnapshotFilters.yearBound(f).getOrElse(live))
         }
+        // FILE-GRANULAR group membership (deleteWhere's carry pattern,
+        // ported to the row-level rewrite): within a candidate
+        // partition, a file whose manifest [min, max] stats exclude a
+        // pushed conjunct cannot hold a TRUE-matching row (NULL-valued
+        // rows are outside stats AND evaluate the condition to
+        // non-TRUE), so its rows are preserved by CARRYING the file
+        // verbatim into the replacement commit instead of scanning and
+        // rewriting it — `UPDATE ... WHERE key = 42` rewrites one
+        // file, not the whole partition. DV-tombstoned partitions
+        // scan whole (a partial rewrite could not soundly purge their
+        // tombstones — same opt-out as deleteWhere).
+        val preds = SnapshotFilters.statRanges(pushed)
+        val dvYears = SnapshotTable.dvOf(root, readVersion)
+          .map(_._3.toSet).getOrElse(Set.empty[Int])
+        val fileSets = SnapshotTable
+          .partitionStatEntries(root, readVersion, years.toSeq.sorted)
+          .map { case (y, es) =>
+            if (preds.isEmpty || dvYears.contains(y)) y -> (es, Seq.empty)
+            else {
+              val (maybe, excluded) =
+                es.partition(SnapshotTable.entryMatches(_, preds))
+              y -> (maybe, excluded)
+            }
+          }.toMap
         val s = new SnapshotGroupScan(root, tableSchema, readVersion,
-          years)
+          years, fileSets)
         configuredScan = s
         s
       }
@@ -627,12 +745,17 @@ private[sources] class SnapshotRowLevelOperation(root: String,
     }
 }
 
-/** The row-level operation's scan: ALL files of the selected pt_year
-  * partitions at the pinned version (DV-applied executor-side, like
-  * every read path). Runtime group filtering narrows the partition
-  * set; the final set is what the write's commit REPLACES. */
+/** The row-level operation's scan: the POSSIBLY-MATCHING files of the
+  * selected pt_year partitions at the pinned version (DV-applied
+  * executor-side, like every read path); stats-excluded files per
+  * partition are held aside as CARRY entries the replacement commit
+  * re-points verbatim. Runtime group filtering narrows the partition
+  * set; the final set is what the write's commit REPLACES.
+  * `fileSets`: per candidate year, (files to scan, files to carry). */
 private[sources] class SnapshotGroupScan(root: String,
-    schema: StructType, version: Int, initialYears: Set[Int])
+    schema: StructType, version: Int, initialYears: Set[Int],
+    fileSets: Map[Int, (Seq[SnapshotTable.FileEntry],
+      Seq[SnapshotTable.FileEntry])])
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Expressions, Literal => VLiteral, NamedReference}
@@ -680,10 +803,17 @@ private[sources] class SnapshotGroupScan(root: String,
     }
 
   override def planInputPartitions(): Array[InputPartition] =
-    SnapshotTable.partitionEntries(root, version, years.toSeq.sorted)
-      .map { case (path, _) =>
-        SnapshotFilePartition(path): InputPartition
-      }.toArray
+    SnapshotSplits.plan(years.toSeq.sorted.flatMap(y =>
+      fileSets.get(y).map(_._1).getOrElse(Seq.empty)))
+
+  /** Stats-excluded files of the FINAL (runtime-narrowed) replaced
+    * partitions — the replacement commit re-points these verbatim. */
+  private[sources] def carriedFor(
+      finalYears: Set[Int]): Map[Int, Seq[SnapshotTable.FileEntry]] =
+    fileSets.collect {
+      case (y, (_, carry)) if finalYears.contains(y) && carry.nonEmpty =>
+        y -> carry
+    }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val dv = SnapshotTable.dvOf(root, version).map { case (p, k, _) =>
@@ -740,9 +870,11 @@ private[sources] class SnapshotReplaceDataWrite(
     // the pinned-snapshot commit: a concurrent writer landing after
     // readVersion surfaces as a loud conflict — a row-level rewrite
     // computed against a stale snapshot must never silently clobber
-    // the interleaved commit (retry the statement instead)
+    // the interleaved commit (retry the statement instead). Stats-
+    // excluded files of the replaced partitions carry verbatim — the
+    // file-granular half of the group rewrite.
     SnapshotTable.commitReplaceEntries(s, root, op.readVersion + 1,
-      staged, replaced)
+      staged, replaced, scan.carriedFor(replaced.toSet))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -827,6 +959,10 @@ private[sources] object SnapshotFilters {
     * restrict the candidate set, never widen it). */
   def yearBound(f: Filter): Option[Set[Int]] = f match {
     case EqualTo("pt_year", v: java.lang.Integer) => Some(Set(v.intValue))
+    // the static-partition-spec shape: Spark lowers `INSERT OVERWRITE
+    // ... PARTITION (pt_year = k)` to a null-safe equality
+    case EqualNullSafe("pt_year", v: java.lang.Integer) =>
+      Some(Set(v.intValue))
     case In("pt_year", vs) =>
       val ints = vs.collect { case v: java.lang.Integer => v.intValue }
       if (ints.length == vs.length) Some(ints.toSet) else None
@@ -957,9 +1093,8 @@ private[sources] class SnapshotScan(root: String, schema: StructType,
     val dv = dvInfo(v)
     new Batch {
       override def planInputPartitions(): Array[InputPartition] =
-        SnapshotTable.statEntries(root, v)
-          .filter(SnapshotTable.entryMatches(_, ranges))
-          .map(e => SnapshotFilePartition(e.path): InputPartition).toArray
+        SnapshotSplits.plan(SnapshotTable.statEntries(root, v)
+          .filter(SnapshotTable.entryMatches(_, ranges)))
       override def createReaderFactory(): PartitionReaderFactory =
         readerFactory(dv)
     }
@@ -1099,7 +1234,7 @@ private[sources] class SnapshotMicroBatchStream(root: String,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[VersionOffset]
     val e = end.asInstanceOf[VersionOffset]
-    (s.v to e.v).flatMap { v =>
+    val entries = (s.v to e.v).flatMap { v =>
       if (v == e.v && e.idx == 0) Seq.empty // end is exclusive here
       else {
         val fresh = freshEntries(v)
@@ -1120,7 +1255,8 @@ private[sources] class SnapshotMicroBatchStream(root: String,
         fresh.slice(from, to)
           .filter(SnapshotTable.entryMatches(_, ranges))
       }
-    }.map(e => SnapshotFilePartition(e.path): InputPartition).toArray
+    }
+    SnapshotSplits.plan(entries)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = factory
@@ -1128,8 +1264,66 @@ private[sources] class SnapshotMicroBatchStream(root: String,
   override def stop(): Unit = ()
 }
 
-private[sources] case class SnapshotFilePartition(path: String)
+/** One scan task: a byte range of one data file. Whole-file reads are
+  * `[0, Long.MaxValue)`; a SPLIT file carries `[start, end)` and the
+  * reader serves exactly the parquet ROW GROUPS whose byte midpoint
+  * falls inside the range (parquet-mr's own range contract, the same
+  * midpoint rule Spark's FilePartition relies on) — disjoint ranges
+  * covering the file therefore partition its row groups exactly, with
+  * no row read twice and none lost. */
+private[sources] case class SnapshotFilePartition(path: String,
+    start: Long = 0L, end: Long = Long.MaxValue)
     extends InputPartition
+
+/** Byte-range SPLIT PLANNING for connector scans — Spark's own
+  * `FilePartition.maxSplitBytes` policy re-derived over the MANIFEST's
+  * recorded byte sizes, so planning makes zero filesystem metadata
+  * calls: target = max(openCost, min(maxPartitionBytes,
+  * totalWork / defaultParallelism)). Without this, read parallelism is
+  * capped by FILE COUNT — a partition compacted to one large file
+  * would scan on ONE core (the r14 sf10 probe measured exactly that:
+  * super-linear whole-table read-backs through per-file partitions).
+  * The last split of a file extends to Long.MaxValue so coverage holds
+  * even if trailing bytes round past the recorded size. Splits land
+  * meaningfully because every snapshot write path bounds row groups at
+  * [[graft.operators.WriteOps.SnapshotTable.rowGroupBytes]] (16 MB). */
+private[sources] object SnapshotSplits {
+  import graft.operators.WriteOps.SnapshotTable.FileEntry
+
+  private def bytesConf(s: SparkSession, key: String, dflt: Long): Long =
+    try org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(s.conf.get(key, dflt.toString))
+    catch { case _: Exception => dflt }
+
+  def targetSplitBytes(s: SparkSession,
+      entries: Seq[FileEntry]): Long = {
+    val maxBytes =
+      bytesConf(s, "spark.sql.files.maxPartitionBytes", 128L << 20)
+    val openCost =
+      bytesConf(s, "spark.sql.files.openCostInBytes", 4L << 20)
+    val total =
+      entries.iterator.map(e => math.max(e.bytes, 0L) + openCost).sum
+    val perCore =
+      total / math.max(1, s.sparkContext.defaultParallelism)
+    math.max(1L, math.max(openCost, math.min(maxBytes, perCore)))
+  }
+
+  /** Entries → input partitions, splitting files above the target. */
+  def plan(entries: Seq[FileEntry]): Array[InputPartition] = {
+    val target = targetSplitBytes(SparkSession.active, entries)
+    entries.iterator.flatMap { e =>
+      if (e.bytes <= target) Iterator(SnapshotFilePartition(e.path))
+      else {
+        val n = ((e.bytes + target - 1) / target).toInt
+        (0 until n).iterator.map { i =>
+          val st = i.toLong * target
+          SnapshotFilePartition(e.path, st,
+            if (i == n - 1) Long.MaxValue else st + target)
+        }
+      }
+    }.map(p => p: InputPartition).toArray
+  }
+}
 
 /** Per-JVM cache of deletion-vector tombstone sets, keyed by sidecar
   * path — executors load each sidecar once however many file
@@ -1196,7 +1390,8 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val path = p.asInstanceOf[SnapshotFilePartition].path
+    val fp = p.asInstanceOf[SnapshotFilePartition]
+    val path = fp.path
     new PartitionReader[InternalRow] {
       import org.apache.parquet.example.data.Group
       import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
@@ -1245,7 +1440,8 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
           val f = schema.fields(j)
           if (!groupSchema.containsField(f.name)) colIdx(j) = -1
           else {
-            colIdx(j) = groupSchema.getFieldIndex(f.name)
+            val i = groupSchema.getFieldIndex(f.name)
+            colIdx(j) = i
             colTag(j) = f.dataType match {
               case LongType | TimestampType | TimestampNTZType => 0
               case IntegerType | DateType => 1
@@ -1259,6 +1455,15 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
                 s"graft-snapshot source does not read " +
                 s"${dt.simpleString} (column '${f.name}')")
             }
+            // post-widening upcast: a file written BEFORE `ALTER
+            // COLUMN ... TYPE <wider>` holds the narrower physical
+            // type — key the read off the FILE's primitive, widen in
+            // the materializer (int32→long: 8, float→double: 9)
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{FLOAT => PFLOAT, INT32 => PINT32}
+            val phys = groupSchema.getType(i).asPrimitiveType()
+              .getPrimitiveTypeName
+            if (colTag(j) == 0 && phys == PINT32) colTag(j) = 8
+            else if (colTag(j) == 4 && phys == PFLOAT) colTag(j) = 9
           }
           j += 1
         }
@@ -1288,9 +1493,12 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
         case None => Set.empty
       }
 
+      // withFileRange serves exactly the row groups whose midpoint
+      // falls in [start, end) — the whole-file default (0, MaxValue)
+      // admits every group, so unsplit partitions read unchanged
       private val reader: ParquetReader[Group] =
         ParquetReader.builder(new GroupReadSupport(), new HPath(path))
-          .withConf(readConf).build()
+          .withConf(readConf).withFileRange(fp.start, fp.end).build()
       private var cur: Group = _
 
       private def tombstoned(g: Group): Boolean = dvPlan match {
@@ -1333,6 +1541,8 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
               case 4 => g.getDouble(i, 0)
               case 5 => g.getFloat(i, 0)
               case 6 => g.getBoolean(i, 0)
+              case 8 => g.getInteger(i, 0).toLong   // pre-widen int32
+              case 9 => g.getFloat(i, 0).toDouble   // pre-widen float
               case _ => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
             }
           }

@@ -228,7 +228,12 @@ private[sources] class SnapshotGroupWriter(root: String,
         f"se${epochId}_y${y}_p$partitionId%05d_$token.parquet")
       val w = ExampleParquetWriter
         .builder(HadoopOutputFile.fromPath(p, conf))
-        .withConf(conf).withType(msgType).build()
+        .withConf(conf).withType(msgType)
+        // same bounded row groups as the staged commit path — sink-
+        // and rewrite-written files stay splittable at read
+        .withRowGroupSize(
+          graft.operators.WriteOps.SnapshotTable.rowGroupBytes(conf))
+        .build()
       (p, w)
     })._2
 

@@ -87,6 +87,27 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(chain(e2).contains("unavailable"))
   }
 
+  test("files serves as a DISTRIBUTED scan: one input partition per " +
+      "partition manifest, rows parsed executor-side") {
+    val (cat, base) = freshCatalog()
+    val root = lineage(base) // two pt_year partitions → two m-files
+    val df = spark.sql(s"SELECT pt_year, path, bytes FROM $cat.t.files")
+    // the scan fans out one task per partition manifest — the driver
+    // never materializes per-file rows (millions-of-files plannable)
+    assert(df.rdd.getNumPartitions === 2,
+      s"expected one input partition per m-file, got " +
+      s"${df.rdd.getNumPartitions}")
+    // row content identical to the manifest's recorded entries
+    val got = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val want = T.pointers(root, T.versions(root).max).keys.toSeq
+      .flatMap { y =>
+        T.partitionStatEntries(root, T.versions(root).max, Seq(y))
+          .flatMap(_._2).map(e => (y, e.path, e.bytes))
+      }.toSet
+    assert(got === want)
+  }
+
   private def chain(e: Throwable): String =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")

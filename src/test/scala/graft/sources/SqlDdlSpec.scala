@@ -109,6 +109,42 @@ class SqlDdlSpec extends AnyFunSuite {
       s"ALTER TABLE $cat.ta ADD COLUMN extra DOUBLE")) // duplicate
   }
 
+  test("ALTER COLUMN TYPE widens int→bigint / float→double; old files " +
+      "upcast by name, pre-widen versions keep the old type") {
+    import org.apache.spark.sql.types._
+    val (cat, base) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t6 " +
+      "(k BIGINT, pt_year INT, n INT, f FLOAT)")
+    spark.sql(s"INSERT INTO $cat.t6 VALUES " +
+      "(1, 2023, 7, CAST(1.5 AS FLOAT))")
+    spark.sql(s"ALTER TABLE $cat.t6 ALTER COLUMN n TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.t6 ALTER COLUMN f TYPE DOUBLE")
+    // the widening is a pure schema-bump commit: no data files moved
+    val root = s"$base/t6"
+    assert(T.versions(root) === Seq(0, 1, 2, 3))
+    assert(T.files(root, 3).toSet === T.files(root, 1).toSet)
+    // new writes land at the wider type; old files upcast at read
+    spark.sql(s"INSERT INTO $cat.t6 VALUES (2, 2024, 9, 2.5)")
+    val df = spark.sql(s"SELECT k, n, f FROM $cat.t6 ORDER BY k")
+    assert(df.schema("n").dataType === LongType)
+    assert(df.schema("f").dataType === DoubleType)
+    assert(df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((1L, 7L, 1.5), (2L, 9L, 2.5)))
+    // pre-widen versions serve the ORIGINAL types verbatim
+    val v1 = spark.sql(s"SELECT n, f FROM $cat.t6 VERSION AS OF 1")
+    assert(v1.schema("n").dataType === IntegerType)
+    assert(v1.schema("f").dataType === FloatType)
+    assert(v1.collect().map(r => (r.getInt(0), r.getFloat(1))).toSeq ===
+      Seq((7, 1.5f)))
+    // narrowing and the partition key refuse loudly
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.t6 ALTER COLUMN k TYPE INT"))
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.t6 ALTER COLUMN pt_year TYPE BIGINT"))
+    assert(e.getMessage.contains("partition key"))
+  }
+
   test("RENAME keeps refusing; DROP of a non-table is false") {
     val (cat, base) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t6 (k BIGINT, pt_year INT)")

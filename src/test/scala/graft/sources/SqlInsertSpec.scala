@@ -73,6 +73,40 @@ class SqlInsertSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 2)
   }
 
+  test("INSERT OVERWRITE PARTITION (pt_year=k) replaces one partition; " +
+      "others carry by pointer and history keeps the pre-state") {
+    val (cat, base) = freshCatalog()
+    val root = s"$base/tpo"
+    T.commit(spark, root, 0, frame(
+      (1L, 1, 10.0), (2L, 2, 20.0), (3L, 2, 30.0)), Seq(1, 2))
+    val p1Files = T.files(root, 0).filter(_.contains("_y1_"))
+    val p1Times = p1Files.map(f =>
+      f -> Files.getLastModifiedTime(Paths.get(f)).toMillis).toMap
+    spark.sql(s"INSERT OVERWRITE $cat.tpo PARTITION (pt_year = 2) " +
+      "VALUES (7, 70.0), (8, 80.0)")
+    assert(T.versions(root) === Seq(0, 1))
+    val rows = spark.sql(
+      s"SELECT o_orderkey, pt_year, o_totalprice FROM $cat.tpo")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .toSet
+    assert(rows === Set((1L, 1, 10.0), (7L, 2, 70.0), (8L, 2, 80.0)),
+      "partition-scoped overwrite missed or widened its scope")
+    // partition 1 carried by pointer: same files, untouched bytes
+    assert(p1Files.forall(T.files(root, 1).contains))
+    assert(p1Files.map(f =>
+      f -> Files.getLastModifiedTime(Paths.get(f)).toMillis).toMap ===
+      p1Times, "overwrite of partition 2 rewrote partition 1's files")
+    // the pre-overwrite state keeps serving
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM $cat.tpo VERSION AS OF 0 " +
+      "WHERE pt_year = 2").collect().head.getLong(0) === 2)
+    // a filtered overwrite on a NON-partition column still refuses
+    val e = intercept[Exception](
+      frame((9L, 1, 90.0)).writeTo(s"$cat.tpo")
+        .overwrite(col("o_orderkey") === 1L))
+    assert(e.getMessage.contains("PARTITION-scoped"))
+  }
+
   test("a version-pinned table refuses writes") {
     val (_, base) = freshCatalog()
     val root = s"$base/t3"

@@ -62,6 +62,43 @@ class SqlMergeUpdateSpec extends AnyFunSuite {
       "WHERE o_orderkey = 1").collect().head.getDouble(0) === 10.0)
   }
 
+  test("UPDATE carries stats-excluded files INSIDE the rewritten partition") {
+    val (cat, base) = freshCatalog()
+    val root = s"$base/t1f"
+    // ONE partition, TWO files with disjoint o_orderkey ranges: the
+    // v0 commit holds keys 1-3, the v1 append holds keys 1000-1002
+    T.commit(spark, root, 0, frame(
+      (1L, 1, 10.0), (2L, 1, 20.0), (3L, 1, 30.0)), Seq(1))
+    T.commitAppend(spark, root, 1, frame(
+      (1000L, 1, 1.0), (1001L, 1, 2.0), (1002L, 1, 3.0)))
+    val highFiles = T.files(root, 1).filterNot(T.files(root, 0).contains)
+    assert(highFiles.nonEmpty)
+    val highTimes = highFiles.map(f =>
+      f -> Files.getLastModifiedTime(Paths.get(f)).toMillis).toMap
+    spark.sql(s"UPDATE $cat.t1f SET o_totalprice = 99.0 " +
+      "WHERE o_orderkey = 1")
+    // the partition WAS rewritten — but file-granular: the appended
+    // file's stats ([1000, 1002]) exclude o_orderkey = 1, so it
+    // CARRIED verbatim (same path, untouched bytes) while only the
+    // low-key file rewrote
+    val head = T.versions(root).max
+    assert(highFiles.forall(T.files(root, head).contains),
+      "stats-excluded file was dropped from the rewritten partition")
+    assert(highFiles.map(f =>
+      f -> Files.getLastModifiedTime(Paths.get(f)).toMillis).toMap ===
+      highTimes, "UPDATE rewrote a file its stats excluded")
+    assert(T.files(root, head).size === T.files(root, 1).size,
+      "file count changed: expected a one-file rewrite + carry")
+    val rows = spark.sql(
+      s"SELECT o_orderkey, o_totalprice FROM $cat.t1f").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows === Map(1L -> 99.0, 2L -> 20.0, 3L -> 30.0,
+      1000L -> 1.0, 1001L -> 2.0, 1002L -> 3.0))
+    assert(spark.sql(
+      s"SELECT o_totalprice FROM $cat.t1f VERSION AS OF 1 " +
+      "WHERE o_orderkey = 1").collect().head.getDouble(0) === 10.0)
+  }
+
   test("UPDATE keeps NULL-evaluating rows untouched (3-valued logic)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -87,7 +87,10 @@ for q in gates:
             row[sf] = list(ps.values())[0]
             flags.append(f"{sf} single pass")
     r = row.get("sf10", 0) / row["sf1"] if row.get("sf1") else None
-    print(f"| {q} | {row.get('sf1','-'):.3f} | {row.get('sf10','-'):.3f} "
-          f"| {r:.2f}x | {'; '.join(flags) or ''} |")
+    def cell(v, fmt):
+        return format(v, fmt) if isinstance(v, (int, float)) else "-"
+    print(f"| {q} | {cell(row.get('sf1'), '.3f')} "
+          f"| {cell(row.get('sf10'), '.3f')} "
+          f"| {cell(r, '.2f')}x | {'; '.join(flags) or ''} |")
 EOF
 echo "probe artifacts in $OUT"
