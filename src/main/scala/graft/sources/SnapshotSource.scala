@@ -1403,12 +1403,16 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
       /** REAL column pruning: project the file's OWN fields (footer
         * schema, so types match verbatim) down to the required names —
         * parquet then skips the unprojected columns' pages entirely.
-        * Files lacking every required column (pre-evolution under a
-        * narrow projection, or a count(*) empty schema) read
-        * unprojected: rows still count, fields null-fill. With a
-        * deletion vector, the key and pt_year columns stay projected
-        * even when the query doesn't ask for them — the reader needs
-        * them to apply tombstones. */
+        * A `count(*)` scan (EMPTY required schema, no deletion vector)
+        * projects the single cheapest primitive column instead of
+        * falling back to a full-row read — rows still count exactly,
+        * but only one column's pages move (the r15 diag measured a
+        * full-row count(*) at 10×+ the one-column cost). A file
+        * lacking every required column under a NON-empty projection
+        * (pre-evolution) reads unprojected: rows count, fields
+        * null-fill. With a deletion vector, the key and pt_year
+        * columns stay projected even when the query doesn't ask for
+        * them — the reader needs them to apply tombstones. */
       private val (readConf, groupSchema) = {
         val c = new org.apache.hadoop.conf.Configuration(conf.value)
         val fr = ParquetFileReader.open(
@@ -1417,13 +1421,36 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
           try fr.getFooter.getFileMetaData.getSchema finally fr.close()
         val names = schema.fieldNames.toSet ++
           dv.map(d => Set(d._2, "pt_year")).getOrElse(Set.empty)
-        val kept = fileSchema.getFields.asScala.filter(t =>
-          names.contains(t.getName))
-        if (kept.nonEmpty && kept.size < fileSchema.getFieldCount) {
+        def project(kept: Seq[org.apache.parquet.schema.Type]) = {
           val projected = new MessageType(fileSchema.getName, kept.asJava)
           c.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
           (c, projected) // records arrive typed with the projection
-        } else (c, fileSchema)
+        }
+        val kept = fileSchema.getFields.asScala.filter(t =>
+          names.contains(t.getName))
+        if (names.isEmpty && fileSchema.getFieldCount > 1) {
+          // count(*): one narrow column carries the row count
+          val cheapest = fileSchema.getFields.asScala.minBy { t =>
+            if (t.isPrimitive)
+              t.asPrimitiveType().getPrimitiveTypeName match {
+                case org.apache.parquet.schema.PrimitiveType
+                  .PrimitiveTypeName.BOOLEAN => 0
+                case org.apache.parquet.schema.PrimitiveType
+                  .PrimitiveTypeName.INT32 |
+                  org.apache.parquet.schema.PrimitiveType
+                  .PrimitiveTypeName.FLOAT => 1
+                case org.apache.parquet.schema.PrimitiveType
+                  .PrimitiveTypeName.INT64 |
+                  org.apache.parquet.schema.PrimitiveType
+                  .PrimitiveTypeName.DOUBLE => 2
+                case _ => 3 // binary/string: widest
+              }
+            else 4
+          }
+          project(Seq(cheapest))
+        } else if (kept.nonEmpty && kept.size < fileSchema.getFieldCount)
+          project(kept.toSeq)
+        else (c, fileSchema)
       }
 
       // ---- per-FILE row-materialization plan (hoisted out of get():
