@@ -53,11 +53,50 @@ object SplitDiag {
     t("agg WITH splits #2")(agg())
     t("plain scan count WITH splits")(df.count())
 
+    // Bench's environment: AQE + 128 MB advisory partition size — the
+    // gate read-backs run under this; the probe never did. If the
+    // distinct's expand+shuffle coalesces to 1-2 partitions here, the
+    // reduce side of a 15M-row distinct runs near-serial.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", "134217728")
+    t("agg AQE+128MB advisory #1")(agg())
+    t("agg AQE+128MB advisory #2")(agg())
+    t("agg AQE+128MB advisory #3")(agg())
+    spark.conf.set(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    t("agg AQE+8MB advisory #1")(agg())
+    t("agg AQE+8MB advisory #2")(agg())
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
     spark.conf.set("spark.sql.files.openCostInBytes", (1L << 40).toString)
     println(s"[diag] no-split partitions = ${df.rdd.getNumPartitions}")
     t("agg NO splits #1")(agg())
     t("agg NO splits #2")(agg())
     t("plain scan count NO splits")(df.count())
+    spark.conf.unset("spark.sql.files.openCostInBytes")
+
+    // ---- the COMPACTED shape: the scenario the split fix exists for.
+    // OPTIMIZE to caller-target 128 MB files (one or two big files per
+    // partition at sf10), then the same aggregate with splits on/off —
+    // without splits a partition scans on ONE core, with splits the
+    // row-group ranges fan back out.
+    t("optimize to 128MB files")(
+      SnapshotTable.optimize(spark, root, 1,
+        targetFileBytes = 128L << 20))
+    val entries1 = SnapshotTable.statEntries(root, 1)
+    println(s"[diag] compacted files=${entries1.size} " +
+      s"sizes(KB)=${entries1.map(_.bytes / 1024).sorted.mkString(",")}")
+    println(s"[diag] compacted split partitions = ${df.rdd.getNumPartitions}")
+    t("compacted agg WITH splits #1")(agg())
+    t("compacted agg WITH splits #2")(agg())
+    t("compacted agg WITH splits #3")(agg())
+    spark.conf.set("spark.sql.files.openCostInBytes", (1L << 40).toString)
+    println(s"[diag] compacted no-split partitions = ${df.rdd.getNumPartitions}")
+    t("compacted agg NO splits #1")(agg())
+    t("compacted agg NO splits #2")(agg())
+    t("compacted agg NO splits #3")(agg())
     spark.conf.unset("spark.sql.files.openCostInBytes")
 
     SnapshotTable.deleteTree(root)
