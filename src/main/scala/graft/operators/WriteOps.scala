@@ -536,8 +536,13 @@ object WriteOps {
       * collection or no column qualified) — the Iceberg/Delta data-
       * skipping metadata, carried with the file through every
       * carry-over, optimize, branch publish, and vacuum. */
+    /** `rows`: the file's exact row count, recorded at commit from the
+      * same footer read that collects column stats (−1 on entries
+      * written before r15 — consumers must treat unknown as
+      * unpushable). Carried verbatim through every carry-over, like
+      * bytes and stats. */
     private[graft] case class FileEntry(path: String, bytes: Long,
-        stats: String = "")
+        stats: String = "", rows: Long = -1L)
 
     /** Row-group byte bound for EVERY snapshot data-file write (the
       * staged commit path and the executor-side group writers alike).
@@ -597,17 +602,21 @@ object WriteOps {
         ps.get(y).map(m => y -> readPartManifest(m)))
     }
 
-    // entry line = path \t bytes [\t stats]; paths are generated names
-    // (never contain tabs), so a plain split is unambiguous
+    // entry line = path \t bytes [\t stats [\t rows]]; paths are
+    // generated names (never containing tabs), so a plain split is
+    // unambiguous; both optional fields degrade gracefully (missing
+    // stats = never skipped, missing rows = count never pushed)
     private def parseEntry(line: String): FileEntry = {
       val t = line.split('\t')
-      if (t.length >= 3) FileEntry(t(0), t(1).toLong, t(2))
+      if (t.length >= 4) FileEntry(t(0), t(1).toLong, t(2), t(3).toLong)
+      else if (t.length == 3) FileEntry(t(0), t(1).toLong, t(2))
       else if (t.length == 2) FileEntry(t(0), t(1).toLong)
       else FileEntry(line, -1L)
     }
 
     private def fmtEntry(e: FileEntry): String =
-      if (e.stats.isEmpty) s"${e.path}\t${e.bytes}"
+      if (e.rows >= 0) s"${e.path}\t${e.bytes}\t${e.stats}\t${e.rows}"
+      else if (e.stats.isEmpty) s"${e.path}\t${e.bytes}"
       else s"${e.path}\t${e.bytes}\t${e.stats}"
 
     def files(root: String, v: Int): Seq[String] =
@@ -679,7 +688,7 @@ object WriteOps {
       * hazard). */
     private def footerStats(path: String,
         conf: org.apache.hadoop.conf.Configuration,
-        cols: Map[String, Char]): Map[String, ColStat] = {
+        cols: Map[String, Char]): (Map[String, ColStat], Long) = {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
       import scala.jdk.CollectionConverters._
@@ -687,6 +696,7 @@ object WriteOps {
         HadoopInputFile.fromPath(new HPath(path), conf))
       try {
         val blocks = rd.getFooter.getBlocks.asScala
+        val rowCount = blocks.map(_.getRowCount).sum
         // col -> (typ, running min repr, running max repr, stillValid)
         val acc = scala.collection.mutable.Map[String, ColStat]()
         val dead = scala.collection.mutable.Set[String]()
@@ -745,7 +755,7 @@ object WriteOps {
             }
           }
         }
-        (acc -- dead).toMap
+        ((acc -- dead).toMap, rowCount)
       } finally rd.close()
     }
 
@@ -755,20 +765,27 @@ object WriteOps {
       * job over the file list — at a 100 TB commit touching thousands
       * of files, stats collection distributes like everything else
       * and only (path → tiny stats blob) pairs return to the driver. */
+    /** Per fresh file: (encoded stats blob, exact row count) — one
+      * footer read serves both. An empty `cols` map still reads the
+      * footer for the row count (cheap, and what makes COUNT(*)
+      * pushdown total over every committed entry). */
     private def collectStats(s: SparkSession, paths: Seq[String],
-        cols: Map[String, Char]): Map[String, String] = {
-      if (paths.isEmpty || cols.isEmpty)
-        paths.map(_ -> "").toMap
+        cols: Map[String, Char]): Map[String, (String, Long)] = {
+      if (paths.isEmpty) Map.empty
       else if (paths.size <= 64) {
         val conf = hconf()
-        paths.map(p => p -> encodeStats(footerStats(p, conf, cols))).toMap
+        paths.map { p =>
+          val (st, rows) = footerStats(p, conf, cols)
+          p -> (encodeStats(st), rows)
+        }.toMap
       } else {
         val sconf = new org.apache.spark.util.SerializableConfiguration(
           s.sparkContext.hadoopConfiguration)
         val bc = s.sparkContext.broadcast(sconf)
         s.sparkContext.parallelize(paths, math.min(paths.size, 256))
           .map { p =>
-            p -> encodeStats(footerStats(p, bc.value.value, cols))
+            val (st, rows) = footerStats(p, bc.value.value, cols)
+            p -> (encodeStats(st), rows)
           }.collect().toMap
       }
     }
@@ -1137,7 +1154,8 @@ object WriteOps {
         statColsOf(slice.schema))
       moved.map { case (y, es) =>
         y -> es.map { case (p, b) =>
-          FileEntry(p, b, stats.getOrElse(p, ""))
+          val (blob, rows) = stats.getOrElse(p, ("", -1L))
+          FileEntry(p, b, blob, rows)
         }
       }
     }
@@ -1442,7 +1460,7 @@ object WriteOps {
       * commit path) — same footer-read fan-out as fresh commits. */
     private[graft] def statsFor(s: SparkSession, paths: Seq[String],
         schema: org.apache.spark.sql.types.StructType)
-        : Map[String, String] =
+        : Map[String, (String, Long)] =
       collectStats(s, paths, statColsOf(schema))
 
     /** The version's commit wall-clock (epoch millis, recorded in its
@@ -2817,6 +2835,40 @@ object WriteOps {
           FROM graftwid.$tname GROUP BY pt_year""")
   }
 
+  // per-(JVM, sfDir) table-name memo for the metadata-count gate
+  private val cntState =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** METADATA-ONLY COUNT(*) — gate `scan_count_meta`
+    * (SupportsPushDownAggregates): an unfiltered count over the
+    * snapshot connector answers from the manifest's per-file row
+    * counts recorded at commit — ZERO data files (not even footers)
+    * open at read. At 100 TB this is the difference between a
+    * metadata lookup and a full-table scan for the most common
+    * sanity query there is. Build memoized per (JVM, sfDir): the
+    * measured operator is the count, which must stay O(manifest).
+    * CountPushdownSpec pins the plan shape and the refusal cases
+    * (deletion vectors, filters, legacy entries → correct full
+    * scan). */
+  private[graft] def scanCountMeta(s: SparkSession,
+      d: String): DataFrame = {
+    val base = scratch("cntmeta_base")
+    val tname = cntState.getOrElseUpdate(d, {
+      val n = "t_" + java.util.UUID.randomUUID().toString.take(8)
+      val root = s"$base/$n"
+      SnapshotTable.deleteTree(root)
+      val b = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      val years = b.select("pt_year").distinct()
+        .collect().map(_.getInt(0)).sorted
+      SnapshotTable.commit(s, root, 0, b, years)
+      n
+    })
+    s.read.format("graft-snapshot").option("root", s"$base/$tname")
+      .load().createOrReplaceTempView(s"cntmeta_$tname")
+    s.sql(s"SELECT cast(count(*) AS bigint) AS cnt FROM cntmeta_$tname")
+  }
+
   /** SQL maintenance procedures through the DSv2 ProcedureCatalog —
     * gate `sql_call_procedures` (Spark 4's `CALL` statement, the
     * Iceberg-procedure shape; see graft.sources.SnapshotProcedures):
@@ -3386,6 +3438,7 @@ object WriteOps {
     "sql_merge_snapshot" -> ((s, d) => sqlMergeSnapshot(s, d)),
     "sql_overwrite_partition" -> ((s, d) => sqlOverwritePartition(s, d)),
     "sql_alter_widen" -> ((s, d) => sqlAlterWiden(s, d)),
+    "scan_count_meta" -> ((s, d) => scanCountMeta(s, d)),
 
     // SQL maintenance: CALL system.{optimize,restore,vacuum} through
     // the DSv2 ProcedureCatalog (see sqlCallProcedures)
@@ -4293,6 +4346,10 @@ object WriteOps {
            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
              AS total
          FROM lab GROUP BY version, pt_year""",
+
+    // the pushed count equals the table's cardinality exactly
+    "scan_count_meta" ->
+      """SELECT cast(count(*) AS bigint) AS cnt FROM orders""",
 
     // pre-widen int32 files and post-widen int64 files under one
     // bigint schema sum exactly

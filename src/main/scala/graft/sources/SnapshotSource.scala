@@ -864,7 +864,8 @@ private[sources] class SnapshotReplaceDataWrite(
     val stats = SnapshotTable.statsFor(s, files.map(_._2), schema)
     val staged = files.groupBy(_._1).toSeq.map { case (y, fs) =>
       y -> fs.map { case (_, p, b) =>
-        SnapshotTable.FileEntry(p, b, stats.getOrElse(p, ""))
+        val (blob, rows) = stats.getOrElse(p, ("", -1L))
+        SnapshotTable.FileEntry(p, b, blob, rows)
       }.sortBy(_.path)
     }
     // the pinned-snapshot commit: a concurrent writer landing after
@@ -990,12 +991,57 @@ private[sources] class SnapshotScanBuilder(root: String,
     maxVersionsPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var ranges: Map[String, (Any, Any)] = Map.empty
+  private var countPushed = false
+
+  /** METADATA-ONLY `COUNT(*)` (the Iceberg/Delta count-from-stats
+    * optimization, served from MANIFEST row counts recorded at
+    * commit): an unfiltered, ungrouped CountStar answers as the sum
+    * of the version's per-file `rows` fields — zero data files (not
+    * even footers) open. Refused — falling back to a normal scan,
+    * which is always correct — whenever any entry predates row-count
+    * recording, the version carries deletion-vector tombstones
+    * (tombstoned rows must subtract at read), or any filter was
+    * pushed (Spark only attempts aggregate pushdown with no residual
+    * filters, and this connector keeps every filter residual — but
+    * the guard is kept local rather than relying on that distant
+    * invariant). */
+  private def countFromManifest: Option[Long] = {
+    val v = pinnedVersion.getOrElse(SnapshotTable.versions(root).max)
+    if (SnapshotTable.dvOf(root, v).nonEmpty) None
+    else {
+      val es = SnapshotTable.statEntries(root, v)
+      if (es.forall(_.rows >= 0)) Some(es.map(_.rows).sum) else None
+    }
+  }
+
+  private def isPlainCountStar(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      pushed.isEmpty && ranges.isEmpty
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    isPlainCountStar(agg) && countFromManifest.isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    val ok = supportCompletePushDown(agg)
+    if (ok) countPushed = true
+    ok
+  }
 
   private def comparable(v: Any): Boolean = v match {
     case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
@@ -1038,11 +1084,47 @@ private[sources] class SnapshotScanBuilder(root: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SnapshotScan(root, required,
-    startingVersion, ranges.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) },
-    pinnedVersion, ignoreDeletes, maxVersionsPerTrigger,
-    maxBytesPerTrigger)
+  override def build(): Scan =
+    if (countPushed)
+      new SnapshotCountScan(root, countFromManifest.getOrElse(
+        throw new IllegalStateException(
+          "count pushdown accepted but the manifest count vanished — " +
+          "a concurrent commit raced the planning; retry the query")))
+    else new SnapshotScan(root, required,
+      startingVersion, ranges.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) },
+      pinnedVersion, ignoreDeletes, maxVersionsPerTrigger,
+      maxBytesPerTrigger)
 }
+
+/** The completely-pushed COUNT(*) result: one partition, one row, one
+  * non-null bigint — resolved from manifest metadata at plan time. */
+private[sources] class SnapshotCountScan(root: String, count: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot $root COUNT(*)=$count from manifest row counts"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SnapshotCountPartition(count))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var served = false
+          private val n = p.asInstanceOf[SnapshotCountPartition].count
+          override def next(): Boolean =
+            if (served) false else { served = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(Array[Any](n))
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private[sources] case class SnapshotCountPartition(count: Long)
+    extends InputPartition
 
 private[sources] class SnapshotScan(root: String, schema: StructType,
     startingVersion: Int,

@@ -120,7 +120,8 @@ private[sources] class SnapshotStreamingWrite(root: String,
       val stats = SnapshotTable.statsFor(s, files.map(_._2), schema)
       val staged = files.groupBy(_._1).toSeq.map { case (y, fs) =>
         y -> fs.map { case (_, p, b) =>
-          SnapshotTable.FileEntry(p, b, stats.getOrElse(p, ""))
+          val (blob, rows) = stats.getOrElse(p, ("", -1L))
+          SnapshotTable.FileEntry(p, b, blob, rows)
         }.sortBy(_.path)
       }
       // OPTIMISTIC CONCURRENCY, same bounded rebase-retry as the SQL
