@@ -1021,25 +1021,63 @@ private[sources] class SnapshotScanBuilder(root: String,
     }
   }
 
-  private def isPlainCountStar(
+  /** The grouped twin: `GROUP BY pt_year` + CountStar answers as the
+    * per-PARTITION manifest sums (pt_year is the partition key, so a
+    * partition manifest's row counts sum to exactly its group's
+    * cardinality; empty partitions hold no pointer and correctly
+    * contribute no group row). Same refusal guards as the global
+    * count. */
+  private def groupedCountFromManifest: Option[Seq[(Int, Long)]] = {
+    val v = pinnedVersion.getOrElse(SnapshotTable.versions(root).max)
+    if (SnapshotTable.dvOf(root, v).nonEmpty) None
+    else {
+      val perYear = SnapshotTable.partitionStatEntries(root, v,
+        SnapshotTable.pointers(root, v).keys.toSeq)
+      if (perYear.forall(_._2.forall(_.rows >= 0)))
+        Some(perYear.map { case (y, es) => y -> es.map(_.rows).sum })
+      else None
+    }
+  }
+
+  private def isCountStarAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
+    agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions.head.isInstanceOf[
         org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
       pushed.isEmpty && ranges.isEmpty
 
+  private def isPlainCountStar(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && isCountStarAgg(agg)
+
+  private def isPtYearCountStar(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    isCountStarAgg(agg) && agg.groupByExpressions.length == 1 &&
+      (agg.groupByExpressions.head match {
+        case r: org.apache.spark.sql.connector.expressions
+          .NamedReference => r.fieldNames.sameElements(Array("pt_year"))
+        case _ => false
+      })
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean =
-    isPlainCountStar(agg) && countFromManifest.isDefined
+    (isPlainCountStar(agg) && countFromManifest.isDefined) ||
+      (isPtYearCountStar(agg) && groupedCountFromManifest.isDefined)
+
+  private var groupedCountPushed = false
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean = {
     val ok = supportCompletePushDown(agg)
-    if (ok) countPushed = true
+    if (ok) {
+      if (isPlainCountStar(agg)) countPushed = true
+      else groupedCountPushed = true
+    }
     ok
   }
 
@@ -1090,6 +1128,12 @@ private[sources] class SnapshotScanBuilder(root: String,
         throw new IllegalStateException(
           "count pushdown accepted but the manifest count vanished — " +
           "a concurrent commit raced the planning; retry the query")))
+    else if (groupedCountPushed)
+      new SnapshotGroupedCountScan(root, groupedCountFromManifest
+        .getOrElse(throw new IllegalStateException(
+          "grouped count pushdown accepted but the manifest counts " +
+          "vanished — a concurrent commit raced the planning; retry " +
+          "the query")))
     else new SnapshotScan(root, required,
       startingVersion, ranges.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) },
       pinnedVersion, ignoreDeletes, maxVersionsPerTrigger,
@@ -1125,6 +1169,40 @@ private[sources] class SnapshotCountScan(root: String, count: Long)
 
 private[sources] case class SnapshotCountPartition(count: Long)
     extends InputPartition
+
+/** The completely-pushed `GROUP BY pt_year` COUNT(*): one row per
+  * live partition, (pt_year, count) by position — resolved from the
+  * partition manifests' row-count sums at plan time. */
+private[sources] class SnapshotGroupedCountScan(root: String,
+    counts: Seq[(Int, Long)]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(Seq(
+    StructField("pt_year", IntegerType, nullable = false),
+    StructField("count", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot $root COUNT(*) GROUP BY pt_year from manifest " +
+      s"row counts (${counts.size} groups)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SnapshotGroupedCountPartition(counts))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val it = p.asInstanceOf[SnapshotGroupedCountPartition]
+            .counts.iterator
+          private var cur: (Int, Long) = _
+          override def next(): Boolean =
+            if (it.hasNext) { cur = it.next(); true } else false
+          override def get(): InternalRow =
+            new GenericInternalRow(Array[Any](cur._1, cur._2))
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private[sources] case class SnapshotGroupedCountPartition(
+    counts: Seq[(Int, Long)]) extends InputPartition
 
 private[sources] class SnapshotScan(root: String, schema: StructType,
     startingVersion: Int,

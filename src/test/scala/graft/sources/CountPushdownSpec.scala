@@ -48,6 +48,22 @@ class CountPushdownSpec extends AnyFunSuite {
     assert(sqlQ.collect().head.getLong(0) === 4L)
   }
 
+  test("GROUP BY pt_year count(*) pushes as per-partition manifest sums") {
+    val root = Files.createTempDirectory("g_cnt_grp").toString
+    T.commit(spark, root, 0, frame(
+      (1L, 1, 1.0), (2L, 1, 2.0), (3L, 2, 3.0)), Seq(1, 2))
+    T.commitAppend(spark, root, 1, frame((4L, 2, 4.0), (5L, 3, 5.0)))
+    val q = df(root).groupBy("pt_year").agg(count(lit(1)).as("cnt"))
+    assert(planString(q).contains("GROUP BY pt_year from manifest"),
+      s"grouped count was not pushed:\n${planString(q)}")
+    assert(q.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ===
+      Map(1 -> 2L, 2 -> 2L, 3 -> 1L))
+    // grouping by a NON-partition column scans normally
+    val q2 = df(root).groupBy("k").agg(count(lit(1)).as("c"))
+    assert(!planString(q2).contains("from manifest"))
+    assert(q2.count() === 5)
+  }
+
   test("a version-pinned count pushes against THAT manifest") {
     val root = Files.createTempDirectory("g_cnt_pin").toString
     T.commit(spark, root, 0, frame((1L, 1, 1.0), (2L, 1, 2.0)), Seq(1))
