@@ -93,6 +93,12 @@ object Bench {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "134217728")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B knob for the snapshot writers' row-group byte bound (the
+    // rowGroupBytes attribution campaign): SPARK_GRAFT_ROWGROUP_BYTES
+    // overrides the 16 MB default for the whole run
+    sys.env.get("SPARK_GRAFT_ROWGROUP_BYTES").foreach(v =>
+      spark.sparkContext.hadoopConfiguration
+        .setLong("graft.snapshot.rowGroupBytes", v.toLong))
 
     // warmup: JVM/codegen/FS init, one real scan
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -879,10 +879,9 @@ object WriteOps {
         preds: Seq[(String, Any, Any)]): DataFrame = {
       val pruned = filesWhere(root, v, preds)
       val base =
-        if (pruned.nonEmpty) {
-          val r = tableSchema(root, v).map(s.read.schema).getOrElse(s.read)
-          applyDv(s, root, v, r.parquet(pruned: _*))
-        } else read(s, root, v).filter(lit(false))
+        if (pruned.nonEmpty)
+          applyDv(s, root, v, readThrough(s, tableSchema(root, v), pruned))
+        else read(s, root, v).filter(lit(false))
       preds.foldLeft(base) { case (df, (column, lo, hi)) =>
         val lower =
           if (lo == null) lit(true) else col(column) >= lit(boundLit(lo))
@@ -1052,6 +1051,80 @@ object WriteOps {
       }
     }
 
+    /** Field-metadata key recording a column's PREVIOUS physical
+      * names after `ALTER COLUMN ... RENAME` (newest first) — Iceberg's
+      * name-mapping idea expressed over schema-as-metadata: the rename
+      * is an O(1-manifest) schema bump, data files never rewrite, and
+      * readers resolve a column in an old file by trying its alias
+      * chain. Rides inside `#schema=` JSON, so every commit path
+      * carries it for free and `VERSION AS OF` serves each version's
+      * own mapping. */
+    private[graft] val AliasesKey = "graft.aliases"
+
+    /** Field-metadata key (anchored on the immutable partition-key
+      * field) listing RETIRED physical names — dropped columns and
+      * their alias chains. Old data files may still carry these
+      * names, so re-ADDing one would resurrect stale values; the DDL
+      * path refuses them. */
+    private[graft] val ReservedKey = "graft.reserved"
+
+    /** current name → older physical names, newest first. */
+    private[graft] def colAliases(
+        schema: org.apache.spark.sql.types.StructType)
+        : Map[String, Seq[String]] =
+      schema.fields.iterator.flatMap { f =>
+        if (f.metadata.contains(AliasesKey))
+          Some(f.name -> f.metadata.getStringArray(AliasesKey).toSeq)
+        else None
+      }.toMap
+
+    /** Physical names no current or future column may claim. */
+    private[graft] def reservedNames(
+        schema: org.apache.spark.sql.types.StructType): Set[String] = {
+      val dropped = schema.fields.find(_.name == "pt_year")
+        .filter(_.metadata.contains(ReservedKey))
+        .map(_.metadata.getStringArray(ReservedKey).toSet)
+        .getOrElse(Set.empty)
+      dropped ++ colAliases(schema).values.flatten
+    }
+
+    /** Open `paths` under the version's recorded schema. The fast
+      * path hands the schema to Spark's native parquet source
+      * (vectorized, by-name resolution, pre-evolution files
+      * null-fill). A schema carrying RENAME aliases takes the
+      * name-mapping path instead: footers merge by name, then each
+      * column resolves as the first present name of its alias chain —
+      * old files serve renamed columns' DATA, not nulls (the native
+      * by-name read would silently null them, which for maintenance
+      * rewrites like OPTIMIZE would destroy the column). The alias
+      * path costs a footer-merge pass; tables that never renamed pay
+      * nothing. */
+    private def readThrough(s: SparkSession,
+        schemaOpt: Option[org.apache.spark.sql.types.StructType],
+        paths: Seq[String]): DataFrame = schemaOpt match {
+      case None => s.read.parquet(paths: _*)
+      case Some(schema) =>
+        val aliases = colAliases(schema)
+        if (aliases.isEmpty) s.read.schema(schema).parquet(paths: _*)
+        else {
+          val merged =
+            s.read.option("mergeSchema", "true").parquet(paths: _*)
+          val present = merged.columns.toSet
+          val resolved = schema.fields.foldLeft(merged) { (df, f) =>
+            val cands = (f.name +: aliases.getOrElse(f.name, Nil))
+              .filter(present.contains)
+            val e =
+              if (cands.isEmpty) lit(null).cast(f.dataType)
+              // a row carries a value under exactly ONE generation's
+              // name (files are single-generation), so coalesce
+              // reconstructs the column; genuine NULLs stay NULL
+              else coalesce(cands.map(c => col(c).cast(f.dataType)): _*)
+            df.withColumn(f.name, e)
+          }
+          resolved.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        }
+    }
+
     /** Reads resolve the version's RECORDED schema (no footer
       * sampling): a data file missing a later-added column null-fills
       * it — exactly how a lakehouse serves pre-evolution files through
@@ -1064,11 +1137,8 @@ object WriteOps {
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           tableSchema(root, v).getOrElse(
             new org.apache.spark.sql.types.StructType()))
-      else {
-        val r = tableSchema(root, v)
-          .map(s.read.schema).getOrElse(s.read)
-        applyDv(s, root, v, r.parquet(fs0: _*))
-      }
+      else
+        applyDv(s, root, v, readThrough(s, tableSchema(root, v), fs0))
     }
 
     /** Read an explicit file subset of version v through the version's
@@ -1076,12 +1146,10 @@ object WriteOps {
       * touch-scan and rewrite read. An empty list resolves the schema
       * with zero row reads. */
     private[graft] def readFiles(s: SparkSession, root: String, v: Int,
-        paths: Seq[String]): DataFrame = {
-      val r = tableSchema(root, v)
-        .map(s.read.schema).getOrElse(s.read)
-      if (paths.nonEmpty) applyDv(s, root, v, r.parquet(paths: _*))
+        paths: Seq[String]): DataFrame =
+      if (paths.nonEmpty)
+        applyDv(s, root, v, readThrough(s, tableSchema(root, v), paths))
       else read(s, root, v).filter(lit(false))
-    }
 
     /** Partition-scoped read: the file list is pruned in METADATA
       * (selected pointers only), so unselected partitions' files are
@@ -1090,9 +1158,8 @@ object WriteOps {
     def readPartitions(s: SparkSession, root: String, v: Int,
         years: Seq[Int]): DataFrame = {
       val fs0 = partitionEntries(root, v, years).map(_._1)
-      val r = tableSchema(root, v)
-        .map(s.read.schema).getOrElse(s.read)
-      if (fs0.nonEmpty) applyDv(s, root, v, r.parquet(fs0: _*))
+      if (fs0.nonEmpty)
+        applyDv(s, root, v, readThrough(s, tableSchema(root, v), fs0))
       else read(s, root, v).filter(lit(false))
     }
 
@@ -1481,6 +1548,21 @@ object WriteOps {
         throw new IllegalArgumentException(
           s"no version of $root committed at or before $tsMillis " +
           s"(earliest dated: ${dated.headOption.map(_._2)})"))
+    }
+
+    /** Mid-history stream subscription (Delta's `startingTimestamp`):
+      * the EARLIEST version committed at or after `tsMillis` — the
+      * stream then serves [that version, head] and tails. A timestamp
+      * past every retained commit starts at head+1 (only future
+      * commits serve — an idle tail, not an error, so a subscription
+      * can be provisioned before its producer). Undated versions
+      * (pre-timestamp manifests) are unavailable for time-based
+      * starts, same as [[versionAt]]. */
+    def versionAtOrAfter(root: String, tsMillis: Long): Int = {
+      val vs = versions(root)
+      vs.flatMap(v => commitTs(root, v).map(v -> _))
+        .filter(_._2 >= tsMillis).map(_._1).minOption
+        .getOrElse(vs.max + 1)
     }
 
     /** The (application, batchId) recorded with version v's commit, if
@@ -2032,18 +2114,17 @@ object WriteOps {
        lines.find(_.startsWith("#dv=")))
     }
 
-    /** The branch's table state — what the audit step reads. */
+    /** The branch's table state — what the audit step reads
+      * (readThrough: rename aliases in the carried schema resolve). */
     def readBranch(s: SparkSession, root: String,
         name: String): DataFrame = {
       val (_, ptrs, schemaLine, _) = branchState(root, name)
-      val r = schemaLine
-        .map(l => s.read.schema(org.apache.spark.sql.types.DataType
-          .fromJson(l.stripPrefix("#schema="))
-          .asInstanceOf[org.apache.spark.sql.types.StructType]))
-        .getOrElse(s.read)
-      r.parquet(ptrs.values
+      val schema = schemaLine.map(l => org.apache.spark.sql.types
+        .DataType.fromJson(l.stripPrefix("#schema="))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      readThrough(s, schema, ptrs.values
         .flatMap { case (m, _) => readPartManifest(m).map(_.path) }
-        .toSeq.sorted: _*)
+        .toSeq.sorted)
     }
 
     /** Publish the audited branch as the next version: ONE atomic
@@ -2869,6 +2950,84 @@ object WriteOps {
     s.sql(s"SELECT cast(count(*) AS bigint) AS cnt FROM cntmeta_$tname")
   }
 
+  /** MANIFEST-STATS MIN/MAX + partition-scoped COUNT — gate
+    * `scan_minmax_meta` (the full Iceberg/Delta stats-aggregate
+    * surface over SupportsPushDownAggregates): MIN/MAX answer from
+    * the per-file column stats recorded at commit, and a `WHERE
+    * pt_year = k` conjunct is CONSUMED by exact partition pruning so
+    * the scoped twin answers from that partition's manifest alone —
+    * both shapes open ZERO data files. Shares scan_count_meta's
+    * memoized table (the measured operator is the aggregate, which
+    * must stay O(manifest)). StatsAggPushSpec pins the plan shapes
+    * and every refusal (DVs, NaN columns, stats gaps, strings). */
+  private[graft] def scanMinMaxMeta(s: SparkSession,
+      d: String): DataFrame = {
+    scanCountMeta(s, d) // ensures the memoized table exists
+    val base = scratch("cntmeta_base")
+    val tname = cntState(d)
+    s.read.format("graft-snapshot").option("root", s"$base/$tname")
+      .load().createOrReplaceTempView(s"mmmeta_$tname")
+    s.sql(
+      s"""SELECT 'all' AS scope,
+            cast(min(o_orderkey) AS bigint) AS k_lo,
+            cast(max(o_orderkey) AS bigint) AS k_hi,
+            cast(min(o_totalprice) AS double) AS p_lo,
+            cast(max(o_totalprice) AS double) AS p_hi,
+            cast(count(*) AS bigint) AS cnt
+          FROM mmmeta_$tname
+          UNION ALL
+          SELECT 'y1995',
+            cast(min(o_orderkey) AS bigint),
+            cast(max(o_orderkey) AS bigint),
+            cast(min(o_totalprice) AS double),
+            cast(max(o_totalprice) AS double),
+            cast(count(*) AS bigint)
+          FROM mmmeta_$tname WHERE pt_year = 1995""")
+  }
+
+  /** SQL `ALTER COLUMN ... RENAME` + `DROP COLUMN` end-to-end — gate
+    * `sql_alter_rename` (Iceberg-style name mapping over schema-as-
+    * metadata; see graft.sources.SnapshotSourceProvider.alterTable):
+    * v0 lands every year but 1997 with columns (ck, junk_date), the
+    * rename bumps ck→buyer and the drop retires junk_date — both
+    * O(1-manifest) commits, zero data files moved — then 1997 appends
+    * under the NEW schema. The head aggregate mixes pre-rename files
+    * (whose footers still say `ck`; the reader resolves them through
+    * the alias chain) with post-rename files under one schema, and
+    * the oracle checks exact sums across both generations. Fresh
+    * lineage per invocation. */
+  private[graft] def sqlAlterRename(s: SparkSession,
+      d: String): DataFrame = {
+    val base = scratch("sqlren_base")
+    s.conf.set("spark.sql.catalog.graftren",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftren.base", base)
+    val n = "t"
+    val root = s"$base/$n"
+    SnapshotTable.deleteTree(root)
+    val b = orders(s, d).select(col("o_orderkey"),
+      col("o_custkey").as("ck"), col("o_totalprice"),
+      to_date(col("o_orderdate")).as("junk_date"),
+      year(col("o_orderdate")).as("pt_year"))
+    val b0 = b.filter(col("pt_year") =!= 1997)
+    val years = b0.select("pt_year").distinct()
+      .collect().map(_.getInt(0)).sorted
+    SnapshotTable.commit(s, root, 0, b0, years)
+    s.sql(s"ALTER TABLE graftren.$n RENAME COLUMN ck TO buyer")
+    s.sql(s"ALTER TABLE graftren.$n DROP COLUMN junk_date")
+    b.filter(col("pt_year") === 1997)
+      .select(col("o_orderkey"), col("ck").as("buyer"),
+        col("o_totalprice"), col("pt_year"))
+      .createOrReplaceTempView(s"ren_src_$n")
+    s.sql(s"INSERT INTO graftren.$n SELECT * FROM ren_src_$n")
+    s.sql(
+      s"""SELECT pt_year, cast(count(*) AS bigint) AS cnt,
+            cast(sum(buyer) AS bigint) AS sum_buyer,
+            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+              AS total
+          FROM graftren.$n GROUP BY pt_year""")
+  }
+
   /** SQL maintenance procedures through the DSv2 ProcedureCatalog —
     * gate `sql_call_procedures` (Spark 4's `CALL` statement, the
     * Iceberg-procedure shape; see graft.sources.SnapshotProcedures):
@@ -3438,7 +3597,9 @@ object WriteOps {
     "sql_merge_snapshot" -> ((s, d) => sqlMergeSnapshot(s, d)),
     "sql_overwrite_partition" -> ((s, d) => sqlOverwritePartition(s, d)),
     "sql_alter_widen" -> ((s, d) => sqlAlterWiden(s, d)),
+    "sql_alter_rename" -> ((s, d) => sqlAlterRename(s, d)),
     "scan_count_meta" -> ((s, d) => scanCountMeta(s, d)),
+    "scan_minmax_meta" -> ((s, d) => scanMinMaxMeta(s, d)),
 
     // SQL maintenance: CALL system.{optimize,restore,vacuum} through
     // the DSv2 ProcedureCatalog (see sqlCallProcedures)
@@ -4350,6 +4511,38 @@ object WriteOps {
     // the pushed count equals the table's cardinality exactly
     "scan_count_meta" ->
       """SELECT cast(count(*) AS bigint) AS cnt FROM orders""",
+
+    // manifest-stats MIN/MAX (exact footer bounds) + the
+    // partition-scoped twin answered from one partition's manifest
+    "scan_minmax_meta" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders)
+         SELECT 'all' AS scope,
+           cast(min(o_orderkey) AS bigint) AS k_lo,
+           cast(max(o_orderkey) AS bigint) AS k_hi,
+           cast(min(o_totalprice) AS double) AS p_lo,
+           cast(max(o_totalprice) AS double) AS p_hi,
+           cast(count(*) AS bigint) AS cnt
+         FROM t
+         UNION ALL
+         SELECT 'y1995',
+           cast(min(o_orderkey) AS bigint),
+           cast(max(o_orderkey) AS bigint),
+           cast(min(o_totalprice) AS double),
+           cast(max(o_totalprice) AS double),
+           cast(count(*) AS bigint)
+         FROM t WHERE pt_year = 1995""",
+
+    // pre-rename files (footers say `ck`) and post-rename files
+    // (footers say `buyer`) aggregate identically under one schema;
+    // the dropped junk_date is invisible
+    "sql_alter_rename" ->
+      """SELECT cast(year(o_orderdate) AS int) AS pt_year,
+         cast(count(*) AS bigint) AS cnt,
+         cast(sum(o_custkey) AS bigint) AS sum_buyer,
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+           AS total
+         FROM orders GROUP BY 1""",
 
     // pre-widen int32 files and post-widen int64 files under one
     // bigint schema sum exactly

@@ -280,18 +280,99 @@ class SnapshotCatalog
         StructField(add.fieldNames.head, add.dataType,
           nullable = true) // carried files lack it: must null-fill
     }
+    // RENAME = an O(1-manifest) schema bump recording the old name as
+    // a field-metadata ALIAS (name mapping): data files never rewrite,
+    // readers resolve old files through the alias chain, and VERSION
+    // AS OF a pre-rename version serves the old name verbatim (its
+    // manifest holds the old schema). DROP = a projection bump: the
+    // field leaves the schema, its physical names retire to the
+    // RESERVED set (old files still carry them — re-adding the name
+    // would resurrect stale values, so it refuses).
+    val reserved = SnapshotTable.reservedNames(parent)
+    val dvKey: Option[String] =
+      SnapshotTable.dvOf(root, head).map(_._2)
+    val renames = changes.collect {
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          "snapshot tables hold flat schemas — nested RENAME COLUMN " +
+          "is unsupported")
+        val from = rn.fieldNames.head
+        require(from != "pt_year",
+          "pt_year is the partition key — part of the manifest " +
+          "contract, cannot rename")
+        require(parent.fieldNames.contains(from),
+          s"column '$from' does not exist")
+        require(!dvKey.contains(from),
+          s"column '$from' keys this version's pending delete " +
+          "tombstones — rewrite (OPTIMIZE) to purge them first")
+        require(!parent.fieldNames.contains(rn.newName),
+          s"column '${rn.newName}' already exists")
+        require(!reserved.contains(rn.newName),
+          s"'${rn.newName}' is a retired physical name (a dropped or " +
+          "previously-renamed column) — old data files still carry " +
+          "it; choose a different name")
+        from -> rn.newName
+    }.toMap
+    val dropped = changes.collect {
+      case dl: TableChange.DeleteColumn =>
+        require(dl.fieldNames.length == 1,
+          "snapshot tables hold flat schemas — nested DROP COLUMN is " +
+          "unsupported")
+        val name = dl.fieldNames.head
+        require(name != "pt_year",
+          "pt_year is the partition key — cannot drop")
+        require(parent.fieldNames.contains(name) || dl.ifExists,
+          s"column '$name' does not exist")
+        require(!dvKey.contains(name),
+          s"column '$name' keys this version's pending delete " +
+          "tombstones — rewrite (OPTIMIZE) to purge them first")
+        name
+    }.toSet
     changes.foreach {
-      case _: TableChange.AddColumn | _: TableChange.UpdateColumnType =>
+      case _: TableChange.AddColumn | _: TableChange.UpdateColumnType |
+           _: TableChange.RenameColumn | _: TableChange.DeleteColumn =>
       case other => throw new UnsupportedOperationException(
-        s"snapshot tables support ALTER TABLE ADD COLUMN and ALTER " +
-        s"COLUMN ... TYPE <wider> only (got " +
-        s"${other.getClass.getSimpleName}); names of committed " +
-        "columns are immutable — add a new column instead")
+        s"snapshot tables support ALTER TABLE ADD/RENAME/DROP COLUMN " +
+        s"and ALTER COLUMN ... TYPE <wider> (got " +
+        s"${other.getClass.getSimpleName})")
     }
-    added.foreach(f => require(!parent.fieldNames.contains(f.name),
-      s"column '${f.name}' already exists"))
-    val evolved = StructType(parent.fields.map(f =>
-      widened.get(f.name).fold(f)(t => f.copy(dataType = t))) ++ added)
+    added.foreach { f =>
+      require(!parent.fieldNames.contains(f.name) &&
+          !renames.values.toSet.contains(f.name),
+        s"column '${f.name}' already exists")
+      require(!reserved.contains(f.name),
+        s"'${f.name}' is a retired physical name (a dropped or " +
+        "previously-renamed column) — old data files still carry it " +
+        "and would resurrect stale values; choose a different name")
+    }
+    val aliasMeta = SnapshotTable.colAliases(parent)
+    val newlyRetired: Seq[String] = dropped.toSeq.sorted.flatMap(n =>
+      n +: aliasMeta.getOrElse(n, Nil))
+    val evolved = StructType(parent.fields.flatMap { f0 =>
+      if (dropped.contains(f0.name)) None
+      else {
+        val f = widened.get(f0.name).fold(f0)(t => f0.copy(dataType = t))
+        val renamed = renames.get(f.name).fold(f) { to =>
+          val chain = f.name +: aliasMeta.getOrElse(f.name, Nil)
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putStringArray(SnapshotTable.AliasesKey, chain.toArray)
+          f.copy(name = to, metadata = mb.build())
+        }
+        // retired names anchor on the immutable partition-key field
+        if (renamed.name == "pt_year" && newlyRetired.nonEmpty) {
+          val prior = if (renamed.metadata.contains(
+              SnapshotTable.ReservedKey))
+            renamed.metadata.getStringArray(SnapshotTable.ReservedKey)
+          else Array.empty[String]
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(renamed.metadata)
+            .putStringArray(SnapshotTable.ReservedKey,
+              prior ++ newlyRetired)
+          Some(renamed.copy(metadata = mb.build()))
+        } else Some(renamed)
+      }
+    } ++ added)
     val s = SparkSession.active
     // empty commit, zero touched partitions: every pointer carries,
     // only the recorded schema advances (O(1 manifest) metadata);
@@ -578,6 +659,28 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
             : org.apache.spark.sql.sources.InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, ovw: Boolean) => {
             val s = data.sparkSession
+            // Overwrites validate partition scope from the batch and
+            // then stage it — two evaluations of the insert query. A
+            // non-deterministic query could pass validation with one
+            // row set and stage another (whose out-of-scope rows the
+            // partition-scoped stage would then silently drop), and
+            // every conflict retry would re-run the query again — so
+            // pin the batch ONCE with a lineage-truncating local
+            // checkpoint before the scope check. Appends skip the pin
+            // (no validation read, single evaluation): the 100 TB hot
+            // path pays nothing, and an overwrite's checkpoint is the
+            // same source-materialization trade Delta makes for
+            // non-deterministic MERGE sources.
+            val scoped = overwriteAll || ovw || overwriteYears.isDefined
+            val batch = if (scoped) data.localCheckpoint() else data
+            def batchYears(): Set[Int] =
+              batch.select("pt_year").distinct().collect().map { r =>
+                require(!r.isNullAt(0),
+                  "insert batch contains a NULL pt_year — the " +
+                  "snapshot table partitions by pt_year and cannot " +
+                  "place NULL-keyed rows")
+                r.getInt(0)
+              }.toSet
             // OPTIMISTIC CONCURRENCY with bounded rebase-retries
             // (Delta's txn retry): two INSERTs racing both target
             // head+1; the manifest rename arbitrates, the loser sees
@@ -595,28 +698,24 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
                   // partitions are touched; a batch row outside the
                   // scope is a statement error, not a widened commit
                   val years = overwriteYears.get
-                  val batchYears = data.select("pt_year").distinct()
-                    .collect().map(_.getInt(0)).toSet
-                  val stray = batchYears -- years
+                  val stray = batchYears() -- years
                   require(stray.isEmpty,
                     s"INSERT OVERWRITE PARTITION (pt_year in " +
                     s"${years.toSeq.sorted.mkString("{", ",", "}")}) " +
                     s"received rows for partitions " +
                     s"${stray.toSeq.sorted.mkString(",")} outside the " +
                     "overwrite scope")
-                  SnapshotTable.commit(s, root, head + 1, data,
+                  SnapshotTable.commit(s, root, head + 1, batch,
                     years.toSeq.sorted)
                 } else if (overwriteAll || ovw) {
                   // full overwrite: every live partition is touched
                   // (those absent from the batch become empty),
                   // pending deletion vectors purge (rewrite supersedes)
                   val live = SnapshotTable.pointers(root, head).keySet
-                  val batchYears = data.select("pt_year").distinct()
-                    .collect().map(_.getInt(0)).toSet
-                  SnapshotTable.commit(s, root, head + 1, data,
-                    (live ++ batchYears).toSeq.sorted)
+                  SnapshotTable.commit(s, root, head + 1, batch,
+                    (live ++ batchYears()).toSeq.sorted)
                 } else {
-                  SnapshotTable.commitAppend(s, root, head + 1, data)
+                  SnapshotTable.commitAppend(s, root, head + 1, batch)
                 }
                 done = true
               } catch {
@@ -631,14 +730,42 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
     }
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // mid-history stream subscription: `startingVersion` names the
+    // first version to serve; `startingTimestamp` resolves to the
+    // earliest version committed at or after it (epoch millis,
+    // `yyyy-MM-dd`, or `yyyy-MM-dd HH:mm:ss` — UTC). Mutually
+    // exclusive, Delta's contract.
+    val fromVersion = Option(options.get("startingVersion")).map(_.toInt)
+    val fromTs = Option(options.get("startingTimestamp")).map { raw =>
+      val millis = parseStartingTs(raw)
+      SnapshotTable.versionAtOrAfter(root, millis)
+    }
+    require(fromVersion.isEmpty || fromTs.isEmpty,
+      "set startingVersion OR startingTimestamp, not both")
     new SnapshotScanBuilder(root, tableSchema,
-      Option(options.get("startingVersion")).map(_.toInt).getOrElse(0),
+      fromVersion.orElse(fromTs).getOrElse(0),
       pinnedVersion
         .orElse(Option(options.get("versionAsOf")).map(_.toInt)),
       options.getBoolean("ignoreDeletes", false),
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
       Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+  }
+
+  private def parseStartingTs(raw: String): Long = {
+    val t = raw.trim
+    if (t.forall(_.isDigit)) t.toLong
+    else try {
+      val norm = if (t.length == 10) s"$t 00:00:00" else t
+      java.time.LocalDateTime.parse(norm.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    } catch {
+      case e: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"startingTimestamp '$raw' is not epoch millis, " +
+          "yyyy-MM-dd, or yyyy-MM-dd HH:mm:ss (UTC)", e)
+    }
+  }
 }
 
 /** GROUP-BASED row-level operation (UPDATE / MERGE / non-translatable
@@ -825,7 +952,9 @@ private[sources] class SnapshotGroupScan(root: String,
       (p, k, tag)
     }
     new GroupRowReaderFactory(schema.json, new SerializableConfiguration(
-      SparkSession.active.sparkContext.hadoopConfiguration), dv)
+      SparkSession.active.sparkContext.hadoopConfiguration), dv,
+      aliases = SnapshotTable.tableSchema(root, version)
+        .map(SnapshotTable.colAliases).getOrElse(Map.empty))
   }
 }
 
@@ -997,88 +1126,182 @@ private[sources] class SnapshotScanBuilder(root: String,
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  // stat-shape conjuncts that stay RESIDUAL (file-level pruning only)
+  private var statPushed: Array[Filter] = Array.empty
   private var ranges: Map[String, (Any, Any)] = Map.empty
-  private var countPushed = false
+  // pt_year partition conjuncts CONSUMED by exact partition pruning
+  private var consumedYears: Option[Set[Int]] = None
 
-  /** METADATA-ONLY `COUNT(*)` (the Iceberg/Delta count-from-stats
-    * optimization, served from MANIFEST row counts recorded at
-    * commit): an unfiltered, ungrouped CountStar answers as the sum
-    * of the version's per-file `rows` fields — zero data files (not
-    * even footers) open. Refused — falling back to a normal scan,
-    * which is always correct — whenever any entry predates row-count
-    * recording, the version carries deletion-vector tombstones
-    * (tombstoned rows must subtract at read), or any filter was
-    * pushed (Spark only attempts aggregate pushdown with no residual
-    * filters, and this connector keeps every filter residual — but
-    * the guard is kept local rather than relying on that distant
-    * invariant). */
-  private def countFromManifest: Option[Long] = {
+  /** MANIFEST-ONLY AGGREGATION (the Iceberg/Delta stats-aggregate
+    * optimization): `COUNT(*)` answers from per-file row counts
+    * recorded at commit, `MIN(col)`/`MAX(col)` from per-file column
+    * stats — zero data files (not even footers) open — grouped by
+    * nothing or by the partition key, over the whole table or the
+    * partitions a consumed pt_year conjunct selected. Refused —
+    * falling back to a normal scan, which is always correct — when:
+    *
+    *  - any NON-partition filter was pushed (its pruning is file-
+    *    granular, not exact — Spark normally never offers aggregates
+    *    then, because such filters stay residual; guarded locally
+    *    anyway);
+    *  - the version carries deletion-vector tombstones (they subtract
+    *    rows at read; manifests can't see them);
+    *  - any in-scope entry predates row-count recording (COUNT), or
+    *    lacks stats for the column (MIN/MAX — also the NaN shape:
+    *    stats collection drops columns with NaN bounds, so a column
+    *    whose true MAX is NaN under Spark's ordering never answers
+    *    from stats);
+    *  - the column's stats type and table type disagree, or the type
+    *    is a string (footer stats of long strings may be truncated by
+    *    other writers — integral/floating stats are always exact). */
+  private def manifestAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Option[(StructType, Seq[Seq[Any]], String)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (statPushed.nonEmpty || ranges.nonEmpty) return None
     val v = pinnedVersion.getOrElse(SnapshotTable.versions(root).max)
-    if (SnapshotTable.dvOf(root, v).nonEmpty) None
-    else {
-      val es = SnapshotTable.statEntries(root, v)
-      if (es.forall(_.rows >= 0)) Some(es.map(_.rows).sum) else None
+    if (SnapshotTable.dvOf(root, v).nonEmpty) return None
+
+    def refName(e: org.apache.spark.sql.connector.expressions
+        .Expression): Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+    val grouped = agg.groupByExpressions.toSeq match {
+      case Nil => false
+      case Seq(g) if refName(g).contains("pt_year") => true
+      case _ => return None
+    }
+    if (agg.aggregateExpressions.isEmpty) return None
+
+    val liveYears = SnapshotTable.pointers(root, v).keys.toSeq.sorted
+    val years =
+      consumedYears.fold(liveYears)(ys => liveYears.filter(ys.contains))
+    val perYear = SnapshotTable.partitionStatEntries(root, v, years)
+      .filter(_._2.nonEmpty) // an empty group yields NO result row
+
+    /** One aggregate over one entry scope; None = not answerable. */
+    def eval(fn: org.apache.spark.sql.connector.expressions.aggregate
+        .AggregateFunc, es: Seq[SnapshotTable.FileEntry]): Option[Any] =
+      fn match {
+        case _: CountStar =>
+          if (es.forall(_.rows >= 0))
+            Some(java.lang.Long.valueOf(es.map(_.rows).sum))
+          else None
+        case m: Min => refName(m.column).flatMap(minMax(es, _, true))
+        case m: Max => refName(m.column).flatMap(minMax(es, _, false))
+        case _ => None
+      }
+
+    def minMax(es: Seq[SnapshotTable.FileEntry], col: String,
+        wantMin: Boolean): Option[Any] = {
+      if (es.isEmpty) return None
+      val dt = full.find(_.name == col).map(_.dataType)
+        .getOrElse(return None)
+      val stats = es.map(e => SnapshotTable.decodeStats(e.stats).get(col))
+      if (stats.exists(_.isEmpty)) return None
+      val cs = stats.flatten
+      cs.head.typ match {
+        case 'L' =>
+          val vs = cs.map(c => (if (wantMin) c.min else c.max).toLong)
+          val x = if (wantMin) vs.min else vs.max
+          dt match {
+            case LongType => Some(java.lang.Long.valueOf(x))
+            case IntegerType | DateType =>
+              Some(Integer.valueOf(x.toInt))
+            case ShortType => Some(java.lang.Short.valueOf(x.toShort))
+            case ByteType => Some(java.lang.Byte.valueOf(x.toByte))
+            case _ => None
+          }
+        case 'D' =>
+          val vs = cs.map(c => (if (wantMin) c.min else c.max).toDouble)
+          val x = if (wantMin) vs.min else vs.max
+          dt match {
+            case DoubleType => Some(java.lang.Double.valueOf(x))
+            case FloatType => Some(java.lang.Float.valueOf(x.toFloat))
+            case _ => None
+          }
+        case _ => None // 'S': possible truncation — never push strings
+      }
+    }
+
+    def fieldOf(fn: org.apache.spark.sql.connector.expressions.aggregate
+        .AggregateFunc): Option[StructField] = fn match {
+      case _: CountStar =>
+        Some(StructField("count", LongType, nullable = false))
+      case m: Min => refName(m.column).flatMap(c =>
+        full.find(_.name == c).map(f => StructField(s"min($c)",
+          f.dataType)))
+      case m: Max => refName(m.column).flatMap(c =>
+        full.find(_.name == c).map(f => StructField(s"max($c)",
+          f.dataType)))
+      case _ => None
+    }
+
+    val fns = agg.aggregateExpressions.toSeq
+    val fields = fns.map(fieldOf)
+    if (fields.exists(_.isEmpty)) return None
+
+    val rows: Option[Seq[Seq[Any]]] =
+      if (grouped) {
+        val rs = perYear.map { case (y, es) =>
+          val vals = fns.map(eval(_, es))
+          if (vals.exists(_.isEmpty)) None
+          else Some(Integer.valueOf(y) +: vals.map(_.get))
+        }
+        if (rs.exists(_.isEmpty)) None else Some(rs.map(_.get))
+      } else {
+        val es = perYear.flatMap(_._2)
+        // MIN/MAX over zero files is NULL — only the pure-count shape
+        // answers an empty scope (count 0)
+        if (es.isEmpty && fns.exists(!_.isInstanceOf[CountStar])) None
+        else {
+          val vals = fns.map(eval(_, es))
+          if (vals.exists(_.isEmpty)) None else Some(Seq(vals.map(_.get)))
+        }
+      }
+
+    rows.map { rs =>
+      val schema = StructType(
+        (if (grouped)
+          Seq(StructField("pt_year", IntegerType, nullable = false))
+        else Nil) ++ fields.map(_.get))
+      val isCountOnly = fns.forall(_.isInstanceOf[CountStar])
+      val desc =
+        if (!grouped && isCountOnly && fns.length == 1)
+          s"COUNT(*)=${rs.head.head} from manifest row counts"
+        else if (grouped && isCountOnly && fns.length == 1)
+          "COUNT(*) GROUP BY pt_year from manifest row counts " +
+            s"(${rs.size} groups)"
+        else
+          fns.map {
+            case _: CountStar => "COUNT(*)"
+            case m: Min => s"MIN(${refName(m.column).get})"
+            case m: Max => s"MAX(${refName(m.column).get})"
+            case o => o.toString
+          }.mkString("", ", ",
+            (if (grouped) " GROUP BY pt_year" else "") +
+              " from manifest stats")
+      (schema, rs, desc)
     }
   }
 
-  /** The grouped twin: `GROUP BY pt_year` + CountStar answers as the
-    * per-PARTITION manifest sums (pt_year is the partition key, so a
-    * partition manifest's row counts sum to exactly its group's
-    * cardinality; empty partitions hold no pointer and correctly
-    * contribute no group row). Same refusal guards as the global
-    * count. */
-  private def groupedCountFromManifest: Option[Seq[(Int, Long)]] = {
-    val v = pinnedVersion.getOrElse(SnapshotTable.versions(root).max)
-    if (SnapshotTable.dvOf(root, v).nonEmpty) None
-    else {
-      val perYear = SnapshotTable.partitionStatEntries(root, v,
-        SnapshotTable.pointers(root, v).keys.toSeq)
-      if (perYear.forall(_._2.forall(_.rows >= 0)))
-        Some(perYear.map { case (y, es) => y -> es.map(_.rows).sum })
-      else None
-    }
-  }
-
-  private def isCountStarAgg(
-      agg: org.apache.spark.sql.connector.expressions.aggregate
-        .Aggregation): Boolean =
-    agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head.isInstanceOf[
-        org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
-      pushed.isEmpty && ranges.isEmpty
-
-  private def isPlainCountStar(
-      agg: org.apache.spark.sql.connector.expressions.aggregate
-        .Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && isCountStarAgg(agg)
-
-  private def isPtYearCountStar(
-      agg: org.apache.spark.sql.connector.expressions.aggregate
-        .Aggregation): Boolean =
-    isCountStarAgg(agg) && agg.groupByExpressions.length == 1 &&
-      (agg.groupByExpressions.head match {
-        case r: org.apache.spark.sql.connector.expressions
-          .NamedReference => r.fieldNames.sameElements(Array("pt_year"))
-        case _ => false
-      })
+  private var pushedAgg: Option[(StructType, Seq[Seq[Any]], String)] =
+    None
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate
-        .Aggregation): Boolean =
-    (isPlainCountStar(agg) && countFromManifest.isDefined) ||
-      (isPtYearCountStar(agg) && groupedCountFromManifest.isDefined)
-
-  private var groupedCountPushed = false
+        .Aggregation): Boolean = manifestAgg(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean = {
-    val ok = supportCompletePushDown(agg)
-    if (ok) {
-      if (isPlainCountStar(agg)) countPushed = true
-      else groupedCountPushed = true
-    }
-    ok
+    // accept ONLY complete pushdown: these are final values, not
+    // partials for Spark to re-aggregate
+    pushedAgg = manifestAgg(agg)
+    pushedAgg.isDefined
   }
 
   private def comparable(v: Any): Boolean = v match {
@@ -1103,7 +1326,28 @@ private[sources] class SnapshotScanBuilder(root: String,
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val used = filters.filter {
+    // pt_year partition conjuncts (=, <=>, IN over ints) are CONSUMED
+    // — partition manifests are keyed by pt_year and every row in a
+    // partition's files carries exactly that key, so selecting the
+    // named partitions IS the filter, exactly (Spark drops the
+    // residual, which is what lets it offer aggregate pushdown on
+    // partition-scoped queries). Everything else stays residual:
+    // its stat-range pruning is file-granular, not exact.
+    val (yearFs, rest) = filters.partition {
+      // isnotnull(pt_year) — Spark's inferred companion of every
+      // pt_year conjunct — consumes as a NO-OP: the partition key is
+      // non-null on every stored row by construction (write paths
+      // reject NULL pt_year loudly), and leaving it residual would
+      // block aggregate pushdown on partition-scoped queries
+      case IsNotNull("pt_year") => true
+      case f => SnapshotFilters.yearBound(f).isDefined
+    }
+    yearFs.foreach { f =>
+      SnapshotFilters.yearBound(f).foreach { ys =>
+        consumedYears = Some(consumedYears.fold(ys)(_.intersect(ys)))
+      }
+    }
+    statPushed = rest.filter {
       case EqualTo(c, v) if comparable(v) => tighten(c, v, v); true
       case GreaterThan(c, v) if comparable(v) => tighten(c, v, null); true
       case GreaterThanOrEqual(c, v) if comparable(v) =>
@@ -1113,8 +1357,8 @@ private[sources] class SnapshotScanBuilder(root: String,
         tighten(c, null, v); true
       case _ => false
     }
-    pushed = used
-    filters // EVERYTHING re-evaluates post-scan (file-granular pruning)
+    pushed = yearFs ++ statPushed
+    rest // non-partition filters re-evaluate post-scan
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -1122,87 +1366,50 @@ private[sources] class SnapshotScanBuilder(root: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    if (countPushed)
-      new SnapshotCountScan(root, countFromManifest.getOrElse(
-        throw new IllegalStateException(
-          "count pushdown accepted but the manifest count vanished — " +
-          "a concurrent commit raced the planning; retry the query")))
-    else if (groupedCountPushed)
-      new SnapshotGroupedCountScan(root, groupedCountFromManifest
-        .getOrElse(throw new IllegalStateException(
-          "grouped count pushdown accepted but the manifest counts " +
-          "vanished — a concurrent commit raced the planning; retry " +
-          "the query")))
-    else new SnapshotScan(root, required,
-      startingVersion, ranges.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) },
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, rows, desc)) =>
+      new SnapshotMetaAggScan(root, schema, rows, desc)
+    case None => new SnapshotScan(root, required,
+      startingVersion,
+      ranges.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) },
       pinnedVersion, ignoreDeletes, maxVersionsPerTrigger,
-      maxBytesPerTrigger)
+      maxBytesPerTrigger, consumedYears)
+  }
 }
 
-/** The completely-pushed COUNT(*) result: one partition, one row, one
-  * non-null bigint — resolved from manifest metadata at plan time. */
-private[sources] class SnapshotCountScan(root: String, count: Long)
+/** A completely-pushed manifest aggregation result: its rows were
+  * resolved from manifest metadata at PLAN time (COUNT from recorded
+  * row counts, MIN/MAX from recorded column stats), so the "scan" is
+  * one partition serving a handful of literal rows. Values are boxed
+  * Spark-internal primitives (int/long/double/float/short/byte) —
+  * string aggregates are never pushed. */
+private[sources] class SnapshotMetaAggScan(root: String,
+    schema: StructType, rows: Seq[Seq[Any]], desc: String)
     extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count", LongType, nullable = false)))
+  override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String =
-    s"graft-snapshot $root COUNT(*)=$count from manifest row counts"
+  override def description(): String = s"graft-snapshot $root $desc"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(SnapshotCountPartition(count))
+    Array(SnapshotMetaAggPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(
           p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private var served = false
-          private val n = p.asInstanceOf[SnapshotCountPartition].count
-          override def next(): Boolean =
-            if (served) false else { served = true; true }
-          override def get(): InternalRow =
-            new GenericInternalRow(Array[Any](n))
-          override def close(): Unit = ()
-        }
-    }
-}
-
-private[sources] case class SnapshotCountPartition(count: Long)
-    extends InputPartition
-
-/** The completely-pushed `GROUP BY pt_year` COUNT(*): one row per
-  * live partition, (pt_year, count) by position — resolved from the
-  * partition manifests' row-count sums at plan time. */
-private[sources] class SnapshotGroupedCountScan(root: String,
-    counts: Seq[(Int, Long)]) extends Scan with Batch {
-  override def readSchema(): StructType = StructType(Seq(
-    StructField("pt_year", IntegerType, nullable = false),
-    StructField("count", LongType, nullable = false)))
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"graft-snapshot $root COUNT(*) GROUP BY pt_year from manifest " +
-      s"row counts (${counts.size} groups)"
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(SnapshotGroupedCountPartition(counts))
-  override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(
-          p: InputPartition): PartitionReader[InternalRow] =
-        new PartitionReader[InternalRow] {
-          private val it = p.asInstanceOf[SnapshotGroupedCountPartition]
-            .counts.iterator
-          private var cur: (Int, Long) = _
+          private val it =
+            p.asInstanceOf[SnapshotMetaAggPartition].rows.iterator
+          private var cur: Seq[Any] = _
           override def next(): Boolean =
             if (it.hasNext) { cur = it.next(); true } else false
           override def get(): InternalRow =
-            new GenericInternalRow(Array[Any](cur._1, cur._2))
+            new GenericInternalRow(cur.toArray)
           override def close(): Unit = ()
         }
     }
 }
 
-private[sources] case class SnapshotGroupedCountPartition(
-    counts: Seq[(Int, Long)]) extends InputPartition
+private[sources] case class SnapshotMetaAggPartition(
+    rows: Seq[Seq[Any]]) extends InputPartition
 
 private[sources] class SnapshotScan(root: String, schema: StructType,
     startingVersion: Int,
@@ -1210,10 +1417,13 @@ private[sources] class SnapshotScan(root: String, schema: StructType,
     pinnedVersion: Option[Int] = None,
     ignoreDeletes: Boolean = false,
     maxVersionsPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None) extends Scan {
+    maxBytesPerTrigger: Option[Long] = None,
+    years: Option[Set[Int]] = None) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String =
     s"graft-snapshot $root " +
+      years.fold("")(ys =>
+        s"partitions=${ys.toSeq.sorted.mkString(",")} ") +
       pinnedVersion.fold(s"from v$startingVersion")(v => s"@v$v") +
       (if (ranges.isEmpty) ""
        else ranges.map { case (c, lo, hi) => s"$c in [$lo, $hi]" }
@@ -1238,22 +1448,47 @@ private[sources] class SnapshotScan(root: String, schema: StructType,
       .map(_.dataType)
       .getOrElse(org.apache.spark.sql.types.LongType)
 
+  // the pushed ranges ride to the reader too: manifest stats prune
+  // FILES here at plan time, parquet-mr prunes ROW GROUPS/pages inside
+  // the survivors executor-side (ParquetPredicates). The row-level
+  // rewrite scan (SnapshotGroupScan) deliberately does NOT do this —
+  // it must materialize every row of a matched group, non-matching
+  // rows included, because the replacement write copies them.
   private def readerFactory(dv: Option[(String, String, Char)] = None)
-      : PartitionReaderFactory =
+      : PartitionReaderFactory = {
+    // rename name-mapping comes from the READ version's recorded
+    // schema (the pruned `schema` param may drop field metadata)
+    val v = pinnedVersion.getOrElse(SnapshotTable.versions(root).max)
+    val aliases = SnapshotTable.tableSchema(root, v)
+      .map(SnapshotTable.colAliases).getOrElse(Map.empty)
     new GroupRowReaderFactory(schema.json, new SerializableConfiguration(
-      SparkSession.active.sparkContext.hadoopConfiguration), dv)
+      SparkSession.active.sparkContext.hadoopConfiguration), dv, ranges,
+      aliases)
+  }
 
   /** Batch read = the pinned version's (VERSION AS OF / versionAsOf)
     * or the HEAD's file list, manifest-stat-pruned by the pushed
     * ranges. A version with pending deletion vectors ships the
     * tombstone sidecar to every reader (executor-side hash filter,
     * JVM-cached) so merge-on-read deletes hold through SQL too. */
+  /** A version's in-scope entries: every partition's, or exactly the
+    * partitions a consumed pt_year conjunct selected (EXACT pruning —
+    * a partition's files hold only rows with its key, so no residual
+    * re-filter is needed or kept). */
+  private def scopedEntries(v: Int): Seq[SnapshotTable.FileEntry] =
+    years match {
+      case None => SnapshotTable.statEntries(root, v)
+      case Some(ys) =>
+        SnapshotTable.partitionStatEntries(root, v, ys.toSeq.sorted)
+          .flatMap(_._2)
+    }
+
   override def toBatch: Batch = {
     val v = pinnedVersion.getOrElse(SnapshotTable.versions(root).max)
     val dv = dvInfo(v)
     new Batch {
       override def planInputPartitions(): Array[InputPartition] =
-        SnapshotSplits.plan(SnapshotTable.statEntries(root, v)
+        SnapshotSplits.plan(scopedEntries(v)
           .filter(SnapshotTable.entryMatches(_, ranges)))
       override def createReaderFactory(): PartitionReaderFactory =
         readerFactory(dv)
@@ -1264,7 +1499,8 @@ private[sources] class SnapshotScan(root: String, schema: StructType,
     require(pinnedVersion.isEmpty,
       "a VERSION AS OF read is a batch snapshot — streams follow head")
     new SnapshotMicroBatchStream(root, startingVersion, readerFactory(),
-      ranges, ignoreDeletes, maxVersionsPerTrigger, maxBytesPerTrigger)
+      ranges, ignoreDeletes, maxVersionsPerTrigger, maxBytesPerTrigger,
+      years)
   }
 }
 
@@ -1310,7 +1546,8 @@ private[sources] class SnapshotMicroBatchStream(root: String,
     ranges: Seq[(String, Any, Any)] = Nil,
     ignoreDeletes: Boolean = false,
     maxVersionsPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    years: Option[Set[Int]] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
@@ -1379,15 +1616,37 @@ private[sources] class SnapshotMicroBatchStream(root: String,
   /** Version v's fresh entries: the manifest diff against its parent —
     * metadata only, DETERMINISTICALLY ordered (partition manifests are
     * path-sorted per year, years sorted), so a file-granular offset
-    * into the list is stable across restarts. v = 0 contributes its
-    * full list. */
+    * into the list is stable across restarts (a consumed-pt_year scope
+    * keeps an ordered SUBSEQUENCE, and the scope is fixed by the
+    * query's own filter, so offsets stay stable too). v = 0
+    * contributes its full list. */
   private def freshEntries(v: Int) = {
-    val cur = SnapshotTable.statEntries(root, v)
+    val cur = years match {
+      case None => SnapshotTable.statEntries(root, v)
+      case Some(ys) =>
+        SnapshotTable.partitionStatEntries(root, v, ys.toSeq.sorted)
+          .flatMap(_._2)
+    }
     if (v == 0) cur
     else {
       val parent = SnapshotTable.files(root, v - 1).toSet
       cur.filterNot(e => parent.contains(e.path))
     }
+  }
+
+  /** Delete-commit detection must see the UNSCOPED diff: a commit
+    * that appends files only to out-of-scope partitions while moving
+    * the deletion vector is not a pure delete (same semantics as the
+    * unscoped stream). */
+  private def freshAnywhere(v: Int): Boolean = years match {
+    case None => true // caller already has the unscoped list
+    case Some(_) =>
+      val cur = SnapshotTable.statEntries(root, v)
+      if (v == 0) cur.nonEmpty
+      else {
+        val parent = SnapshotTable.files(root, v - 1).toSet
+        cur.exists(e => !parent.contains(e.path))
+      }
   }
 
   override def planInputPartitions(start: Offset,
@@ -1404,6 +1663,7 @@ private[sources] class SnapshotMicroBatchStream(root: String,
         // ignoreDeletes contract (a REWRITE that purges re-emits its
         // partition and is covered by ignoreChanges semantics instead)
         if (!ignoreDeletes && fresh.isEmpty && v > 0 &&
+            !(years.isDefined && freshAnywhere(v)) &&
             SnapshotTable.dvOf(root, v) != SnapshotTable.dvOf(root, v - 1))
           throw new IllegalStateException(
             s"version $v of $root is a delete commit; an append stream " +
@@ -1468,9 +1728,19 @@ private[sources] object SnapshotSplits {
     math.max(1L, math.max(openCost, math.min(maxBytes, perCore)))
   }
 
-  /** Entries → input partitions, splitting files above the target. */
+  /** Entries → input partitions, splitting files above the target.
+    * The target is FLOORED at the configured row-group byte bound:
+    * a split smaller than one row group can never hold a group's
+    * midpoint, so sub-row-group targets would plan EMPTY tasks over
+    * files written with larger groups (legacy pre-r15 files carry
+    * ~128 MB groups) — correct but skewed parallelism. Files written
+    * under a DIFFERENT override than the current conf can still plan
+    * empty splits; those tasks open only the footer and cost ~ms. */
   def plan(entries: Seq[FileEntry]): Array[InputPartition] = {
-    val target = targetSplitBytes(SparkSession.active, entries)
+    val session = SparkSession.active
+    val floor = graft.operators.WriteOps.SnapshotTable.rowGroupBytes(
+      session.sparkContext.hadoopConfiguration)
+    val target = math.max(targetSplitBytes(session, entries), floor)
     entries.iterator.flatMap { e =>
       if (e.bytes <= target) Iterator(SnapshotFilePartition(e.path))
       else {
@@ -1537,6 +1807,110 @@ private[sources] object DvCache {
     })
 }
 
+/** Per-FILE parquet `FilterPredicate` construction from the scan's
+  * pushed conjunctive [lo, hi] bounds — the ROW-GROUP / PAGE /
+  * DICTIONARY skipping layer Spark's native parquet source gets from
+  * its own ParquetFilters (reference: easy_sql relies on each
+  * backend's storage-side predicate pushdown; this is the snapshot
+  * connector's). Soundness contract, same as the file-level manifest
+  * pruning: every pushed filter STAYS RESIDUAL in Spark, and a
+  * parquet predicate only ever DROPS rows/groups that CANNOT match a
+  * handled conjunct, so pushdown changes bytes decoded, never
+  * results. Hazards handled per file:
+  *
+  *  - TYPE DRIFT: the predicate must carry the FILE's physical type
+  *    (parquet validates it against the footer schema), so a column
+  *    widened by `ALTER COLUMN ... TYPE BIGINT` builds `intColumn`
+  *    bounds over pre-widen INT32 files (values clamped to the int
+  *    range — sound: int32 data lives inside that range, so the
+  *    clamped predicate is never stronger than the original);
+  *  - FLOAT/DOUBLE are NEVER pushed: Spark orders NaN greatest and
+  *    equal to itself, parquet evaluates IEEE comparisons, so a
+  *    record-level `gtEq(col, v)` would DROP a NaN row that Spark's
+  *    `col > v` KEEPS — manifest file-level stats (NaN-guarded at
+  *    collection) remain the only pruning for floating columns;
+  *  - columns ABSENT from the file (pre-evolution) or from the
+  *    projected read schema contribute nothing (their rows null-fill
+  *    and fail the residual anyway, but parquet would reject an
+  *    unknown predicate column loudly);
+  *  - NULL rows drop at record level exactly as the residual would
+  *    (every handled conjunct is null-rejecting in Spark too);
+  *  - strings compare as unsigned UTF-8 bytes on BOTH sides
+  *    (parquet's Binary comparator = UTF8String order). */
+private[sources] object ParquetPredicates {
+  import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+  import org.apache.parquet.io.api.Binary
+  import org.apache.parquet.schema.MessageType
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+  private def clampInt(v: Long): Int =
+    if (v > Int.MaxValue) Int.MaxValue
+    else if (v < Int.MinValue) Int.MinValue else v.toInt
+
+  private def integral(a: Any): Option[Long] = a match {
+    case n: java.lang.Long => Some(n.longValue)
+    case n: java.lang.Integer => Some(n.longValue)
+    case n: java.lang.Short => Some(n.longValue)
+    case n: java.lang.Byte => Some(n.longValue)
+    case _ => None
+  }
+
+  /** Conjunction over the handled (column, lo, hi) bounds, built
+    * against `schema` — the file's PROJECTED read schema, so types
+    * match the footer verbatim and every predicate column is one the
+    * record assembly actually reads. None = nothing pushable. */
+  def build(schema: MessageType,
+      ranges: Seq[(String, Any, Any)]): Option[FilterPredicate] = {
+    val conjuncts: Seq[FilterPredicate] = ranges.flatMap {
+      case (c, lo, hi) =>
+        val t =
+          if (schema.containsField(c))
+            Some(schema.getType(schema.getFieldIndex(c)))
+          else None
+        if (!t.exists(_.isPrimitive)) Nil
+        else t.get.asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT64 =>
+            val col = FilterApi.longColumn(c)
+            Option(lo).flatMap(integral).map(v => FilterApi.gtEq(col,
+                java.lang.Long.valueOf(v)): FilterPredicate).toSeq ++
+              Option(hi).flatMap(integral).map(v => FilterApi.ltEq(col,
+                java.lang.Long.valueOf(v)): FilterPredicate)
+          case PrimitiveTypeName.INT32 =>
+            val col = FilterApi.intColumn(c)
+            Option(lo).flatMap(integral).map(v => FilterApi.gtEq(col,
+                Integer.valueOf(clampInt(v))): FilterPredicate).toSeq ++
+              Option(hi).flatMap(integral).map(v => FilterApi.ltEq(col,
+                Integer.valueOf(clampInt(v))): FilterPredicate)
+          case PrimitiveTypeName.BINARY =>
+            val col = FilterApi.binaryColumn(c)
+            (lo match {
+              case s: String => Seq(FilterApi.gtEq(col,
+                Binary.fromString(s)): FilterPredicate)
+              case _ => Nil
+            }) ++ (hi match {
+              case s: String => Seq(FilterApi.ltEq(col,
+                Binary.fromString(s)): FilterPredicate)
+              case _ => Nil
+            })
+          case _ => Nil // FLOAT/DOUBLE (NaN hazard), INT96, fixed: no
+        }
+    }
+    conjuncts.reduceOption(FilterApi.and)
+  }
+}
+
+/** Diagnostic tap on the connector's partition readers: total rows
+  * EMITTED (post parquet-filter, post tombstone) across the JVM —
+  * local-mode specs read it to prove a pushed predicate actually
+  * reduced what the reader materialized. One add per reader CLOSE
+  * (a local counter on the hot path), so production cost is nil. */
+private[graft] object ReaderDiag {
+  private val rows = new java.util.concurrent.atomic.AtomicLong()
+  def reset(): Unit = rows.set(0L)
+  def emitted: Long = rows.get()
+  private[sources] def add(n: Long): Unit = rows.addAndGet(n)
+}
+
 /** Executor-side parquet→InternalRow reader over parquet-mr's Group
   * API (the public example read path — no Spark-private internals).
   * Column lookup is BY NAME so pre-evolution files null-fill columns
@@ -1545,7 +1919,9 @@ private[sources] object DvCache {
   * filtered DURING the scan (merge-on-read applied at the reader). */
 private[sources] class GroupRowReaderFactory(schemaJson: String,
     conf: SerializableConfiguration,
-    dv: Option[(String, String, Char)] = None)
+    dv: Option[(String, String, Char)] = None,
+    ranges: Seq[(String, Any, Any)] = Nil,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -1579,8 +1955,17 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
           HadoopInputFile.fromPath(new HPath(path), conf.value))
         val fileSchema =
           try fr.getFooter.getFileMetaData.getSchema finally fr.close()
-        val names = schema.fieldNames.toSet ++
-          dv.map(d => Set(d._2, "pt_year")).getOrElse(Set.empty)
+        // RENAME name mapping: a file written before `ALTER COLUMN
+        // RENAME` carries the column under an older physical name —
+        // resolve each logical name to the first alias-chain name the
+        // FILE actually holds (retired names are never re-issued, so
+        // the chain is unambiguous)
+        def physName(n: String): String =
+          (n +: aliases.getOrElse(n, Nil))
+            .find(fileSchema.containsField).getOrElse(n)
+        val names = (schema.fieldNames.toSet ++
+          dv.map(d => Set(d._2, "pt_year")).getOrElse(Set.empty))
+          .map(physName)
         def project(kept: Seq[org.apache.parquet.schema.Type]) = {
           val projected = new MessageType(fileSchema.getName, kept.asJava)
           c.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
@@ -1618,6 +2003,13 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
       // or closure maps — at 1.5M rows/file those dominated the scan
       // and their megamorphic call sites starved the JIT; see
       // SCALE.md's r14 connector-materialization entry) ----
+      /** Logical name → the projected schema's physical name (alias
+        * chain), for the column plan, the DV plan, and the parquet
+        * predicate — all keyed off what the FILE calls the column. */
+      private def physIn(n: String): String =
+        (n +: aliases.getOrElse(n, Nil))
+          .find(groupSchema.containsField).getOrElse(n)
+
       private val nCols = schema.fields.length
       private val colIdx = new Array[Int](nCols) // -1: file lacks col
       private val colTag = new Array[Byte](nCols)
@@ -1625,9 +2017,10 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
         var j = 0
         while (j < nCols) {
           val f = schema.fields(j)
-          if (!groupSchema.containsField(f.name)) colIdx(j) = -1
+          val pn = physIn(f.name)
+          if (!groupSchema.containsField(pn)) colIdx(j) = -1
           else {
-            val i = groupSchema.getFieldIndex(f.name)
+            val i = groupSchema.getFieldIndex(pn)
             colIdx(j) = i
             colTag(j) = f.dataType match {
               case LongType | TimestampType | TimestampNTZType => 0
@@ -1660,7 +2053,8 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
         * yearIdx, tag, keyIsInt32) — None when no DV applies or the
         * file predates the key/pt_year columns. */
       private val dvPlan: Option[(Int, Int, Char, Boolean)] = dv.flatMap {
-        case (_, keyCol, tag) =>
+        case (_, keyCol0, tag) =>
+          val keyCol = physIn(keyCol0)
           if (!groupSchema.containsField(keyCol) ||
               !groupSchema.containsField("pt_year")) None
           else {
@@ -1682,11 +2076,28 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
 
       // withFileRange serves exactly the row groups whose midpoint
       // falls in [start, end) — the whole-file default (0, MaxValue)
-      // admits every group, so unsplit partitions read unchanged
-      private val reader: ParquetReader[Group] =
-        ParquetReader.builder(new GroupReadSupport(), new HPath(path))
-          .withConf(readConf).withFileRange(fp.start, fp.end).build()
+      // admits every group, so unsplit partitions read unchanged.
+      // withFilter hands the pushed bounds to parquet-mr for
+      // row-group / page / dictionary / record skipping (see
+      // ParquetPredicates for the soundness contract; filters stay
+      // residual in Spark, so this only shrinks bytes decoded).
+      // Disable via the hadoop conf key for A/B measurement.
+      private val reader: ParquetReader[Group] = {
+        val b = ParquetReader.builder(new GroupReadSupport(),
+            new HPath(path))
+          .withConf(readConf).withFileRange(fp.start, fp.end)
+        val pred =
+          if (readConf.getBoolean(
+              "graft.snapshot.parquetFilterPushdown", true))
+            ParquetPredicates.build(groupSchema, ranges.map {
+              case (c, lo, hi) => (physIn(c), lo, hi)
+            })
+          else None
+        pred.fold(b)(p => b.withFilter(
+          org.apache.parquet.filter2.compat.FilterCompat.get(p))).build()
+      }
       private var cur: Group = _
+      private var emitted = 0L
 
       private def tombstoned(g: Group): Boolean = dvPlan match {
         case None => false
@@ -1709,6 +2120,7 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
       override def next(): Boolean = {
         cur = reader.read()
         while (cur != null && tombstoned(cur)) cur = reader.read()
+        if (cur != null) emitted += 1
         cur != null
       }
 
@@ -1738,7 +2150,10 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
         new GenericInternalRow(vals)
       }
 
-      override def close(): Unit = reader.close()
+      override def close(): Unit = {
+        ReaderDiag.add(emitted)
+        reader.close()
+      }
     }
   }
 }

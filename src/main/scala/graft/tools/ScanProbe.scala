@@ -1,0 +1,129 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.WriteOps.SnapshotTable
+
+/** r16 scan-path probe — four measurements SCALE.md records:
+  *
+  *  1. rowGroupBytes A/B (16/64/128 MB) on a compacted table: bytes
+  *     on disk (compression trade), split fan-out, warm full-scan
+  *     aggregate — what should the writer's row-group default be?
+  *  2. single-large-file split payoff: ONE ~100+ MB file read with
+  *     byte-range splits vs forced-whole — the multi-core cliff the
+  *     r15 splitter exists for, measured directly.
+  *  3. parquet predicate pushdown A/B: a selective filter over a
+  *     clustered (zordered) table with row-group/page skipping on vs
+  *     off, plus ReaderDiag's materialized-row counts.
+  *  4. reader constant: the connector's Group reader vs Spark's
+  *     vectorized parquet source over the same files (the r15 1.27×
+  *     control, re-measured after the r16 reader changes).
+  *
+  * Protocol: per-measurement reps printed individually; consume MINs
+  * (SCALE.md episode rule — co-tenant storms only ever raise times).
+  */
+object ScanProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/repo/testdata_sf10")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val hconf = spark.sparkContext.hadoopConfiguration
+
+    def t(label: String, reps: Int = 3)(f: => Any): Unit =
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime(); f
+        println(f"[probe] $label%-46s rep$i ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      }
+
+    val base = s"${sys.props("java.io.tmpdir")}/graft_scanprobe_${ProcessHandle.current.pid}"
+    val b = spark.read.parquet(s"$d/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("pt_year"))
+    val years = b.select("pt_year").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val nRows = b.count()
+    println(s"[probe] source rows=$nRows years=${years.mkString(",")}")
+
+    // ---- 1. rowGroupBytes A/B on the compacted shape ----
+    Seq(16, 64, 128).foreach { mb =>
+      hconf.setLong("graft.snapshot.rowGroupBytes", mb.toLong << 20)
+      val root = s"$base/rg$mb/t"
+      SnapshotTable.deleteTree(root)
+      SnapshotTable.commit(spark, root, 0, b.repartition(32), years)
+      SnapshotTable.optimize(spark, root, 1)
+      val es = SnapshotTable.statEntries(root, 1)
+      def df = spark.read.format("graft-snapshot")
+        .option("root", root).load()
+      println(s"[probe] rg=${mb}MB files=${es.size} " +
+        s"bytes=${es.map(_.bytes).sum} " +
+        s"splits=${df.rdd.getNumPartitions}")
+      t(s"rg=${mb}MB warm agg")(df.groupBy("pt_year")
+        .agg(count(lit(1)), sum("o_totalprice")).collect())
+    }
+    hconf.setLong("graft.snapshot.rowGroupBytes", 16L << 20)
+
+    // ---- 2. single-large-file split payoff ----
+    val big = s"$base/bigfile/t"
+    SnapshotTable.deleteTree(big)
+    val y0 = years.head
+    SnapshotTable.commit(spark, big, 0,
+      b.filter(col("pt_year") === y0).coalesce(1), Seq(y0))
+    val bes = SnapshotTable.statEntries(big, 0)
+    println(s"[probe] bigfile files=${bes.size} bytes=${bes.map(_.bytes).sum}")
+    def bdf = spark.read.format("graft-snapshot").option("root", big).load()
+    println(s"[probe] bigfile split fan-out = ${bdf.rdd.getNumPartitions}")
+    t("bigfile agg WITH splits")(bdf.groupBy("pt_year")
+      .agg(count(lit(1)), countDistinct("o_orderkey"),
+        sum("o_totalprice")).collect())
+    spark.conf.set("spark.sql.files.openCostInBytes", (1L << 40).toString)
+    println(s"[probe] bigfile forced-whole fan-out = ${bdf.rdd.getNumPartitions}")
+    t("bigfile agg FORCED WHOLE")(bdf.groupBy("pt_year")
+      .agg(count(lit(1)), countDistinct("o_orderkey"),
+        sum("o_totalprice")).collect())
+    spark.conf.unset("spark.sql.files.openCostInBytes")
+
+    // ---- 3. predicate pushdown A/B over a clustered layout ----
+    val zt = s"$base/zorder/t"
+    SnapshotTable.deleteTree(zt)
+    SnapshotTable.commit(spark, zt, 0, b.repartition(32), years)
+    SnapshotTable.optimize(spark, zt, 1, zorderBy = Seq("o_orderkey"))
+    def zdf = spark.read.format("graft-snapshot").option("root", zt).load()
+    val keyHi = nRows * 4 // orderkey space is ~4x row count in tpch
+    val (lo, hi) = (keyHi / 2, keyHi / 2 + keyHi / 1000)
+    def selective() = zdf
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+      .agg(count(lit(1)), sum("o_totalprice")).collect()
+    graft.sources.ReaderDiag.reset()
+    t("selective filter PUSHDOWN ON")(selective())
+    println(s"[probe] pushdown-on rows materialized = " +
+      s"${graft.sources.ReaderDiag.emitted / 3}")
+    hconf.setBoolean("graft.snapshot.parquetFilterPushdown", false)
+    graft.sources.ReaderDiag.reset()
+    t("selective filter PUSHDOWN OFF")(selective())
+    println(s"[probe] pushdown-off rows materialized = " +
+      s"${graft.sources.ReaderDiag.emitted / 3}")
+    hconf.unset("graft.snapshot.parquetFilterPushdown")
+
+    // ---- 4. reader constant vs vectorized control ----
+    val files = SnapshotTable.files(zt, 1)
+    def vdf = spark.read.parquet(files: _*)
+    t("connector whole-scan agg")(zdf.groupBy("pt_year")
+      .agg(count(lit(1)), sum("o_totalprice"),
+        sum("o_custkey")).collect())
+    t("vectorized control agg")(vdf.groupBy("pt_year")
+      .agg(count(lit(1)), sum("o_totalprice"),
+        sum("o_custkey")).collect())
+    // the narrow-projection shape (column pruning on both sides)
+    t("connector 1-col sum")(zdf.agg(sum("o_totalprice")).collect())
+    t("vectorized 1-col sum")(vdf.agg(sum("o_totalprice")).collect())
+
+    SnapshotTable.deleteTree(base)
+    spark.stop()
+  }
+}

@@ -43,6 +43,77 @@ class SnapshotSourceSpec extends AnyFunSuite {
       .schema(src.schema).parquet(out)
   }
 
+  /** drain() with extra reader options (mid-history subscriptions). */
+  private def drainWith(root: String, ckpt: String, out: String,
+      opts: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    var rd = spark.readStream.format("graft-snapshot")
+      .option("root", root)
+    opts.foreach { case (k, v) => rd = rd.option(k, v) }
+    val src = rd.load()
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/b$id")
+      }
+      .start()
+    try { if (!q.awaitTermination(300000)) q.processAllAvailable() }
+    finally q.stop()
+    spark.read.option("recursiveFileLookup", "true")
+      .schema(src.schema).parquet(out)
+  }
+
+  test("startingVersion / startingTimestamp subscribe mid-history, " +
+      "exactly-once across a restart") {
+    val root = Files.createTempDirectory("g_src_midhist").toString
+    T.commit(spark, root, 0, frame((1L, 1, 1.0)), Seq(1))
+    T.commitAppend(spark, root, 1, frame((2L, 1, 2.0)))
+    T.commitAppend(spark, root, 2, frame((3L, 1, 3.0)))
+
+    // start at v1: v0's row never serves
+    val ck1 = Files.createTempDirectory("g_mid_ck1").toString
+    val out1 = Files.createTempDirectory("g_mid_out1").toString
+    val got1 = drainWith(root, ck1, out1,
+      Map("startingVersion" -> "1"))
+    assert(got1.select("k").collect().map(_.getLong(0)).toSet ===
+      Set(2L, 3L), "startingVersion=1 must serve [v1, head] only")
+
+    // restart from the same checkpoint: only versions committed since
+    T.commitAppend(spark, root, 3, frame((4L, 1, 4.0)))
+    val got1b = drainWith(root, ck1, out1,
+      Map("startingVersion" -> "1"))
+    assert(got1b.select("k").collect().map(_.getLong(0)).toSet ===
+      Set(2L, 3L, 4L), "restart lost or re-served rows")
+
+    // startingTimestamp resolves to the earliest version at/after it
+    val ts2 = T.commitTs(root, 2).get
+    val ck2 = Files.createTempDirectory("g_mid_ck2").toString
+    val out2 = Files.createTempDirectory("g_mid_out2").toString
+    val got2 = drainWith(root, ck2, out2,
+      Map("startingTimestamp" -> ts2.toString))
+    assert(got2.select("k").collect().map(_.getLong(0)).toSet ===
+      Set(3L, 4L), s"startingTimestamp=$ts2 must serve [v2, head]")
+
+    // a timestamp past every commit tails only FUTURE versions
+    val ck3 = Files.createTempDirectory("g_mid_ck3").toString
+    val out3 = Files.createTempDirectory("g_mid_out3").toString
+    val tsFuture = T.commitTs(root, 3).get + 1
+    drainWith(root, ck3, out3,
+      Map("startingTimestamp" -> tsFuture.toString))
+    T.commitAppend(spark, root, 4, frame((5L, 1, 5.0)))
+    val got3 = drainWith(root, ck3, out3,
+      Map("startingTimestamp" -> tsFuture.toString))
+    assert(got3.select("k").collect().map(_.getLong(0)).toSet ===
+      Set(5L), "a future-dated subscription must serve only new commits")
+
+    // both options together refuse
+    intercept[Exception] {
+      drainWith(root, Files.createTempDirectory("g_mid_ck4").toString,
+        Files.createTempDirectory("g_mid_out4").toString,
+        Map("startingVersion" -> "1", "startingTimestamp" -> "0"))
+    }
+  }
+
   test("batch read resolves the head version through the registered short name") {
     val root = Files.createTempDirectory("g_src_batch").toString
     T.commit(spark, root, 0, frame((1L, 1, 1.0), (2L, 2, 2.0)), Seq(1, 2))
@@ -243,14 +314,14 @@ class SnapshotSourceSpec extends AnyFunSuite {
       "SELECT k FROM lakespec.orders_t WHERE k >= 9")
       .collect().map(_.getLong(0)).toSet === Set(9L))
     // DDL through the catalog (r14: ALTER TABLE ADD COLUMN lands as a
-    // schema-bump commit; RENAME still refuses — roots are immutable;
-    // DROP removes the root; SqlDdlSpec owns the full matrix)
+    // schema-bump commit; r16: RENAME COLUMN lands as a name-mapping
+    // commit; DROP removes the root; SqlDdlSpec owns the full matrix)
     spark.sql("ALTER TABLE lakespec.orders_t ADD COLUMN xx DOUBLE")
     assert(spark.sql("SELECT xx FROM lakespec.orders_t")
       .collect().forall(_.isNullAt(0)), "carried files must null-fill")
-    intercept[Exception] {
-      spark.sql("ALTER TABLE lakespec.orders_t RENAME COLUMN xx TO y")
-    }
+    spark.sql("ALTER TABLE lakespec.orders_t RENAME COLUMN xx TO y")
+    assert(spark.sql("SELECT y FROM lakespec.orders_t")
+      .collect().forall(_.isNullAt(0)), "rename lost the null-fill")
     spark.sql("DROP TABLE lakespec.orders_t")
     intercept[Exception] {
       spark.sql("SELECT count(*) FROM lakespec.orders_t").collect()

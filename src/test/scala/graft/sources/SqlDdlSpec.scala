@@ -100,13 +100,82 @@ class SqlDdlSpec extends AnyFunSuite {
     // VERSION AS OF the pre-evolution version serves the OLD schema
     assert(spark.sql(s"SELECT * FROM $cat.ta VERSION AS OF 1")
       .schema.fieldNames.toSeq === Seq("k", "pt_year"))
-    // type changes / renames / drops keep refusing
-    intercept[Exception](spark.sql(
-      s"ALTER TABLE $cat.ta DROP COLUMN extra"))
-    intercept[Exception](spark.sql(
-      s"ALTER TABLE $cat.ta RENAME COLUMN extra TO extra2"))
     intercept[Exception](spark.sql(
       s"ALTER TABLE $cat.ta ADD COLUMN extra DOUBLE")) // duplicate
+  }
+
+  test("ALTER COLUMN RENAME is an O(1-manifest) name-mapping commit: " +
+      "old files resolve by alias, VERSION AS OF keeps the old name") {
+    val (cat, base) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.trn (k BIGINT, pt_year INT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.trn VALUES (1, 2023, 1.5)")
+    val root = s"$base/trn"
+    val preFiles = T.files(root, 1)
+    spark.sql(s"ALTER TABLE $cat.trn RENAME COLUMN v TO score")
+    // pure schema bump: no data file moved
+    assert(T.versions(root) === Seq(0, 1, 2))
+    assert(T.files(root, 2) === preFiles, "RENAME touched data files")
+    // the pre-rename file serves its DATA under the new name
+    assert(spark.sql(s"SELECT score FROM $cat.trn").collect()
+      .head.getDouble(0) === 1.5)
+    // a post-rename write mixes with it under one schema
+    spark.sql(s"INSERT INTO $cat.trn VALUES (2, 2023, 2.5)")
+    assert(spark.sql(s"SELECT k, score FROM $cat.trn ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 1.5), (2L, 2.5)))
+    // filters on the renamed column stay exact across generations
+    assert(spark.sql(
+      s"SELECT k FROM $cat.trn WHERE score <= 2.0").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+    // VERSION AS OF a pre-rename version serves the OLD name verbatim
+    val v1 = spark.sql(s"SELECT * FROM $cat.trn VERSION AS OF 1")
+    assert(v1.schema.fieldNames.toSeq === Seq("k", "pt_year", "v"))
+    assert(v1.collect().map(_.getDouble(2)).toSeq === Seq(1.5))
+    // the old physical name is retired: re-adding it would resurrect
+    // stale values from pre-rename files
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.trn ADD COLUMN v DOUBLE"))
+    assert(e.getMessage.contains("retired"))
+    // chained rename keeps the whole alias chain readable
+    spark.sql(s"ALTER TABLE $cat.trn RENAME COLUMN score TO points")
+    assert(spark.sql(s"SELECT k, points FROM $cat.trn ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 1.5), (2L, 2.5)))
+    // pt_year stays immutable
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.trn RENAME COLUMN pt_year TO year"))
+  }
+
+  test("ALTER TABLE DROP COLUMN is a projection bump: files untouched, " +
+      "the name retires, maintenance rewrites keep renamed data") {
+    val (cat, base) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.tdr " +
+      "(k BIGINT, pt_year INT, junk STRING, v DOUBLE)")
+    spark.sql(
+      s"INSERT INTO $cat.tdr VALUES (1, 2023, 'x', 1.5)")
+    val root = s"$base/tdr"
+    val preFiles = T.files(root, 1)
+    spark.sql(s"ALTER TABLE $cat.tdr DROP COLUMN junk")
+    assert(T.versions(root) === Seq(0, 1, 2))
+    assert(T.files(root, 2) === preFiles, "DROP touched data files")
+    assert(spark.sql(s"SELECT * FROM $cat.tdr").schema.fieldNames
+      .toSeq === Seq("k", "pt_year", "v"))
+    // VERSION AS OF pre-drop still serves the column
+    assert(spark.sql(s"SELECT junk FROM $cat.tdr VERSION AS OF 1")
+      .collect().head.getString(0) === "x")
+    // re-ADD of the dropped name refuses (old files still carry it)
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.tdr ADD COLUMN junk STRING"))
+    assert(e.getMessage.contains("retired"))
+    // rename + later maintenance rewrite: the REWRITE must carry the
+    // renamed column's data (a by-name read would null it)
+    spark.sql(s"ALTER TABLE $cat.tdr RENAME COLUMN v TO score")
+    spark.sql(s"INSERT INTO $cat.tdr VALUES (2, 2023, 2.5)")
+    T.optimize(spark, root, T.versions(root).max + 1)
+    val rows = spark.sql(s"SELECT k, score FROM $cat.tdr ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows === Seq((1L, 1.5), (2L, 2.5)),
+      "compaction after RENAME lost pre-rename column data")
   }
 
   test("ALTER COLUMN TYPE widens int→bigint / float→double; old files " +

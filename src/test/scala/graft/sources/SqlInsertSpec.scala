@@ -107,6 +107,22 @@ class SqlInsertSpec extends AnyFunSuite {
     assert(e.getMessage.contains("PARTITION-scoped"))
   }
 
+  test("an overwrite batch with NULL pt_year errors loudly (not NPE)") {
+    val (cat, base) = freshCatalog()
+    val root = s"$base/tnull"
+    T.commit(spark, root, 0, frame((1L, 1, 10.0)), Seq(1))
+    val e = intercept[Exception](spark.sql(
+      s"INSERT OVERWRITE $cat.tnull " +
+      "SELECT CAST(7 AS BIGINT), CAST(NULL AS INT), 70.0"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("NULL pt_year")),
+      s"wanted the loud scope error, got: ${messages(e)}")
+    // the failed statement committed nothing
+    assert(T.versions(root) === Seq(0))
+  }
+
   test("a version-pinned table refuses writes") {
     val (_, base) = freshCatalog()
     val root = s"$base/t3"
