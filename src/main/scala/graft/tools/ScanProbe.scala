@@ -26,6 +26,11 @@ import graft.operators.WriteOps.SnapshotTable
 object ScanProbe {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/repo/testdata_sf10")
+    // args(1): comma-separated phase list (default all) — storms on
+    // this host force phase-targeted re-runs
+    val phases: Set[Int] = args.lift(1)
+      .map(_.split(',').map(_.trim.toInt).toSet)
+      .getOrElse(Set(1, 2, 3, 4))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -51,7 +56,7 @@ object ScanProbe {
     println(s"[probe] source rows=$nRows years=${years.mkString(",")}")
 
     // ---- 1. rowGroupBytes A/B on the compacted shape ----
-    Seq(16, 64, 128).foreach { mb =>
+    if (phases(1)) Seq(16, 64, 128).foreach { mb =>
       hconf.setLong("graft.snapshot.rowGroupBytes", mb.toLong << 20)
       val root = s"$base/rg$mb/t"
       SnapshotTable.deleteTree(root)
@@ -69,48 +74,64 @@ object ScanProbe {
     hconf.setLong("graft.snapshot.rowGroupBytes", 16L << 20)
 
     // ---- 2. single-large-file split payoff ----
+    // the cliff shape the splitter exists for: ONE ~180 MB file (all
+    // 15M rows forced into one partition), scan-bound aggregate (no
+    // distinct — its shuffle would mask the scan)
     val big = s"$base/bigfile/t"
+    if (phases(2)) {
     SnapshotTable.deleteTree(big)
-    val y0 = years.head
     SnapshotTable.commit(spark, big, 0,
-      b.filter(col("pt_year") === y0).coalesce(1), Seq(y0))
+      b.withColumn("pt_year", lit(1995)).coalesce(1), Seq(1995))
     val bes = SnapshotTable.statEntries(big, 0)
     println(s"[probe] bigfile files=${bes.size} bytes=${bes.map(_.bytes).sum}")
     def bdf = spark.read.format("graft-snapshot").option("root", big).load()
+    def bagg() = bdf.agg(count(lit(1)), sum("o_totalprice"),
+      sum("o_custkey"), sum("o_orderkey")).collect()
     println(s"[probe] bigfile split fan-out = ${bdf.rdd.getNumPartitions}")
-    t("bigfile agg WITH splits")(bdf.groupBy("pt_year")
-      .agg(count(lit(1)), countDistinct("o_orderkey"),
-        sum("o_totalprice")).collect())
+    t("bigfile agg WITH splits")(bagg())
     spark.conf.set("spark.sql.files.openCostInBytes", (1L << 40).toString)
     println(s"[probe] bigfile forced-whole fan-out = ${bdf.rdd.getNumPartitions}")
-    t("bigfile agg FORCED WHOLE")(bdf.groupBy("pt_year")
-      .agg(count(lit(1)), countDistinct("o_orderkey"),
-        sum("o_totalprice")).collect())
+    t("bigfile agg FORCED WHOLE")(bagg())
     spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
 
     // ---- 3. predicate pushdown A/B over a clustered layout ----
     val zt = s"$base/zorder/t"
+    if (phases(3) || phases(4)) {
     SnapshotTable.deleteTree(zt)
     SnapshotTable.commit(spark, zt, 0, b.repartition(32), years)
     SnapshotTable.optimize(spark, zt, 1, zorderBy = Seq("o_orderkey"))
+    }
     def zdf = spark.read.format("graft-snapshot").option("root", zt).load()
-    val keyHi = nRows * 4 // orderkey space is ~4x row count in tpch
-    val (lo, hi) = (keyHi / 2, keyHi / 2 + keyHi / 1000)
+    // RANK-based 0.1%-of-rows window (the sf10 key space is sparse —
+    // 15M rows over [0, 99B] — so a value-mid window can miss all rows)
+    val qs = spark.read.parquet(s"$d/orders.parquet")
+      .stat.approxQuantile("o_orderkey", Array(0.5, 0.501), 0.0001)
+    val (lo, hi) = (qs(0).toLong, math.max(qs(1).toLong, qs(0).toLong + 1))
+    println(s"[probe] selective window [$lo, $hi]")
+    if (phases(3)) {
     def selective() = zdf
       .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
-      .agg(count(lit(1)), sum("o_totalprice")).collect()
+      .agg(count(lit(1)), sum("o_totalprice")).collect().head
     graft.sources.ReaderDiag.reset()
-    t("selective filter PUSHDOWN ON")(selective())
+    var onRes: org.apache.spark.sql.Row = null
+    t("selective filter PUSHDOWN ON")({ onRes = selective() })
     println(s"[probe] pushdown-on rows materialized = " +
-      s"${graft.sources.ReaderDiag.emitted / 3}")
+      s"${graft.sources.ReaderDiag.emitted / 3} result=$onRes")
     hconf.setBoolean("graft.snapshot.parquetFilterPushdown", false)
     graft.sources.ReaderDiag.reset()
-    t("selective filter PUSHDOWN OFF")(selective())
+    var offRes: org.apache.spark.sql.Row = null
+    t("selective filter PUSHDOWN OFF")({ offRes = selective() })
     println(s"[probe] pushdown-off rows materialized = " +
-      s"${graft.sources.ReaderDiag.emitted / 3}")
+      s"${graft.sources.ReaderDiag.emitted / 3} result=$offRes")
+    require(onRes == offRes,
+      s"pushdown changed results: $onRes vs $offRes")
+    require(onRes.getLong(0) > 0, "selective window matched no rows")
     hconf.unset("graft.snapshot.parquetFilterPushdown")
+    }
 
     // ---- 4. reader constant vs vectorized control ----
+    if (phases(4)) {
     val files = SnapshotTable.files(zt, 1)
     def vdf = spark.read.parquet(files: _*)
     t("connector whole-scan agg")(zdf.groupBy("pt_year")
@@ -122,6 +143,7 @@ object ScanProbe {
     // the narrow-projection shape (column pruning on both sides)
     t("connector 1-col sum")(zdf.agg(sum("o_totalprice")).collect())
     t("vectorized 1-col sum")(vdf.agg(sum("o_totalprice")).collect())
+    }
 
     SnapshotTable.deleteTree(base)
     spark.stop()
