@@ -640,8 +640,13 @@ object WriteOps {
     /** One column's recorded bounds. `typ`: 'L' integral/date (ordered
       * as Long), 'D' double/float (ordered as Double), 'S' string
       * (ordered as unsigned UTF-8 bytes — parquet's UTF8 order). Values
-      * are Base64 so the blob stays tab/semicolon-free. */
-    private[graft] case class ColStat(typ: Char, min: String, max: String)
+      * are Base64 so the blob stays tab/semicolon-free. `nulls`: the
+      * file's exact NULL count for the column (r16, from the same
+      * footer read; −1 on pre-r16 blobs or when any row group left
+      * null counts unset) — what `IS NULL` file pruning and
+      * `COUNT(col)` pushdown consume. */
+    private[graft] case class ColStat(typ: Char, min: String,
+        max: String, nulls: Long = -1L)
 
     private def b64e(s: String): String =
       java.util.Base64.getUrlEncoder.withoutPadding
@@ -649,16 +654,22 @@ object WriteOps {
     private def b64d(s: String): String =
       new String(java.util.Base64.getUrlDecoder.decode(s), UTF_8)
 
+    // blob grammar: b64(col):typ:b64(min):b64(max)[:nulls] — the
+    // optional 5th field degrades to unknown on both sides (old
+    // blobs parse without it, old parsers would have ignored it had
+    // they existed; only this engine reads these blobs)
     private def encodeStats(m: Map[String, ColStat]): String =
       m.toSeq.sortBy(_._1).map { case (c, st) =>
-        s"${b64e(c)}:${st.typ}:${b64e(st.min)}:${b64e(st.max)}"
+        val base = s"${b64e(c)}:${st.typ}:${b64e(st.min)}:${b64e(st.max)}"
+        if (st.nulls >= 0) s"$base:${st.nulls}" else base
       }.mkString(";")
 
     private[graft] def decodeStats(s: String): Map[String, ColStat] =
       if (s.isEmpty) Map.empty
       else s.split(';').iterator.map { part =>
         val t = part.split(':')
-        b64d(t(0)) -> ColStat(t(1).charAt(0), b64d(t(2)), b64d(t(3)))
+        b64d(t(0)) -> ColStat(t(1).charAt(0), b64d(t(2)), b64d(t(3)),
+          if (t.length >= 5) t(4).toLong else -1L)
       }.toMap
 
     /** Columns worth indexing, capped at 32 (Delta's
@@ -700,6 +711,10 @@ object WriteOps {
         // col -> (typ, running min repr, running max repr, stillValid)
         val acc = scala.collection.mutable.Map[String, ColStat]()
         val dead = scala.collection.mutable.Set[String]()
+        // exact per-column null counts (r16): valid only when EVERY
+        // row group set them; unknown degrades to −1 (never wrong)
+        val nullsAcc = scala.collection.mutable.Map[String, Long]()
+        val nullsDead = scala.collection.mutable.Set[String]()
         def utf8lt(a: String, b: String): Boolean = {
           val x = a.getBytes(UTF_8); val y = b.getBytes(UTF_8)
           val n = math.min(x.length, y.length)
@@ -716,6 +731,10 @@ object WriteOps {
             val name = cc.getPath.toDotString
             cols.get(name).foreach { typ =>
               val st = cc.getStatistics
+              if (st != null && st.isNumNullsSet)
+                nullsAcc(name) = nullsAcc.getOrElse(name, 0L) +
+                  st.getNumNulls
+              else nullsDead += name
               val ok = st != null && !st.isEmpty && st.hasNonNullValue
               if (!ok) dead += name
               else {
@@ -755,7 +774,19 @@ object WriteOps {
             }
           }
         }
-        ((acc -- dead).toMap, rowCount)
+        val withNulls = (acc -- dead).map { case (c, cs) =>
+          c -> (if (nullsDead.contains(c)) cs
+                else cs.copy(nulls = nullsAcc.getOrElse(c, -1L)))
+        }
+        // columns with NO usable bounds (typically all-NULL in this
+        // file) but an exact null count get a BOUNDS-LESS entry
+        // (min = max = ""): range pruning ignores it, while
+        // COUNT(col) and IS NULL pruning stay answerable
+        val boundless = (dead -- nullsDead).flatMap { c =>
+          for { typ <- cols.get(c); n <- nullsAcc.get(c) }
+            yield c -> ColStat(typ, "", "", n)
+        }.toMap
+        ((withNulls ++ boundless).toMap, rowCount)
       } finally rd.close()
     }
 
@@ -817,6 +848,10 @@ object WriteOps {
       preds.forall { case (column, lo, hi) =>
         st.get(column) match {
           case None => true // no stats — cannot prune, stay correct
+          // bounds-less entry (all-null file recording only a null
+          // count) or a degenerate empty-string bound: range pruning
+          // has nothing sound to compare — keep the file
+          case Some(cs) if cs.min.isEmpty || cs.max.isEmpty => true
           case Some(cs) => cs.typ match {
             case 'L' =>
               (hi == null || toL(hi) >= cs.min.toLong) &&
@@ -838,6 +873,30 @@ object WriteOps {
         }
       }
     }
+
+    /** Can this file hold a row with NULL in `col`? False only when
+      * its stats RECORD zero nulls (r16 null counts) — `IS NULL`
+      * file pruning. Unknown (legacy blob, unindexed or renamed-away
+      * column, all-null file whose stats dropped) conservatively
+      * keeps the file. */
+    private[graft] def entryCanHaveNull(e: FileEntry,
+        col: String): Boolean =
+      decodeStats(e.stats).get(col) match {
+        case Some(cs) => cs.nulls != 0
+        case None => true
+      }
+
+    /** Can this file hold a row with a NON-null `col`? False only
+      * when the recorded null count equals the recorded row count —
+      * the all-null file an `IS NOT NULL` conjunct can skip without
+      * opening. */
+    private[graft] def entryCanHaveValue(e: FileEntry,
+        col: String): Boolean =
+      decodeStats(e.stats).get(col) match {
+        case Some(cs) => !(cs.nulls >= 0 && e.rows >= 0 &&
+          cs.nulls == e.rows)
+        case None => true
+      }
 
     private def toL(a: Any): Long = a match {
       case n: Number => n.longValue()
@@ -2973,7 +3032,8 @@ object WriteOps {
             cast(max(o_orderkey) AS bigint) AS k_hi,
             cast(min(o_totalprice) AS double) AS p_lo,
             cast(max(o_totalprice) AS double) AS p_hi,
-            cast(count(*) AS bigint) AS cnt
+            cast(count(*) AS bigint) AS cnt,
+            cast(count(o_custkey) AS bigint) AS cnt_ck
           FROM mmmeta_$tname
           UNION ALL
           SELECT 'y1995',
@@ -2981,7 +3041,8 @@ object WriteOps {
             cast(max(o_orderkey) AS bigint),
             cast(min(o_totalprice) AS double),
             cast(max(o_totalprice) AS double),
-            cast(count(*) AS bigint)
+            cast(count(*) AS bigint),
+            cast(count(o_custkey) AS bigint)
           FROM mmmeta_$tname WHERE pt_year = 1995""")
   }
 
@@ -4515,14 +4576,15 @@ object WriteOps {
     // manifest-stats MIN/MAX (exact footer bounds) + the
     // partition-scoped twin answered from one partition's manifest
     "scan_minmax_meta" ->
-      """WITH t AS (SELECT o_orderkey, o_totalprice,
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
              cast(year(o_orderdate) AS int) AS pt_year FROM orders)
          SELECT 'all' AS scope,
            cast(min(o_orderkey) AS bigint) AS k_lo,
            cast(max(o_orderkey) AS bigint) AS k_hi,
            cast(min(o_totalprice) AS double) AS p_lo,
            cast(max(o_totalprice) AS double) AS p_hi,
-           cast(count(*) AS bigint) AS cnt
+           cast(count(*) AS bigint) AS cnt,
+           cast(count(o_custkey) AS bigint) AS cnt_ck
          FROM t
          UNION ALL
          SELECT 'y1995',
@@ -4530,7 +4592,8 @@ object WriteOps {
            cast(max(o_orderkey) AS bigint),
            cast(min(o_totalprice) AS double),
            cast(max(o_totalprice) AS double),
-           cast(count(*) AS bigint)
+           cast(count(*) AS bigint),
+           cast(count(o_custkey) AS bigint)
          FROM t WHERE pt_year = 1995""",
 
     // pre-rename files (footers say `ck`) and post-rename files

@@ -1158,7 +1158,7 @@ private[sources] class SnapshotScanBuilder(root: String,
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Option[(StructType, Seq[Seq[Any]], String)] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     if (statPushed.nonEmpty || ranges.nonEmpty) return None
     val v = pinnedVersion.getOrElse(SnapshotTable.versions(root).max)
     if (SnapshotTable.dvOf(root, v).nonEmpty) return None
@@ -1190,6 +1190,22 @@ private[sources] class SnapshotScanBuilder(root: String,
           if (es.forall(_.rows >= 0))
             Some(java.lang.Long.valueOf(es.map(_.rows).sum))
           else None
+        // COUNT(col) = Σ (rows − recorded null count) — answerable
+        // only when EVERY in-scope entry carries both (r16 blobs; an
+        // all-null file drops its stats entirely and correctly
+        // refuses)
+        case c: Count if !c.isDistinct =>
+          refName(c.column).flatMap { col =>
+            val parts = es.map { e =>
+              val nulls = SnapshotTable.decodeStats(e.stats)
+                .get(col).map(_.nulls).getOrElse(-1L)
+              (e.rows, nulls)
+            }
+            if (parts.forall { case (r, n) => r >= 0 && n >= 0 })
+              Some(java.lang.Long.valueOf(
+                parts.map { case (r, n) => r - n }.sum))
+            else None
+          }
         case m: Min => refName(m.column).flatMap(minMax(es, _, true))
         case m: Max => refName(m.column).flatMap(minMax(es, _, false))
         case _ => None
@@ -1200,9 +1216,24 @@ private[sources] class SnapshotScanBuilder(root: String,
       if (es.isEmpty) return None
       val dt = full.find(_.name == col).map(_.dataType)
         .getOrElse(return None)
-      val stats = es.map(e => SnapshotTable.decodeStats(e.stats).get(col))
-      if (stats.exists(_.isEmpty)) return None
-      val cs = stats.flatten
+      val csBuf = Seq.newBuilder[SnapshotTable.ColStat]
+      es.foreach { e =>
+        SnapshotTable.decodeStats(e.stats).get(col) match {
+          case None => return None // stats gap — the scan answers
+          case Some(c) if c.min.isEmpty && c.max.isEmpty =>
+            // bounds-less entry: contributes nothing to MIN/MAX but
+            // only when PROVABLY all-null (nulls == rows) — an
+            // ambiguous shape (e.g. an all-empty-string column
+            // encodes identically) refuses instead
+            if (!(c.nulls >= 0 && e.rows >= 0 && c.nulls == e.rows))
+              return None
+          case Some(c) => csBuf += c
+        }
+      }
+      val cs = csBuf.result()
+      // every in-scope file all-null → MIN/MAX is NULL; let the scan
+      // answer rather than fabricating a typed NULL row here
+      if (cs.isEmpty) return None
       cs.head.typ match {
         case 'L' =>
           val vs = cs.map(c => (if (wantMin) c.min else c.max).toLong)
@@ -1231,6 +1262,8 @@ private[sources] class SnapshotScanBuilder(root: String,
         .AggregateFunc): Option[StructField] = fn match {
       case _: CountStar =>
         Some(StructField("count", LongType, nullable = false))
+      case c: Count if !c.isDistinct => refName(c.column).map(n =>
+        StructField(s"count($n)", LongType, nullable = false))
       case m: Min => refName(m.column).flatMap(c =>
         full.find(_.name == c).map(f => StructField(s"min($c)",
           f.dataType)))
@@ -1278,6 +1311,7 @@ private[sources] class SnapshotScanBuilder(root: String,
         else
           fns.map {
             case _: CountStar => "COUNT(*)"
+            case c: Count => s"COUNT(${refName(c.column).get})"
             case m: Min => s"MIN(${refName(m.column).get})"
             case m: Max => s"MAX(${refName(m.column).get})"
             case o => o.toString
@@ -1355,11 +1389,19 @@ private[sources] class SnapshotScanBuilder(root: String,
       case LessThan(c, v) if comparable(v) => tighten(c, null, v); true
       case LessThanOrEqual(c, v) if comparable(v) =>
         tighten(c, null, v); true
+      // IS NULL prunes every file whose stats RECORD zero nulls;
+      // IS NOT NULL prunes provably-all-null files (r16 null counts)
+      // — both stay residual like every stat shape
+      case IsNull(c) => nullScan = nullScan :+ c; true
+      case IsNotNull(c) => notNullScan = notNullScan :+ c; true
       case _ => false
     }
     pushed = yearFs ++ statPushed
     rest // non-partition filters re-evaluate post-scan
   }
+
+  private var nullScan: Seq[String] = Nil
+  private var notNullScan: Seq[String] = Nil
 
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -1373,7 +1415,7 @@ private[sources] class SnapshotScanBuilder(root: String,
       startingVersion,
       ranges.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) },
       pinnedVersion, ignoreDeletes, maxVersionsPerTrigger,
-      maxBytesPerTrigger, consumedYears)
+      maxBytesPerTrigger, consumedYears, nullScan, notNullScan)
   }
 }
 
@@ -1418,8 +1460,16 @@ private[sources] class SnapshotScan(root: String, schema: StructType,
     ignoreDeletes: Boolean = false,
     maxVersionsPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    years: Option[Set[Int]] = None) extends Scan {
+    years: Option[Set[Int]] = None,
+    nullCols: Seq[String] = Nil,
+    notNullCols: Seq[String] = Nil) extends Scan {
   override def readSchema(): StructType = schema
+
+  /** ranges + null-count pruning, the file-level skip test. */
+  private def entrySurvives(e: SnapshotTable.FileEntry): Boolean =
+    SnapshotTable.entryMatches(e, ranges) &&
+      nullCols.forall(SnapshotTable.entryCanHaveNull(e, _)) &&
+      notNullCols.forall(SnapshotTable.entryCanHaveValue(e, _))
   override def description(): String =
     s"graft-snapshot $root " +
       years.fold("")(ys =>
@@ -1488,8 +1538,7 @@ private[sources] class SnapshotScan(root: String, schema: StructType,
     val dv = dvInfo(v)
     new Batch {
       override def planInputPartitions(): Array[InputPartition] =
-        SnapshotSplits.plan(scopedEntries(v)
-          .filter(SnapshotTable.entryMatches(_, ranges)))
+        SnapshotSplits.plan(scopedEntries(v).filter(entrySurvives))
       override def createReaderFactory(): PartitionReaderFactory =
         readerFactory(dv)
     }
@@ -1500,7 +1549,7 @@ private[sources] class SnapshotScan(root: String, schema: StructType,
       "a VERSION AS OF read is a batch snapshot — streams follow head")
     new SnapshotMicroBatchStream(root, startingVersion, readerFactory(),
       ranges, ignoreDeletes, maxVersionsPerTrigger, maxBytesPerTrigger,
-      years)
+      years, nullCols, notNullCols)
   }
 }
 
@@ -1547,7 +1596,9 @@ private[sources] class SnapshotMicroBatchStream(root: String,
     ignoreDeletes: Boolean = false,
     maxVersionsPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    years: Option[Set[Int]] = None)
+    years: Option[Set[Int]] = None,
+    nullCols: Seq[String] = Nil,
+    notNullCols: Seq[String] = Nil)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
@@ -1673,7 +1724,9 @@ private[sources] class SnapshotMicroBatchStream(root: String,
         val from = if (v == s.v) s.idx else 0
         val to = if (v == e.v) e.idx else fresh.size
         fresh.slice(from, to)
-          .filter(SnapshotTable.entryMatches(_, ranges))
+          .filter(e => SnapshotTable.entryMatches(e, ranges) &&
+            nullCols.forall(SnapshotTable.entryCanHaveNull(e, _)) &&
+            notNullCols.forall(SnapshotTable.entryCanHaveValue(e, _)))
       }
     }
     SnapshotSplits.plan(entries)
@@ -1899,6 +1952,157 @@ private[sources] object ParquetPredicates {
   }
 }
 
+/** DIRECT-to-InternalRow parquet ReadSupport — the r16 fast read path.
+  * parquet-mr's example Group materializer allocates a SimpleGroup
+  * (one ArrayList per field) per ROW and the reader then re-walks it
+  * field-by-field; this materializer writes each decoded value
+  * straight into the output slot array through per-column monomorphic
+  * converters, so a row costs one small array clone instead of a
+  * Group graph. Composes with everything the reader stack already
+  * does: the projected read schema (init honors
+  * `parquet.read.schema`), byte-range splits, FilterCompat record
+  * filtering (FilteringRecordMaterializer wraps any materializer),
+  * rename aliases, pre-evolution null-fill (converter absent → slot
+  * stays null), and type widening (the converter is keyed off the
+  * FILE's physical type). String columns get dictionary support: a
+  * dictionary-encoded chunk converts each dictionary entry to
+  * UTF8String ONCE and rows share the immutable instances. Used when
+  * no deletion vector applies (the DV path keeps the Group reader —
+  * its tombstone probe wants named field access; DV-pending versions
+  * are a bounded transient state between delete and rewrite). */
+private[sources] class InternalRowReadSupport(schema: StructType,
+    aliases: Map[String, Seq[String]])
+    extends org.apache.parquet.hadoop.api.ReadSupport[InternalRow] {
+  import org.apache.parquet.hadoop.api.{InitContext, ReadSupport => RS}
+  import org.apache.parquet.io.api.RecordMaterializer
+  import org.apache.parquet.schema.MessageType
+
+  override def init(ctx: InitContext): RS.ReadContext = {
+    val partial = ctx.getConfiguration.get(RS.PARQUET_READ_SCHEMA)
+    val requested =
+      if (partial == null) ctx.getFileSchema
+      else RS.getSchemaForRead(ctx.getFileSchema, partial)
+    new RS.ReadContext(requested)
+  }
+
+  override def prepareForRead(
+      conf: org.apache.hadoop.conf.Configuration,
+      kv: java.util.Map[String, String], fileSchema: MessageType,
+      readContext: RS.ReadContext): RecordMaterializer[InternalRow] =
+    new RowMaterializer(schema, aliases, readContext.getRequestedSchema)
+}
+
+private[sources] class RowMaterializer(schema: StructType,
+    aliases: Map[String, Seq[String]],
+    projected: org.apache.parquet.schema.MessageType)
+    extends org.apache.parquet.io.api.RecordMaterializer[InternalRow] {
+  import org.apache.parquet.io.api.{Binary, Converter, GroupConverter, PrimitiveConverter}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{FLOAT => PFLOAT, INT32 => PINT32}
+
+  private val nCols = schema.fields.length
+  private val vals = new Array[Any](nCols)
+
+  // one converter per PROJECTED field: the column plan of the Group
+  // reader, pushed down into the assembly layer (monomorphic per
+  // column — no per-row tag dispatch)
+  private val converters: Array[Converter] = {
+    val slotOf = scala.collection.mutable.HashMap[String, Int]()
+    var j = 0
+    while (j < nCols) {
+      val f = schema.fields(j)
+      val pn = (f.name +: aliases.getOrElse(f.name, Nil))
+        .find(projected.containsField).getOrElse(f.name)
+      if (projected.containsField(pn)) slotOf(pn) = j
+      j += 1
+    }
+    (0 until projected.getFieldCount).map { i =>
+      val t = projected.getType(i)
+      slotOf.get(t.getName) match {
+        // projected for another purpose (the count(*) cheapest
+        // column, or a whole-schema read where the required columns
+        // all post-date the file): decode and DROP — the defaults
+        // THROW, so every add is an explicit no-op
+        case None => new PrimitiveConverter {
+          override def addBoolean(v: Boolean): Unit = ()
+          override def addInt(v: Int): Unit = ()
+          override def addLong(v: Long): Unit = ()
+          override def addFloat(v: Float): Unit = ()
+          override def addDouble(v: Double): Unit = ()
+          override def addBinary(b: Binary): Unit = ()
+        }
+        case Some(slot) =>
+          val phys = t.asPrimitiveType().getPrimitiveTypeName
+          schema.fields(slot).dataType match {
+            case LongType | TimestampType | TimestampNTZType =>
+              if (phys == PINT32) new PrimitiveConverter {
+                // pre-widen int32 file under a bigint column
+                override def addInt(v: Int): Unit = vals(slot) = v.toLong
+              } else new PrimitiveConverter {
+                override def addLong(v: Long): Unit = vals(slot) = v
+              }
+            case IntegerType | DateType => new PrimitiveConverter {
+              override def addInt(v: Int): Unit = vals(slot) = v
+            }
+            case ShortType => new PrimitiveConverter {
+              override def addInt(v: Int): Unit = vals(slot) = v.toShort
+            }
+            case ByteType => new PrimitiveConverter {
+              override def addInt(v: Int): Unit = vals(slot) = v.toByte
+            }
+            case DoubleType =>
+              if (phys == PFLOAT) new PrimitiveConverter {
+                // pre-widen float file under a double column
+                override def addFloat(v: Float): Unit =
+                  vals(slot) = v.toDouble
+              } else new PrimitiveConverter {
+                override def addDouble(v: Double): Unit = vals(slot) = v
+              }
+            case FloatType => new PrimitiveConverter {
+              override def addFloat(v: Float): Unit = vals(slot) = v
+            }
+            case BooleanType => new PrimitiveConverter {
+              override def addBoolean(v: Boolean): Unit = vals(slot) = v
+            }
+            case StringType => new PrimitiveConverter {
+              private var dict: Array[UTF8String] = _
+              override def hasDictionarySupport: Boolean = true
+              override def setDictionary(
+                  d: org.apache.parquet.column.Dictionary): Unit = {
+                dict = new Array[UTF8String](d.getMaxId + 1)
+                var k = 0
+                while (k <= d.getMaxId) {
+                  dict(k) =
+                    UTF8String.fromBytes(d.decodeToBinary(k).getBytes)
+                  k += 1
+                }
+              }
+              override def addValueFromDictionary(id: Int): Unit =
+                vals(slot) = dict(id)
+              override def addBinary(b: Binary): Unit =
+                vals(slot) = UTF8String.fromBytes(b.getBytes)
+            }
+            case dt => throw new UnsupportedOperationException(
+              s"graft-snapshot source does not read ${dt.simpleString} " +
+              s"(column '${schema.fields(slot).name}')")
+          }
+      }
+    }.toArray
+  }
+
+  private val root = new GroupConverter {
+    override def getConverter(i: Int): Converter = converters(i)
+    override def start(): Unit = {
+      var j = 0
+      while (j < nCols) { vals(j) = null; j += 1 }
+    }
+    override def end(): Unit = ()
+  }
+
+  override def getCurrentRecord: InternalRow =
+    new GenericInternalRow(vals.clone())
+  override def getRootConverter: GroupConverter = root
+}
+
 /** Diagnostic tap on the connector's partition readers: total rows
   * EMITTED (post parquet-filter, post tombstone) across the JVM —
   * local-mode specs read it to prove a pushed predicate actually
@@ -1928,28 +2132,28 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val fp = p.asInstanceOf[SnapshotFilePartition]
     val path = fp.path
-    new PartitionReader[InternalRow] {
-      import org.apache.parquet.example.data.Group
-      import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
-      import org.apache.parquet.hadoop.api.ReadSupport
-      import org.apache.parquet.hadoop.example.GroupReadSupport
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      import org.apache.parquet.schema.MessageType
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+    import org.apache.parquet.hadoop.api.ReadSupport
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.MessageType
 
-      /** REAL column pruning: project the file's OWN fields (footer
-        * schema, so types match verbatim) down to the required names —
-        * parquet then skips the unprojected columns' pages entirely.
-        * A `count(*)` scan (EMPTY required schema, no deletion vector)
-        * projects the single cheapest primitive column instead of
-        * falling back to a full-row read — rows still count exactly,
-        * but only one column's pages move (the r15 diag measured a
-        * full-row count(*) at 10×+ the one-column cost). A file
-        * lacking every required column under a NON-empty projection
-        * (pre-evolution) reads unprojected: rows count, fields
-        * null-fill. With a deletion vector, the key and pt_year
-        * columns stay projected even when the query doesn't ask for
-        * them — the reader needs them to apply tombstones. */
-      private val (readConf, groupSchema) = {
+    // ---- shared per-file planning: footer projection + predicate ----
+    /** REAL column pruning: project the file's OWN fields (footer
+      * schema, so types match verbatim) down to the required names —
+      * parquet then skips the unprojected columns' pages entirely.
+      * A `count(*)` scan (EMPTY required schema, no deletion vector)
+      * projects the single cheapest primitive column instead of
+      * falling back to a full-row read — rows still count exactly,
+      * but only one column's pages move (the r15 diag measured a
+      * full-row count(*) at 10×+ the one-column cost). A file
+      * lacking every required column under a NON-empty projection
+      * (pre-evolution) reads unprojected: rows count, fields
+      * null-fill. With a deletion vector, the key and pt_year
+      * columns stay projected even when the query doesn't ask for
+      * them — the reader needs them to apply tombstones. */
+    val (readConf, groupSchema) = {
         val c = new org.apache.hadoop.conf.Configuration(conf.value)
         val fr = ParquetFileReader.open(
           HadoopInputFile.fromPath(new HPath(path), conf.value))
@@ -1998,18 +2202,61 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
         else (c, fileSchema)
       }
 
+    /** Logical name → the projected schema's physical name (alias
+      * chain), for the column plan, the DV plan, and the parquet
+      * predicate — all keyed off what the FILE calls the column. */
+    def physIn(n: String): String =
+      (n +: aliases.getOrElse(n, Nil))
+        .find(groupSchema.containsField).getOrElse(n)
+
+    // the pushed bounds reach parquet-mr for row-group / page /
+    // dictionary / record skipping (ParquetPredicates has the
+    // soundness contract; filters stay residual in Spark, so this
+    // only shrinks bytes decoded). Disable via the hadoop conf key
+    // for A/B measurement.
+    val pred =
+      if (readConf.getBoolean("graft.snapshot.parquetFilterPushdown",
+          true))
+        ParquetPredicates.build(groupSchema, ranges.map {
+          case (c, lo, hi) => (physIn(c), lo, hi)
+        })
+      else None
+
+    // withFileRange serves exactly the row groups whose midpoint
+    // falls in [start, end) — the whole-file default (0, MaxValue)
+    // admits every group, so unsplit partitions read unchanged
+    def openWith[T](b: ParquetReader.Builder[T]): ParquetReader[T] = {
+      val ranged = b.withConf(readConf).withFileRange(fp.start, fp.end)
+      pred.fold(ranged)(pp =>
+        ranged.withFilter(FilterCompat.get(pp))).build()
+    }
+
+    if (dv.isEmpty) new PartitionReader[InternalRow] {
+      // FAST PATH (no deletion vector): direct-to-InternalRow
+      // materialization — see InternalRowReadSupport
+      private val reader: ParquetReader[InternalRow] = openWith(
+        ParquetReader.builder(
+          new InternalRowReadSupport(schema, aliases), new HPath(path)))
+      private var cur: InternalRow = _
+      private var emitted = 0L
+      override def next(): Boolean = {
+        cur = reader.read()
+        if (cur != null) emitted += 1
+        cur != null
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = {
+        ReaderDiag.add(emitted)
+        reader.close()
+      }
+    } else new PartitionReader[InternalRow] {
+      import org.apache.parquet.example.data.Group
+
       // ---- per-FILE row-materialization plan (hoisted out of get():
       // the per-row path must not do name lookups, DataType matching,
       // or closure maps — at 1.5M rows/file those dominated the scan
       // and their megamorphic call sites starved the JIT; see
       // SCALE.md's r14 connector-materialization entry) ----
-      /** Logical name → the projected schema's physical name (alias
-        * chain), for the column plan, the DV plan, and the parquet
-        * predicate — all keyed off what the FILE calls the column. */
-      private def physIn(n: String): String =
-        (n +: aliases.getOrElse(n, Nil))
-          .find(groupSchema.containsField).getOrElse(n)
-
       private val nCols = schema.fields.length
       private val colIdx = new Array[Int](nCols) // -1: file lacks col
       private val colTag = new Array[Byte](nCols)
@@ -2074,28 +2321,9 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
         case None => Set.empty
       }
 
-      // withFileRange serves exactly the row groups whose midpoint
-      // falls in [start, end) — the whole-file default (0, MaxValue)
-      // admits every group, so unsplit partitions read unchanged.
-      // withFilter hands the pushed bounds to parquet-mr for
-      // row-group / page / dictionary / record skipping (see
-      // ParquetPredicates for the soundness contract; filters stay
-      // residual in Spark, so this only shrinks bytes decoded).
-      // Disable via the hadoop conf key for A/B measurement.
-      private val reader: ParquetReader[Group] = {
-        val b = ParquetReader.builder(new GroupReadSupport(),
-            new HPath(path))
-          .withConf(readConf).withFileRange(fp.start, fp.end)
-        val pred =
-          if (readConf.getBoolean(
-              "graft.snapshot.parquetFilterPushdown", true))
-            ParquetPredicates.build(groupSchema, ranges.map {
-              case (c, lo, hi) => (physIn(c), lo, hi)
-            })
-          else None
-        pred.fold(b)(p => b.withFilter(
-          org.apache.parquet.filter2.compat.FilterCompat.get(p))).build()
-      }
+      private val reader: ParquetReader[Group] =
+        openWith(ParquetReader.builder(new GroupReadSupport(),
+          new HPath(path)))
       private var cur: Group = _
       private var emitted = 0L
 

@@ -165,6 +165,79 @@ class StatsAggPushSpec extends AnyFunSuite {
     assert(cnt.collect().head.getLong(0) === 2L)
   }
 
+  test("COUNT(col) answers from recorded null counts; nulls subtract") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("g_agg_cntcol").toString
+    val df = Seq((1L, 1, Some(1.0)), (2L, 1, None), (3L, 2, Some(3.0)),
+      (4L, 2, None), (5L, 2, Some(5.0))).toDF("k", "pt_year", "v")
+    T.commit(spark, root, 0, df, Seq(1, 2))
+    val q = this.df(root).groupBy()
+      .agg(count(col("v")).as("c"), count(lit(1)).as("all"))
+    assert(planString(q).contains("from manifest stats"),
+      s"count(col) not pushed:\n${planString(q)}")
+    val r = q.collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 5L)))
+    // grouped twin
+    val g = this.df(root).groupBy("pt_year").agg(count(col("v")).as("c"))
+    assert(planString(g).contains("GROUP BY pt_year from manifest"))
+    assert(g.collect().map(x => x.getInt(0) -> x.getLong(1)).toMap ===
+      Map(1 -> 1L, 2 -> 2L))
+    // DISTINCT refuses
+    val d = this.df(root).groupBy()
+      .agg(countDistinct(col("v")).as("c"))
+    assert(!planString(d).contains("from manifest"))
+    assert(d.collect().head.getLong(0) === 3L)
+  }
+
+  test("IS NULL prunes files whose stats record zero nulls") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.connector.catalog.SupportsRead
+    import org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import spark.implicits._
+    val root = Files.createTempDirectory("g_agg_isnull").toString
+    // partition 1: no nulls; partition 2: one null in v
+    T.commit(spark, root, 0,
+      Seq((1L, 1, Some(1.0)), (2L, 1, Some(2.0))).toDF("k", "pt_year", "v"),
+      Seq(1))
+    T.commitAppend(spark, root, 1,
+      Seq((3L, 2, None: Option[Double]), (4L, 2, Some(4.0)))
+        .toDF("k", "pt_year", "v"))
+    val total = T.files(root, 1).size
+
+    val provider = new SnapshotSourceProvider
+    val opts = new CaseInsensitiveStringMap(Map("root" -> root).asJava)
+    val sb = provider.getTable(provider.inferSchema(opts), Array.empty,
+        opts.asCaseSensitiveMap())
+      .asInstanceOf[SupportsRead].newScanBuilder(opts)
+    sb.asInstanceOf[SupportsPushDownFilters]
+      .pushFilters(Array(org.apache.spark.sql.sources.IsNull("v")))
+    val parts = sb.build().toBatch.planInputPartitions()
+    assert(parts.length < total && parts.nonEmpty,
+      s"IS NULL kept ${parts.length}/$total files")
+    // end-to-end exactness both ways
+    assert(df(root).filter(col("v").isNull).select("k").collect()
+      .map(_.getLong(0)).toSeq === Seq(3L))
+    assert(df(root).filter(col("v").isNotNull).count() === 3L)
+
+    // IS NOT NULL prunes a provably-ALL-null file (bounds-less stats
+    // entry carrying nulls == rows)
+    T.commitAppend(spark, root, 2,
+      Seq((5L, 3, None: Option[Double]), (6L, 3, None: Option[Double]))
+        .toDF("k", "pt_year", "v"))
+    val sb2 = provider.getTable(provider.inferSchema(opts), Array.empty,
+        opts.asCaseSensitiveMap())
+      .asInstanceOf[SupportsRead].newScanBuilder(opts)
+    sb2.asInstanceOf[SupportsPushDownFilters]
+      .pushFilters(Array(org.apache.spark.sql.sources.IsNotNull("v")))
+    val parts2 = sb2.build().toBatch.planInputPartitions()
+    assert(parts2.length < T.files(root, 2).size && parts2.nonEmpty,
+      s"IS NOT NULL kept ${parts2.length}/${T.files(root, 2).size}")
+    assert(df(root).filter(col("v").isNotNull).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 4L))
+    assert(df(root).filter(col("v").isNull).count() === 3L)
+  }
+
   test("a pt_year-scoped STREAM serves only the scoped partitions, " +
       "exactly once across versions") {
     val root = fixture() // v0: years 1,2; v1 appends to years 2,3
