@@ -1748,11 +1748,15 @@ object WriteOps {
       * disjoint per-file ranges). Data-unchanged contract is
       * identical — the cluster key is a projection helper, dropped
       * before commit. */
+    /** `onlyYears` (Delta's `OPTIMIZE ... WHERE`): restrict the
+      * rewrite to the named partitions — a targeted nightly pass over
+      * yesterday's hot partition instead of the whole table. */
     def optimize(s: SparkSession, root: String, newV: Int,
         maxFilesPerPartition: Int = 1,
         targetFileBytes: Long = 128L << 20,
         zorderBy: Seq[String] = Nil,
-        purgeTombstoned: Boolean = true): Seq[Int] = {
+        purgeTombstoned: Boolean = true,
+        onlyYears: Option[Seq[Int]] = None): Seq[Int] = {
       require(targetFileBytes > 0, "targetFileBytes must be positive")
       require(zorderBy.length <= 2,
         "zorderBy supports one (range) or two (Morton) columns")
@@ -1771,9 +1775,11 @@ object WriteOps {
         if (purgeTombstoned)
           dvOf(root, newV - 1).map(_._3).getOrElse(Seq.empty)
         else Seq.empty
-      val fragmented = (byYear.collect {
+      val fragmented0 = (byYear.collect {
         case (y, fs) if fs.size > maxFilesPerPartition => y
       }.toSeq ++ tombstoned).distinct.sorted
+      val fragmented =
+        onlyYears.fold(fragmented0)(ys => fragmented0.filter(ys.contains))
       if (fragmented.nonEmpty) {
         // per-partition target file counts from MANIFEST byte metadata
         // alone (sizes were recorded at commit): planning the rewrite
@@ -1856,8 +1862,14 @@ object WriteOps {
       * clone referencing its source's files) are skipped, never
       * reclaimed by the clone; the source's own vacuum owns them (and,
       * symmetrically, can still break a clone that outlives the
-      * source's retention — the documented Delta-clone hazard). */
-    def vacuum(root: String, retain: Int): Unit = {
+      * source's retention — the documented Delta-clone hazard).
+      * `dryRun` (Delta's VACUUM ... DRY RUN): compute and COUNT every
+      * path this retention would reclaim — data files, m-files, top
+      * manifests, DV sidecars — deleting nothing. Returns the count
+      * either way (what was, or would be, reclaimed). */
+    def vacuum(root: String, retain: Int,
+        dryRun: Boolean = false): Int = {
+      var reclaimed = 0
       val vs = versions(root)
       val (expired, kept) = vs.splitAt(math.max(vs.length - retain, 0))
       // carry-over shares m-file pointers, so "referenced by a retained
@@ -1894,7 +1906,7 @@ object WriteOps {
               // commit stays in flight for an hour)
               System.currentTimeMillis() - st.getModificationTime >
                 dvOrphanHorizonMs
-          if (dead) deleteTree(p)
+          if (dead) { reclaimed += 1; if (!dryRun) deleteTree(p) }
         }
       // the DEAD pointer set is computed across ALL expired versions
       // first (carry-over shares pointers, so two expired versions can
@@ -1907,16 +1919,26 @@ object WriteOps {
         readPartManifest(m).map(_.path).filterNot(keepFiles.contains)
           .filter(underRoot(root, _))
           .foreach { f =>
-            val p = new HPath(f)
-            fsFor(p).delete(p, false)
+            reclaimed += 1
+            if (!dryRun) {
+              val p = new HPath(f)
+              fsFor(p).delete(p, false)
+            }
           }
-        val mp = new HPath(m)
-        fsFor(mp).delete(mp, false)
+        reclaimed += 1
+        if (!dryRun) {
+          val mp = new HPath(m)
+          fsFor(mp).delete(mp, false)
+        }
       }
       expired.foreach { v =>
-        val top = manifest(root, v)
-        fsFor(top).delete(top, false)
+        reclaimed += 1
+        if (!dryRun) {
+          val top = manifest(root, v)
+          fsFor(top).delete(top, false)
+        }
       }
+      reclaimed
     }
 
     /** Reclaim ORPHANS — data files and m-files referenced by NO

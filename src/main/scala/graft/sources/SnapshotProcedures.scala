@@ -122,7 +122,10 @@ object SnapshotProcedures {
       param("table", StringType),
       param("max_files_per_partition", IntegerType, "1"),
       param("target_file_bytes", LongType, (128L << 20).toString),
-      param("zorder_by", StringType, "''"))
+      param("zorder_by", StringType, "''"),
+      // `OPTIMIZE ... WHERE` analog: comma-separated pt_year values
+      // restricting the rewrite to named partitions ('' = all)
+      param("where_years", StringType, "''"))
     override protected val resultSchema: StructType = StructType(Seq(
       StructField("new_version", IntegerType, nullable = false),
       StructField("partitions_rewritten", IntegerType, nullable = false)))
@@ -134,10 +137,14 @@ object SnapshotProcedures {
       val targetBytes = input.getLong(2)
       val zorder = Option(input.getUTF8String(3)).map(_.toString)
         .getOrElse("").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val whereYears = Option(input.getUTF8String(4)).map(_.toString)
+        .getOrElse("").split(',').map(_.trim).filter(_.nonEmpty)
+        .map(_.toInt).toSeq
       val rewritten = SnapshotTable.optimize(spark, root, head + 1,
         maxFilesPerPartition = maxFiles,
         targetFileBytes = targetBytes,
-        zorderBy = zorder)
+        zorderBy = zorder,
+        onlyYears = if (whereYears.isEmpty) None else Some(whereYears))
       val newHead = if (rewritten.nonEmpty) head + 1 else head
       Array[Any](newHead, rewritten.length)
     }
@@ -155,19 +162,24 @@ object SnapshotProcedures {
       "older than the newest `retain`"
     override def parameters(): Array[ProcedureParameter] = Array(
       param("table", StringType),
-      param("retain", IntegerType, "2"))
+      param("retain", IntegerType, "2"),
+      // Delta's `VACUUM ... DRY RUN`: count what this retention would
+      // reclaim, delete nothing
+      param("dry_run", BooleanType, "false"))
     override protected val resultSchema: StructType = StructType(Seq(
       StructField("head_version", IntegerType, nullable = false),
-      StructField("versions_retained", IntegerType, nullable = false)))
+      StructField("versions_retained", IntegerType, nullable = false),
+      StructField("paths_reclaimed", IntegerType, nullable = false)))
     override protected def run(spark: SparkSession,
         input: InternalRow): Array[Any] = {
       val root = rootOf(input)
       val retain = input.getInt(1)
+      val dryRun = input.getBoolean(2)
       require(retain >= 1, s"retain must be >= 1 (got $retain)")
       headOf(root) // existence check with a readable error
-      SnapshotTable.vacuum(root, retain)
+      val reclaimed = SnapshotTable.vacuum(root, retain, dryRun)
       val vs = SnapshotTable.versions(root)
-      Array[Any](vs.max, vs.length)
+      Array[Any](vs.max, vs.length, reclaimed)
     }
   }
 

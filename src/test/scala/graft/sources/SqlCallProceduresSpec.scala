@@ -99,6 +99,39 @@ class SqlCallProceduresSpec extends AnyFunSuite {
       spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 0").collect())
   }
 
+  test("CALL optimize(where_years) scopes the rewrite to named " +
+      "partitions; CALL vacuum(dry_run) counts without deleting") {
+    val (cat, base) = freshCatalog()
+    val root = fragmentedTable(base)
+    val pre2024 = T.files(root, 0).filter(_.contains("_y2024_"))
+    // scoped optimize: only 2023 rewrites; 2024's files carry verbatim
+    val r = spark.sql(s"CALL $cat.system.optimize(table => 't', " +
+      "where_years => '2023')").collect().head
+    assert(r.getInt(1) === 1, "where_years must rewrite ONE partition")
+    assert(T.files(root, 1).filter(_.contains("_y2024_")).toSet ===
+      pre2024.toSet, "scoped optimize touched an out-of-scope partition")
+    assert(T.files(root, 1).count(_.contains("_y2023_")) <
+      T.files(root, 0).count(_.contains("_y2023_")))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()
+      .head.getLong(0) === 400L)
+
+    // dry-run vacuum: reports the reclaimable set, deletes nothing
+    val preAll = T.files(root, 0).toSet ++ T.files(root, 1).toSet
+    val dry = spark.sql(s"CALL $cat.system.vacuum(table => 't', " +
+      "retain => 1, dry_run => true)").collect().head
+    assert(dry.getInt(2) > 0, "dry run must report reclaimable paths")
+    assert(T.versions(root) === Seq(0, 1), "dry run deleted versions")
+    assert(preAll.forall(f =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(
+        f.stripPrefix("file:")))), "dry run deleted data files")
+    // the real vacuum then reclaims exactly what the dry run counted
+    val real = spark.sql(s"CALL $cat.system.vacuum(table => 't', " +
+      "retain => 1)").collect().head
+    assert(real.getInt(2) === dry.getInt(2),
+      "dry-run count diverged from the real reclaim")
+    assert(T.versions(root) === Seq(1))
+  }
+
   test("CALL vacuum_orphans reports zero on a clean table") {
     val (cat, base) = freshCatalog()
     fragmentedTable(base)
