@@ -2231,7 +2231,10 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
         ranged.withFilter(FilterCompat.get(pp))).build()
     }
 
-    if (dv.isEmpty) new PartitionReader[InternalRow] {
+    // `graft.snapshot.rowMaterializer` = fast | group: A/B valve for
+    // the direct-to-InternalRow path (and a safety hatch)
+    if (dv.isEmpty && readConf.get("graft.snapshot.rowMaterializer",
+        "fast") != "group") new PartitionReader[InternalRow] {
       // FAST PATH (no deletion vector): direct-to-InternalRow
       // materialization — see InternalRowReadSupport
       private val reader: ParquetReader[InternalRow] = openWith(

@@ -30,7 +30,7 @@ object ScanProbe {
     // this host force phase-targeted re-runs
     val phases: Set[Int] = args.lift(1)
       .map(_.split(',').map(_.trim.toInt).toSet)
-      .getOrElse(Set(1, 2, 3, 4))
+      .getOrElse(Set(1, 2, 3, 4, 5))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -143,6 +143,31 @@ object ScanProbe {
     // the narrow-projection shape (column pruning on both sides)
     t("connector 1-col sum")(zdf.agg(sum("o_totalprice")).collect())
     t("vectorized 1-col sum")(vdf.agg(sum("o_totalprice")).collect())
+    }
+
+    // ---- 5. STRING-heavy scan: fast vs group materializer ----
+    // low-cardinality strings = the dictionary-cached UTF8String shape
+    if (phases(5)) {
+      val st = s"$base/strings/t"
+      SnapshotTable.deleteTree(st)
+      val sb = spark.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), year(col("o_orderdate")).as("pt_year"))
+      SnapshotTable.commit(spark, st, 0, sb.repartition(32),
+        sb.select("pt_year").distinct().collect().map(_.getInt(0)).toSeq)
+      SnapshotTable.optimize(spark, st, 1)
+      def sdf = spark.read.format("graft-snapshot").option("root", st)
+        .load()
+      def sagg() = sdf.groupBy("o_orderstatus")
+        .agg(count(lit(1)), max("o_orderpriority")).collect()
+      t("strings FAST materializer")(sagg())
+      hconf.set("graft.snapshot.rowMaterializer", "group")
+      t("strings GROUP materializer")(sagg())
+      hconf.unset("graft.snapshot.rowMaterializer")
+      val files5 = SnapshotTable.files(st, 1)
+      def svdf = spark.read.parquet(files5: _*)
+      t("strings vectorized control")(svdf.groupBy("o_orderstatus")
+        .agg(count(lit(1)), max("o_orderpriority")).collect())
     }
 
     SnapshotTable.deleteTree(base)
