@@ -1501,7 +1501,16 @@ object WriteOps {
     def commitAppend(s: SparkSession, root: String, v: Int,
         batch: DataFrame, txn: Option[(String, Long)] = None): Unit = {
       val touched = batch.select("pt_year").distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted
+        .collect().map { r =>
+          // same loud guard as the overwrite paths: a NULL key would
+          // unbox to year 0 here and then be SILENTLY dropped by
+          // stageDataFiles' isin filter — quiet row loss, never ok
+          require(!r.isNullAt(0),
+            "insert batch contains a NULL pt_year — the partition key " +
+            "must be non-null (no __HIVE_DEFAULT_PARTITION__ " +
+            "fallback); filter or default it explicitly")
+          r.getInt(0)
+        }.toSeq.sorted
       require(touched.nonEmpty, "an empty append commits nothing")
       val dvLine = appendPreflight(root, v, touched)
       // token-uniquified names: two appenders RACING to the same v
@@ -3068,6 +3077,36 @@ object WriteOps {
           FROM mmmeta_$tname WHERE pt_year = 1995""")
   }
 
+  /** STAR JOIN with runtime partition pruning over the connector —
+    * gate `join_dpp_snapshot` (the batch-scan
+    * SupportsRuntimeV2Filtering surface; the single most common
+    * 100 TB lakehouse shape): fact = the memoized snapshot orders
+    * table partitioned by pt_year, dim = a per-year date dimension
+    * with a SELECTIVE non-key predicate. No static pt_year conjunct
+    * reaches the fact scan — the surviving dim keys arrive at the
+    * scan as a runtime `pt_year IN (...)` filter (reusing the dim's
+    * broadcast exchange), so only the matching partitions' files are
+    * planned. DppSnapshotSpec pins exactly that (lastPlannedYears)
+    * plus DPP-on/off result equality; at 100 TB this is the
+    * difference between scanning 3 partitions and the table. */
+  private[graft] def joinDppSnapshot(s: SparkSession,
+      d: String): DataFrame = {
+    scanCountMeta(s, d) // ensures the memoized snapshot table exists
+    val base = scratch("cntmeta_base")
+    val tname = cntState(d)
+    val fact = s.read.format("graft-snapshot")
+      .option("root", s"$base/$tname").load()
+    val dim = orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("pt_year"))
+      .agg(min(to_date(col("o_orderdate"))).as("first_day"))
+      .filter(col("first_day") >= lit("1996-01-01").cast("date"))
+    fact.join(dim, "pt_year")
+      .groupBy(col("pt_year"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+  }
+
   /** SQL `ALTER COLUMN ... RENAME` + `DROP COLUMN` end-to-end — gate
     * `sql_alter_rename` (Iceberg-style name mapping over schema-as-
     * metadata; see graft.sources.SnapshotSourceProvider.alterTable):
@@ -3683,6 +3722,11 @@ object WriteOps {
     "sql_alter_rename" -> ((s, d) => sqlAlterRename(s, d)),
     "scan_count_meta" -> ((s, d) => scanCountMeta(s, d)),
     "scan_minmax_meta" -> ((s, d) => scanMinMaxMeta(s, d)),
+
+    // star join over the connector: a selective dim predicate reaches
+    // the fact scan as a RUNTIME pt_year filter (DPP) — only matching
+    // partitions' files are planned (see joinDppSnapshot)
+    "join_dpp_snapshot" -> ((s, d) => joinDppSnapshot(s, d)),
 
     // SQL maintenance: CALL system.{optimize,restore,vacuum} through
     // the DSv2 ProcedureCatalog (see sqlCallProcedures)
@@ -4617,6 +4661,21 @@ object WriteOps {
            cast(count(*) AS bigint),
            cast(count(o_custkey) AS bigint)
          FROM t WHERE pt_year = 1995""",
+
+    // the star join's pruning is an optimization only: the joined,
+    // re-filtered aggregate must equal the plain SQL twin exactly
+    "join_dpp_snapshot" ->
+      """WITH f AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         dim AS (SELECT cast(year(o_orderdate) AS int) AS pt_year,
+             min(cast(o_orderdate AS date)) AS first_day
+           FROM orders GROUP BY 1)
+         SELECT f.pt_year, cast(count(*) AS bigint) AS cnt,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total
+         FROM f JOIN dim ON f.pt_year = dim.pt_year
+         WHERE dim.first_day >= DATE '1996-01-01'
+         GROUP BY 1""",
 
     // pre-rename files (footers say `ck`) and post-rename files
     // (footers say `buyer`) aggregate identically under one schema;

@@ -346,8 +346,12 @@ class SnapshotCatalog
         "and would resurrect stale values; choose a different name")
     }
     val aliasMeta = SnapshotTable.colAliases(parent)
-    val newlyRetired: Seq[String] = dropped.toSeq.sorted.flatMap(n =>
-      n +: aliasMeta.getOrElse(n, Nil))
+    // IF EXISTS on a never-present column must not retire the name:
+    // nothing on disk carries it, so a future ADD COLUMN of that name
+    // is safe and must stay allowed.
+    val newlyRetired: Seq[String] = dropped.toSeq.sorted
+      .filter(parent.fieldNames.contains)
+      .flatMap(n => n +: aliasMeta.getOrElse(n, Nil))
     val evolved = StructType(parent.fields.flatMap { f0 =>
       if (dropped.contains(f0.name)) None
       else {
@@ -754,13 +758,16 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
 
   private def parseStartingTs(raw: String): Long = {
     val t = raw.trim
-    if (t.forall(_.isDigit)) t.toLong
-    else try {
-      val norm = if (t.length == 10) s"$t 00:00:00" else t
-      java.time.LocalDateTime.parse(norm.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    try {
+      if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+      else {
+        val norm = if (t.length == 10) s"$t 00:00:00" else t
+        java.time.LocalDateTime.parse(norm.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
     } catch {
-      case e: java.time.format.DateTimeParseException =>
+      case e @ (_: java.time.format.DateTimeParseException |
+                _: NumberFormatException) =>
         throw new IllegalArgumentException(
           s"startingTimestamp '$raw' is not epoch millis, " +
           "yyyy-MM-dd, or yyyy-MM-dd HH:mm:ss (UTC)", e)
@@ -872,6 +879,40 @@ private[sources] class SnapshotRowLevelOperation(root: String,
     }
 }
 
+/** Shared parser for Spark's runtime (dynamic-partition-pruning)
+  * predicates over the partition key: `pt_year IN (...)` / `pt_year =
+  * k` over the collected values of the pruning subquery. Used by both
+  * the row-level-operation group scan and the ordinary batch scan —
+  * None means "unparseable, narrow nothing", which is always SOUND
+  * because runtime filters are an optimization: the join (or the
+  * rewrite's row-level re-evaluation) re-filters every surviving
+  * row. */
+private[sources] object SnapshotRuntime {
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLiteral, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
+
+  private def colName(e: VExpr): Option[String] = e match {
+    case r: NamedReference => Some(r.fieldNames.mkString("."))
+    case _ => None
+  }
+  private def intOf(e: VExpr): Option[Int] = e match {
+    case l: VLiteral[_] => l.value match {
+      case n: Number => Some(n.intValue)
+      case _ => None
+    }
+    case _ => None
+  }
+  def years(p: VPredicate): Option[Set[Int]] =
+    (p.name, p.children.toSeq) match {
+      case ("IN", c +: vs) if colName(c).contains("pt_year") =>
+        val ints = vs.flatMap(intOf)
+        if (ints.length == vs.length) Some(ints.toSet) else None
+      case ("=", Seq(c, v)) if colName(c).contains("pt_year") =>
+        intOf(v).map(Set(_))
+      case _ => None
+    }
+}
+
 /** The row-level operation's scan: the POSSIBLY-MATCHING files of the
   * selected pt_year partitions at the pinned version (DV-applied
   * executor-side, like every read path); stats-excluded files per
@@ -885,7 +926,7 @@ private[sources] class SnapshotGroupScan(root: String,
       Seq[SnapshotTable.FileEntry])])
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
-  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Expressions, Literal => VLiteral, NamedReference}
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
 
   @volatile private[sources] var years: Set[Int] = initialYears
@@ -905,28 +946,7 @@ private[sources] class SnapshotGroupScan(root: String,
     * (sound: the rewrite re-evaluates everything row-level). */
   override def filter(predicates: Array[VPredicate]): Unit =
     predicates.foreach { p =>
-      runtimeYears(p).foreach(in => years = years.intersect(in))
-    }
-
-  private def colName(e: VExpr): Option[String] = e match {
-    case r: NamedReference => Some(r.fieldNames.mkString("."))
-    case _ => None
-  }
-  private def intOf(e: VExpr): Option[Int] = e match {
-    case l: VLiteral[_] => l.value match {
-      case n: Number => Some(n.intValue)
-      case _ => None
-    }
-    case _ => None
-  }
-  private def runtimeYears(p: VPredicate): Option[Set[Int]] =
-    (p.name, p.children.toSeq) match {
-      case ("IN", c +: vs) if colName(c).contains("pt_year") =>
-        val ints = vs.flatMap(intOf)
-        if (ints.length == vs.length) Some(ints.toSet) else None
-      case ("=", Seq(c, v)) if colName(c).contains("pt_year") =>
-        intOf(v).map(Set(_))
-      case _ => None
+      SnapshotRuntime.years(p).foreach(in => years = years.intersect(in))
     }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -1462,8 +1482,42 @@ private[sources] class SnapshotScan(root: String, schema: StructType,
     maxBytesPerTrigger: Option[Long] = None,
     years: Option[Set[Int]] = None,
     nullCols: Seq[String] = Nil,
-    notNullCols: Seq[String] = Nil) extends Scan {
+    notNullCols: Seq[String] = Nil) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
+
   override def readSchema(): StructType = schema
+
+  /** Join-driven runtime partition pruning (DPP) on the ORDINARY batch
+    * scan — the Delta/Iceberg star-schema shape: `fact ⋈ dim ON
+    * fact.pt_year = dim.y WHERE dim.<selective>` runs the dim side
+    * first (reusing its broadcast exchange) and hands the surviving
+    * keys here as `pt_year IN (...)`; only the matching partitions'
+    * files are planned, so a selective dim predicate turns a 100 TB
+    * full-table scan into a few partitions' worth of reads. Purely an
+    * optimization: the join re-evaluates every surviving row, and
+    * unparseable predicates narrow nothing (sound). Batch-only —
+    * Spark never runtime-filters a MicroBatchStream. */
+  @volatile private var runtimeYears: Option[Set[Int]] = None
+  // last planInputPartitions outcome, for plan-assertion specs
+  @volatile private[sources] var lastPlannedYears: Option[Seq[Int]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("pt_year"))
+
+  override def filter(predicates: Array[VPredicate]): Unit =
+    predicates.foreach { p =>
+      SnapshotRuntime.years(p).foreach { in =>
+        runtimeYears = Some(runtimeYears.fold(in)(_.intersect(in)))
+      }
+    }
+
+  /** Static consumed pt_year conjuncts ∩ runtime (DPP) keys. */
+  private def effectiveYears: Option[Set[Int]] = (years, runtimeYears) match {
+    case (Some(a), Some(b)) => Some(a.intersect(b))
+    case (a, b) => a.orElse(b)
+  }
 
   /** ranges + null-count pruning, the file-level skip test. */
   private def entrySurvives(e: SnapshotTable.FileEntry): Boolean =
@@ -1526,7 +1580,7 @@ private[sources] class SnapshotScan(root: String, schema: StructType,
     * a partition's files hold only rows with its key, so no residual
     * re-filter is needed or kept). */
   private def scopedEntries(v: Int): Seq[SnapshotTable.FileEntry] =
-    years match {
+    effectiveYears match {
       case None => SnapshotTable.statEntries(root, v)
       case Some(ys) =>
         SnapshotTable.partitionStatEntries(root, v, ys.toSeq.sorted)
@@ -1537,8 +1591,10 @@ private[sources] class SnapshotScan(root: String, schema: StructType,
     val v = pinnedVersion.getOrElse(SnapshotTable.versions(root).max)
     val dv = dvInfo(v)
     new Batch {
-      override def planInputPartitions(): Array[InputPartition] =
+      override def planInputPartitions(): Array[InputPartition] = {
+        lastPlannedYears = effectiveYears.map(_.toSeq.sorted)
         SnapshotSplits.plan(scopedEntries(v).filter(entrySurvives))
+      }
       override def createReaderFactory(): PartitionReaderFactory =
         readerFactory(dv)
     }

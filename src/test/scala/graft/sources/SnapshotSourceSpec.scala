@@ -112,6 +112,23 @@ class SnapshotSourceSpec extends AnyFunSuite {
         Files.createTempDirectory("g_mid_out4").toString,
         Map("startingVersion" -> "1", "startingTimestamp" -> "0"))
     }
+
+    // malformed timestamps surface the FRIENDLY error, never a raw
+    // NumberFormatException: empty string (vacuously all-digits) and
+    // an all-digit string overflowing Long both hit the same message
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    Seq("", "99999999999999999999").foreach { bad =>
+      val e = intercept[Exception] {
+        drainWith(root, Files.createTempDirectory("g_mid_ck5").toString,
+          Files.createTempDirectory("g_mid_out5").toString,
+          Map("startingTimestamp" -> bad))
+      }
+      assert(messages(e).exists(_.contains("not epoch millis")),
+        s"startingTimestamp='$bad' wanted the friendly parse error, " +
+        s"got: ${messages(e)}")
+    }
   }
 
   test("batch read resolves the head version through the registered short name") {

@@ -178,6 +178,28 @@ class SqlDdlSpec extends AnyFunSuite {
       "compaction after RENAME lost pre-rename column data")
   }
 
+  test("DROP COLUMN IF EXISTS on a never-present column retires nothing: " +
+      "a later ADD COLUMN of that name succeeds") {
+    val (cat, base) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.tdrx (k BIGINT, pt_year INT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.tdrx VALUES (1, 2023, 1.5)")
+    // no data file ever carried 'ghost' — IF EXISTS passes the require
+    // but must NOT land the name in the retired set
+    spark.sql(s"ALTER TABLE $cat.tdrx DROP COLUMN IF EXISTS ghost")
+    spark.sql(s"ALTER TABLE $cat.tdrx ADD COLUMN ghost STRING")
+    spark.sql(s"INSERT INTO $cat.tdrx VALUES (2, 2023, 2.5, 'ok')")
+    val rows = spark.sql(
+      s"SELECT k, ghost FROM $cat.tdrx ORDER BY k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(rows === Seq((1L, None), (2L, Some("ok"))))
+    // a REAL drop still retires: mixing both in one statement keeps
+    // the genuine column's name protected
+    spark.sql(s"ALTER TABLE $cat.tdrx DROP COLUMN IF EXISTS v")
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.tdrx ADD COLUMN v DOUBLE"))
+    assert(e.getMessage.contains("retired"))
+  }
+
   test("ALTER COLUMN TYPE widens int→bigint / float→double; old files " +
       "upcast by name, pre-widen versions keep the old type") {
     import org.apache.spark.sql.types._

@@ -123,6 +123,27 @@ class SqlInsertSpec extends AnyFunSuite {
     assert(T.versions(root) === Seq(0))
   }
 
+  test("an append (INSERT INTO) batch with NULL pt_year errors loudly " +
+      "instead of silently dropping the rows") {
+    val (cat, base) = freshCatalog()
+    val root = s"$base/tnulla"
+    T.commit(spark, root, 0, frame((1L, 1, 10.0)), Seq(1))
+    // without the guard a NULL key unboxes to year 0 in the touched-
+    // years collect and the staged isin filter then DROPS the row —
+    // quiet data loss on the append path
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.tnulla " +
+      "SELECT CAST(7 AS BIGINT), CAST(NULL AS INT), 70.0"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("NULL pt_year")),
+      s"wanted the loud append guard, got: ${messages(e)}")
+    assert(T.versions(root) === Seq(0))
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.tnulla")
+      .collect().head.getLong(0) === 1)
+  }
+
   test("a version-pinned table refuses writes") {
     val (_, base) = freshCatalog()
     val root = s"$base/t3"
