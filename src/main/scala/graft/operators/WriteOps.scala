@@ -343,9 +343,37 @@ object WriteOps {
         * (the commit-race loser's signal; `src` is left for the caller
         * to clean). */
       def publishNoReplace(fs: FileSystem, src: HPath, dst: HPath): Unit
+
+      /** [[publishNoReplace]] for destinations the CALLER guarantees
+        * are unique to one commit (token-named data files): identical
+        * arbitration against external writers, but safe to run from
+        * many threads at once — the JVM-wide lock only serializes
+        * same-JVM races to ONE destination, which unique names rule
+        * out by construction, so a 100k-file commit finalization can
+        * overlap its FS round-trips instead of serializing them. */
+      def publishNoReplaceUnique(fs: FileSystem, src: HPath,
+          dst: HPath): Unit = publishNoReplace(fs, src, dst)
     }
 
     private[graft] object RenameSubstrate extends CommitSubstrate {
+      override def publishNoReplaceUnique(fs: FileSystem, src: HPath,
+          dst: HPath): Unit = {
+        // lock-free twin of publishNoReplace: the exists()+rename()
+        // check-then-act needs the JVM lock only when two threads can
+        // target the SAME dst (local-FS renameTo overwrites silently);
+        // commit-unique names make that impossible, and the HDFS-side
+        // arbitration (NameNode fails the rename, re-check translates)
+        // is per-call and needs no lock
+        if (fs.exists(dst))
+          throw new java.nio.file.FileAlreadyExistsException(dst.toString)
+        if (!fs.rename(src, dst)) {
+          if (fs.exists(dst))
+            throw new java.nio.file.FileAlreadyExistsException(
+              dst.toString)
+          throw new java.io.IOException(s"rename $src -> $dst failed")
+        }
+      }
+
       def publishNoReplace(fs: FileSystem, src: HPath,
           dst: HPath): Unit = renameLock.synchronized {
         if (fs.exists(dst))
@@ -541,8 +569,19 @@ object WriteOps {
       * written before r15 — consumers must treat unknown as
       * unpushable). Carried verbatim through every carry-over, like
       * bytes and stats. */
+    /** `born`: the monotonic commit-ts chain value of the commit that
+      * CREATED the file's content (−1 = legacy/unknown, treated as
+      * older-than-everything). Deletion-vector tombstones carry a
+      * `__below` from the same chain and kill a row only when
+      * `__below > born` — the Iceberg sequence-number idea expressed
+      * on the ts chain, which stays totally ordered ACROSS shallow
+      * clones (a clone's first own commit draws max(srcHeadTs+1, now))
+      * where version numbers restart. This is what lets one commit
+      * tombstone a key AND re-insert it (merge-on-read UPDATE): the
+      * fresh file's born equals the tombstone's __below, so the new
+      * row is exempt while every older file's rows stay killed. */
     private[graft] case class FileEntry(path: String, bytes: Long,
-        stats: String = "", rows: Long = -1L)
+        stats: String = "", rows: Long = -1L, born: Long = -1L)
 
     /** Row-group byte bound for EVERY snapshot data-file write (the
       * staged commit path and the executor-side group writers alike).
@@ -608,14 +647,19 @@ object WriteOps {
     // stats = never skipped, missing rows = count never pushed)
     private def parseEntry(line: String): FileEntry = {
       val t = line.split('\t')
-      if (t.length >= 4) FileEntry(t(0), t(1).toLong, t(2), t(3).toLong)
+      if (t.length >= 5)
+        FileEntry(t(0), t(1).toLong, t(2), t(3).toLong, t(4).toLong)
+      else if (t.length == 4)
+        FileEntry(t(0), t(1).toLong, t(2), t(3).toLong)
       else if (t.length == 3) FileEntry(t(0), t(1).toLong, t(2))
       else if (t.length == 2) FileEntry(t(0), t(1).toLong)
       else FileEntry(line, -1L)
     }
 
     private def fmtEntry(e: FileEntry): String =
-      if (e.rows >= 0) s"${e.path}\t${e.bytes}\t${e.stats}\t${e.rows}"
+      if (e.born >= 0)
+        s"${e.path}\t${e.bytes}\t${e.stats}\t${e.rows}\t${e.born}"
+      else if (e.rows >= 0) s"${e.path}\t${e.bytes}\t${e.stats}\t${e.rows}"
       else if (e.stats.isEmpty) s"${e.path}\t${e.bytes}"
       else s"${e.path}\t${e.bytes}\t${e.stats}"
 
@@ -1240,7 +1284,8 @@ object WriteOps {
       * the listing), so manifests store root-relative forms verbatim. */
     private def stageDataFiles(s: SparkSession, root: String,
         stageName: String, slice: DataFrame, touched: Seq[Int],
-        namer: (Int, Int) => String): Seq[(Int, Seq[FileEntry])] = {
+        namer: (Int, Int) => String,
+        born: Long = -1L): Seq[(Int, Seq[FileEntry])] = {
       val dataDir = new HPath(root, "data")
       val fs = fsFor(dataDir)
       fs.mkdirs(dataDir)
@@ -1255,7 +1300,7 @@ object WriteOps {
         .option("parquet.block.size",
           rowGroupBytes(s.sparkContext.hadoopConfiguration).toString)
         .parquet(stage.toString)
-      val moved = touched.map { y =>
+      val plan: Seq[(Int, Seq[(HPath, HPath, Long)])] = touched.map { y =>
         val pDir = new HPath(stage, s"__pt=$y")
         val parts =
           if (!fs.exists(pDir)) Seq.empty
@@ -1263,13 +1308,38 @@ object WriteOps {
             .filter(_.getPath.getName.endsWith(".parquet"))
             .sortBy(_.getPath.getName)
         y -> parts.zipWithIndex.map { case (st, i) =>
-          val dst = new HPath(dataDir, namer(y, i))
-          // rename-no-replace: if a racing writer already published this
-          // name, the move throws HERE — before the loser can overwrite
-          // a committed version's bytes
-          renameNoReplace(fs, st.getPath, dst)
-          dst.toString -> st.getLen
+          (st.getPath, new HPath(dataDir, namer(y, i)), st.getLen)
         }
+      }
+      // rename-no-replace: if a racing writer already published a
+      // name, the move throws HERE — before the loser can overwrite a
+      // committed version's bytes. Above a small count the renames run
+      // on a thread pool: each targets a commit-unique generated name
+      // (publishNoReplaceUnique), so concurrency only overlaps the
+      // driver↔FS round-trip latency a 100k-file commit would
+      // otherwise pay serially; a failure leaves earlier winners as
+      // orphans awaiting vacuumOrphans, exactly like the serial loop.
+      val renames = plan.flatMap(_._2)
+      val substrate = substrateFor(fs.getUri.getScheme)
+      if (renames.size <= 16)
+        renames.foreach { case (src, dst, _) =>
+          substrate.publishNoReplaceUnique(fs, src, dst)
+        }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(32, renames.size))
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          Await.result(
+            Future.traverse(renames) { case (src, dst, _) =>
+              Future(substrate.publishNoReplaceUnique(fs, src, dst))
+            }, scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
+      }
+      val moved = plan.map { case (y, es) =>
+        y -> es.map { case (_, dst, len) => dst.toString -> len }
       }
       deleteTree(stage.toString)
       // data-skipping stats: per fresh file, column min/max from the
@@ -1281,10 +1351,18 @@ object WriteOps {
       moved.map { case (y, es) =>
         y -> es.map { case (p, b) =>
           val (blob, rows) = stats.getOrElse(p, ("", -1L))
-          FileEntry(p, b, blob, rows)
+          FileEntry(p, b, blob, rows, born)
         }
       }
     }
+
+    /** The ts-chain value for a commit of version `v` — exposed so
+      * staging paths can record it as fresh files' `born` BEFORE the
+      * manifest write draws its own (which is then ≥ this value, and
+      * every LATER commit's strictly greater — the ordering the
+      * birth-aware tombstone check rides on). */
+    private[graft] def nextCommitTs(root: String, v: Int): Long =
+      monotonicTs(root, v)
 
     def commit(s: SparkSession, root: String, v: Int, slice: DataFrame,
         touched: Seq[Int], txn: Option[(String, Long)] = None,

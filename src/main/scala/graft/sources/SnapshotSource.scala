@@ -1141,7 +1141,9 @@ private[sources] class SnapshotScanBuilder(root: String,
     maxBytesPerTrigger: Option[Long] = None) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   import org.apache.spark.sql.sources._
 
   private var required: StructType = full
@@ -1151,6 +1153,53 @@ private[sources] class SnapshotScanBuilder(root: String,
   private var ranges: Map[String, (Any, Any)] = Map.empty
   // pt_year partition conjuncts CONSUMED by exact partition pruning
   private var consumedYears: Option[Set[Int]] = None
+  // every filter Spark handed pushFilters — a pushed LIMIT may bound
+  // planned files by manifest row counts ONLY when nothing re-filters
+  // rows after the scan
+  private var sawFilters: Boolean = false
+  private var limitHint: Option[Int] = None
+  // Some(true) = take partitions in ASCENDING pt_year order first;
+  // Some(false) = descending (ORDER BY pt_year [DESC] LIMIT n)
+  private var topNAsc: Option[Boolean] = None
+
+  /** LIMIT pushdown (`SELECT ... LIMIT n` with no filters): manifest
+    * row counts bound the planned files to a PREFIX whose cumulative
+    * rows reach n — a 100k-file table serves LIMIT 20 from one file.
+    * Always PARTIAL (the prefix overshoots n; Spark keeps its Limit),
+    * so correctness never depends on the bound. Refused whenever any
+    * filter was offered (residual re-filtering means a prefix of raw
+    * rows cannot bound filtered rows) — the plan-time DV/row-count
+    * checks live in SnapshotScan, which drops the hint if the version
+    * carries tombstones or unknown-row legacy entries. */
+  override def pushLimit(n: Int): Boolean = {
+    if (sawFilters || n <= 0) false
+    else { limitHint = Some(n); true }
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** TopN pushdown for `ORDER BY pt_year [DESC] LIMIT n`: partitions
+    * hold exactly their key, so taking whole partitions in key order
+    * until cumulative rows reach n provably contains the global top-n
+    * (every row of a later partition orders strictly after all taken
+    * rows). Partial — Spark keeps its sort+limit. Any other ordering
+    * refuses. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (sawFilters || n <= 0) return false
+    orders.toSeq match {
+      case Seq(o) => o.expression() match {
+        case r: NamedReference
+            if r.fieldNames.toSeq == Seq("pt_year") =>
+          limitHint = Some(n)
+          topNAsc = Some(o.direction() == SortDirection.ASCENDING)
+          true
+        case _ => false
+      }
+      case _ => false
+    }
+  }
 
   /** MANIFEST-ONLY AGGREGATION (the Iceberg/Delta stats-aggregate
     * optimization): `COUNT(*)` answers from per-file row counts
@@ -1417,6 +1466,9 @@ private[sources] class SnapshotScanBuilder(root: String,
       case _ => false
     }
     pushed = yearFs ++ statPushed
+    // consumed pt_year conjuncts are exact (no post-scan re-filter),
+    // so they don't block LIMIT bounding; residuals do
+    sawFilters = rest.nonEmpty
     rest // non-partition filters re-evaluate post-scan
   }
 
@@ -1435,7 +1487,8 @@ private[sources] class SnapshotScanBuilder(root: String,
       startingVersion,
       ranges.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) },
       pinnedVersion, ignoreDeletes, maxVersionsPerTrigger,
-      maxBytesPerTrigger, consumedYears, nullScan, notNullScan)
+      maxBytesPerTrigger, consumedYears, nullScan, notNullScan,
+      limitHint, topNAsc)
   }
 }
 
@@ -1473,6 +1526,21 @@ private[sources] class SnapshotMetaAggScan(root: String,
 private[sources] case class SnapshotMetaAggPartition(
     rows: Seq[Seq[Any]]) extends InputPartition
 
+private[graft] object SnapshotScan {
+  /** root → the most recent BATCH plan's effective pt_year scope
+    * (None = unscoped, whole table). Written at planInputPartitions
+    * time after any runtime (DPP) narrowing — the observability hook
+    * plan-assertion specs use to pin that a star join planned ONLY
+    * the matching partitions. Driver-side only. */
+  private[graft] val lastPlannedYears =
+    scala.collection.concurrent.TrieMap[String, Option[Seq[Int]]]()
+
+  /** root → how many files the most recent batch plan actually
+    * planned (post pruning, runtime filtering, and LIMIT bounding). */
+  private[graft] val lastPlannedFiles =
+    scala.collection.concurrent.TrieMap[String, Int]()
+}
+
 private[sources] class SnapshotScan(root: String, schema: StructType,
     startingVersion: Int,
     ranges: Seq[(String, Any, Any)] = Nil,
@@ -1482,7 +1550,9 @@ private[sources] class SnapshotScan(root: String, schema: StructType,
     maxBytesPerTrigger: Option[Long] = None,
     years: Option[Set[Int]] = None,
     nullCols: Seq[String] = Nil,
-    notNullCols: Seq[String] = Nil) extends Scan
+    notNullCols: Seq[String] = Nil,
+    limitHint: Option[Int] = None,
+    topNAsc: Option[Boolean] = None) extends Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
@@ -1500,8 +1570,6 @@ private[sources] class SnapshotScan(root: String, schema: StructType,
     * unparseable predicates narrow nothing (sound). Batch-only —
     * Spark never runtime-filters a MicroBatchStream. */
   @volatile private var runtimeYears: Option[Set[Int]] = None
-  // last planInputPartitions outcome, for plan-assertion specs
-  @volatile private[sources] var lastPlannedYears: Option[Seq[Int]] = None
 
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column("pt_year"))
@@ -1531,7 +1599,9 @@ private[sources] class SnapshotScan(root: String, schema: StructType,
       pinnedVersion.fold(s"from v$startingVersion")(v => s"@v$v") +
       (if (ranges.isEmpty) ""
        else ranges.map { case (c, lo, hi) => s"$c in [$lo, $hi]" }
-         .mkString(" pruned by ", " and ", ""))
+         .mkString(" pruned by ", " and ", "")) +
+      limitHint.fold("")(n => s" limit=$n" + topNAsc.fold("")(a =>
+        if (a) " by pt_year" else " by pt_year desc"))
 
   /** keyCol → type tag for tombstone normalization. */
   private def dvInfo(v: Int): Option[(String, String, Char)] =
@@ -1579,21 +1649,56 @@ private[sources] class SnapshotScan(root: String, schema: StructType,
     * partitions a consumed pt_year conjunct selected (EXACT pruning —
     * a partition's files hold only rows with its key, so no residual
     * re-filter is needed or kept). */
-  private def scopedEntries(v: Int): Seq[SnapshotTable.FileEntry] =
-    effectiveYears match {
-      case None => SnapshotTable.statEntries(root, v)
-      case Some(ys) =>
-        SnapshotTable.partitionStatEntries(root, v, ys.toSeq.sorted)
-          .flatMap(_._2)
+  private def scopedByYear(
+      v: Int): Seq[(Int, Seq[SnapshotTable.FileEntry])] = {
+    val ys = effectiveYears match {
+      case None => SnapshotTable.pointers(root, v).keys.toSeq.sorted
+      case Some(s) => s.toSeq.sorted
     }
+    SnapshotTable.partitionStatEntries(root, v, ys)
+  }
+
+  /** Pushed-LIMIT/TopN file bounding: with no residual filters (the
+    * builder's push precondition) and no pending tombstones, a file
+    * PREFIX whose recorded row counts reach n provably contains n
+    * rows — Spark's own Limit (and sort, for TopN) still runs on top,
+    * so skipping the bound is always sound and taking it never
+    * changes results. TopN orders whole partitions by pt_year first
+    * (rows of a later partition order strictly after every taken
+    * row); unknown-row legacy entries refuse the bound. */
+  private def boundByLimit(
+      perYear: Seq[(Int, Seq[SnapshotTable.FileEntry])],
+      dvPresent: Boolean): Seq[SnapshotTable.FileEntry] = {
+    val ordered = topNAsc match {
+      case Some(false) => perYear.sortBy(-_._1).flatMap(_._2)
+      case _ => perYear.flatMap(_._2) // already ascending-year order
+    }
+    limitHint match {
+      case Some(n) if !dvPresent && ordered.forall(_.rows >= 0) =>
+        var acc = 0L
+        val out = Seq.newBuilder[SnapshotTable.FileEntry]
+        val it = ordered.iterator
+        while (acc < n && it.hasNext) {
+          val e = it.next(); out += e; acc += e.rows
+        }
+        out.result()
+      case _ => ordered
+    }
+  }
 
   override def toBatch: Batch = {
     val v = pinnedVersion.getOrElse(SnapshotTable.versions(root).max)
     val dv = dvInfo(v)
     new Batch {
       override def planInputPartitions(): Array[InputPartition] = {
-        lastPlannedYears = effectiveYears.map(_.toSeq.sorted)
-        SnapshotSplits.plan(scopedEntries(v).filter(entrySurvives))
+        SnapshotScan.lastPlannedYears(root) =
+          effectiveYears.map(_.toSeq.sorted)
+        val survivors = scopedByYear(v).map { case (y, es) =>
+          y -> es.filter(entrySurvives)
+        }
+        val planned = boundByLimit(survivors, dv.nonEmpty)
+        SnapshotScan.lastPlannedFiles(root) = planned.size
+        SnapshotSplits.plan(planned)
       }
       override def createReaderFactory(): PartitionReaderFactory =
         readerFactory(dv)

@@ -122,5 +122,76 @@ class CommitSubstrateSpec extends AnyFunSuite {
     }
     intercept[java.nio.file.FileAlreadyExistsException](
       T.RenameSubstrate.publishNoReplace(fs, staged, committed))
+    // the lock-free unique-destination path runs the SAME translation
+    val staged2 = new HPath(dir.resolve("staged2").toString)
+    val o2 = real.create(staged2, true); o2.write('y'); o2.close()
+    val fs2 = new org.apache.hadoop.fs.FilterFileSystem(real) {
+      private var first = true
+      override def exists(p: HPath): Boolean =
+        if (p == committed && first) { first = false; false }
+        else super.exists(p)
+      override def rename(src: HPath, dst: HPath): Boolean =
+        if (dst == committed) false
+        else super.rename(src, dst)
+    }
+    intercept[java.nio.file.FileAlreadyExistsException](
+      T.RenameSubstrate.publishNoReplaceUnique(fs2, staged2, committed))
+  }
+
+  test("unique-destination publishes keep no-replace arbitration under " +
+      "concurrency: racers to distinct names all land, a taken name " +
+      "refuses") {
+    val dir = Files.createTempDirectory("g_substrate_par")
+    val fs = FileSystem.getLocal(new Configuration())
+    def put(name: String): HPath = {
+      val p = new HPath(dir.resolve(name).toString)
+      val out = fs.create(p, true)
+      try out.write(name.getBytes("UTF-8")) finally out.close()
+      p
+    }
+    // a pre-committed destination refuses even on the lock-free path
+    val winner = put("winner")
+    val loser = put("loser_src")
+    intercept[java.nio.file.FileAlreadyExistsException](
+      T.RenameSubstrate.publishNoReplaceUnique(fs, loser, winner))
+    // 64 threads, 64 distinct destinations — the parallel commit-
+    // finalization shape: every rename must land exactly once
+    val srcs = (0 until 64).map(i => put(s"src_$i"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      Await.result(Future.traverse(srcs.zipWithIndex.toList) {
+        case (src, i) => Future(T.RenameSubstrate
+          .publishNoReplaceUnique(fs,
+            src, new HPath(dir.resolve(s"dst_$i").toString)))
+      }, scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+    (0 until 64).foreach { i =>
+      val p = new HPath(dir.resolve(s"dst_$i").toString)
+      assert(fs.exists(p), s"dst_$i missing")
+      val in = fs.open(p)
+      val got =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      assert(got === s"src_$i", s"dst_$i carries the wrong bytes")
+    }
+  }
+
+  test("a wide commit (pool-path finalization) reads back exactly") {
+    val spark = graft.etl.TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("g_substrate_wide").toString
+    // 24 part files per year × 2 years = 48 renames > the serial
+    // threshold — the thread-pool path finalizes this commit
+    val df = (1L to 480L).map(k =>
+      (k, if (k % 2 == 0) 2023 else 2024, k * 1.5))
+      .toDF("k", "pt_year", "v").repartition(24)
+    T.commit(spark, root, 0, df, Seq(2023, 2024))
+    val got = T.read(spark, root, 0)
+    assert(got.count() === 480L)
+    assert(got.agg(org.apache.spark.sql.functions.sum("k"))
+      .head.getLong(0) === (1L to 480L).sum)
   }
 }

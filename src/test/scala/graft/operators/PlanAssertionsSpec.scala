@@ -59,6 +59,31 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"), p)
   }
 
+  test("snapshot star join runtime-prunes fact partitions (DPP): the " +
+      "dim's surviving keys bound which partitions the connector plans") {
+    val df = graft.SparkEntry.queries("join_dpp_snapshot")(spark, sf)
+    df.collect() // execute so the runtime filter actually fires
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no runtime filter reached the connector scan:\n$p")
+    // the registry pins WHAT was planned: each year's min date falls
+    // inside that year, so first_day >= 1996-01-01 keeps exactly the
+    // years >= 1996 present in orders — compute that from the data
+    import org.apache.spark.sql.functions._
+    val expected = Tables.orders(spark, sf)
+      .select(year(col("o_orderdate")).as("y")).distinct()
+      .collect().map(_.getInt(0)).filter(_ >= 1996).sorted.toSeq
+    assert(expected.nonEmpty && expected.size <
+      Tables.orders(spark, sf).select(year(col("o_orderdate")))
+        .distinct().count(),
+      "fixture lost its selectivity — the dim filter must drop years")
+    val planned = graft.sources.SnapshotScan.lastPlannedYears.collectFirst {
+      case (root, ys) if root.contains("cntmeta") => ys
+    }
+    assert(planned === Some(Some(expected)),
+      s"fact scan planned $planned, wanted exactly $expected")
+  }
+
   test("exact dedup shuffles digests, not documents") {
     val p = plan("dedup_exact")
     // the exchange key is the md5 hash; raw text must not survive past
