@@ -554,9 +554,13 @@ object WriteOps {
           " — add a new column instead"))
       }
       val existing = parent.fieldNames.toSet
+      // parent fields carry VERBATIM (metadata and nullability — a
+      // rowKey table's identity columns are recorded non-nullable and
+      // must stay so); only genuinely new columns append, nullable
+      // (pre-evolution files null-fill them)
       org.apache.spark.sql.types.StructType(
-        (parent.fields ++ slice.fields.filterNot(f =>
-          existing.contains(f.name))).map(_.copy(nullable = true)))
+        parent.fields ++ slice.fields.filterNot(f =>
+          existing.contains(f.name)).map(_.copy(nullable = true)))
     }
 
     /** One data file's manifest record: path, byte size, and an encoded
@@ -1105,12 +1109,42 @@ object WriteOps {
       dvOf(root, v) match {
         case None => df
         case Some((p, k, _)) =>
-          val side = s.read.parquet(p)
+          val side0 = s.read.parquet(p)
+          val side = (
+            if (side0.columns.contains("__below")) side0
+            // legacy sidecar: applies to every file (MAX sentinel) —
+            // sound, because appends into DV-pending partitions were
+            // refused, so no file can postdate these tombstones
+            else side0.withColumn("__below", lit(Long.MaxValue)))
+            .select(col(k).as("__dv_key"),
+              col("pt_year").as("__dv_pt"), col("__below"))
           val build =
             if (pendingDvBytes(root, v) <= dvBroadcastMaxBytes)
               broadcast(side)
             else side
-          df.join(build, Seq(k, "pt_year"), "left_anti")
+          // birth-aware anti-join: a tombstone kills a row only when
+          // its commit postdates the row's file (__below > born) —
+          // what lets ONE commit tombstone a key and re-insert it
+          // (merge-on-read UPDATE). born rides the manifest entry; a
+          // small broadcast maps each row's file back to it (legacy
+          // entries without born order before every tombstone, the
+          // pre-birth behavior).
+          val borns = statEntries(root, v).map(e =>
+            (e.path.substring(e.path.lastIndexOf('/') + 1), e.born))
+          import s.implicits._
+          val bornDf = broadcast(
+            borns.toDF("__graft_file", "__graft_born"))
+          df.withColumn("__graft_file",
+              substring_index(col("_metadata.file_path"), "/", -1))
+            .join(bornDf, Seq("__graft_file"), "left")
+            .withColumn("__graft_born",
+              coalesce(col("__graft_born"), lit(-1L)))
+            .join(build,
+              col(k) === col("__dv_key") &&
+                col("pt_year") === col("__dv_pt") &&
+                col("__below") > col("__graft_born"),
+              "left_anti")
+            .drop("__graft_file", "__graft_born")
       }
 
     /** MERGE-ON-READ DELETE: commit `doomed` (columns: keyCol, pt_year)
@@ -1128,14 +1162,28 @@ object WriteOps {
       require(!fs.exists(manifest(root, v)),
         s"conflict: version $v is already committed — rebase on the " +
         "current head and retry")
+      // `__below`: the ts-chain value of THIS delete commit — a
+      // tombstone kills only rows of files born strictly before it,
+      // so a later (or same-commit, merge-on-read) re-insert of the
+      // key lives. Legacy sidecars lacking the column upgrade to the
+      // current ts on first union: every file existing today was born
+      // before now (appends into DV-pending partitions are refused),
+      // so the semantics are unchanged and the MAX sentinel never
+      // leaks forward.
+      val ts = nextCommitTs(root, v)
       val fresh = doomed.select(col(keyCol), col("pt_year"))
+        .distinct().withColumn("__below", lit(ts))
       val pending = (dvOf(root, v - 1) match {
         case Some((p, k, _)) =>
           require(k == keyCol,
             s"pending deletion vector keys on '$k'; a '$keyCol' delete " +
             "must wait for a rewrite to purge it")
-          s.read.parquet(p).unionByName(fresh).distinct()
-        case None => fresh.distinct()
+          val prior0 = s.read.parquet(p)
+          val prior =
+            if (prior0.columns.contains("__below")) prior0
+            else prior0.withColumn("__below", lit(ts))
+          prior.unionByName(fresh).distinct()
+        case None => fresh
       }).localCheckpoint(true) // pin: the sidecar is read back below
       val dvPath = freshDvPath(root, v)
       pending.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dvPath)
@@ -1170,6 +1218,22 @@ object WriteOps {
       * names, so re-ADDing one would resurrect stale values; the DDL
       * path refuses them. */
     private[graft] val ReservedKey = "graft.reserved"
+
+    /** Field-metadata key (anchored on pt_year like [[ReservedKey]])
+      * naming the table's unique row-identity column — declared via
+      * `CREATE TABLE ... TBLPROPERTIES ('rowKey' = '<col>')`. A table
+      * WITH a rowKey runs SQL UPDATE / MERGE / non-metadata DELETE as
+      * MERGE-ON-READ row deltas (tombstone + append, see
+      * [[commitDelta]]); without one they stay group copy-on-write. */
+    private[graft] val RowKeyKey = "graft.rowKey"
+
+    /** The declared row-identity column, when the table has one. */
+    private[graft] def rowKeyOf(
+        schema: org.apache.spark.sql.types.StructType): Option[String] =
+      schema.fields.find(_.name == "pt_year")
+        .filter(_.metadata.contains(RowKeyKey))
+        .map(_.metadata.getString(RowKeyKey))
+        .filter(schema.fieldNames.contains)
 
     /** current name → older physical names, newest first. */
     private[graft] def colAliases(
@@ -1399,7 +1463,8 @@ object WriteOps {
         }
       val staged = stageDataFiles(s, root,
         s"stage_v${v}_${java.util.UUID.randomUUID().toString.take(8)}",
-        slice, touched, (y, i) => f"v${v}_y${y}_p$i%05d.parquet")
+        slice, touched, (y, i) => f"v${v}_y${y}_p$i%05d.parquet",
+        nextCommitTs(root, v))
       // one immutable m-file per touched partition WITH files (carried
       // entries first, fresh after); a touched partition left with
       // neither simply has no pointer in v
@@ -1596,7 +1661,8 @@ object WriteOps {
       // arbitrates, the loser rebases, its orphans await vacuumOrphans
       val tok = java.util.UUID.randomUUID().toString.take(8)
       val staged = stageDataFiles(s, root, s"stage_v${v}_$tok",
-        batch, touched, (y, i) => f"v${v}_y${y}_a$i%05d_$tok.parquet")
+        batch, touched, (y, i) => f"v${v}_y${y}_a$i%05d_$tok.parquet",
+        nextCommitTs(root, v))
       commitAppendEntries(root, v, staged, batch.schema, txn, dvLine)
     }
 
@@ -1641,6 +1707,107 @@ object WriteOps {
               .map { case (y, m) => s"y$y\t$m" })
       }
       txn.foreach { case (app, id) => recordTxnMarker(root, app, id) }
+    }
+
+    /** MERGE-ON-READ row-level commit (the write half of the DSv2
+      * SupportsDelta operation — SQL UPDATE / MERGE / DELETE on a
+      * table declaring a `rowKey`): version v = parent pointers with
+      *
+      *  - removed rows as TOMBSTONES unioned into the deletion-vector
+      *    sidecar with `__below = ts` (this commit's ts-chain value);
+      *  - new/updated rows as TRUE-APPEND entries with `born = ts`.
+      *
+      * Equality of `born` and `__below` is the whole trick: the
+      * tombstone half of an UPDATE kills the key's OLD rows (their
+      * files were born strictly earlier) while the re-inserted row in
+      * this commit's own files is exempt (`__below > born` is false) —
+      * so a 10-row UPDATE to a 10 GB partition costs a 10-row append
+      * plus a sidecar write, never a partition rewrite. The group-CoW
+      * twin remains the compaction-time path (OPTIMIZE purges the
+      * debt physically). Data pointers carry VERBATIM — untouched
+      * files keep their mtimes (spec-pinned). */
+    private[graft] def commitDelta(s: SparkSession, root: String,
+        v: Int, keyCol: String, files: Seq[(Int, String, Long)],
+        dvStaged: Seq[String],
+        writeSchema: org.apache.spark.sql.types.StructType): Unit = {
+      val fs = fsFor(manifest(root, v))
+      require(v > 0, "a row-level delta needs a parent version")
+      require(fs.exists(manifest(root, v - 1)),
+        s"cannot commit version $v: parent v${v - 1} was never committed")
+      require(!fs.exists(manifest(root, v)),
+        s"conflict: version $v is already committed — rebase on the " +
+        "current head and retry")
+      val ts = nextCommitTs(root, v)
+
+      // tombstones: staged (key, pt_year) task files → __below = ts,
+      // unioned with the parent's pending set (legacy rows upgrade to
+      // ts — sound: every existing file was born before this commit)
+      val fresh =
+        if (dvStaged.isEmpty) None
+        else {
+          val d = s.read.parquet(dvStaged: _*)
+            .select(col(keyCol), col("pt_year")).distinct()
+            .withColumn("__below", lit(ts))
+          if (d.isEmpty) None else Some(d)
+        }
+      val prior = dvOf(root, v - 1).map { case (p, k, _) =>
+        require(k == keyCol,
+          s"pending deletion vector keys on '$k'; a '$keyCol' " +
+          "row-level delta must wait for a rewrite to purge it")
+        val p0 = s.read.parquet(p)
+        if (p0.columns.contains("__below")) p0
+        else p0.withColumn("__below", lit(ts))
+      }
+      val dvLine: Seq[String] = (fresh, prior) match {
+        case (None, None) => Nil
+        case (None, Some(_)) =>
+          // no new tombstones: the parent's sidecar line carries
+          dvOf(root, v - 1).map { case (p, k, ys) =>
+            dvLineOf(p, k, ys)
+          }.toSeq
+        case (f, pr) =>
+          val all = (f.toSeq ++ pr.toSeq).reduce(_.unionByName(_))
+            .distinct().localCheckpoint(true)
+          val dvPath = freshDvPath(root, v)
+          all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dvPath)
+          val years = all.select("pt_year").distinct()
+            .collect().map(_.getInt(0)).toSeq.sorted
+          Seq(dvLineOf(dvPath, keyCol, years))
+      }
+
+      // fresh data files append (parent entries ++ fresh, born = ts)
+      val stats = statsFor(s, files.map(_._2), writeSchema)
+      val staged: Seq[(Int, Seq[FileEntry])] =
+        files.groupBy(_._1).toSeq.map { case (y, fsq) =>
+          y -> fsq.map { case (_, p, b) =>
+            val (blob, rows) = stats.getOrElse(p, ("", -1L))
+            FileEntry(p, b, blob, rows, ts)
+          }.sortBy(_.path)
+        }
+      if (dvLine.isEmpty && staged.isEmpty) return // matched nothing
+
+      val parentPtrs = pointers(root, v - 1)
+      val mtok = java.util.UUID.randomUUID().toString.take(8)
+      val freshPtrs: Map[Int, String] = staged.collect {
+        case (y, es) if es.nonEmpty =>
+          val parentEs = parentPtrs.get(y).map(readPartManifest)
+            .getOrElse(Seq.empty)
+          y -> writePartManifest(root, s"m_v${v}_y${y}_$mtok.txt",
+            parentEs ++ es)
+      }.toMap
+      val carriedPtrs = parentPtrs -- freshPtrs.keySet
+      val schema = tableSchema(root, v - 1)
+        .map(mergeSchemas(_, writeSchema))
+        .getOrElse(writeSchema)
+      val tmp = new HPath(mdir(root), s".v$v.tmp")
+      lockFor(root).synchronized {
+        // #ts is the SAME ts the borns/belows carry — equality is the
+        // same-commit exemption contract
+        writeAtomic(fs, tmp, manifest(root, v),
+          (Seq(s"#schema=${schema.json}", s"#ts=$ts") ++ dvLine) ++
+            (carriedPtrs ++ freshPtrs).toSeq.sortBy(_._1)
+              .map { case (y, m) => s"y$y\t$m" })
+      }
     }
 
     /** Pre-flight checks + the carried dv line for an APPEND of
@@ -2238,7 +2405,8 @@ object WriteOps {
       }
       val token = java.util.UUID.randomUUID().toString.take(8)
       val staged = stageDataFiles(s, root, s"stage_b${name}_$token",
-        slice, touched, (y, i) => f"b$name-${token}_y${y}_p$i%05d.parquet")
+        slice, touched, (y, i) => f"b$name-${token}_y${y}_p$i%05d.parquet",
+        nextCommitTs(root, parent + 1))
       // fresh m-files are TOKEN-namespaced like the data files, so a
       // later staging of the same branch name can never collide with
       // m-files a previous staging already published into history
@@ -2941,6 +3109,47 @@ object WriteOps {
               AS total
           FROM graftupd.$tname $clause GROUP BY pt_year""")
     agg("head", "").unionByName(agg("v0", "VERSION AS OF 0"))
+  }
+
+  /** MERGE-ON-READ SQL UPDATE + DELETE — gate `sql_update_mor`
+    * (SupportsDelta over a `rowKey` table; the Iceberg-v2/Delta-DV
+    * row-level shape): the table declares `TBLPROPERTIES ('rowKey' =
+    * 'o_orderkey')`, so the UPDATE lands as tombstones + re-inserted
+    * rows and the (untranslatable-predicate) DELETE as tombstones
+    * alone — parent data files carry VERBATIM (SqlUpdateMorSpec pins
+    * their mtimes), the commit costs O(delta), and reads apply the
+    * birth-aware sidecar. Oracled against the plain-SQL equivalent;
+    * the CoW twin gate (`sql_update_snapshot`) answers the same
+    * queries through partition rewrites. Fresh lineage per
+    * invocation. */
+  private[graft] def sqlUpdateMor(s: SparkSession,
+      d: String): DataFrame = {
+    val base = scratch("sqlmor_base")
+    s.conf.set("spark.sql.catalog.graftmor",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftmor.base", base)
+    val n = "t"
+    val root = s"$base/$n"
+    SnapshotTable.deleteTree(root)
+    s.sql("CREATE TABLE graftmor.t (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_totalprice DOUBLE, pt_year INT) " +
+      "TBLPROPERTIES ('rowKey' = 'o_orderkey')")
+    orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      .createOrReplaceTempView("mor_src")
+    s.sql("INSERT INTO graftmor.t SELECT * FROM mor_src")
+    // delta UPDATE: ~10% of keys tombstone + re-insert (modulo keeps
+    // the predicate off the metadata-delete path)
+    s.sql("UPDATE graftmor.t SET o_totalprice = o_totalprice + 5.0 " +
+      "WHERE o_orderkey % 10 = 3")
+    // delta DELETE: ~1% of keys tombstone only
+    s.sql("DELETE FROM graftmor.t WHERE o_orderkey % 100 = 7")
+    s.sql(
+      s"""SELECT pt_year, cast(count(*) AS bigint) AS cnt,
+            cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+              AS total
+          FROM graftmor.t GROUP BY pt_year""")
   }
 
   /** SQL MERGE INTO through the DSv2 row-level operation — gate
@@ -3794,6 +4003,11 @@ object WriteOps {
     // (see sqlDeleteSnapshot), pre-delete state time-traveled
     "sql_delete_snapshot" -> ((s, d) => sqlDeleteSnapshot(s, d)),
     "sql_update_snapshot" -> ((s, d) => sqlUpdateSnapshot(s, d)),
+
+    // merge-on-read row-level ops: UPDATE/DELETE on a rowKey table
+    // land as tombstones + appends, zero files rewritten (see
+    // sqlUpdateMor / SupportsDelta)
+    "sql_update_mor" -> ((s, d) => sqlUpdateMor(s, d)),
     "sql_merge_snapshot" -> ((s, d) => sqlMergeSnapshot(s, d)),
     "sql_overwrite_partition" -> ((s, d) => sqlOverwritePartition(s, d)),
     "sql_alter_widen" -> ((s, d) => sqlAlterWiden(s, d)),
@@ -4672,6 +4886,21 @@ object WriteOps {
            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
              AS total
          FROM lab GROUP BY version, pt_year""",
+
+    // merge-on-read twin: tombstone+append deltas must serve exactly
+    // the rows a plain UPDATE-then-DELETE computes
+    "sql_update_mor" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             cast(year(o_orderdate) AS int) AS pt_year FROM orders),
+         upd AS (SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 5.0
+               ELSE o_totalprice END AS o_totalprice, pt_year
+           FROM t WHERE o_orderkey % 100 <> 7)
+         SELECT pt_year, cast(count(*) AS bigint) AS cnt,
+           cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS total
+         FROM upd GROUP BY pt_year""",
 
     // head = matched updates (+10.0, keys ≡1 mod 10), matched deletes
     // (keys ≡2), and the not-matched inserts (negated keys ≡3 landing

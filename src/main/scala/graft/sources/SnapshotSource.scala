@@ -204,11 +204,45 @@ class SnapshotCatalog
     val root = rootOf(ident)
     require(SnapshotTable.versions(root).isEmpty,
       s"table ${ident.name} already exists at $root")
+    // `TBLPROPERTIES ('rowKey' = '<col>')`: declare the unique row-
+    // identity column — rides as pt_year field metadata (like the
+    // retired-name set), so every commit path and VERSION AS OF carry
+    // it for free. Tables WITH a rowKey run UPDATE/MERGE/non-metadata
+    // DELETE as merge-on-read row deltas instead of group CoW.
+    val rowKey = Option(properties.get("rowKey"))
+      .orElse(Option(properties.get("rowkey")))
+    val schemaK = rowKey.fold(schema) { k =>
+      require(k != "pt_year",
+        "rowKey must be a data column, not the partition key")
+      val f = schema.fields.find(_.name == k).getOrElse(
+        throw new IllegalArgumentException(
+          s"rowKey column '$k' is not in the schema"))
+      import org.apache.spark.sql.types._
+      require(Seq(LongType, IntegerType, StringType, DoubleType)
+          .contains(f.dataType),
+        s"rowKey '$k' must be BIGINT, INT, STRING, or DOUBLE (got " +
+        s"${f.dataType.sql}) — the tombstone sidecar keys on it")
+      StructType(schema.fields.map { sf =>
+        if (sf.name != "pt_year") sf
+        else sf.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(sf.metadata)
+            .putString(SnapshotTable.RowKeyKey, k).build())
+      })
+    }
     val s = SparkSession.active
+    // rowKey tables record the identity columns NON-NULLABLE (Spark's
+    // delta row-level rewrite requires it, and inserts null-check
+    // them); everything else normalizes nullable as usual
+    val recorded = StructType(schemaK.fields.map { f =>
+      val id = rowKey.contains(f.name) ||
+        (rowKey.isDefined && f.name == "pt_year")
+      f.copy(nullable = !id)
+    })
     SnapshotTable.commit(s, root, 0,
       s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-      Seq.empty)
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], recorded),
+      Seq.empty, schemaOverride = Some(recorded))
     new SnapshotSourceTable(
       SnapshotTable.tableSchema(root, 0).get, root, None)
   }
@@ -460,7 +494,17 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       "a VERSION/TIMESTAMP AS OF table is a read-only snapshot")
-    () => new SnapshotRowLevelOperation(root, tableSchema, info.command)
+    () => SnapshotTable.rowKeyOf(tableSchema) match {
+      // a declared rowKey upgrades row-level commands to MERGE-ON-READ
+      // deltas: removed rows tombstone into the DV sidecar, new rows
+      // true-append — a 10-row UPDATE to a 10 GB partition stops
+      // rewriting the partition (SupportsDelta; group CoW remains the
+      // no-rowKey default and the OPTIMIZE-time physical path)
+      case Some(k) =>
+        new SnapshotDeltaOperation(root, tableSchema, k, info.command)
+      case None =>
+        new SnapshotRowLevelOperation(root, tableSchema, info.command)
+    }
   }
 
   override def name(): String =
@@ -1011,10 +1055,11 @@ private[sources] class SnapshotReplaceDataWrite(
     if (files.isEmpty && replaced.isEmpty) return // matched nothing
     val s = SparkSession.active
     val stats = SnapshotTable.statsFor(s, files.map(_._2), schema)
+    val born = SnapshotTable.nextCommitTs(root, op.readVersion + 1)
     val staged = files.groupBy(_._1).toSeq.map { case (y, fs) =>
       y -> fs.map { case (_, p, b) =>
         val (blob, rows) = stats.getOrElse(p, ("", -1L))
-        SnapshotTable.FileEntry(p, b, blob, rows)
+        SnapshotTable.FileEntry(p, b, blob, rows, born)
       }.sortBy(_.path)
     }
     // the pinned-snapshot commit: a concurrent writer landing after
@@ -1031,6 +1076,213 @@ private[sources] class SnapshotReplaceDataWrite(
     filesOf(messages).foreach { case (_, p, _) =>
       SnapshotTable.deleteTree(p)
     }
+}
+
+/** DELTA-BASED row-level operation (SupportsDelta — SQL UPDATE /
+  * MERGE / non-metadata DELETE on a table declaring a `rowKey`):
+  * merge-on-read. Spark rewrites the command into a WriteDelta plan
+  * whose writer receives per-row DELETE/INSERT ops (updates split by
+  * [[representUpdateAsDeleteAndInsert]]); removed rows land as
+  * deletion-vector tombstones, new rows as true-append files, ONE
+  * commit ([[graft.operators.WriteOps.SnapshotTable.commitDelta]]).
+  * The scan is the ordinary pinned batch scan — full pushdown +
+  * runtime partition filtering apply, and NOTHING is rewritten, so a
+  * few-row UPDATE against a 10 GB partition reads the candidate
+  * files and writes O(delta). rowId = (rowKey, pt_year): the key
+  * names the row, the partition scopes the tombstone (exactly the
+  * sidecar's grain). */
+private[sources] class SnapshotDeltaOperation(root: String,
+    tableSchema: StructType, rowKey: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.SupportsDelta {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.read.ScanBuilder
+  import org.apache.spark.sql.connector.write.{DeltaWriteBuilder, DeltaWrite, LogicalWriteInfo}
+
+  private[sources] val readVersion = SnapshotTable.versions(root).max
+
+  override def command(): org.apache.spark.sql.connector.write
+      .RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graft-snapshot $cmd merge-on-read @v$readVersion"
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(rowKey), Expressions.column("pt_year"))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new SnapshotScanBuilder(root, tableSchema, 0,
+      pinnedVersion = Some(readVersion))
+
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new SnapshotDeltaWrite(
+        SnapshotDeltaOperation.this, root, rowKey,
+        tableSchema.json,
+        new SerializableConfiguration(SparkSession.active
+          .sparkContext.hadoopConfiguration))
+    }
+}
+
+/** One staged tombstone file per task (key, pt_year) + the fresh
+  * insert files' (year, path, bytes) triples — only these reach the
+  * driver. */
+private[sources] case class SnapshotDeltaMsg(
+    files: Seq[(Int, String, Long)], dvFile: Option[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class SnapshotDeltaWrite(op: SnapshotDeltaOperation,
+    root: String, rowKey: String, schemaJson: String,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DeltaWrite {
+  import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  private def schema =
+    DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  // one stage dir per write: tasks land tombstone files inside,
+  // commit consumes and removes it (a failed write leaves orphans a
+  // vacuum reclaims — same posture as data-file staging)
+  private val dvStage = new HPath(root,
+    s"stage_dvdelta_${java.util.UUID.randomUUID().toString.take(8)}")
+    .toString
+
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DeltaWriterFactory =
+      new SnapshotDeltaWriterFactory(root, dvStage, rowKey,
+        schemaJson, conf)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val ms = messages.collect { case m: SnapshotDeltaMsg => m }
+      val files = ms.flatMap(_.files).toSeq
+      val dvFiles = ms.flatMap(_.dvFile).toSeq
+      val s = SparkSession.active
+      try {
+        if (files.nonEmpty || dvFiles.nonEmpty)
+          SnapshotTable.commitDelta(s, root, op.readVersion + 1,
+            rowKey, files, dvFiles, schema)
+      } finally SnapshotTable.deleteTree(dvStage)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      messages.collect { case m: SnapshotDeltaMsg => m }
+        .foreach(_.files.foreach { case (_, p, _) =>
+          SnapshotTable.deleteTree(p)
+        })
+      SnapshotTable.deleteTree(dvStage)
+    }
+  }
+}
+
+private[sources] class SnapshotDeltaWriterFactory(root: String,
+    dvStage: String, rowKey: String, schemaJson: String,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new SnapshotDeltaWriter(root, dvStage, rowKey, schemaJson,
+      conf.value, partitionId)
+}
+
+/** Executor-side delta writer: INSERTs route to the shared per-year
+  * parquet group writers (same machinery as the streaming sink and
+  * the group rewrite); DELETEs stream (key, pt_year) pairs into one
+  * staged tombstone file — nothing buffers beyond parquet's own row
+  * group, so a wide delete stays O(1) memory. */
+private[sources] class SnapshotDeltaWriter(root: String,
+    dvStage: String, rowKey: String, schemaJson: String,
+    conf: org.apache.hadoop.conf.Configuration, partitionId: Int)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroup
+  import org.apache.parquet.hadoop.ParquetWriter
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.hadoop.util.HadoopOutputFile
+  import org.apache.parquet.io.api.Binary
+
+  private val schema =
+    DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  private val inserts =
+    new SnapshotGroupWriter(root, schemaJson, conf, partitionId, 0L)
+
+  // the rowId projection is (rowKey, pt_year) — fixed positions, see
+  // SnapshotDeltaOperation.rowId
+  private val keyType = schema.fields(schema.fieldIndex(rowKey)).dataType
+  private val dvSchema = StructType(Seq(
+    schema.fields(schema.fieldIndex(rowKey)).copy(name = rowKey,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("pt_year",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+  private val dvMsgType = SnapshotParquet.messageType(dvSchema)
+  private val token = java.util.UUID.randomUUID().toString.take(8)
+  private var dvWriter: ParquetWriter[org.apache.parquet.example.data.Group] = _
+  private var dvPath: HPath = _
+
+  private def dvW(): ParquetWriter[org.apache.parquet.example.data.Group] = {
+    if (dvWriter == null) {
+      dvPath = new HPath(dvStage, f"t$partitionId%05d_$token.parquet")
+      dvWriter = ExampleParquetWriter
+        .builder(HadoopOutputFile.fromPath(dvPath, conf))
+        .withConf(conf).withType(dvMsgType).build()
+    }
+    dvWriter
+  }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    require(!id.isNullAt(0) && !id.isNullAt(1),
+      s"row-level delete saw a NULL $rowKey/pt_year id — the rowKey " +
+      "column must be non-null on every row")
+    val g = new SimpleGroup(dvMsgType)
+    keyType match {
+      case LongType => g.add(rowKey, id.getLong(0))
+      case IntegerType => g.add(rowKey, id.getInt(0))
+      case DoubleType => g.add(rowKey, id.getDouble(0))
+      case StringType =>
+        g.add(rowKey, Binary.fromString(id.getUTF8String(0).toString))
+      case dt => throw new UnsupportedOperationException(
+        s"rowKey type ${dt.simpleString} is not tombstone-able")
+    }
+    g.add("pt_year", id.getInt(1))
+    dvW().write(g)
+  }
+
+  override def insert(row: InternalRow): Unit = inserts.write(row)
+
+  override def reinsert(meta: InternalRow, row: InternalRow): Unit =
+    insert(row)
+
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    // unreachable under representUpdateAsDeleteAndInsert, kept total
+    delete(meta, id); insert(row)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write
+      .WriterCommitMessage = {
+    val fileMsg = inserts.commit() match {
+      case SnapshotFilesMsg(fs) => fs
+    }
+    val dv = Option(dvWriter).map { w =>
+      w.close()
+      dvPath.toString
+    }
+    SnapshotDeltaMsg(fileMsg, dv)
+  }
+
+  override def abort(): Unit = {
+    inserts.abort()
+    if (dvWriter != null) {
+      try dvWriter.close() catch { case _: Exception => () }
+      try dvPath.getFileSystem(conf).delete(dvPath, false)
+      catch { case _: Exception => () }
+    }
+  }
+
+  override def close(): Unit = inserts.close()
 }
 
 /** V1 source Filter → Column translation for the SQL DELETE path.
@@ -1906,7 +2158,7 @@ private[sources] class SnapshotMicroBatchStream(root: String,
   * covering the file therefore partition its row groups exactly, with
   * no row read twice and none lost. */
 private[sources] case class SnapshotFilePartition(path: String,
-    start: Long = 0L, end: Long = Long.MaxValue)
+    start: Long = 0L, end: Long = Long.MaxValue, born: Long = -1L)
     extends InputPartition
 
 /** Byte-range SPLIT PLANNING for connector scans — Spark's own
@@ -1956,13 +2208,14 @@ private[sources] object SnapshotSplits {
       session.sparkContext.hadoopConfiguration)
     val target = math.max(targetSplitBytes(session, entries), floor)
     entries.iterator.flatMap { e =>
-      if (e.bytes <= target) Iterator(SnapshotFilePartition(e.path))
+      if (e.bytes <= target)
+        Iterator(SnapshotFilePartition(e.path, born = e.born))
       else {
         val n = ((e.bytes + target - 1) / target).toInt
         (0 until n).iterator.map { i =>
           val st = i.toLong * target
           SnapshotFilePartition(e.path, st,
-            if (i == n - 1) Long.MaxValue else st + target)
+            if (i == n - 1) Long.MaxValue else st + target, e.born)
         }
       }
     }.map(p => p: InputPartition).toArray
@@ -1981,10 +2234,16 @@ private[sources] object SnapshotSplits {
   * (their paths are never served again). */
 private[sources] object DvCache {
   private val cache =
-    scala.collection.concurrent.TrieMap[String, Set[(Any, Int)]]()
+    scala.collection.concurrent.TrieMap[String, Map[(Any, Int), Long]]()
 
+  /** (normalized key, pt_year) → the MAX `__below` of its tombstone
+    * generations: a row dies iff that value exceeds its file's born.
+    * Sidecars written before the birth-aware format lack `__below`
+    * and load as Long.MaxValue (apply to every file — the historical
+    * semantics, sound because appends into DV-pending partitions
+    * were refused). */
   def tombstones(dvPath: String, keyCol: String, tag: Char,
-      conf: org.apache.hadoop.conf.Configuration): Set[(Any, Int)] =
+      conf: org.apache.hadoop.conf.Configuration): Map[(Any, Int), Long] =
     cache.getOrElseUpdate(dvPath, {
       import org.apache.parquet.hadoop.ParquetReader
       import org.apache.parquet.hadoop.example.GroupReadSupport
@@ -1992,7 +2251,7 @@ private[sources] object DvCache {
       val fs = dir.getFileSystem(conf)
       val parts = fs.listStatus(dir).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
-      val out = scala.collection.mutable.HashSet[(Any, Int)]()
+      val out = scala.collection.mutable.HashMap[(Any, Int), Long]()
       parts.foreach { p =>
         val rd = ParquetReader.builder(new GroupReadSupport(), p)
           .withConf(conf).build()
@@ -2012,12 +2271,20 @@ private[sources] object DvCache {
                       .PrimitiveTypeName.INT32) g.getInteger(ki, 0).toLong
                 else g.getLong(ki, 0)
             }
-            out += ((key, g.getInteger(yi, 0)))
+            val below =
+              if (gt.containsField("__below") &&
+                  g.getFieldRepetitionCount(
+                    gt.getFieldIndex("__below")) > 0)
+                g.getLong(gt.getFieldIndex("__below"), 0)
+              else Long.MaxValue
+            val kk = (key, g.getInteger(yi, 0))
+            val prev = out.getOrElse(kk, Long.MinValue)
+            if (below > prev) out(kk) = below
             g = rd.read()
           }
         } finally rd.close()
       }
-      out.toSet
+      out.toMap
     })
 }
 
@@ -2479,11 +2746,14 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
           }
       }
 
-      private val doomed: Set[(Any, Int)] = dv match {
+      private val doomed: Map[(Any, Int), Long] = dv match {
         case Some((dvPath, keyCol, tag)) =>
           DvCache.tombstones(dvPath, keyCol, tag, conf.value)
-        case None => Set.empty
+        case None => Map.empty
       }
+      // the file's birth on the ts chain (−1 legacy = before every
+      // tombstone): a tombstone kills only rows born before it
+      private val fileBorn: Long = fp.born
 
       private val reader: ParquetReader[Group] =
         openWith(ParquetReader.builder(new GroupReadSupport(),
@@ -2505,7 +2775,8 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
                 if (keyIsInt32) g.getInteger(ki, 0).toLong
                 else g.getLong(ki, 0)
             }
-            doomed.contains((key, g.getInteger(yi, 0)))
+            doomed.getOrElse((key, g.getInteger(yi, 0)),
+              Long.MinValue) > fileBorn
           }
       }
 

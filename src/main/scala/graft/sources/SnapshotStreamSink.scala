@@ -118,10 +118,12 @@ private[sources] class SnapshotStreamingWrite(root: String,
       val s = SparkSession.active
       val touched = files.map(_._1).distinct.sorted
       val stats = SnapshotTable.statsFor(s, files.map(_._2), schema)
+      val born = SnapshotTable.nextCommitTs(root,
+        SnapshotTable.versions(root).max + 1)
       val staged = files.groupBy(_._1).toSeq.map { case (y, fs) =>
         y -> fs.map { case (_, p, b) =>
           val (blob, rows) = stats.getOrElse(p, ("", -1L))
-          SnapshotTable.FileEntry(p, b, blob, rows)
+          SnapshotTable.FileEntry(p, b, blob, rows, born)
         }.sortBy(_.path)
       }
       // OPTIMISTIC CONCURRENCY, same bounded rebase-retry as the SQL
