@@ -1235,6 +1235,55 @@ object WriteOps {
         .map(_.metadata.getString(RowKeyKey))
         .filter(schema.fieldNames.contains)
 
+    /** Field-metadata key (anchored on pt_year) holding the table's
+      * comma-separated BLOOM-FILTER columns — declared via `CREATE
+      * TABLE ... TBLPROPERTIES ('bloomFilterColumns' = 'a,b')`. Every
+      * write path enables parquet-mr's NATIVE per-row-group bloom
+      * filters on them (adaptive sizing), and the read side's
+      * equality predicates ([[graft.sources.ParquetPredicates]])
+      * consult those blooms to skip row groups a point probe cannot
+      * match — the file-skipping shape Delta's bloom index and
+      * Iceberg's parquet blooms provide for `=`/`IN` lookups on
+      * high-cardinality, non-clustered keys that min/max stats can't
+      * discriminate. Executor-parallel (each reader consults its own
+      * file's footer), O(1) manifest cost, false-negative-free by
+      * parquet's bloom contract; legacy files simply lack the bloom
+      * and read unchanged. */
+    private[graft] val BloomColsKey = "graft.bloomCols"
+
+    /** The declared bloom columns present in `schema` (empty when
+      * undeclared). */
+    private[graft] def bloomColsOf(
+        schema: org.apache.spark.sql.types.StructType): Seq[String] =
+      schema.fields.find(_.name == "pt_year")
+        .filter(_.metadata.contains(BloomColsKey))
+        .map(_.metadata.getString(BloomColsKey)
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+        .filter(schema.fieldNames.contains)
+
+    /** Bloom columns of the table's current recorded schema (empty
+      * for plain snapshot roots or pre-creation writes). */
+    private[graft] def bloomColsAt(root: String): Seq[String] =
+      versions(root).maxOption.flatMap(tableSchema(root, _))
+        .map(bloomColsOf).getOrElse(Seq.empty)
+
+    /** The write-side hadoop conf for `root`: carries the bloom
+      * column list to executor writers (the key is read by
+      * [[graft.sources.SnapshotGroupWriter]]); a COPY, so the
+      * session's shared conf is never mutated. */
+    private[graft] def bloomWriteConf(root: String,
+        base: org.apache.hadoop.conf.Configuration)
+        : org.apache.hadoop.conf.Configuration = {
+      val cols = bloomColsAt(root)
+      if (cols.isEmpty) base
+      else {
+        val c = new org.apache.hadoop.conf.Configuration(base)
+        c.set("graft.snapshot.bloomColumns", cols.mkString(","))
+        c
+      }
+    }
+
     /** current name → older physical names, newest first. */
     private[graft] def colAliases(
         schema: org.apache.spark.sql.types.StructType)
@@ -1355,7 +1404,8 @@ object WriteOps {
       fs.mkdirs(dataDir)
       fs.mkdirs(mdir(root))
       val stage = new HPath(root, stageName)
-      slice.filter(col("pt_year").isin(touched.map(Integer.valueOf): _*))
+      val w0 = slice
+        .filter(col("pt_year").isin(touched.map(Integer.valueOf): _*))
         .withColumn("__pt", col("pt_year"))
         .write.mode(SaveMode.Overwrite).partitionBy("__pt")
         // bounded row groups keep committed files SPLITTABLE — see
@@ -1363,7 +1413,16 @@ object WriteOps {
         // one core forever after
         .option("parquet.block.size",
           rowGroupBytes(s.sparkContext.hadoopConfiguration).toString)
-        .parquet(stage.toString)
+      // declared bloom columns ride as parquet write options (Spark's
+      // parquet sink passes them to ParquetOutputFormat verbatim);
+      // adaptive sizing keeps the bloom proportional to the row
+      // group's observed distinct count instead of the 1 MB default
+      val blooms = bloomColsAt(root).filter(slice.columns.contains)
+      val w = blooms.foldLeft(
+          if (blooms.isEmpty) w0
+          else w0.option("parquet.bloom.filter.adaptive.enabled", "true"))(
+        (acc, c) => acc.option(s"parquet.bloom.filter.enabled#$c", "true"))
+      w.parquet(stage.toString)
       val plan: Seq[(Int, Seq[(HPath, HPath, Long)])] = touched.map { y =>
         val pDir = new HPath(stage, s"__pt=$y")
         val parts =
@@ -3152,6 +3211,41 @@ object WriteOps {
           FROM graftmor.t GROUP BY pt_year""")
   }
 
+  /** BLOOM-FILTER point lookup — gate `scan_bloom_point`: the table
+    * declares `TBLPROPERTIES ('bloomFilterColumns' = 'o_orderkey')`,
+    * so every written file carries a parquet bloom on the key and the
+    * probe's equality predicate (a degenerate [v, v] range →
+    * `FilterApi.eq`) skips row groups the key cannot be in — the
+    * file-skipping shape for `=`/`IN` on a high-cardinality,
+    * NON-CLUSTERED key that min/max stats can't discriminate (Delta's
+    * bloom index / Iceberg's parquet blooms). The probe key is
+    * computed from the source (one-value driver collect, bounded) and
+    * inlined as a literal so the filter actually pushes; the oracle
+    * mirrors it as a scalar subquery. Fresh lineage per invocation. */
+  private[graft] def scanBloomPoint(s: SparkSession,
+      d: String): DataFrame = {
+    val base = scratch("bloompoint_base")
+    s.conf.set("spark.sql.catalog.graftbloom",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftbloom.base", base)
+    val root = s"$base/t"
+    SnapshotTable.deleteTree(root)
+    s.sql("CREATE TABLE graftbloom.t (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_totalprice DOUBLE, pt_year INT) " +
+      "TBLPROPERTIES ('bloomFilterColumns' = 'o_orderkey')")
+    orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
+      .createOrReplaceTempView("bloom_src")
+    s.sql("INSERT INTO graftbloom.t SELECT * FROM bloom_src")
+    val probe = orders(s, d)
+      .filter(col("o_orderkey") % 97 === 11)
+      .agg(min(col("o_orderkey"))).collect()(0).getLong(0)
+    s.sql(
+      s"""SELECT o_orderkey, o_custkey, pt_year,
+            cast(cast(o_totalprice AS decimal(18,2)) AS double) AS price
+          FROM graftbloom.t WHERE o_orderkey = $probe""")
+  }
+
   /** SQL MERGE INTO through the DSv2 row-level operation — gate
     * `sql_merge_snapshot`: one statement composes matched UPDATE
     * (keys ≡1 mod 10 get +10.0), matched DELETE (keys ≡2 mod 10), and
@@ -4008,6 +4102,11 @@ object WriteOps {
     // land as tombstones + appends, zero files rewritten (see
     // sqlUpdateMor / SupportsDelta)
     "sql_update_mor" -> ((s, d) => sqlUpdateMor(s, d)),
+
+    // bloom-filter point lookup: equality probe on a non-clustered
+    // high-cardinality key skips row groups via the declared parquet
+    // bloom (see scanBloomPoint)
+    "scan_bloom_point" -> ((s, d) => scanBloomPoint(s, d)),
     "sql_merge_snapshot" -> ((s, d) => sqlMergeSnapshot(s, d)),
     "sql_overwrite_partition" -> ((s, d) => sqlOverwritePartition(s, d)),
     "sql_alter_widen" -> ((s, d) => sqlAlterWiden(s, d)),
@@ -4901,6 +5000,17 @@ object WriteOps {
            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
              AS total
          FROM upd GROUP BY pt_year""",
+
+    // the bloom probe key is min(o_orderkey ≡ 11 mod 97) — the gate
+    // inlines it as a literal (so the eq pushes), the oracle derives
+    // it as a scalar subquery; same value, same single-key result
+    "scan_bloom_point" ->
+      """WITH probe AS (SELECT min(o_orderkey) AS k FROM orders
+             WHERE o_orderkey % 97 = 11)
+         SELECT o_orderkey, o_custkey,
+           cast(year(o_orderdate) AS int) AS pt_year,
+           cast(cast(o_totalprice AS decimal(18,2)) AS double) AS price
+         FROM orders, probe WHERE o_orderkey = probe.k""",
 
     // head = matched updates (+10.0, keys ≡1 mod 10), matched deletes
     // (keys ≡2), and the not-matched inserts (negated keys ≡3 landing

@@ -230,11 +230,46 @@ class SnapshotCatalog
             .putString(SnapshotTable.RowKeyKey, k).build())
       })
     }
+    // `TBLPROPERTIES ('bloomFilterColumns' = 'a,b')`: declare the
+    // columns every write should carry a parquet bloom filter for —
+    // point (`=`/`IN`) probes on high-cardinality, non-clustered
+    // keys then skip row groups that cannot hold the value (see
+    // SnapshotTable.BloomColsKey). Restricted to the types the read
+    // side's equality predicates push (integral + string); floats
+    // never push (NaN ordering), so a float bloom would be dead
+    // weight.
+    val bloomCols = Option(properties.get("bloomFilterColumns"))
+      .orElse(Option(properties.get("bloomfiltercolumns")))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    val schemaB =
+      if (bloomCols.isEmpty) schemaK
+      else {
+        import org.apache.spark.sql.types._
+        bloomCols.foreach { c =>
+          val f = schemaK.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"bloomFilterColumns column '$c' is not in the schema"))
+          require(Seq(LongType, IntegerType, ShortType, ByteType,
+              StringType).contains(f.dataType),
+            s"bloomFilterColumns '$c' must be an integral or string " +
+            s"column (got ${f.dataType.sql}) — equality predicates " +
+            "push only those")
+        }
+        StructType(schemaK.fields.map { sf =>
+          if (sf.name != "pt_year") sf
+          else sf.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(sf.metadata)
+              .putString(SnapshotTable.BloomColsKey,
+                bloomCols.mkString(",")).build())
+        })
+      }
     val s = SparkSession.active
     // rowKey tables record the identity columns NON-NULLABLE (Spark's
     // delta row-level rewrite requires it, and inserts null-check
     // them); everything else normalizes nullable as usual
-    val recorded = StructType(schemaK.fields.map { f =>
+    val recorded = StructType(schemaB.fields.map { f =>
       val id = rowKey.contains(f.name) ||
         (rowKey.isDefined && f.name == "pt_year")
       f.copy(nullable = !id)
@@ -698,8 +733,9 @@ private[sources] class SnapshotSourceTable(tableSchema: StructType,
             "complete/update output modes are unsupported")
           new SnapshotStreamingWrite(root, info.schema().json,
             info.queryId(), new org.apache.spark.util
-              .SerializableConfiguration(SparkSession.active
-                .sparkContext.hadoopConfiguration),
+              .SerializableConfiguration(
+                SnapshotTable.bloomWriteConf(root, SparkSession.active
+                  .sparkContext.hadoopConfiguration)),
             Option(info.options.get("compactEvery")).map(_.toInt))
         }
 
@@ -917,8 +953,9 @@ private[sources] class SnapshotRowLevelOperation(root: String,
             .BatchWrite =
           new SnapshotReplaceDataWrite(SnapshotRowLevelOperation.this,
             root, info.schema().json,
-            new SerializableConfiguration(SparkSession.active
-              .sparkContext.hadoopConfiguration))
+            new SerializableConfiguration(
+              SnapshotTable.bloomWriteConf(root, SparkSession.active
+                .sparkContext.hadoopConfiguration)))
       }
     }
 }
@@ -1123,8 +1160,9 @@ private[sources] class SnapshotDeltaOperation(root: String,
       override def build(): DeltaWrite = new SnapshotDeltaWrite(
         SnapshotDeltaOperation.this, root, rowKey,
         tableSchema.json,
-        new SerializableConfiguration(SparkSession.active
-          .sparkContext.hadoopConfiguration))
+        new SerializableConfiguration(
+          SnapshotTable.bloomWriteConf(root, SparkSession.active
+            .sparkContext.hadoopConfiguration)))
     }
 }
 
@@ -2350,29 +2388,60 @@ private[sources] object ParquetPredicates {
           else None
         if (!t.exists(_.isPrimitive)) Nil
         else t.get.asPrimitiveType().getPrimitiveTypeName match {
+          // a DEGENERATE range (lo == hi: an equality / one-point IN
+          // conjunct) builds FilterApi.eq instead of the gtEq∧ltEq
+          // pair — semantically identical at record level, but eq is
+          // what parquet-mr's BLOOM-FILTER and dictionary row-group
+          // evaluators understand, so a point probe on a bloom-
+          // declared column skips every row group that cannot hold
+          // the value (the range pair only consults min/max stats,
+          // useless on a non-clustered key)
           case PrimitiveTypeName.INT64 =>
             val col = FilterApi.longColumn(c)
-            Option(lo).flatMap(integral).map(v => FilterApi.gtEq(col,
-                java.lang.Long.valueOf(v)): FilterPredicate).toSeq ++
-              Option(hi).flatMap(integral).map(v => FilterApi.ltEq(col,
-                java.lang.Long.valueOf(v)): FilterPredicate)
+            (Option(lo).flatMap(integral), Option(hi).flatMap(integral))
+                match {
+              case (Some(l), Some(h)) if l == h =>
+                Seq(FilterApi.eq(col,
+                  java.lang.Long.valueOf(l)): FilterPredicate)
+              case (l, h) =>
+                l.map(v => FilterApi.gtEq(col,
+                    java.lang.Long.valueOf(v)): FilterPredicate).toSeq ++
+                  h.map(v => FilterApi.ltEq(col,
+                    java.lang.Long.valueOf(v)): FilterPredicate)
+            }
           case PrimitiveTypeName.INT32 =>
             val col = FilterApi.intColumn(c)
-            Option(lo).flatMap(integral).map(v => FilterApi.gtEq(col,
-                Integer.valueOf(clampInt(v))): FilterPredicate).toSeq ++
-              Option(hi).flatMap(integral).map(v => FilterApi.ltEq(col,
-                Integer.valueOf(clampInt(v))): FilterPredicate)
+            (Option(lo).flatMap(integral), Option(hi).flatMap(integral))
+                match {
+              // eq only when the point survives the int32 clamp
+              // verbatim — an out-of-range point keeps the (sound)
+              // clamped range pair
+              case (Some(l), Some(h)) if l == h && clampInt(l) == l =>
+                Seq(FilterApi.eq(col,
+                  Integer.valueOf(l.toInt)): FilterPredicate)
+              case (l, h) =>
+                l.map(v => FilterApi.gtEq(col,
+                    Integer.valueOf(clampInt(v))): FilterPredicate).toSeq ++
+                  h.map(v => FilterApi.ltEq(col,
+                    Integer.valueOf(clampInt(v))): FilterPredicate)
+            }
           case PrimitiveTypeName.BINARY =>
             val col = FilterApi.binaryColumn(c)
-            (lo match {
-              case s: String => Seq(FilterApi.gtEq(col,
-                Binary.fromString(s)): FilterPredicate)
-              case _ => Nil
-            }) ++ (hi match {
-              case s: String => Seq(FilterApi.ltEq(col,
-                Binary.fromString(s)): FilterPredicate)
-              case _ => Nil
-            })
+            (lo, hi) match {
+              case (l: String, h: String) if l == h =>
+                Seq(FilterApi.eq(col,
+                  Binary.fromString(l)): FilterPredicate)
+              case _ =>
+                (lo match {
+                  case s: String => Seq(FilterApi.gtEq(col,
+                    Binary.fromString(s)): FilterPredicate)
+                  case _ => Nil
+                }) ++ (hi match {
+                  case s: String => Seq(FilterApi.ltEq(col,
+                    Binary.fromString(s)): FilterPredicate)
+                  case _ => Nil
+                })
+            }
           case _ => Nil // FLOAT/DOUBLE (NaN hazard), INT96, fixed: no
         }
     }

@@ -225,18 +225,30 @@ private[sources] class SnapshotGroupWriter(root: String,
   // arrive unprefixed (offset 0). Computed per row-width once.
   private var fieldOffset = -1
 
+  // declared bloom columns ride in from the driver on the write conf
+  // (SnapshotTable.bloomWriteConf) — parquet-mr writes an adaptive
+  // per-row-group bloom the read side's equality predicates consult
+  private val bloomCols: Seq[String] =
+    Option(conf.get("graft.snapshot.bloomColumns"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+      .filter(schema.fieldNames.contains)
+
   private def writerFor(y: Int): ParquetWriter[Group] =
     writers.getOrElseUpdate(y, {
       val p = new HPath(new HPath(root, "data"),
         f"se${epochId}_y${y}_p$partitionId%05d_$token.parquet")
-      val w = ExampleParquetWriter
+      val b0 = ExampleParquetWriter
         .builder(HadoopOutputFile.fromPath(p, conf))
         .withConf(conf).withType(msgType)
         // same bounded row groups as the staged commit path — sink-
         // and rewrite-written files stay splittable at read
         .withRowGroupSize(
           graft.operators.WriteOps.SnapshotTable.rowGroupBytes(conf))
-        .build()
+      val w = bloomCols.foldLeft(
+          if (bloomCols.isEmpty) b0
+          else b0.withAdaptiveBloomFilterEnabled(true))(
+        (acc, c) => acc.withBloomFilterEnabled(c, true)).build()
       (p, w)
     })._2
 
