@@ -2612,6 +2612,350 @@ private[graft] object ReaderDiag {
   private[sources] def add(n: Long): Unit = rows.addAndGet(n)
 }
 
+/** Minimal read-only [[org.apache.spark.sql.vectorized.ColumnVector]]
+  * family backing the connector's COLUMNAR read path: one primitive
+  * array + null mask per column, filled once per batch by
+  * [[SnapshotColumnarReader]] and handed to Spark's ColumnarToRow
+  * (whole-stage codegen'd). Deliberately PUBLIC-API-only — these are
+  * the connector-facing `vectorized` classes, not Spark's internal
+  * writable vectors. */
+private[sources] object GraftVectors {
+  import org.apache.spark.sql.vectorized.{ColumnarArray, ColumnarMap, ColumnVector}
+
+  private[sources] abstract class Base(dt: DataType,
+      nulls: Array[Boolean]) extends ColumnVector(dt) {
+    private var cachedNulls = -1
+    final override def close(): Unit = ()
+    final override def hasNull: Boolean = numNulls > 0
+    final override def numNulls: Int = {
+      if (cachedNulls < 0) {
+        var c = 0; var i = 0
+        while (i < nulls.length) { if (nulls(i)) c += 1; i += 1 }
+        cachedNulls = c
+      }
+      cachedNulls
+    }
+    final override def isNullAt(i: Int): Boolean = nulls(i)
+    private def nope = throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} does not serve this accessor")
+    override def getBoolean(i: Int): Boolean = nope
+    override def getByte(i: Int): Byte = nope
+    override def getShort(i: Int): Short = nope
+    override def getInt(i: Int): Int = nope
+    override def getLong(i: Int): Long = nope
+    override def getFloat(i: Int): Float = nope
+    override def getDouble(i: Int): Double = nope
+    override def getArray(i: Int): ColumnarArray = nope
+    override def getMap(i: Int): ColumnarMap = nope
+    override def getDecimal(i: Int, p: Int, s: Int)
+        : org.apache.spark.sql.types.Decimal = nope
+    override def getUTF8String(i: Int): UTF8String = nope
+    override def getBinary(i: Int): Array[Byte] = nope
+    override def getChild(i: Int): ColumnVector = nope
+  }
+
+  private[sources] final class Longs(dt: DataType, vals: Array[Long],
+      nulls: Array[Boolean]) extends Base(dt, nulls) {
+    override def getLong(i: Int): Long = vals(i)
+  }
+  private[sources] final class Ints(dt: DataType, vals: Array[Int],
+      nulls: Array[Boolean]) extends Base(dt, nulls) {
+    override def getInt(i: Int): Int = vals(i)
+  }
+  private[sources] final class Shorts(vals: Array[Short],
+      nulls: Array[Boolean]) extends Base(ShortType, nulls) {
+    override def getShort(i: Int): Short = vals(i)
+  }
+  private[sources] final class Bytes(vals: Array[Byte],
+      nulls: Array[Boolean]) extends Base(ByteType, nulls) {
+    override def getByte(i: Int): Byte = vals(i)
+  }
+  private[sources] final class Doubles(vals: Array[Double],
+      nulls: Array[Boolean]) extends Base(DoubleType, nulls) {
+    override def getDouble(i: Int): Double = vals(i)
+  }
+  private[sources] final class Floats(vals: Array[Float],
+      nulls: Array[Boolean]) extends Base(FloatType, nulls) {
+    override def getFloat(i: Int): Float = vals(i)
+  }
+  private[sources] final class Bools(vals: Array[Boolean],
+      nulls: Array[Boolean]) extends Base(BooleanType, nulls) {
+    override def getBoolean(i: Int): Boolean = vals(i)
+  }
+  private[sources] final class Strings(vals: Array[UTF8String],
+      nulls: Array[Boolean]) extends Base(StringType, nulls) {
+    override def getUTF8String(i: Int): UTF8String = vals(i)
+  }
+  /** A column the FILE predates (pre-evolution null-fill). */
+  private[sources] final class Nulls(dt: DataType, n: Int)
+      extends ColumnVector(dt) {
+    override def close(): Unit = ()
+    override def hasNull: Boolean = true
+    override def numNulls: Int = n
+    override def isNullAt(i: Int): Boolean = true
+    private def nope = throw new UnsupportedOperationException(
+      "null vector serves no values")
+    override def getBoolean(i: Int): Boolean = nope
+    override def getByte(i: Int): Byte = nope
+    override def getShort(i: Int): Short = nope
+    override def getInt(i: Int): Int = nope
+    override def getLong(i: Int): Long = nope
+    override def getFloat(i: Int): Float = nope
+    override def getDouble(i: Int): Double = nope
+    override def getArray(i: Int)
+        : org.apache.spark.sql.vectorized.ColumnarArray = nope
+    override def getMap(i: Int)
+        : org.apache.spark.sql.vectorized.ColumnarMap = nope
+    override def getDecimal(i: Int, p: Int, s: Int)
+        : org.apache.spark.sql.types.Decimal = nope
+    override def getUTF8String(i: Int): UTF8String = nope
+    override def getBinary(i: Int): Array[Byte] = nope
+    override def getChild(i: Int)
+        : org.apache.spark.sql.vectorized.ColumnVector = nope
+  }
+}
+
+/** COLUMNAR partition reader (r16 verdict ask #3): per row group,
+  * parquet-mr's PUBLIC column readers
+  * (`ColumnReadStoreImpl`/`ColumnReader` — typed getters over pages,
+  * no Spark-private internals) fill primitive-array vectors in tight
+  * monomorphic loops, and each ≤`batchRows` slice ships as ONE
+  * [[org.apache.spark.sql.vectorized.ColumnarBatch]] — Spark's
+  * ColumnarToRow then consumes it inside whole-stage codegen. This
+  * removes the per-row record-assembly constant the row path pays
+  * (one materializer call + one `GenericInternalRow` allocation per
+  * row), the measured 1.6-2× gap vs Spark's vectorized parquet
+  * source on scan-bound shapes (SCALE.md r16 §5).
+  *
+  * Engaged by [[GroupRowReaderFactory.supportColumnarReads]] ONLY
+  * when no deletion vector applies and no predicate was pushed: a
+  * pushed predicate means parquet's RECORD-level skipping is live on
+  * the row path (the 502× decode-reduction machinery, which columnar
+  * page decoding cannot express) — selective scans keep it, while
+  * the scan-bound full-partition shapes this path exists for have
+  * nothing to skip. Everything else composes unchanged: the
+  * projected read schema (`setRequestedSchema`), byte-range splits
+  * (row groups whose midpoint falls in [start, end)), rename
+  * aliases, pre-evolution null-fill, and type widening (per-FILE
+  * physical types, same tag scheme as the row path). */
+private[sources] class SnapshotColumnarReader(fp: SnapshotFilePartition,
+    schema: StructType, aliases: Map[String, Seq[String]],
+    conf: org.apache.hadoop.conf.Configuration, batchRows: Int = 4096)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.parquet.HadoopReadOptions
+  import org.apache.parquet.column.ColumnReader
+  import org.apache.parquet.column.impl.ColumnReadStoreImpl
+  import org.apache.parquet.hadoop.ParquetFileReader
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  import org.apache.parquet.io.api.{Converter, GroupConverter, PrimitiveConverter}
+  import org.apache.parquet.schema.MessageType
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+  private val reader: ParquetFileReader = ParquetFileReader.open(
+    HadoopInputFile.fromPath(new HPath(fp.path), conf),
+    HadoopReadOptions.builder(conf)
+      .withRange(fp.start, fp.end).build())
+  private val createdBy =
+    reader.getFooter.getFileMetaData.getCreatedBy
+  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+
+  // per-slot plan: the FILE's physical name (alias chain) and fill
+  // tag — same tag scheme as the row path (8/9 = widened int32/float)
+  private val nCols = schema.fields.length
+  private val physNames: Array[String] = schema.fields.map { f =>
+    (f.name +: aliases.getOrElse(f.name, Nil))
+      .find(fileSchema.containsField).getOrElse(f.name)
+  }
+  private val present: Array[Boolean] =
+    physNames.map(fileSchema.containsField)
+  private val projected: MessageType = new MessageType(
+    fileSchema.getName,
+    physNames.zipWithIndex.collect { case (pn, j) if present(j) =>
+      fileSchema.getType(fileSchema.getFieldIndex(pn))
+    }.toList.asJava)
+  locally { reader.setRequestedSchema(projected) }
+  // projected column k → output slot (dense; projection preserves
+  // slot order, so this is the k-th present slot)
+  private val slotOfProj: Array[Int] =
+    (0 until nCols).filter(present).toArray
+  private val tagOfProj: Array[Byte] = slotOfProj.map { j =>
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{FLOAT => PFLOAT, INT32 => PINT32}
+    val t0: Byte = schema.fields(j).dataType match {
+      case LongType | TimestampType | TimestampNTZType => 0
+      case IntegerType | DateType => 1
+      case ShortType => 2
+      case ByteType => 3
+      case DoubleType => 4
+      case FloatType => 5
+      case BooleanType => 6
+      case StringType => 7
+      case dt => throw new UnsupportedOperationException(
+        s"graft-snapshot columnar read does not serve ${dt.simpleString}")
+    }
+    val phys = fileSchema
+      .getType(fileSchema.getFieldIndex(physNames(j)))
+      .asPrimitiveType().getPrimitiveTypeName
+    if (t0 == 0 && phys == PINT32) 8: Byte
+    else if (t0 == 4 && phys == PFLOAT) 9: Byte
+    else t0
+  }
+
+  // the column readers only ever feed typed getters; the converter
+  // tree exists to satisfy ColumnReadStoreImpl's contract
+  private val dummyRoot: GroupConverter = new GroupConverter {
+    private val prim = new PrimitiveConverter {}
+    override def getConverter(i: Int): Converter = prim
+    override def start(): Unit = ()
+    override def end(): Unit = ()
+  }
+
+  private var rowsLeft: Long = 0L
+  private var readers: Array[ColumnReader] = _
+  private var batch: ColumnarBatch = _
+  private var emitted = 0L
+
+  private def nextRowGroup(): Boolean = {
+    val pages = reader.readNextRowGroup()
+    if (pages == null) false
+    else {
+      rowsLeft = pages.getRowCount
+      readers =
+        if (projected.getFieldCount == 0) Array.empty
+        else {
+          val store = new ColumnReadStoreImpl(pages, dummyRoot,
+            projected, createdBy)
+          projected.getColumns.asScala
+            .map(store.getColumnReader).toArray
+        }
+      true
+    }
+  }
+
+  override def next(): Boolean = {
+    while (rowsLeft == 0L) if (!nextRowGroup()) return false
+    val n = math.min(batchRows.toLong, rowsLeft).toInt
+    val vecs = new Array[ColumnVector](nCols)
+    var j = 0
+    while (j < nCols) {
+      if (!present(j))
+        vecs(j) = new GraftVectors.Nulls(schema.fields(j).dataType, n)
+      j += 1
+    }
+    var k = 0
+    while (k < readers.length) {
+      val cr = readers(k)
+      val slot = slotOfProj(k)
+      val maxDef = cr.getDescriptor.getMaxDefinitionLevel
+      val nulls = new Array[Boolean](n)
+      val dt = schema.fields(slot).dataType
+      vecs(slot) = (tagOfProj(k): @annotation.switch) match {
+        case 0 =>
+          val a = new Array[Long](n); var i = 0
+          while (i < n) {
+            if (cr.getCurrentDefinitionLevel == maxDef) a(i) = cr.getLong
+            else nulls(i) = true
+            cr.consume(); i += 1
+          }
+          new GraftVectors.Longs(dt, a, nulls)
+        case 8 => // int32 file under a widened long column
+          val a = new Array[Long](n); var i = 0
+          while (i < n) {
+            if (cr.getCurrentDefinitionLevel == maxDef)
+              a(i) = cr.getInteger.toLong
+            else nulls(i) = true
+            cr.consume(); i += 1
+          }
+          new GraftVectors.Longs(dt, a, nulls)
+        case 1 =>
+          val a = new Array[Int](n); var i = 0
+          while (i < n) {
+            if (cr.getCurrentDefinitionLevel == maxDef)
+              a(i) = cr.getInteger
+            else nulls(i) = true
+            cr.consume(); i += 1
+          }
+          new GraftVectors.Ints(dt, a, nulls)
+        case 2 =>
+          val a = new Array[Short](n); var i = 0
+          while (i < n) {
+            if (cr.getCurrentDefinitionLevel == maxDef)
+              a(i) = cr.getInteger.toShort
+            else nulls(i) = true
+            cr.consume(); i += 1
+          }
+          new GraftVectors.Shorts(a, nulls)
+        case 3 =>
+          val a = new Array[Byte](n); var i = 0
+          while (i < n) {
+            if (cr.getCurrentDefinitionLevel == maxDef)
+              a(i) = cr.getInteger.toByte
+            else nulls(i) = true
+            cr.consume(); i += 1
+          }
+          new GraftVectors.Bytes(a, nulls)
+        case 4 =>
+          val a = new Array[Double](n); var i = 0
+          while (i < n) {
+            if (cr.getCurrentDefinitionLevel == maxDef)
+              a(i) = cr.getDouble
+            else nulls(i) = true
+            cr.consume(); i += 1
+          }
+          new GraftVectors.Doubles(a, nulls)
+        case 9 => // float file under a widened double column
+          val a = new Array[Double](n); var i = 0
+          while (i < n) {
+            if (cr.getCurrentDefinitionLevel == maxDef)
+              a(i) = cr.getFloat.toDouble
+            else nulls(i) = true
+            cr.consume(); i += 1
+          }
+          new GraftVectors.Doubles(a, nulls)
+        case 5 =>
+          val a = new Array[Float](n); var i = 0
+          while (i < n) {
+            if (cr.getCurrentDefinitionLevel == maxDef)
+              a(i) = cr.getFloat
+            else nulls(i) = true
+            cr.consume(); i += 1
+          }
+          new GraftVectors.Floats(a, nulls)
+        case 6 =>
+          val a = new Array[Boolean](n); var i = 0
+          while (i < n) {
+            if (cr.getCurrentDefinitionLevel == maxDef)
+              a(i) = cr.getBoolean
+            else nulls(i) = true
+            cr.consume(); i += 1
+          }
+          new GraftVectors.Bools(a, nulls)
+        case 7 =>
+          val a = new Array[UTF8String](n); var i = 0
+          while (i < n) {
+            if (cr.getCurrentDefinitionLevel == maxDef)
+              a(i) = UTF8String.fromBytes(cr.getBinary.getBytes)
+            else nulls(i) = true
+            cr.consume(); i += 1
+          }
+          new GraftVectors.Strings(a, nulls)
+      }
+      k += 1
+    }
+    batch = new ColumnarBatch(vecs, n)
+    rowsLeft -= n
+    emitted += n
+    true
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    batch
+
+  override def close(): Unit = {
+    ReaderDiag.add(emitted)
+    reader.close()
+  }
+}
+
 /** Executor-side parquet→InternalRow reader over parquet-mr's Group
   * API (the public example read path — no Spark-private internals).
   * Column lookup is BY NAME so pre-evolution files null-fill columns
@@ -2624,6 +2968,37 @@ private[sources] class GroupRowReaderFactory(schemaJson: String,
     ranges: Seq[(String, Any, Any)] = Nil,
     aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
+
+  /** COLUMNAR engagement rule (see [[SnapshotColumnarReader]]): no
+    * deletion vector (tombstone probes want the row path), no pushed
+    * predicate (record-level skipping lives on the row path and wins
+    * on selective scans), every column a supported primitive, and a
+    * non-empty projection (`count(*)` is answered by aggregate
+    * pushdown / the cheapest-column row read). Valve:
+    * `graft.snapshot.columnar` = on | off (A/B + safety hatch). */
+  private val columnarOk: Boolean = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    dv.isEmpty && ranges.isEmpty && schema.fields.nonEmpty &&
+      schema.fields.forall(_.dataType match {
+        case LongType | TimestampType | TimestampNTZType |
+             IntegerType | DateType | ShortType | ByteType |
+             DoubleType | FloatType | BooleanType | StringType => true
+        case _ => false
+      }) &&
+      conf.value.get("graft.snapshot.columnar", "on") != "off"
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnarOk
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    require(columnarOk, "columnar read requested outside the " +
+      "engagement rule")
+    new SnapshotColumnarReader(p.asInstanceOf[SnapshotFilePartition],
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      aliases, conf.value)
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]

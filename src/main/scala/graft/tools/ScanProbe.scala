@@ -30,7 +30,7 @@ object ScanProbe {
     // this host force phase-targeted re-runs
     val phases: Set[Int] = args.lift(1)
       .map(_.split(',').map(_.trim.toInt).toSet)
-      .getOrElse(Set(1, 2, 3, 4, 5))
+      .getOrElse(Set(1, 2, 3, 4, 5, 6))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -168,6 +168,70 @@ object ScanProbe {
       def svdf = spark.read.parquet(files5: _*)
       t("strings vectorized control")(svdf.groupBy("o_orderstatus")
         .agg(count(lit(1)), max("o_orderpriority")).collect())
+    }
+
+    // ---- 6. COLUMNAR batch reader A/B (r17) ----
+    // the unpredicated scan-bound shapes the columnar path exists
+    // for: numeric multi-column agg, 1-col sum, string group-by —
+    // columnar ON vs OFF (row fast path) vs Spark's vectorized
+    // parquet control over the same files
+    if (phases(6)) {
+      val ct = s"$base/columnar/t"
+      SnapshotTable.deleteTree(ct)
+      SnapshotTable.commit(spark, ct, 0, b.repartition(32), years)
+      SnapshotTable.optimize(spark, ct, 1)
+      def cdf = spark.read.format("graft-snapshot").option("root", ct)
+        .load()
+      val cfiles = SnapshotTable.files(ct, 1)
+      def cvdf = spark.read.parquet(cfiles: _*)
+      def nagg(df: => org.apache.spark.sql.DataFrame)() =
+        df.groupBy("pt_year").agg(count(lit(1)), sum("o_totalprice"),
+          sum("o_custkey"), sum("o_orderkey")).collect()
+      def onecol(df: => org.apache.spark.sql.DataFrame)() =
+        df.agg(sum("o_totalprice")).collect()
+      t("columnar ON  numeric agg", 5)(nagg(cdf)())
+      hconf.set("graft.snapshot.columnar", "off")
+      t("columnar OFF numeric agg", 5)(nagg(cdf)())
+      hconf.unset("graft.snapshot.columnar")
+      t("vectorized   numeric agg", 5)(nagg(cvdf)())
+      t("columnar ON  1-col sum", 5)(onecol(cdf)())
+      hconf.set("graft.snapshot.columnar", "off")
+      t("columnar OFF 1-col sum", 5)(onecol(cdf)())
+      hconf.unset("graft.snapshot.columnar")
+      t("vectorized   1-col sum", 5)(onecol(cvdf)())
+
+      val st6 = s"$base/colstrings/t"
+      SnapshotTable.deleteTree(st6)
+      val sb6 = spark.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          concat(lit("clerk_"), (col("o_custkey") % 1000))
+            .as("o_clerk"),
+          year(col("o_orderdate")).as("pt_year"))
+      SnapshotTable.commit(spark, st6, 0, sb6.repartition(32),
+        sb6.select("pt_year").distinct().collect().map(_.getInt(0)).toSeq)
+      SnapshotTable.optimize(spark, st6, 1)
+      def sdf6 = spark.read.format("graft-snapshot").option("root", st6)
+        .load()
+      def sagg6(df: => org.apache.spark.sql.DataFrame)() =
+        df.groupBy("o_orderstatus").agg(count(lit(1)), max("o_clerk"))
+          .collect()
+      t("columnar ON  string agg", 5)(sagg6(sdf6)())
+      hconf.set("graft.snapshot.columnar", "off")
+      t("columnar OFF string agg", 5)(sagg6(sdf6)())
+      hconf.unset("graft.snapshot.columnar")
+      val sfiles6 = SnapshotTable.files(st6, 1)
+      t("vectorized   string agg", 5)(
+        sagg6(spark.read.parquet(sfiles6: _*))())
+
+      // result parity double-check at probe scale
+      hconf.set("graft.snapshot.columnar", "off")
+      val offRows = cdf.agg(count(lit(1)), sum("o_totalprice")).collect()
+        .head.toString
+      hconf.unset("graft.snapshot.columnar")
+      val onRows = cdf.agg(count(lit(1)), sum("o_totalprice")).collect()
+        .head.toString
+      require(onRows == offRows, s"columnar parity broke: $onRows vs $offRows")
+      println(s"[probe] columnar parity OK: $onRows")
     }
 
     SnapshotTable.deleteTree(base)
