@@ -2813,6 +2813,10 @@ private[sources] class SnapshotColumnarReader(fp: SnapshotFilePartition,
   private var readers: Array[ColumnReader] = _
   private var batch: ColumnarBatch = _
   private var emitted = 0L
+  // per-(column, row group) Binary→UTF8String identity memos — the
+  // dictionary's cached instances live exactly that long
+  private var stringMemos
+      : Array[java.util.IdentityHashMap[AnyRef, UTF8String]] = _
 
   private def nextRowGroup(): Boolean = {
     val pages = reader.readNextRowGroup()
@@ -2827,6 +2831,9 @@ private[sources] class SnapshotColumnarReader(fp: SnapshotFilePartition,
           projected.getColumns.asScala
             .map(store.getColumnReader).toArray
         }
+      stringMemos = tagOfProj.map(t =>
+        if (t == 7) new java.util.IdentityHashMap[AnyRef, UTF8String]()
+        else null)
       true
     }
   }
@@ -2930,11 +2937,33 @@ private[sources] class SnapshotColumnarReader(fp: SnapshotFilePartition,
           }
           new GraftVectors.Bools(a, nulls)
         case 7 =>
+          // DICTIONARY-shared decode: parquet's dictionary reader
+          // returns the SAME cached Binary instance per dictionary
+          // entry, so an identity memo converts each distinct value
+          // to UTF8String once per (column, row group) and rows
+          // share the immutable instances — the row path's
+          // dictionary cache, ported to the columnar fill. Plain
+          // (non-dictionary) pages produce fresh Binary objects that
+          // never re-identify; the memo caps and the loop falls back
+          // to direct conversion (one last-value fast path keeps
+          // run-length-shaped data cheap even then).
+          val memo = stringMemos(k)
+          var lastB: AnyRef = null
+          var lastS: UTF8String = null
           val a = new Array[UTF8String](n); var i = 0
           while (i < n) {
-            if (cr.getCurrentDefinitionLevel == maxDef)
-              a(i) = UTF8String.fromBytes(cr.getBinary.getBytes)
-            else nulls(i) = true
+            if (cr.getCurrentDefinitionLevel == maxDef) {
+              val b = cr.getBinary
+              if (b eq lastB) a(i) = lastS
+              else {
+                var s = memo.get(b)
+                if (s == null) {
+                  s = UTF8String.fromBytes(b.getBytes)
+                  if (memo.size < 4096) memo.put(b, s)
+                }
+                a(i) = s; lastB = b; lastS = s
+              }
+            } else nulls(i) = true
             cr.consume(); i += 1
           }
           new GraftVectors.Strings(a, nulls)
