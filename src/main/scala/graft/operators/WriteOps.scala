@@ -851,17 +851,42 @@ object WriteOps {
     private def collectStats(s: SparkSession, paths: Seq[String],
         cols: Map[String, Char]): Map[String, (String, Long)] = {
       if (paths.isEmpty) Map.empty
-      else if (paths.size <= 64) {
+      else if (paths.size <= 4) {
         val conf = hconf()
         paths.map { p =>
           val (st, rows) = footerStats(p, conf, cols)
           p -> (encodeStats(st), rows)
         }.toMap
+      } else if (paths.size <= 512) {
+        // footer reads are independent KB-scale metadata I/O — a
+        // driver thread pool overlaps their latency without paying a
+        // Spark job launch (the former driver-SERIAL ≤64 branch put
+        // O(files) round-trips on the commit's critical path; the
+        // former >64 branch launched a file-per-task job, 224 tasks
+        // for 224 footers — r17 profile: 0.3-0.6 s per commit)
+        val conf = hconf()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(32, paths.size))
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          Await.result(
+            Future.traverse(paths) { p =>
+              Future {
+                val (st, rows) = footerStats(p, conf, cols)
+                p -> (encodeStats(st), rows)
+              }
+            }, scala.concurrent.duration.Duration.Inf).toMap
+        } finally pool.shutdown()
       } else {
         val sconf = new org.apache.spark.util.SerializableConfiguration(
           s.sparkContext.hadoopConfiguration)
         val bc = s.sparkContext.broadcast(sconf)
-        s.sparkContext.parallelize(paths, math.min(paths.size, 256))
+        // ~8 footers per task: the work is per-file metadata I/O, so
+        // fewer, fatter tasks beat a task per file (guide §2.2)
+        s.sparkContext.parallelize(paths,
+            math.min(256, math.max(32, paths.size / 8)))
           .map { p =>
             val (st, rows) = footerStats(p, bc.value.value, cols)
             p -> (encodeStats(st), rows)
@@ -984,7 +1009,8 @@ object WriteOps {
       * is re-applied exactly on the surviving files. */
     def readWhere(s: SparkSession, root: String, v: Int,
         preds: Seq[(String, Any, Any)]): DataFrame = {
-      val pruned = filesWhere(root, v, preds)
+      val pruned = statEntries(root, v).filter(entryMatches(_, preds))
+        .map(e => (e.path, e.bytes))
       val base =
         if (pruned.nonEmpty)
           applyDv(s, root, v, readThrough(s, tableSchema(root, v), pruned))
@@ -1304,24 +1330,75 @@ object WriteOps {
       dropped ++ colAliases(schema).values.flatten
     }
 
-    /** Open `paths` under the version's recorded schema. The fast
-      * path hands the schema to Spark's native parquet source
-      * (vectorized, by-name resolution, pre-evolution files
-      * null-fill). A schema carrying RENAME aliases takes the
-      * name-mapping path instead: footers merge by name, then each
-      * column resolves as the first present name of its alias chain —
-      * old files serve renamed columns' DATA, not nulls (the native
-      * by-name read would silently null them, which for maintenance
-      * rewrites like OPTIMIZE would destroy the column). The alias
-      * path costs a footer-merge pass; tables that never renamed pay
-      * nothing. */
+    /** DataFrame over an explicit (path, bytes) file list with ZERO
+      * filesystem listing or stat calls: the manifest recorded both at
+      * commit, so the scan is planned from a manifest-backed FileIndex
+      * instead of `spark.read.parquet(paths)` — which re-stats every
+      * path and, past 32 paths, launches a DISTRIBUTED LISTING JOB
+      * (one task per path) before the real scan (r17 profile: 0.6 s +
+      * 224 tasks per read on a 224-file table). This is the
+      * Delta/Iceberg shape — manifest metadata replaces directory
+      * listing (optimization guide §6) — and at 100 TB it removes an
+      * O(files) FS metadata pass from EVERY snapshot read. Split
+      * packing sees the manifest's true sizes, so task counts are
+      * identical to a listed read's; pushdown/pruning are untouched
+      * (same ParquetFileFormat scan node). */
+    private def manifestScan(s: SparkSession,
+        schema: org.apache.spark.sql.types.StructType,
+        entries: Seq[(String, Long)]): DataFrame = {
+      import org.apache.spark.sql.execution.datasources.{
+        FileIndex, HadoopFsRelation, PartitionDirectory}
+      import org.apache.spark.sql.types.StructType
+      // qualify once (URI resolution only — no I/O): unqualified
+      // FileStatus paths would re-resolve per split against defaultFS
+      val fs = fsFor(new HPath(entries.head._1))
+      val statuses = entries.map { case (p, len) =>
+        new org.apache.hadoop.fs.FileStatus(len, false, 1, 0L, 0L,
+          fs.makeQualified(new HPath(p)))
+      }.toArray
+      val bytes = entries.map(_._2).sum
+      val index = new FileIndex {
+        override def rootPaths: Seq[HPath] =
+          statuses.map(_.getPath).toSeq
+        override def listFiles(
+            partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+            dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+            : Seq[PartitionDirectory] =
+          Seq(PartitionDirectory(
+            org.apache.spark.sql.catalyst.InternalRow.empty, statuses))
+        override def inputFiles: Array[String] =
+          statuses.map(_.getPath.toString)
+        override def refresh(): Unit = ()
+        override def sizeInBytes: Long = bytes
+        override def partitionSchema: StructType = new StructType()
+      }
+      val rel = HadoopFsRelation(index, new StructType(), schema, None,
+        new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetFileFormat, Map.empty)(s)
+      s.baseRelationToDataFrame(rel)
+    }
+
+    /** Open manifest entries (path, bytes) under the version's
+      * recorded schema. The fast path plans a manifest-backed scan
+      * (see [[manifestScan]] — no listing, no stat calls) through
+      * Spark's native parquet source (vectorized, by-name resolution,
+      * pre-evolution files null-fill). A schema carrying RENAME
+      * aliases takes the name-mapping path instead: footers merge by
+      * name, then each column resolves as the first present name of
+      * its alias chain — old files serve renamed columns' DATA, not
+      * nulls (the native by-name read would silently null them, which
+      * for maintenance rewrites like OPTIMIZE would destroy the
+      * column). The alias path costs a footer-merge pass; tables that
+      * never renamed pay nothing. */
     private def readThrough(s: SparkSession,
         schemaOpt: Option[org.apache.spark.sql.types.StructType],
-        paths: Seq[String]): DataFrame = schemaOpt match {
+        entries: Seq[(String, Long)]): DataFrame = {
+      val paths = entries.map(_._1)
+      schemaOpt match {
       case None => s.read.parquet(paths: _*)
       case Some(schema) =>
         val aliases = colAliases(schema)
-        if (aliases.isEmpty) s.read.schema(schema).parquet(paths: _*)
+        if (aliases.isEmpty) manifestScan(s, schema, entries)
         else {
           val merged =
             s.read.option("mergeSchema", "true").parquet(paths: _*)
@@ -1339,6 +1416,7 @@ object WriteOps {
           }
           resolved.select(schema.fieldNames.map(col).toIndexedSeq: _*)
         }
+      }
     }
 
     /** Reads resolve the version's RECORDED schema (no footer
@@ -1346,7 +1424,7 @@ object WriteOps {
       * it — exactly how a lakehouse serves pre-evolution files through
       * the current schema. */
     def read(s: SparkSession, root: String, v: Int): DataFrame = {
-      val fs0 = files(root, v)
+      val fs0 = entries(root, v)
       if (fs0.isEmpty)
         // a version with zero live files (e.g. an empty v0 seeding a
         // streaming-built table) still reads: its RECORDED schema, no rows
@@ -1359,13 +1437,23 @@ object WriteOps {
 
     /** Read an explicit file subset of version v through the version's
       * recorded schema, DV-applied — the file-granular DELETE's
-      * touch-scan and rewrite read. An empty list resolves the schema
+      * touch-scan and rewrite read. Sizes resolve from v's manifest
+      * records (no stat calls). An empty list resolves the schema
       * with zero row reads. */
     private[graft] def readFiles(s: SparkSession, root: String, v: Int,
         paths: Seq[String]): DataFrame =
-      if (paths.nonEmpty)
-        applyDv(s, root, v, readThrough(s, tableSchema(root, v), paths))
-      else read(s, root, v).filter(lit(false))
+      if (paths.nonEmpty) {
+        val sizes = entries(root, v).toMap
+        val es = paths.map(p => (p, sizes.getOrElse(p, -1L)))
+        // a path outside v's manifest (never the case today) would
+        // carry -1 — fall back to the listing read rather than plan
+        // a scan with an unknown length
+        val through =
+          if (es.forall(_._2 >= 0))
+            readThrough(s, tableSchema(root, v), es)
+          else s.read.parquet(paths: _*)
+        applyDv(s, root, v, through)
+      } else read(s, root, v).filter(lit(false))
 
     /** Partition-scoped read: the file list is pruned in METADATA
       * (selected pointers only), so unselected partitions' files are
@@ -1373,7 +1461,7 @@ object WriteOps {
       * resolves the version's schema with zero row reads. */
     def readPartitions(s: SparkSession, root: String, v: Int,
         years: Seq[Int]): DataFrame = {
-      val fs0 = partitionEntries(root, v, years).map(_._1)
+      val fs0 = partitionEntries(root, v, years)
       if (fs0.nonEmpty)
         applyDv(s, root, v, readThrough(s, tableSchema(root, v), fs0))
       else read(s, root, v).filter(lit(false))
@@ -1398,15 +1486,32 @@ object WriteOps {
     private def stageDataFiles(s: SparkSession, root: String,
         stageName: String, slice: DataFrame, touched: Seq[Int],
         namer: (Int, Int) => String,
-        born: Long = -1L): Seq[(Int, Seq[FileEntry])] = {
+        born: Long = -1L,
+        distribute: Boolean = true): Seq[(Int, Seq[FileEntry])] = {
       val dataDir = new HPath(root, "data")
       val fs = fsFor(dataDir)
       fs.mkdirs(dataDir)
       fs.mkdirs(mdir(root))
       val stage = new HPath(root, stageName)
-      val w0 = slice
+      val src = slice
         .filter(col("pt_year").isin(touched.map(Integer.valueOf): _*))
         .withColumn("__pt", col("pt_year"))
+      // WRITE DISTRIBUTION (Iceberg's write.distribution-mode=hash +
+      // AQE rebalance, guide §2.4/§6): cluster the staged rows by the
+      // partition column so each partition's files come from as few
+      // tasks as the data needs — without it the write inherits the
+      // slice's upstream partitioning, which at bench scale is either
+      // 1 task (single-split scan: the whole stage serializes on one
+      // core) or N tasks × P years = N·P near-empty files that every
+      // later read, stat pass and rename loop pays for. REBALANCE is
+      // scale-adaptive: AQE coalesces small partitions AND splits
+      // skewed ones against advisoryPartitionSizeInBytes, so a 100 TB
+      // partition still fans out. Callers that pre-shape their slice
+      // (optimize's byte-targeted range exchange) or deliberately
+      // fragment (the optimize-gate fixtures) pass distribute=false.
+      val shaped = if (distribute) src.hint("rebalance", col("__pt"))
+                   else src
+      val w0 = shaped
         .write.mode(SaveMode.Overwrite).partitionBy("__pt")
         // bounded row groups keep committed files SPLITTABLE — see
         // rowGroupBytes; without this a one-file partition reads on
@@ -1491,7 +1596,8 @@ object WriteOps {
         touched: Seq[Int], txn: Option[(String, Long)] = None,
         carriedFiles: Map[Int, Seq[FileEntry]] = Map.empty,
         schemaOverride: Option[org.apache.spark.sql.types.StructType] =
-          None): Unit = {
+          None,
+        distribute: Boolean = true): Unit = {
       val fs = fsFor(manifest(root, v))
       // optimistic concurrency: history is linear and a version commits
       // once. Two writers racing to publish the same v both pass this
@@ -1523,7 +1629,7 @@ object WriteOps {
       val staged = stageDataFiles(s, root,
         s"stage_v${v}_${java.util.UUID.randomUUID().toString.take(8)}",
         slice, touched, (y, i) => f"v${v}_y${y}_p$i%05d.parquet",
-        nextCommitTs(root, v))
+        nextCommitTs(root, v), distribute)
       // one immutable m-file per touched partition WITH files (carried
       // entries first, fresh after); a touched partition left with
       // neither simply has no pointer in v
@@ -2151,7 +2257,7 @@ object WriteOps {
               .sortWithinPartitions(col("pt_year"), col("__zv"))
               .drop("__zv")
           }
-        commit(s, root, newV, slice, fragmented)
+        commit(s, root, newV, slice, fragmented, distribute = false)
       }
       fragmented
     }
@@ -2518,8 +2624,9 @@ object WriteOps {
         .DataType.fromJson(l.stripPrefix("#schema="))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
       readThrough(s, schema, ptrs.values
-        .flatMap { case (m, _) => readPartManifest(m).map(_.path) }
-        .toSeq.sorted)
+        .flatMap { case (m, _) =>
+          readPartManifest(m).map(e => (e.path, e.bytes)) }
+        .toSeq.sortBy(_._1))
     }
 
     /** Publish the audited branch as the next version: ONE atomic
@@ -2738,7 +2845,8 @@ object WriteOps {
       val years = base.select("pt_year").distinct()
         .collect().map(_.getInt(0)).sorted
       SnapshotTable.commit(s, root, 0,
-        base.repartitionByRange(8, col("o_custkey")), years)
+        base.repartitionByRange(8, col("o_custkey")), years,
+        distribute = false)
       root
     })
 
@@ -2758,7 +2866,8 @@ object WriteOps {
         col("l_quantity"), year(col("l_shipdate")).as("pt_year"))
       val years = base.select("pt_year").distinct()
         .collect().map(_.getInt(0)).sorted
-      SnapshotTable.commit(s, root, 0, base.repartition(12), years)
+      SnapshotTable.commit(s, root, 0, base.repartition(12), years,
+        distribute = false)
       SnapshotTable.optimize(s, root, 1, maxFilesPerPartition = 1,
         targetFileBytes = 32L << 10,
         zorderBy = Seq("l_partkey", "l_suppkey"))
@@ -3564,7 +3673,8 @@ object WriteOps {
       col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
     val years = b.select("pt_year").distinct()
       .collect().map(_.getInt(0)).sorted
-    SnapshotTable.commit(s, root, 0, b.repartition(32), years)
+    SnapshotTable.commit(s, root, 0, b.repartition(32), years,
+      distribute = false)
     val opt = s.sql(s"CALL graftcall.system.optimize(table => '$n')")
       .collect().head
     s.sql(s"DELETE FROM graftcall.$n " +
@@ -3623,7 +3733,8 @@ object WriteOps {
         col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
       val years = b.select("pt_year").distinct()
         .collect().map(_.getInt(0)).sorted
-      SnapshotTable.commit(s, root, 0, b.repartition(32), years)
+      SnapshotTable.commit(s, root, 0, b.repartition(32), years,
+      distribute = false)
       SnapshotTable.optimize(s, root, 1)
       n
     })
@@ -4587,7 +4698,8 @@ object WriteOps {
         col("o_totalprice"), year(col("o_orderdate")).as("pt_year"))
       val years = base.select("pt_year").distinct()
         .collect().map(_.getInt(0)).sorted
-      SnapshotTable.commit(s, root, 0, base.repartition(32), years)
+      SnapshotTable.commit(s, root, 0, base.repartition(32), years,
+        distribute = false)
       SnapshotTable.optimize(s, root, 1)
       def snap(v: Int) = SnapshotTable.read(s, root, v)
         .groupBy("pt_year").agg(count(lit(1)).as("cnt"),

@@ -54,7 +54,10 @@ object GateProfile {
             .orElse(Option(js.properties)
               .flatMap(p => Option(p.getProperty("callSite.short"))))
             .getOrElse("?")
-          jobs += JobRec(js.jobId, d, js.time)
+          val stages = js.stageInfos.map(si =>
+            s"${si.name.takeWhile(_ != '\n').take(60)}/${si.numTasks}t")
+            .mkString(" | ")
+          jobs += JobRec(js.jobId, s"$d :: $stages", js.time)
         }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         if (recording) jobs.synchronized {
@@ -90,7 +93,7 @@ object GateProfile {
           val base = ivs.headOption.map(_._1).getOrElse(0L)
           jobs.foreach { j =>
             val dur = if (j.end > 0) (j.end - j.start) / 1e3 else -1.0
-            println(f"[prof]   job${j.id}%-5d +${(j.start - base) / 1e3}%9.3f s ${dur}%8.3f s  ${j.desc.take(110)}")
+            println(f"[prof]   job${j.id}%-5d +${(j.start - base) / 1e3}%9.3f s ${dur}%8.3f s  ${j.desc.take(200)}")
           }
           println(f"[prof] $g: ${jobs.size} jobs, job-span ${span / 1e3}%.3f s, wall $wall%.3f s, driver-gap ${wall - span / 1e3}%.3f s")
         }

@@ -29,7 +29,7 @@ class DataSkippingSpec extends AnyFunSuite {
       .map(k => (k, 1 + (k % 2).toInt, k.toDouble / 2, f"s$k%05d"))
       .toDF("k", "pt_year", "d", "s")
       .repartitionByRange(4, col("k"))
-    T.commit(spark, root, 0, df, Seq(1, 2))
+    T.commit(spark, root, 0, df, Seq(1, 2), distribute = false)
     root
   }
 
@@ -150,7 +150,7 @@ class DataSkippingSpec extends AnyFunSuite {
     // 64×64 grid, fragmented commit, then OPTIMIZE ZORDER BY (a, b)
     val df = (for (a <- 0L until 64L; b <- 0L until 64L)
       yield (a, b, 1)).toDF("a", "b", "pt_year").repartition(10)
-    T.commit(spark, root, 0, df, Seq(1))
+    T.commit(spark, root, 0, df, Seq(1), distribute = false)
     assert(T.optimize(spark, root, 1, maxFilesPerPartition = 1,
       targetFileBytes = 4L << 10, zorderBy = Seq("a", "b")) === Seq(1))
     val all = T.files(root, 1)
@@ -179,7 +179,7 @@ class DataSkippingSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("g_skip_opt").toString
     val df = (0L until 1000L).map(k => (k, 1, k.toDouble))
       .toDF("k", "pt_year", "v").repartition(6)
-    T.commit(spark, root, 0, df, Seq(1))
+    T.commit(spark, root, 0, df, Seq(1), distribute = false)
     assert(T.files(root, 0).size > 1)
     assert(T.optimize(spark, root, 1, maxFilesPerPartition = 1) === Seq(1))
     val es = T.statEntries(root, 1)

@@ -26,7 +26,8 @@ class OptimizeSnapshotSpec extends AnyFunSuite {
     val years = base.select("pt_year").distinct()
       .collect().map(_.getInt(0)).sorted
 
-    SnapshotTable.commit(spark, root, 0, base.repartition(16), years)
+    SnapshotTable.commit(spark, root, 0, base.repartition(16), years,
+      distribute = false)
     def filesPerYear(v: Int): Map[Int, Int] = {
       val yr = "_y(\\d+)_p".r
       SnapshotTable.files(root, v)
@@ -77,7 +78,8 @@ class OptimizeSnapshotSpec extends AnyFunSuite {
       col("id").as("o_orderkey"), col("id").as("o_custkey"),
       md5(col("id").cast("string")).as("payload"),
       lit(1).as("pt_year"))
-    SnapshotTable.commit(spark, root, 0, fat.repartition(8), Seq(1))
+    SnapshotTable.commit(spark, root, 0, fat.repartition(8), Seq(1),
+      distribute = false)
     val v0Bytes = SnapshotTable.files(root, 0)
       .map(f => Files.size(Paths.get(f))).sum
     val target = 64L * 1024
@@ -112,7 +114,8 @@ class OptimizeSnapshotSpec extends AnyFunSuite {
       (col("id") * 104729 % 1024).as("k2"),
       md5(col("id").cast("string")).as("payload"),
       lit(1).as("pt_year"))
-    SnapshotTable.commit(spark, root, 0, fat.repartition(8), Seq(1))
+    SnapshotTable.commit(spark, root, 0, fat.repartition(8), Seq(1),
+      distribute = false)
     val target = 64L * 1024
     assert(SnapshotTable.optimize(spark, root, 1,
       maxFilesPerPartition = 1, targetFileBytes = target,
@@ -155,7 +158,8 @@ class OptimizeSnapshotSpec extends AnyFunSuite {
     val y2 = (101L to 200L).map(i => (i, i, 2.0, 2))
       .toDF("o_orderkey", "o_custkey", "o_totalprice", "pt_year")
     SnapshotTable.commit(spark, root, 0,
-      y1.coalesce(1).unionByName(y2.repartition(8)), Seq(1, 2))
+      y1.coalesce(1).unionByName(y2.repartition(8)), Seq(1, 2),
+      distribute = false)
     val yr = "_y(\\d+)_p".r
     def byYear(v: Int) = SnapshotTable.files(root, v)
       .groupBy(f => yr.findFirstMatchIn(f).map(_.group(1).toInt).get)
@@ -181,7 +185,8 @@ class OptimizeSnapshotSpec extends AnyFunSuite {
       col("id").as("o_orderkey"), col("id").as("o_custkey"),
       md5(col("id").cast("string")).as("payload"),
       lit(1).as("pt_year"))
-    SnapshotTable.commit(spark, root, 0, fat.repartition(8), Seq(1))
+    SnapshotTable.commit(spark, root, 0, fat.repartition(8), Seq(1),
+      distribute = false)
     val actualBytes = SnapshotTable.files(root, 0)
       .map(f => Files.size(Paths.get(f))).sum
     // target such that TRUE sizes would compact to ONE file...
@@ -228,12 +233,14 @@ class OptimizeSnapshotSpec extends AnyFunSuite {
       col("id").as("o_orderkey"), col("id").as("o_custkey"),
       (col("id") % 97).cast("double").as("o_totalprice"),
       lit(1).as("pt_year"))
-    SnapshotTable.commit(spark, root, 0, base.repartition(8), Seq(1))
+    SnapshotTable.commit(spark, root, 0, base.repartition(8), Seq(1),
+      distribute = false)
     // v1 evolves: same rows plus a new column on half of them
     val evolved = SnapshotTable.read(spark, root, 0)
       .withColumn("o_channel",
         when(col("o_orderkey") % 2 === 0, lit("web")))
-    SnapshotTable.commit(spark, root, 1, evolved.repartition(8), Seq(1))
+    SnapshotTable.commit(spark, root, 1, evolved.repartition(8), Seq(1),
+      distribute = false)
 
     // optimize the evolved, fragmented table
     assert(SnapshotTable.optimize(spark, root, 2).nonEmpty)

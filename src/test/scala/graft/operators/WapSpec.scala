@@ -146,7 +146,8 @@ class WapSpec extends AnyFunSuite {
       year(col("o_orderdate")).as("pt_year"))
     val years = base.select("pt_year").distinct()
       .collect().map(_.getInt(0)).sorted
-    SnapshotTable.commit(spark, root, 0, base.repartition(4), years)
+    SnapshotTable.commit(spark, root, 0, base.repartition(4), years,
+      distribute = false)
     assert(SnapshotTable.versions(root) === Seq(0))
     val n0 = SnapshotTable.read(spark, root, 0).count()
     assert(n0 === base.count())

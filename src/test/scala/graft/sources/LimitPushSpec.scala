@@ -27,7 +27,8 @@ class LimitPushSpec extends AnyFunSuite {
     val df = (0L until 96L).map { i =>
       (i, 2001 + (i % 3).toInt, i * 1.5)
     }.toDF("k", "pt_year", "v").repartition(4)
-    T.commit(spark, root, 0, df, Seq(2001, 2002, 2003))
+    T.commit(spark, root, 0, df, Seq(2001, 2002, 2003),
+      distribute = false)
     val files = T.files(root, 0).size
     (root, files)
   }

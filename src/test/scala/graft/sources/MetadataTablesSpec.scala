@@ -30,7 +30,7 @@ class MetadataTablesSpec extends AnyFunSuite {
     val root = s"$base/t"
     val df = (1L to 400L).map(k => (k, 2023 + (k % 2).toInt, k * 1.5))
       .toDF("k", "pt_year", "v").repartition(8)
-    T.commit(spark, root, 0, df, Seq(2023, 2024))
+    T.commit(spark, root, 0, df, Seq(2023, 2024), distribute = false)
     T.optimize(spark, root, 1)
     root
   }

@@ -217,7 +217,7 @@ class SnapshotSourceSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("g_src_push").toString
     val df = (0L until 4000L).map(k => (k, 1, k.toDouble))
       .toDF("k", "pt_year", "v").repartitionByRange(4, col("k"))
-    T.commit(spark, root, 0, df, Seq(1))
+    T.commit(spark, root, 0, df, Seq(1), distribute = false)
     val all = T.files(root, 0).size
     assert(all >= 4)
 
