@@ -392,8 +392,16 @@ object DedupOps {
       maxIters: Int = 20): DataFrame =
     graft.core.SessionMemo.getOrElseUpdate(
       s, clustersKey(d, gram, k, bands, minJaccard, maxIters))(
+      // eager localCheckpoint, NOT persist (r17): the assignment is
+      // built by an iterative loop whose persisted union drags the
+      // whole sweep lineage (nested InMemoryRelations, a ~20k-line
+      // explain) into EVERY consumer's plan — both gates re-ran the
+      // analyzer/optimizer over that tower per invocation. The
+      // checkpoint truncates the artifact to a LogicalRDD leaf: same
+      // rows, same 16 B/doc storage, constant-size plans downstream
+      // (guide §3.3: materialize to cut huge plans).
       computeClusters(s, d, gram, k, bands, minJaccard, maxIters)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .localCheckpoint(true))
 
   private def computeClusters(s: SparkSession, d: String, gram: Int,
       k: Int, bands: Int, minJaccard: Double,

@@ -983,12 +983,18 @@ object VectorOps {
     // all k exact neighbours must surface as n_overlap = 0, not vanish
     // from the report (an inner-join-then-group would drop it and
     // overstate the average)
+    // every frame here is ≤ k×nQueries rows (50) — broadcast the join
+    // build sides so the report composes as hash joins instead of the
+    // SMJ towers size-estimation picked blind behind the windows
+    // (guide §3.1: force the strategy when you know a side is small;
+    // r17 plan audit: 10 SortMergeJoins → 0)
     def overlap(ann: DataFrame, as: String) = bf
-      .join(ann.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+      .join(broadcast(ann.withColumn("hit", lit(1))),
+        Seq("qid", "vec_id"), "left")
       .groupBy("qid").agg(coalesce(sum("hit"), lit(0L)).as(as))
     overlap(iv, "n_overlap")
-      .join(overlap(ivSeed, "n_overlap_seed"), Seq("qid"))
-      .join(overlap(ivTrained, "n_overlap_trained"), Seq("qid"))
+      .join(broadcast(overlap(ivSeed, "n_overlap_seed")), Seq("qid"))
+      .join(broadcast(overlap(ivTrained, "n_overlap_trained")), Seq("qid"))
       .withColumn("corpus_overlap", sum("n_overlap").over(all))
       .withColumn("corpus_overlap_seed",
         sum("n_overlap_seed").over(all))

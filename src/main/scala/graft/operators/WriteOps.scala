@@ -1910,9 +1910,14 @@ object WriteOps {
       val fresh =
         if (dvStaged.isEmpty) None
         else {
+          // materialize the staged tombstone set ONCE: the emptiness
+          // probe, the union-distinct below, and the years collect all
+          // read this checkpoint instead of re-running the distinct
+          // (r17: the old isEmpty alone re-computed it in full)
           val d = s.read.parquet(dvStaged: _*)
             .select(col(keyCol), col("pt_year")).distinct()
             .withColumn("__below", lit(ts))
+            .localCheckpoint(true)
           if (d.isEmpty) None else Some(d)
         }
       val prior = dvOf(root, v - 1).map { case (p, k, _) =>
