@@ -439,8 +439,21 @@ object Bench {
     // parseable — this <1 KB line carries the headline numbers and
     // always survives the tail window. The full per-query payload is
     // the line above and bench/BENCH_FULL.json.
-    val topQs = results.sortBy(-_._2).take(10)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // the summary set is the UNION of this run's top-10 and the
+    // committed baseline's top-10 (still present in `results`): a
+    // query that got FASTER and fell out of this run's top-10 keeps
+    // publishing, so a round-over-round diff of summary lines never
+    // mistakes an improvement for a dropped query (the r17 PERF
+    // comparison reported 4 phantom "dropped_from_bench" exactly this
+    // way). Purely ADDITIVE to the previous summary contract: every
+    // entry the old top-10 published is still here.
+    val resultsMap = results.toMap
+    val topKeys = (results.sortBy(-_._2).take(10).map(_._1) ++
+      prev.toSeq.sortBy(-_._2).take(10).map(_._1)
+        .filter(resultsMap.contains)).distinct
+      .sortBy(k => -resultsMap(k))
+    val topQs = topKeys
+      .map(k => "\"" + k + "\":" + fmt(resultsMap(k)))
       .mkString("{", ",", "}")
     val summary =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","summary":true,"n_queries":${results.size},"queries":$topQs,"queries_truncated":true,"reps":$reps""" +

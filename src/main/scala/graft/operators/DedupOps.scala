@@ -391,17 +391,28 @@ object DedupOps {
       k: Int = K, bands: Int = BANDS, minJaccard: Double = 0.5,
       maxIters: Int = 20): DataFrame =
     graft.core.SessionMemo.getOrElseUpdate(
-      s, clustersKey(d, gram, k, bands, minJaccard, maxIters))(
-      // eager localCheckpoint, NOT persist (r17): the assignment is
-      // built by an iterative loop whose persisted union drags the
-      // whole sweep lineage (nested InMemoryRelations, a ~20k-line
-      // explain) into EVERY consumer's plan — both gates re-ran the
-      // analyzer/optimizer over that tower per invocation. The
-      // checkpoint truncates the artifact to a LogicalRDD leaf: same
-      // rows, same 16 B/doc storage, constant-size plans downstream
-      // (guide §3.3: materialize to cut huge plans).
+      s, clustersKey(d, gram, k, bands, minJaccard, maxIters)) {
+      // eager RELIABLE checkpoint, NOT persist (r17 collapsed the
+      // ~20k-line iterative-sweep plan tower this way) and NOT
+      // localCheckpoint (r18): the artifact is long-lived — consumed
+      // by two gates across the whole session — and localCheckpoint
+      // pins it to UNREPLICATED executor blocks, so on a real cluster
+      // one lost executor (or dynamic-allocation downscale) makes it
+      // unrecoverable instead of recomputable. checkpoint() writes
+      // the 16 B/doc assignment to the checkpoint dir (cluster
+      // storage in production, tmp locally — set lazily if the
+      // session never configured one): same rows, same constant-size
+      // LogicalRDD-leaf plan downstream (guide §3.3).
+      if (s.sparkContext.getCheckpointDir.isEmpty)
+        s.sparkContext.setCheckpointDir(
+          new org.apache.hadoop.fs.Path(
+            sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
+              new java.io.File(sys.props("java.io.tmpdir"),
+                "graft_scratch").toString),
+            s"ckpt_${s.sparkContext.applicationId}").toString)
       computeClusters(s, d, gram, k, bands, minJaccard, maxIters)
-        .localCheckpoint(true))
+        .checkpoint(true)
+    }
 
   private def computeClusters(s: SparkSession, d: String, gram: Int,
       k: Int, bands: Int, minJaccard: Double,
@@ -600,8 +611,17 @@ object DedupOps {
     val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     // kept shingle space: df-capped; sizes MUST come from the same
-    // space or the ratio silently degrades into a lower bound
-    val kept = sh.join(df.select("sh"), Seq("sh"))
+    // space or the ratio silently degrades into a lower bound.
+    // SHUFFLE_HASH on the df/sizes sides (r18, guide §3.1): both are
+    // aggregation outputs keyed UNIQUELY (one row per shingle / per
+    // doc) with one narrow count column — unique keys cannot produce
+    // a hot build partition, and the per-partition hash build is
+    // |keys|·~24B/P, so the shuffled-hash build side is safe at any
+    // corpus scale while dropping the SortMergeJoin's sort on BOTH
+    // sides of each join (the probe sides here are the wide exploded
+    // shingle frame and the candidate-pair frame — exactly the sides
+    // whose sort dominates).
+    val kept = sh.join(df.select("sh").hint("shuffle_hash"), Seq("sh"))
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = kept.select(col("sh"), col("doc_id").as("doc_a"))
     val b = kept.select(col("sh"), col("doc_id").as("doc_b"))
@@ -609,9 +629,11 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+              .hint("shuffle_hash"),
             Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+              .hint("shuffle_hash"),
             Seq("doc_b"))
       .withColumn("cont_ab",
         col("inter").cast("double") / col("sz_a"))

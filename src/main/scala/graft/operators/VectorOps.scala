@@ -415,8 +415,18 @@ object VectorOps {
           (sqrt(col("nrm").cast("double")) *
            sqrt(col("nrm_lo").cast("double"))))
       .groupBy("vec_id").agg(max("sim").as("nn_lower_sim"))
+    // `sizes` is one row per coarse cell — PROVABLY ≤ nlist rows (a
+    // fixed index parameter, 16 here, hundreds at scale), so it
+    // broadcasts safely at any corpus size and the corpus-sized
+    // `cells` side never shuffles or sorts for this join (guide §3.1).
+    // `nn` is corpus-sized but keyed UNIQUELY by vec_id (a groupBy
+    // output) with one narrow double per row — the textbook
+    // shuffled-hash build side: unique keys cannot skew a partition
+    // and the per-partition build is |corpus|·16B/P. Replaces the r17
+    // SortMergeJoin's two sorts with one hash build (guide §3.1).
     val sizes = cells.groupBy("cell").agg(count(lit(1)).as("n_cell"))
-    cells.join(sizes, Seq("cell")).join(nn, Seq("vec_id"), "left")
+    cells.join(broadcast(sizes), Seq("cell"))
+      .join(nn.hint("shuffle_hash"), Seq("vec_id"), "left")
       .withColumn("is_dup",
         coalesce(col("nn_lower_sim") >= tau, lit(false)))
       .select(col("vec_id"), col("cell"), col("n_cell"),

@@ -314,6 +314,47 @@ object WriteOps {
     // need it but isn't hurt by it.
     private val renameLock = new Object
 
+    // Shared driver-side metadata-I/O pool (partition-manifest reads,
+    // footer-stats collection, staged-file renames): these are
+    // independent KB-scale FS round-trips, so they overlap here instead
+    // of serializing on the read/commit critical path (guide §2.2 —
+    // fatter use of latency-bound I/O). ONE lazy daemon pool per JVM:
+    // the former per-call Executors.newFixedThreadPool paid up-to-32
+    // thread creations on EVERY commit. Callers go through [[ioMap]],
+    // which Awaits with a BOUND — a hung filesystem fails the
+    // operation with a diagnostic instead of wedging the commit
+    // forever (the r17 pools awaited Duration.Inf).
+    private lazy val ioPool: scala.concurrent.ExecutionContextExecutorService = {
+      val tf = new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-meta-io-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      }
+      scala.concurrent.ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(32, tf))
+    }
+
+    /** Bound on any pooled metadata-I/O batch. Generous — a batch is
+      * hundreds of KB-scale reads/renames — so hitting it means the
+      * filesystem is hung, and failing the operation loudly beats an
+      * unbounded wedge. */
+    private val ioTimeout = scala.concurrent.duration.Duration(10,
+      java.util.concurrent.TimeUnit.MINUTES)
+
+    /** Map `f` over `xs` on [[ioPool]], preserving order. Short inputs
+      * stay on the calling thread: below a few elements the pool's
+      * submit/wakeup overhead exceeds the serial read. */
+    private def ioMap[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+      if (xs.size <= 2) xs.map(f)
+      else {
+        import scala.concurrent.{Await, Future}
+        implicit val ec: scala.concurrent.ExecutionContext = ioPool
+        Await.result(Future.traverse(xs)(x => Future(f(x))), ioTimeout)
+      }
+
     // ------------------------------------------------------------------
     // ATOMIC-PUBLISH SUBSTRATE (Delta's LogStore split, ENFORCED as a
     // seam rather than documented as a caveat): every publish — manifest
@@ -605,6 +646,16 @@ object WriteOps {
       readAllLines(fsFor(hp), hp).filter(_.nonEmpty).map(parseEntry)
     }
 
+    /** Read many partition manifests through [[ioPool]], preserving
+      * input order. Every snapshot read resolves its file list here —
+      * driver-SERIAL per-partition reads (the r17 shape) put
+      * O(partitions) sequential small-file round-trips in front of
+      * every scan plan; a 100k-partition table pays them on EVERY
+      * read. The pool collapses that to O(partitions / 32) latency,
+      * the same treatment collectStats got. */
+    private def readPartManifests(ms: Seq[String]): Seq[Seq[FileEntry]] =
+      ioMap(ms)(readPartManifest)
+
     /** Write one immutable partition manifest; returns its path. */
     private def writePartManifest(root: String, name: String,
         entries: Seq[FileEntry]): String = {
@@ -624,16 +675,16 @@ object WriteOps {
     /** A version's full manifest records including the per-file column
       * stats blob — the data-skipping read path's input. */
     private[graft] def statEntries(root: String, v: Int): Seq[FileEntry] =
-      pointers(root, v).toSeq.sortBy(_._1)
-        .flatMap { case (_, m) => readPartManifest(m) }
+      readPartManifests(
+        pointers(root, v).toSeq.sortBy(_._1).map(_._2)).flatten
 
     /** SELECTED partitions' entries — the metadata prune: only those
       * partitions' m-files are read; everything else stays closed. */
     def partitionEntries(root: String, v: Int,
         years: Seq[Int]): Seq[(String, Long)] = {
       val ps = pointers(root, v)
-      years.sorted.flatMap(y => ps.get(y).toSeq.flatMap(readPartManifest))
-        .map(e => (e.path, e.bytes))
+      readPartManifests(years.sorted.flatMap(y => ps.get(y)))
+        .flatten.map(e => (e.path, e.bytes))
     }
 
     /** SELECTED partitions' full manifest records, grouped by year —
@@ -641,8 +692,8 @@ object WriteOps {
     private[graft] def partitionStatEntries(root: String, v: Int,
         years: Seq[Int]): Seq[(Int, Seq[FileEntry])] = {
       val ps = pointers(root, v)
-      years.sorted.flatMap(y =>
-        ps.get(y).map(m => y -> readPartManifest(m)))
+      val sel = years.sorted.flatMap(y => ps.get(y).map(y -> _))
+      sel.map(_._1).zip(readPartManifests(sel.map(_._2)))
     }
 
     // entry line = path \t bytes [\t stats [\t rows]]; paths are
@@ -858,27 +909,20 @@ object WriteOps {
           p -> (encodeStats(st), rows)
         }.toMap
       } else if (paths.size <= 512) {
-        // footer reads are independent KB-scale metadata I/O — a
-        // driver thread pool overlaps their latency without paying a
+        // footer reads are independent KB-scale metadata I/O — the
+        // shared driver pool overlaps their latency without paying a
         // Spark job launch (the former driver-SERIAL ≤64 branch put
         // O(files) round-trips on the commit's critical path; the
         // former >64 branch launched a file-per-task job, 224 tasks
-        // for 224 footers — r17 profile: 0.3-0.6 s per commit)
+        // for 224 footers — r17 profile: 0.3-0.6 s per commit).
+        // `conf` is shared across pool threads READ-ONLY: footerStats
+        // never mutates it, and concurrent Configuration reads are
+        // safe (mutation concurrent with reads is what is not).
         val conf = hconf()
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(32, paths.size))
-        try {
-          import scala.concurrent.{Await, ExecutionContext, Future}
-          implicit val ec: ExecutionContext =
-            ExecutionContext.fromExecutorService(pool)
-          Await.result(
-            Future.traverse(paths) { p =>
-              Future {
-                val (st, rows) = footerStats(p, conf, cols)
-                p -> (encodeStats(st), rows)
-              }
-            }, scala.concurrent.duration.Duration.Inf).toMap
-        } finally pool.shutdown()
+        ioMap(paths) { p =>
+          val (st, rows) = footerStats(p, conf, cols)
+          p -> (encodeStats(st), rows)
+        }.toMap
       } else {
         val sconf = new org.apache.spark.util.SerializableConfiguration(
           s.sparkContext.hadoopConfiguration)
@@ -1396,6 +1440,14 @@ object WriteOps {
       val paths = entries.map(_._1)
       schemaOpt match {
       case None => s.read.parquet(paths: _*)
+      // zero live entries under a recorded schema (e.g. a staged
+      // branch whose parent and slice are both empty): an empty
+      // schema-typed frame — manifestScan would dereference
+      // entries.head, and the pre-r17 listed read returned exactly
+      // this shape
+      case Some(schema) if entries.isEmpty =>
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case Some(schema) =>
         val aliases = colAliases(schema)
         if (aliases.isEmpty) manifestScan(s, schema, entries)
@@ -1444,15 +1496,16 @@ object WriteOps {
         paths: Seq[String]): DataFrame =
       if (paths.nonEmpty) {
         val sizes = entries(root, v).toMap
-        val es = paths.map(p => (p, sizes.getOrElse(p, -1L)))
-        // a path outside v's manifest (never the case today) would
-        // carry -1 — fall back to the listing read rather than plan
-        // a scan with an unknown length
-        val through =
-          if (es.forall(_._2 >= 0))
-            readThrough(s, tableSchema(root, v), es)
-          else s.read.parquet(paths: _*)
-        applyDv(s, root, v, through)
+        // a path outside v's manifest (never the case today) resolves
+        // its length with one stat call so the read still plans
+        // through readThrough — the recorded schema's null-fill and
+        // rename-alias resolution must apply to EVERY file (a
+        // schema-less fallback would silently null renamed columns)
+        val es = paths.map { p =>
+          (p, sizes.getOrElse(p,
+            fsFor(new HPath(p)).getFileStatus(new HPath(p)).getLen))
+        }
+        applyDv(s, root, v, readThrough(s, tableSchema(root, v), es))
       } else read(s, root, v).filter(lit(false))
 
     /** Partition-scoped read: the file list is pruned in METADATA
@@ -1553,19 +1606,10 @@ object WriteOps {
         renames.foreach { case (src, dst, _) =>
           substrate.publishNoReplaceUnique(fs, src, dst)
         }
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(32, renames.size))
-        try {
-          import scala.concurrent.{Await, ExecutionContext, Future}
-          implicit val ec: ExecutionContext =
-            ExecutionContext.fromExecutorService(pool)
-          Await.result(
-            Future.traverse(renames) { case (src, dst, _) =>
-              Future(substrate.publishNoReplaceUnique(fs, src, dst))
-            }, scala.concurrent.duration.Duration.Inf)
-        } finally pool.shutdown()
-      }
+      else
+        ioMap(renames) { case (src, dst, _) =>
+          substrate.publishNoReplaceUnique(fs, src, dst)
+        }
       val moved = plan.map { case (y, es) =>
         y -> es.map { case (_, dst, len) => dst.toString -> len }
       }
@@ -1906,20 +1950,15 @@ object WriteOps {
 
       // tombstones: staged (key, pt_year) task files → __below = ts,
       // unioned with the parent's pending set (legacy rows upgrade to
-      // ts — sound: every existing file was born before this commit)
+      // ts — sound: every existing file was born before this commit).
+      // A staged dv file is created LAZILY on its first tombstone
+      // (SnapshotDeltaWriter.dvW), so a non-empty `dvStaged` implies a
+      // non-empty tombstone set — no emptiness-probe job.
       val fresh =
         if (dvStaged.isEmpty) None
-        else {
-          // materialize the staged tombstone set ONCE: the emptiness
-          // probe, the union-distinct below, and the years collect all
-          // read this checkpoint instead of re-running the distinct
-          // (r17: the old isEmpty alone re-computed it in full)
-          val d = s.read.parquet(dvStaged: _*)
-            .select(col(keyCol), col("pt_year")).distinct()
-            .withColumn("__below", lit(ts))
-            .localCheckpoint(true)
-          if (d.isEmpty) None else Some(d)
-        }
+        else Some(s.read.parquet(dvStaged: _*)
+          .select(col(keyCol), col("pt_year"))
+          .withColumn("__below", lit(ts)))
       val prior = dvOf(root, v - 1).map { case (p, k, _) =>
         require(k == keyCol,
           s"pending deletion vector keys on '$k'; a '$keyCol' " +
@@ -1936,12 +1975,23 @@ object WriteOps {
             dvLineOf(p, k, ys)
           }.toSeq
         case (f, pr) =>
+          // ONE job writes the sidecar (r18 fusion; the r17 shape ran
+          // distinct→checkpoint, an emptiness probe, a second
+          // distinct→checkpoint, the write, and a years-collect — five
+          // jobs per row-level commit): a single distinct over the
+          // union collapses staged duplicates and fresh-vs-prior
+          // overlaps alike, and the tombstoned-years set rides the
+          // SAME action as an observed collect_set instead of a
+          // second scan. No localCheckpoint remains on the commit
+          // path — nothing here depends on unreplicated executor
+          // blocks (r17 verdict's durability concern).
           val all = (f.toSeq ++ pr.toSeq).reduce(_.unionByName(_))
-            .distinct().localCheckpoint(true)
+            .distinct()
+          val obs = new org.apache.spark.sql.Observation()
           val dvPath = freshDvPath(root, v)
-          all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dvPath)
-          val years = all.select("pt_year").distinct()
-            .collect().map(_.getInt(0)).toSeq.sorted
+          all.observe(obs, collect_set(col("pt_year")).as("years"))
+            .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dvPath)
+          val years = obs.get("years").asInstanceOf[Seq[Int]].sorted
           Seq(dvLineOf(dvPath, keyCol, years))
       }
 
@@ -2184,9 +2234,10 @@ object WriteOps {
       require(targetFileBytes > 0, "targetFileBytes must be positive")
       require(zorderBy.length <= 2,
         "zorderBy supports one (range) or two (Morton) columns")
-      val byYear: Map[Int, Seq[FileEntry]] =
-        pointers(root, newV - 1).map { case (y, m) =>
-          y -> readPartManifest(m) }
+      val byYear: Map[Int, Seq[FileEntry]] = {
+        val ptrs = pointers(root, newV - 1).toSeq.sortBy(_._1)
+        ptrs.map(_._1).zip(readPartManifests(ptrs.map(_._2))).toMap
+      }
       // rewrite targets = fragmented partitions ∪ (by default) the
       // partitions holding pending deletion-vector tombstones: OPTIMIZE
       // is the natural purge vehicle — the rewrite reads DV-applied
@@ -2628,10 +2679,9 @@ object WriteOps {
       val schema = schemaLine.map(l => org.apache.spark.sql.types
         .DataType.fromJson(l.stripPrefix("#schema="))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-      readThrough(s, schema, ptrs.values
-        .flatMap { case (m, _) =>
-          readPartManifest(m).map(e => (e.path, e.bytes)) }
-        .toSeq.sortBy(_._1))
+      readThrough(s, schema,
+        readPartManifests(ptrs.values.map(_._1).toSeq)
+          .flatten.map(e => (e.path, e.bytes)).sortBy(_._1))
     }
 
     /** Publish the audited branch as the next version: ONE atomic
@@ -3922,14 +3972,31 @@ object WriteOps {
     cur.join(broadcast(keys), Seq("c_custkey"), "left_semi")
       .withColumn("valid_to", lit(v))
       .write.mode(SaveMode.Append).parquet(base + "/is_current=false")
-    // open: surviving current rows + the batch as new open versions
+    // open: surviving current rows + the batch as new open versions.
+    // The stage hop exists because the current dir cannot be
+    // overwritten while it is being read — but once the staged write
+    // has materialized the new state, publishing it is a FILE MOVE,
+    // not a second decode+re-encode job (guide §6: don't rewrite
+    // bytes you can rename; this is what a table-format commit does).
+    // Saves one full write job per merge; read-back rows identical.
     val stay = cur.join(broadcast(keys), Seq("c_custkey"), "left_anti")
     val opened = b.withColumn("valid_from", lit(v))
       .withColumn("valid_to", lit(9999))
     stay.unionByName(opened)
       .write.mode(SaveMode.Overwrite).parquet(stage)
-    s.read.parquet(stage)
-      .write.mode(SaveMode.Overwrite).parquet(base + "/is_current=true")
+    val conf = s.sparkContext.hadoopConfiguration
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val fs = stagePath.getFileSystem(conf)
+    val target = new org.apache.hadoop.fs.Path(base, "is_current=true")
+    fs.delete(target, true)
+    fs.mkdirs(target)
+    fs.listStatus(stagePath).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        require(fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(target, f.getPath.getName)),
+          s"scd2 publish: rename of ${f.getPath} failed")
+      }
   }
 
   /** 16-bit Morton (Z-order) interleave of two key columns — the math

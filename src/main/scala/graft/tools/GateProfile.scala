@@ -45,7 +45,8 @@ object GateProfile {
     catch { case _: Throwable => () }
 
     val jobs = ArrayBuffer.empty[JobRec]
-    var recording = false
+    // written by the main thread, read by the listener-bus thread
+    @volatile var recording = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         if (recording) jobs.synchronized {

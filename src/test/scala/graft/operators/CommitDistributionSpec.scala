@@ -25,6 +25,12 @@ class CommitDistributionSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    // the exact file counts below ride on AQE's rebalance coalescing —
+    // pin the configs the assertion depends on rather than inheriting
+    // defaults that could drift across Spark versions
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "134217728")
     .getOrCreate()
 
   test("default commit coalesces a many-task slice to data-sized " +
