@@ -9,8 +9,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * path (vectorized parquet + pushdown + pruning) is identical.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // Per-(session, path) parquet schema memo (r18): a bare
+  // spark.read.parquet infers the schema by reading a footer — a
+  // one-task Spark job (~30 ms; GateProfile shows "parquet at
+  // Tables.scala" at the head of nearly every gate invocation, and a
+  // gate touches 1–3 source tables). The fixture files are immutable,
+  // so infer once per (session, path) and plan every later read with
+  // the recorded schema — schema-as-metadata, exactly what a catalog
+  // table provides (the scaladoc above already declares these reads
+  // stand in for catalog tables). Keyed on the session OBJECT (the
+  // SessionMemo discipline — identity hashes can collide); entries die
+  // with their session via the stopped-context sweep. Pushdown,
+  // pruning and vectorization are untouched — same scan node, the
+  // schema simply arrives without the inference job.
+  private val schemaMemo = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), org.apache.spark.sql.types.StructType]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    schemaMemo.keySet.foreach { case k @ (s0, _) =>
+      if (s0.sparkContext.isStopped) schemaMemo.remove(k)
+    }
+    val schema = schemaMemo.getOrElseUpdate((spark, path),
+      spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** The engine's content-stable hash bucket — the cross-engine
     * contract every sampling/split gate shares (DuckDB mirror:

@@ -1078,7 +1078,14 @@ object VectorOps {
       .withColumn("r_lex", row_number().over(wl))
       .filter(col("r_lex") <= armK)
       .select(col("qid"), col("doc_id"), col("r_lex"))
-    val fused = vec.join(lex, Seq("qid", "doc_id"), "full_outer")
+    // both arms are BOUNDED at nQueries·armK rows by construction
+    // (row_number ≤ armK per qid before the join), so the full-outer
+    // fuse never needs a sort: shuffled-hash handles FullOuter since
+    // Spark 3.1 and a ≤(queries·k)-row build side cannot skew or
+    // overflow a partition at any corpus scale (guide §3.1; broadcast
+    // cannot serve a full-outer equi-join, SHJ is the next best)
+    val fused = vec.join(lex.hint("shuffle_hash"),
+        Seq("qid", "doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)) +
         coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)))
